@@ -1,0 +1,207 @@
+r"""``pipe_tsv()`` — the reference's TSV wire protocol to an external binary.
+
+Protocol (reference README.md:37-56, TSVInterface.cpp:163-362):
+
+1. parent writes a header line ``<nlines>\n`` then ``nlines`` TSV rows;
+2. child replies with its own ``<nlines>\n`` header + body;
+3. repeat per chunk; after the last chunk the parent writes ``0\n`` and
+   the child replies with one final message (possibly ``0\n``).
+
+Escaping (reference TSVInterface.cpp:200-222): ``\t`` → ``\\t``, ``\n`` →
+``\\n``, ``\r`` → ``\\r``, ``\\`` → ``\\\\``; NULL → ``\N``; doubles print
+NaN as ``nan`` (reference TSVInterface.cpp:71, 237-247).
+
+Each response chunk becomes ONE string cell, header stripped — matching
+the reference's ``<response:string>`` output schema
+(TSVInterface.cpp:58-64); parse it downstream with
+:func:`parse_tsv_response` (the analog of accelerated_io_tools
+``parse()``, reference README.md:81-99).
+
+Execution model: one child process per partition (the reference forks one
+child per instance, ChildProcess.cpp:49-102).  A writer thread feeds all
+chunks while the main thread reads responses in order — same pipelining,
+deadlock-free for children that buffer.  This is deliberately
+``mapPartitions``-based: it is the one operator in the engine where
+per-partition imperative logic is the point (an external non-Python
+binary owns the computation).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import threading
+from typing import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+RESPONSE_SCHEMA = StructType(
+    [
+        StructField("instance_id", LongType(), False),
+        StructField("chunk_no", LongType(), False),
+        StructField("response", StringType(), True),
+    ]
+)
+
+# Byte-for-byte escaping rules of reference TSVInterface.cpp:200-222.
+_ESCAPES = {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+_UNESCAPES = {"\\\\": "\\", "\\t": "\t", "\\n": "\n", "\\r": "\r"}
+
+
+def escape_field(value) -> str:
+    r"""TSV-escape one value; None → ``\N`` (reference TSVInterface.cpp:72)."""
+    if value is None or (isinstance(value, float) and value != value):
+        if value is None:
+            return "\\N"
+        return "nan"  # NaN prints as 'nan' (reference TSVInterface.cpp:71)
+    s = str(value)
+    out = []
+    for ch in s:
+        out.append(_ESCAPES.get(ch, ch))
+    return "".join(out)
+
+
+def unescape_field(s: str) -> str | None:
+    r"""Inverse of :func:`escape_field`; ``\N`` → None."""
+    if s == "\\N":
+        return None
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n:
+            pair = s[i : i + 2]
+            if pair in _UNESCAPES:
+                out.append(_UNESCAPES[pair])
+                i += 2
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _format_chunk(rows: list[tuple]) -> bytes:
+    lines = [str(len(rows))]
+    for row in rows:
+        lines.append("\t".join(escape_field(v) for v in row))
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def pipe_tsv(
+    df: DataFrame,
+    command: str,
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """Pipe ``df`` through ``command`` (run via ``/bin/bash -c``, like the
+    reference's ``execle("/bin/bash","-c",cmd)`` — ChildProcess.cpp:84-88)
+    using the framed TSV protocol.  Returns
+    ``<instance_id, chunk_no, response:string>`` — one row per response
+    chunk, exactly the reference's TSV output shape
+    (TSVInterface.cpp:58-64).
+    """
+
+    def run_partition(rows_iter) -> Iterator[Row]:
+        ctx = TaskContext.get()
+        instance_id = ctx.partitionId() if ctx is not None else 0
+        proc = subprocess.Popen(
+            ["/bin/bash", "-c", command],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            bufsize=1024 * 1024,  # reference read buffer is 1 MiB (ChildProcess.h:47)
+        )
+
+        chunks_written = 0
+        write_error: list[BaseException] = []
+
+        def writer() -> None:
+            nonlocal chunks_written
+            try:
+                buf: list[tuple] = []
+                for row in rows_iter:
+                    buf.append(tuple(row))
+                    if len(buf) >= chunk_rows:
+                        proc.stdin.write(_format_chunk(buf))
+                        proc.stdin.flush()
+                        chunks_written += 1
+                        buf = []
+                if buf:
+                    proc.stdin.write(_format_chunk(buf))
+                    proc.stdin.flush()
+                    chunks_written += 1
+                # end-of-stream terminator (reference README.md:52-56)
+                proc.stdin.write(b"0\n")
+                proc.stdin.flush()
+                proc.stdin.close()
+            except BaseException as exc:  # surfaced by the reader loop
+                write_error.append(exc)
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+
+        def read_message() -> str | None:
+            header = proc.stdout.readline()
+            if not header:
+                return None
+            n = int(header.strip() or 0)
+            if n == 0:
+                return ""
+            lines = [proc.stdout.readline() for _ in range(n)]
+            body = b"".join(lines).decode("utf-8")
+            # strip single trailing newline, as the reference does
+            # (TSVInterface.cpp:58-64 / README.md:81)
+            return body[:-1] if body.endswith("\n") else body
+
+        chunk_no = 0
+        responses: list[Row] = []
+        while True:
+            msg = read_message()
+            if msg is None:
+                break
+            responses.append(
+                Row(
+                    instance_id=instance_id,
+                    chunk_no=chunk_no,
+                    response=msg if msg != "" else None,
+                )
+            )
+            chunk_no += 1
+        t.join(timeout=60)
+        rc = proc.wait()
+        if write_error:
+            raise write_error[0]
+        if rc != 0:
+            # child early exit fails the task (reference kills the query on
+            # child death — ChildProcess.cpp:147-156; Spark retries the task)
+            raise RuntimeError(f"pipe_tsv child exited with status {rc}")
+        return iter(responses)
+
+    return df.sparkSession.createDataFrame(
+        df.rdd.mapPartitions(run_partition), RESPONSE_SCHEMA
+    )
+
+
+def parse_tsv_response(
+    responses: DataFrame,
+    num_attributes: int,
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    """Split ``response`` string cells back into typed rows — the analog of
+    accelerated_io_tools ``parse(..., num_attributes:)`` (reference
+    README.md:81-99).  All output columns are strings (plus an ``error``
+    column for short rows, as in the reference); cast downstream.
+    """
+    names = column_names or [f"a{i}" for i in range(num_attributes)]
+    lines = responses.select(
+        F.posexplode(F.split(F.col("response"), "\n")).alias("line_no", "line")
+    )
+    parts = lines.withColumn("parts", F.split(F.col("line"), "\t"))
+    cols = [
+        F.when(F.size("parts") > i, F.col("parts").getItem(i)).alias(names[i])
+        for i in range(num_attributes)
+    ]
+    error = F.when(F.size("parts") < num_attributes, F.lit("short")).alias("error")
+    return parts.select(*cols, error)

@@ -1,0 +1,180 @@
+"""The ``stream()`` operator family — chunked table-in/table-out user code.
+
+Reference semantics (Paradigm4/streaming):
+
+- The plugin forks a child per instance and exchanges one chunk at a time
+  over stdin/stdout as Arrow record batches (reference
+  FeatherInterface.cpp:201-235, README.md:37-43).  In Spark the "child" is
+  the Python worker itself and the Arrow exchange is built in: ``stream()``
+  lowers to ``mapInPandas``/``mapInArrow``, a narrow per-partition
+  transformation with zero intra-operator shuffle — exactly the
+  reference's execution model (SURVEY.md section 3.1 step 6).
+- The client contract is ``map(map_fun, finalize_fun)``: for each chunk,
+  ``map_fun(pdf)`` produces an output chunk (``None`` ⇒ emit nothing); at
+  end-of-stream ``finalize_fun()`` runs once and its result (``None`` ⇒
+  nothing) is emitted (reference py_pkg/scidbstrm/__init__.py:117-139).
+  ``stream_map`` reproduces that contract verbatim, including the
+  "child runs even on empty input ⇒ finalize still emits" behavior
+  (reference README.md:215-224).
+- Output carries provenance coordinates ``[instance_id, chunk_no,
+  value_no]`` recording which instance produced which response chunk
+  (reference FeatherInterface.cpp:96-107).  Opt in via
+  ``provenance=True``; ``instance_id`` is the Spark partition id.
+- An optional second input array is delivered to the child *before* the
+  main data (reference PhysicalStream.cpp:74-100) — used to ship models /
+  lookup tables.  Spark-first this is a broadcast: pass ``side_input=``
+  (a pandas DataFrame or any picklable object) and the map function is
+  called as ``fn(pdf, side)``.
+
+Scale notes: a narrow map over Arrow batches scales linearly with
+partitions; batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory use is
+O(batch), not O(partition).  No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _as_struct(schema: StructType | str) -> StructType | str:
+    return schema
+
+
+_PROVENANCE_FIELDS = [
+    StructField("instance_id", LongType(), False),
+    StructField("chunk_no", LongType(), False),
+    StructField("value_no", LongType(), False),
+]
+
+
+def _with_provenance_schema(schema: StructType) -> StructType:
+    return StructType(_PROVENANCE_FIELDS + list(schema.fields))
+
+
+def stream(
+    df: DataFrame,
+    fn: Callable[..., pd.DataFrame | None],
+    schema: StructType | str,
+    *,
+    finalize: Callable[..., pd.DataFrame | None] | None = None,
+    side_input: Any = None,
+    provenance: bool = False,
+) -> DataFrame:
+    """Run ``fn`` over each Arrow chunk of each partition of ``df``.
+
+    ``fn(pdf)`` (or ``fn(pdf, side)`` when ``side_input`` is given) maps a
+    pandas chunk to an output pandas chunk with ``schema``; returning
+    ``None`` emits nothing for that chunk.  ``finalize()`` (or
+    ``finalize(side)``) runs once per partition after the last chunk —
+    the reference's end-of-stream message (scidbstrm.map, reference
+    py_pkg/scidbstrm/__init__.py:131-137).
+
+    With ``provenance=True`` the output gains leading ``instance_id,
+    chunk_no, value_no`` columns mirroring the reference's output
+    coordinates (reference FeatherInterface.cpp:96-107).
+    """
+    if isinstance(schema, str):
+        out_schema = StructType.fromDDL(schema)
+    else:
+        out_schema = schema
+    full_schema = _with_provenance_schema(out_schema) if provenance else out_schema
+    spark = df.sparkSession
+    side_bc = (
+        spark.sparkContext.broadcast(side_input) if side_input is not None else None
+    )
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        instance_id = ctx.partitionId() if ctx is not None else 0
+        side = side_bc.value if side_bc is not None else None
+        chunk_no = 0
+        value_no = 0
+
+        def emit(out: pd.DataFrame | None) -> Iterator[pd.DataFrame]:
+            nonlocal chunk_no, value_no
+            if out is None or len(out) == 0:
+                return
+            if provenance:
+                out = out.copy()
+                n = len(out)
+                out.insert(0, "value_no", range(value_no, value_no + n))
+                out.insert(0, "chunk_no", chunk_no)
+                out.insert(0, "instance_id", instance_id)
+                value_no += n
+            chunk_no += 1
+            yield out
+
+        for pdf in batches:
+            result = fn(pdf, side) if side is not None else fn(pdf)
+            yield from emit(result)
+        if finalize is not None:
+            result = finalize(side) if side is not None else finalize()
+            yield from emit(result)
+
+    return df.mapInPandas(runner, full_schema)
+
+
+def stream_map(
+    df: DataFrame,
+    map_fun: Callable[[pd.DataFrame], pd.DataFrame | None],
+    finalize_fun: Callable[[], pd.DataFrame | None] | None = None,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """API-compatible analog of ``scidbstrm.map(map_fun, finalize_fun)``
+    (reference py_pkg/scidbstrm/__init__.py:117-139).
+
+    Unlike the reference — where the output schema must be declared via
+    ``types:``/``names:`` keywords (reference README.md:23-27) — the
+    schema may be omitted and is then inferred by running ``map_fun`` on
+    an empty sample, mirroring the R client's ``schema(f, input)`` helper
+    (reference r_pkg/R/exported.R:37-52).
+    """
+    if schema is None:
+        sample = df.limit(100).toPandas()
+        probe = map_fun(sample)
+        if probe is None and finalize_fun is not None:
+            probe = finalize_fun()
+        if probe is None:
+            raise ValueError(
+                "cannot infer schema: map_fun and finalize_fun returned None; "
+                "pass schema= explicitly (the reference's types:/names: params)"
+            )
+        schema = df.sparkSession.createDataFrame(probe).schema
+    return stream(df, map_fun, schema, finalize=finalize_fun)
+
+
+def pack_func(func: Callable) -> bytes:
+    """Serialize a function for shipping to workers.
+
+    API shim for ``scidbstrm.pack_func`` (reference
+    py_pkg/scidbstrm/__init__.py:98-105, dill → 1-cell binary array).
+    Spark ships closures automatically via cloudpickle, so this exists
+    for API parity: the bytes can be broadcast as a ``side_input`` and
+    revived with ``read_func``.
+    """
+    try:
+        from pyspark import cloudpickle  # type: ignore
+
+        return cloudpickle.dumps(func)
+    except Exception:
+        import cloudpickle  # type: ignore
+
+        return cloudpickle.dumps(func)
+
+
+def read_func(packed: bytes) -> Callable:
+    """Revive a function packed by :func:`pack_func` (analog of
+    ``scidbstrm.read_func``, reference py_pkg/scidbstrm/__init__.py:108-114)."""
+    return pickle.loads(packed)

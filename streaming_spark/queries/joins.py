@@ -1,0 +1,186 @@
+"""Join-centric queries: multiway star joins, top-k, the reference's
+overlap (interval) join, and the as-of join extension.
+
+The overlap join is the reference's flagship analytical workload — the
+1000-genomes variants×genes vignette (reference r_pkg/vignettes/
+ranges.Rmd:218-237: equal chromosome AND coordinate-range overlap, then
+count per gene).  The fixture set has no genomes tables, so variants and
+genes are derived deterministically from lineitem/part with pure SQL
+expressions — both engines compute identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_spark.operators.asof import asof_join
+from streaming_spark.queries.registry import T, events_table, query
+
+
+@query(
+    "q_revenue_by_nation",
+    oracle="""
+    SELECT n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-style star join: fact × 4 dims → revenue per nation.
+
+    Scale shape: lineitem⋈orders is the only big shuffle; customer,
+    nation, region are broadcast (explicit hints for the dims — at 100 TB
+    the fact side never moves for those)."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    customer = F.broadcast(T(spark, sf_dir, "customer"))
+    nation = F.broadcast(T(spark, sf_dir, "nation"))
+    region = F.broadcast(T(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark, sf_dir):
+    """Top-10 customers by revenue — aggregate then distributed top-k
+    (TakeOrderedAndProject; no global sort)."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.round("__rev", 2).alias("revenue"))
+    )
+
+
+# Deterministic derivation of the genomes-vignette shapes from fixtures.
+# variants: one row per lineitem; genes: one per part (broadcast-sized dim,
+# like the vignette's ~23k genes vs large variants).
+_VARIANTS_SQL = """
+    SELECT l_orderkey AS vid,
+           l_partkey % 23 AS chrom,
+           CAST(floor(l_extendedprice * 7) AS BIGINT) % 200000 AS vstart,
+           CAST(floor(l_extendedprice * 7) AS BIGINT) % 200000
+             + l_linenumber % 8 AS vend
+    FROM lineitem
+"""
+_GENES_SQL = """
+    SELECT p_name AS gene,
+           p_partkey % 23 AS chrom,
+           (p_partkey * 9973) % 150000 AS gstart,
+           (p_partkey * 9973) % 150000 + 1000 + (p_size * 97) % 50000 AS gend
+    FROM part
+"""
+
+
+@query(
+    "q_overlap_join",
+    oracle=f"""
+    WITH variants AS ({_VARIANTS_SQL}), genes AS ({_GENES_SQL})
+    SELECT gene, count(*) AS n_variants
+    FROM variants v JOIN genes g
+      ON v.chrom = g.chrom AND v.vstart <= g.gend AND v.vend >= g.gstart
+    GROUP BY gene
+    """,
+)
+def q_overlap_join(spark, sf_dir):
+    """Interval-overlap join + count per gene (reference
+    ranges.Rmd:218-237).
+
+    Physical strategy: equi-join on chromosome with the range predicate as
+    a post-condition, genes broadcast — the fact side never shuffles.
+    This mirrors the vignette's chunk-per-chromosome layout
+    (ranges.Rmd:131) and is the scale-correct plan while the dimension
+    side stays broadcastable; for two large sides, bucketize both on
+    (chrom, start DIV range_width) first."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    vstart = F.floor(F.col("l_extendedprice") * 7).cast("bigint") % 200000
+    variants = li.select(
+        F.col("l_orderkey").alias("vid"),
+        (F.col("l_partkey") % 23).alias("chrom"),
+        vstart.alias("vstart"),
+        (vstart + F.col("l_linenumber") % 8).alias("vend"),
+    )
+    gstart = (F.col("p_partkey") * 9973) % 150000
+    genes = part.select(
+        F.col("p_name").alias("gene"),
+        (F.col("p_partkey") % 23).alias("chrom"),
+        gstart.alias("gstart"),
+        (gstart + 1000 + (F.col("p_size") * 97) % 50000).alias("gend"),
+    )
+    joined = variants.join(
+        F.broadcast(genes),
+        (variants.chrom == genes.chrom)
+        & (variants.vstart <= genes.gend)
+        & (variants.vend >= genes.gstart),
+    )
+    return joined.groupBy("gene").agg(F.count(F.lit(1)).alias("n_variants"))
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id,
+           CAST(max(epoch(o.o_orderdate)) AS BIGINT) AS matched_order_epoch
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND epoch(o.o_orderdate) <= epoch(ts)
+    GROUP BY e.event_id
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join: each event matched to the latest order
+    of the same customer at or before the event time.  See
+    operators/asof.py for the one-shuffle carry-forward plan; the oracle
+    is the O(n·m) greatest-match formulation (fine at oracle scale,
+    wrong plan at 100 TB)."""
+    events = events_table(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("order_s"),
+    )
+    joined = asof_join(
+        events, orders, on="user_id", left_time="ts_s", right_time="order_s",
+        value_cols=[],
+    )
+    return joined.select(
+        "event_id", F.col("order_s_right").alias("matched_order_epoch")
+    )

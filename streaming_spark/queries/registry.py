@@ -1,0 +1,46 @@
+"""Registration plumbing + shared fixture helpers for query modules."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle."""
+
+    def deco(fn):
+        REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table."""
+    from streaming_spark.io import table_path
+
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` with its nanosecond ``ts`` converted to a proper
+    timestamp.  The fixture stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; ``nanosAsLong`` reads it as int64 nanos and we convert
+    to microseconds (no precision that matters is lost — event-time
+    operators in this engine work at microsecond grain).
+    """
+    from streaming_spark.io import table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )

@@ -1,0 +1,273 @@
+"""The ambient relational surface (SURVEY.md §2.3-§2.4).
+
+The reference composes its ``stream()`` operator with the host DB's AFL
+operators — build/apply/filter/project/sort/limit/count/grouped_aggregate/
+cross_join/redimension/… (SURVEY.md §2.3, citing e.g. reference
+tests/test.sh:15,70-75 and r_pkg/vignettes/advanced_example.Rmd:142-161).
+Here each is a thin, declarative DataFrame query so Catalyst gets full
+pushdown/pruning/codegen; every one has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_spark.queries.registry import T, query
+
+
+@query(
+    "q_build",
+    oracle="SELECT i, CAST(i AS DOUBLE) AS val FROM range(1, 1001) t(i)",
+)
+def q_build(spark, sf_dir):
+    """build(<val:double>[i=1:1000], i) — generate from expression
+    (reference tests/test.sh:15)."""
+    return spark.range(1, 1001).select(
+        F.col("id").alias("i"), F.col("id").cast("double").alias("val")
+    )
+
+
+@query(
+    "q_apply",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           CAST(l_quantity AS BIGINT) % 10 AS qty_bucket
+    FROM lineitem
+    """,
+)
+def q_apply(spark, sf_dir):
+    """apply(A, c, expr) — add computed columns (reference
+    tests/test.sh:70-75).  Row-wise IEEE arithmetic is bit-identical
+    across engines, so no rounding is needed (or wanted: engines disagree
+    on decimal rounding of binary doubles)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_quantity").cast("bigint") % 10).alias("qty_bucket"),
+    )
+
+
+@query(
+    "q_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def q_filter(spark, sf_dir):
+    """filter(A, pred) (reference README.md:215).  The predicate reaches
+    the parquet scan as a pushed filter."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "q_project",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def q_project(spark, sf_dir):
+    """project(A, cols) (reference advanced_example.Rmd:106) — column
+    pruning reaches the scan (ReadSchema shows only 3 columns)."""
+    return T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_sort(spark, sf_dir):
+    """sort(A, key) + limit — Catalyst plans this as TakeOrderedAndProject
+    (a distributed top-k, no global sort shuffle)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "q_limit",
+    oracle="SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def q_limit(spark, sf_dir):
+    """limit(A, n) with deterministic order (reference
+    4-machine-learning.py:61)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey")
+        .limit(10)
+    )
+
+
+@query("q_count", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def q_count(spark, sf_dir):
+    """op_count(A) (reference tests/test.sh:16)."""
+    return T(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_grouped_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_grouped_agg(spark, sf_dir):
+    """grouped_aggregate(A, keys, aggs) (reference
+    advanced_example.Rmd:142-150).  Hash aggregate with map-side partials
+    — two-phase for free, unlike the reference's manual map+finalize+_sg."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_groupby_max",
+    oracle="""
+    SELECT l_returnflag, max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_groupby_max(spark, sf_dir):
+    """grouped_aggregate(HAR, class, max(...)) (reference
+    advanced_example.Rmd:142-150)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.max("l_extendedprice").alias("max_price"))
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_cross_join(spark, sf_dir):
+    """cross_join(A, B) (reference 4-machine-learning.py:282-287) —
+    Catalyst broadcasts the small side (BroadcastNestedLoopJoin)."""
+    return T(spark, sf_dir, "region").crossJoin(T(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+@query(
+    "q_unpack",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS i, o_orderkey FROM orders
+    """,
+)
+def q_unpack(spark, sf_dir):
+    """unpack(A, i) — flatten to 1-D with a fresh dense coordinate
+    (reference advanced_example.Rmd:107).  Deterministic (keyed) variant of
+    monotonically_increasing_id."""
+    w = Window.orderBy("o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumn("i", F.row_number().over(w))
+        .select("i", "o_orderkey")
+    )
+
+
+@query(
+    "q_redimension",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def q_redimension(spark, sf_dir):
+    """redimension(A, schema) — re-key/re-partition cells by an expression
+    (reference ranges.Rmd:163; SURVEY.md §2.3: semantics = repartition by
+    expression).  Content is preserved; placement changes."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartitionByRange(8, "l_orderkey")
+    )
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    SELECT (o_orderkey * 2654435761) % 8 AS bucket, count(*) AS n
+    FROM orders GROUP BY bucket
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    """Randomize rows into k buckets, split even/odd (reference
+    advanced_example.Rmd:157-161).  The reference uses random(); for a
+    cross-engine-checkable oracle we use a deterministic multiplicative
+    hash (Knuth), which is also retry-safe under Spark task retries —
+    unseeded random() would not be (SURVEY.md §7 'hard parts')."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select(((F.col("o_orderkey") * F.lit(2654435761)) % 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_scan_store",
+    oracle="SELECT l_linestatus, count(*) AS n FROM lineitem GROUP BY l_linestatus",
+)
+def q_scan_store(spark, sf_dir):
+    """store/scan named arrays (reference tests/py_pkg_examples.sh:40-47)
+    — temp-view registration + spark.table scan."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("stored_lineitem")
+    return (
+        spark.table("stored_lineitem")
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_aio_input",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_aio_input(spark, sf_dir):
+    """aio_input(path, attribute_delimiter:'|', header:1) — parallel
+    delimited-text load (reference 4-machine-learning.py:52-59,
+    advanced_example.Rmd:103-135).  Round-trips a projection of lineitem
+    through pipe-delimited CSV with declared schema, then aggregates."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_csv_"), "lineitem_csv"
+    )
+    li.write.mode("overwrite").option("header", True).option("delimiter", "|").csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("delimiter", "|")
+        .schema(
+            "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE"
+        )
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
