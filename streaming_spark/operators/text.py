@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines — all pure column
+expressions (whole-stage codegen, no Python in the hot path) except the
+rolling-hash fingerprint, which is an Arrow-batch map.
+
+Generalizes the reference's only text processing (TSV string handling and
+the csv→binary MNIST parse, reference 4-machine-learning.py:68-96) into
+the language-ID / quality-scoring / token-counting surface a 100 TB
+corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_spark.operators.stream import stream
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "es": ("el", "los", "y", "una", "este", "por"),
+}
+
+
+def tokens_col(text: str | Column) -> Column:
+    """Whitespace tokenization (empty text → empty array, not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.size(F.expr(f"filter(__tokens, t -> t IN ({words}))")).alias(
+        f"hits_{lang}"
+    )
+
+
+def with_lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Add per-language stopword hit counts + predicted language.
+
+    Tie-break order en > de > fr > es > unknown, matching the oracle SQL's
+    CASE ordering."""
+    out = df.withColumn("__tokens", tokens_col(text_col))
+    for lang in STOPWORDS:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        out = out.withColumn(
+            f"hits_{lang}", F.expr(f"size(filter(__tokens, t -> t IN ({words})))")
+        )
+    hits = [F.col(f"hits_{lang}") for lang in STOPWORDS]
+    best = F.greatest(*hits)
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in STOPWORDS:
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return out.withColumn("pred_lang", pred).drop("__tokens")
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-token-length
+    quality features, rounded for cross-engine comparison."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    out = (
+        df.withColumn("__tokens", toks)
+        .withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.expr(f"size(filter(__tokens, t -> t IN ({en})))")
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                F.expr("aggregate(__tokens, 0L, (acc, t) -> acc + length(t))")
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+        .drop("__tokens")
+    )
+    return out
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    r"""Sub-word token-count proxy: each whitespace word contributes
+    ceil(len/4) tokens (a cheap stand-in for BPE piece counts; the real
+    tokenizer slots in behind the same column contract)."""
+    toks = tokens_col(text)
+    pieces = F.transform(
+        toks, lambda t: F.ceil(F.length(t) / F.lit(4.0)).cast("long")
+    )
+    return F.aggregate(pieces, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, width: int = 64) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash (base
+    1000003, mod 2^61-1) over the first ``width`` chars + md5 of the
+    whole text.  Arrow-batch map — O(len) per row, no shuffle."""
+    mod = (1 << 61) - 1
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, rolls, digests = [], [], []
+        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            s = (text or "")[:width]
+            acc = 0
+            for ch in s:
+                acc = (acc * 1000003 + ord(ch)) % mod
+            ids.append(doc_id)
+            rolls.append(acc)
+            digests.append(hashlib.md5((text or "").encode("utf-8")).hexdigest())
+        return pd.DataFrame({"id": ids, "rolling_hash": rolls, "md5": digests})
+
+    return stream(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        compute,
+        "id BIGINT, rolling_hash BIGINT, md5 STRING",
+    )

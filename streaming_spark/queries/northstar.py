@@ -1,1 +1,352 @@
-"""North-star LLM-pipeline queries (filled in below)."""
+"""North-star LLM-training-data pipeline queries over the documents /
+embeddings fixtures: dedup, similarity search, text analysis, multimodal
+binary columns.  SQL-expressible ones carry DuckDB oracles; signature
+/LSH-based ones are rows-only (hash functions are engine-internal), with
+their *verification* stages exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_spark.operators import multimodal
+from streaming_spark.operators.dedup import minhash_dedup_pairs, simhash_dedup_pairs
+from streaming_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+)
+from streaming_spark.operators.text import (
+    fingerprint,
+    quality_features,
+    token_count,
+    bpe_ish_token_count,
+    with_lang_scores,
+)
+from streaming_spark.queries.registry import T, query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-digest groupBy — one shuffle of
+    (digest, id), the canonical first pass at 100 TB (the digest is
+    computed JVM-side; the text itself never shuffles)."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: signatures are engine-internal
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + 16-band LSH near-dup candidate pairs, verified with
+    exact shingle-set Jaccard ≥ 0.5 (shingle k=9 chars)."""
+    docs = T(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # rows-only: signatures are engine-internal
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs within Hamming distance ≤ 3 via 4×16-bit
+    band blocking + JVM xor/popcount verification."""
+    docs = T(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, text_col="text", id_col="doc_id", max_hamming=3)
+
+
+_TRIGRAM_DUCK = """
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE doc_id % 5 = 0)
+    WHERE len(toks) >= 3
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH grams AS ({_TRIGRAM_DUCK})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard over all pairs of a 1-in-5 document
+    sample — the ground-truth pass the MinHash path approximates (and the
+    oracle for it).  All JVM array ops; pairing is a broadcast self-join
+    at sample scale."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("toks").getItem(i),
+                    F.col("toks").getItem(i + 1),
+                    F.col("toks").getItem(i + 2),
+                ),
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE q.vec_id < 8 AND e.vec_id != q.vec_id) t
+    WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 8 query vectors: broadcast queries, blocked
+    numpy matmul per partition, partial top-k per partition, global top-k
+    via window — shuffle volume O(Q·k·partitions)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=5)
+
+
+@query("ann_topk_lsh")  # rows-only: approximate by construction
+def ann_topk_lsh(spark, sf_dir):
+    """Approximate top-5 via 3-table random-hyperplane LSH (10 bits) —
+    the scale path: candidates only within matching buckets."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_bucket_topk(emb, queries, dim=64, k=5, n_bits=10, n_tables=3)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 3) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector math stays JVM-side: L2 norm via aggregate() over the
+    array column — no Python, no shuffle."""
+    emb = T(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return emb.select(
+        "vec_id", "label", F.round(F.sqrt(sq), 3).alias("l2_norm")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 3) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label aggregate over vector norms (IVF-style centroid stats)."""
+    emb = T(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return (
+        emb.select("label", F.sqrt(sq).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 3).alias("avg_norm"),
+        )
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars_calc,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace token counting + char counts (pure expressions)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                              t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) END
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish sub-word token counting (ceil(len/4) pieces per word)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n_chars2,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents)
+    SELECT doc_id,
+           n_chars2 AS n_chars,
+           len(toks) AS n_tokens,
+           round((n_chars2 - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / greatest(n_chars2, 1), 6) AS punct_ratio,
+           round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','is')))
+                 / greatest(len(toks), 1), 6) AS stopword_ratio,
+           round(list_sum(list_transform(toks, t -> length(t)))
+                 / greatest(len(toks), 1), 6) AS mean_token_len
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring features: punctuation ratio, stopword ratio, mean
+    token length — all codegen'd column expressions."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len",
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) AS hits_en,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS hits_de,
+             len(list_filter(toks, t -> t IN ('le','la','et','les','des','un'))) AS hits_fr,
+             len(list_filter(toks, t -> t IN ('el','los','y','una','este','por'))) AS hits_es
+      FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'unknown'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM h
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-vote language ID heuristic (tie-break en>de>fr>es)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return with_lang_scores(docs, "text").select("doc_id", "lang", "pred_lang")
+
+
+@query("text_fingerprint")  # rows-only: rolling hash is engine-internal
+def text_fingerprint(spark, sf_dir):
+    """Rolling-hash + md5 document fingerprints (Arrow-batch map)."""
+    docs = T(spark, sf_dir, "documents")
+    return fingerprint(docs, text_col="text", id_col="doc_id").orderBy("id")
+
+
+@query(
+    "multimodal_blob_features",
+    oracle="""
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def multimodal_blob_features(spark, sf_dir):
+    """Binary-column plumbing: string→blob (the reference's csv→binary
+    MNIST step), then JVM-side blob metadata (size + sha256)."""
+    docs = T(spark, sf_dir, "documents")
+    blobs = multimodal.to_blob(docs, text_col="text", id_col="doc_id")
+    return blobs.select(
+        "id",
+        F.octet_length("blob").alias("n_bytes"),
+        F.sha2("blob", 256).alias("sha"),
+    )
+
+
+@query("multimodal_fake_decode")  # rows-only: fake decode is engine-internal
+def multimodal_fake_decode(spark, sf_dir):
+    """Deterministic fake decode→feature-extract over blobs (real decode
+    stubbed behind NotImplementedError — PIL absent by design)."""
+    docs = T(spark, sf_dir, "documents")
+    blobs = multimodal.to_blob(docs, text_col="text", id_col="doc_id")
+    feats = multimodal.fake_decode_features(blobs)
+    return feats.select("id", F.size("features").alias("dim"), "features")
+
+
+@query("multimodal_frame_sample")  # rows-only: frame digests engine-internal
+def multimodal_frame_sample(spark, sf_dir):
+    """One-to-many frame sampling over blobs (video-pipeline shape)."""
+    docs = T(spark, sf_dir, "documents")
+    blobs = multimodal.to_blob(docs, text_col="text", id_col="doc_id")
+    return multimodal.frame_sample(blobs, frame_bytes=64, max_frames=4)

@@ -200,10 +200,10 @@ def q_instance_mean(spark, sf_dir):
     SELECT l_orderkey, l_linenumber, round(avg3, 6) AS avg3 FROM (
       SELECT l_orderkey, l_linenumber,
              avg(l_quantity) OVER (
-               PARTITION BY l_orderkey ORDER BY l_linenumber
+               PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3,
              row_number() OVER (
-               PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+               PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
       FROM lineitem) t
     WHERE rn >= 3
     """,
@@ -212,8 +212,10 @@ def q_rolling_avg3(spark, sf_dir):
     """Moving average, window 3, only complete windows emitted (reference
     r_pkg/inst/examples/ex2.R carries 2 rows of state across chunks;
     declaratively that is a rows-window — Catalyst handles the cross-chunk
-    carry, and the plan is a single sort-window, no Python)."""
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    carry, and the plan is a single sort-window, no Python).  l_quantity
+    is a trailing sort key because (l_orderkey, l_linenumber) is not
+    unique in the fixture — it pins the value sequence under ties."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
     return (
         T(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
