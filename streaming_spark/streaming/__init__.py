@@ -1,0 +1,15 @@
+from streaming_spark.streaming.core import (
+    foreach_batch_stream,
+    read_events_stream,
+    sessionized_counts,
+    stateful_rolling_mean,
+    windowed_counts,
+)
+
+__all__ = [
+    "foreach_batch_stream",
+    "read_events_stream",
+    "sessionized_counts",
+    "stateful_rolling_mean",
+    "windowed_counts",
+]

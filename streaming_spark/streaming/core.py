@@ -1,0 +1,179 @@
+"""Structured Streaming integration — the engine's unbounded mode.
+
+The reference's "streaming" is pipelined chunk exchange with a child
+process; it has no event time, watermarks, or windows (SURVEY.md §2.6).
+Here the mapping is:
+
+- micro-batch ≅ chunk; ``foreach_batch_stream`` is the stream-side host
+  for the ``stream()`` operator (finalize semantics in unbounded mode
+  are per-batch — an explicit engine decision, documented, since
+  end-of-stream never arrives);
+- event-time operators the reference lacks: watermarked tumbling /
+  sliding / session windows over the ``events`` schema;
+- custom stateful operators via ``applyInPandasWithState`` (the upgrade
+  path for the reference's carry-state-across-chunks idiom, reference
+  r_pkg/inst/examples/ex2.R:44-50).
+
+Everything here runs identically against a file-source stream (tested)
+and a Kafka/socket source at deployment (same unbounded DataFrame API).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of events parquet part-files: each discovered
+    file becomes (part of) a micro-batch — the unbounded analog of the
+    reference's chunk iteration."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(path)
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + value sums.  Late
+    rows beyond the watermark are dropped (late-data policy: bounded
+    state, reproducible up to watermark slack)."""
+    w = (
+        F.window("ts", window, slide)
+        if slide
+        else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session windows per user (streaming twin of
+    q_session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_rolling_mean(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value", width: int = 3
+) -> DataFrame:
+    """Custom stateful operator: per-key rolling mean of the last
+    ``width`` values in event order — the reference's carry-2-rows
+    pattern (ex2.R) as an ``applyInPandasWithState`` operator with
+    explicit keyed state (bounded: ``width`` floats per key)."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("rolling_mean", DoubleType()),
+        ]
+    )
+    # state: the last (width-1) values, JSON-encoded in a single string
+    # cell (GroupState holds tuples of the declared state schema).
+    state_schema = "tail STRING"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        tail: list[float] = (
+            json.loads(state.get[0]) if state.exists else []
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out_ids, out_means = [], []
+            for eid, v in zip(pdf["event_id"], pdf[value_col]):
+                tail.append(float(v))
+                if len(tail) > width:
+                    tail.pop(0)
+                out_ids.append(int(eid))
+                out_means.append(sum(tail) / len(tail))
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "event_id": out_ids,
+                    "rolling_mean": out_means,
+                }
+            )
+        state.update((json.dumps(tail[-(width - 1) :]),))
+
+    return (
+        events.select(key_col, "event_id", "ts", value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def foreach_batch_stream(
+    stream_df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame | None],
+    schema,
+    sink: Callable[[DataFrame, int], None],
+    finalize: Callable[[], pd.DataFrame | None] | None = None,
+):
+    """Stream-side host for the chunked-map operator: each micro-batch is
+    processed with the batch ``stream()`` operator and handed to
+    ``sink(result_df, batch_id)``.
+
+    Finalize policy (an engine decision — the reference's end-of-stream
+    never arrives in unbounded mode): ``finalize`` runs per micro-batch,
+    after that batch's chunks.  For on-stop finalization, stop the query
+    and run a batch pass over the accumulated sink output.
+    """
+    from streaming_spark.operators.stream import stream
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        result = stream(batch_df, fn, schema, finalize=finalize)
+        sink(result, batch_id)
+
+    return stream_df.writeStream.foreachBatch(process)

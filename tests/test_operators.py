@@ -1,0 +1,124 @@
+"""Unit tests for asof join, dedup, similarity, text, multimodal
+operators on small handcrafted inputs with known answers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_spark.operators.asof import asof_join
+from streaming_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from streaming_spark.operators.multimodal import decode_image, fake_decode_features, frame_sample, to_blob
+from streaming_spark.operators.similarity import cosine_topk
+from streaming_spark.operators.text import fingerprint
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 25, "t2"), (2, 5, "t3"), (3, 7, "t4")],
+        "key INT, t INT, trade STRING",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 110.0), (1, 30, 120.0), (2, 6, 50.0)],
+        "key INT, qt INT, px DOUBLE",
+    )
+    out = asof_join(trades, quotes, on="key", left_time="t", right_time="qt")
+    got = {r.trade: (r.qt_right, r.px_right) for r in out.collect()}
+    assert got["t1"] == (5, 100.0)   # latest quote at/before t=10
+    assert got["t2"] == (20, 110.0)
+    assert got["t3"] == (None, None)  # quote at 6 is after trade at 5
+    assert got["t4"] == (None, None)  # no quotes for key 3
+
+
+def test_asof_join_tie_at_equal_time(spark):
+    trades = spark.createDataFrame([(1, 10, "t")], "key INT, t INT, trade STRING")
+    quotes = spark.createDataFrame([(1, 10, 99.0)], "key INT, qt INT, px DOUBLE")
+    out = asof_join(trades, quotes, on="key", left_time="t", right_time="qt")
+    assert out.collect()[0].px_right == 99.0  # 'at or before' includes equal
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _docs_df(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("warm", "cold")),  # near-dup of 0
+        (2, "completely different content about databases and query engines"),
+        (3, "completely different content about databases and query planners"),
+        (4, "entirely unrelated text mentioning mountains rivers and forests"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = _docs_df(spark)
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert (2, 3) in found
+    assert all(4 not in p for p in found)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(0, 1)] > 0.7
+
+
+def test_simhash_finds_planted_near_dup(spark):
+    docs = _docs_df(spark)
+    pairs = simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>").repartition(4)
+    queries = df.filter(F.col("vec_id") < 3)
+    got = cosine_topk(df, queries, k=4)
+    got_pairs = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    for q in range(3):
+        order = sorted(
+            (i for i in range(50) if i != q), key=lambda i: (-sims[q, i], i)
+        )[:4]
+        for rank, expected in enumerate(order, start=1):
+            assert got_pairs[(q, rank)] == expected
+
+
+def test_fingerprint_deterministic(spark):
+    docs = _docs_df(spark)
+    a = {r.id: (r.rolling_hash, r.md5) for r in fingerprint(docs, "text", "doc_id").collect()}
+    b = {r.id: (r.rolling_hash, r.md5) for r in fingerprint(docs, "text", "doc_id").collect()}
+    assert a == b
+    assert len(set(a.values())) == 5  # distinct docs → distinct fingerprints
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+
+
+def test_fake_decode_and_frames(spark):
+    docs = _docs_df(spark)
+    blobs = to_blob(docs, "text", "doc_id")
+    feats = fake_decode_features(blobs, dim=8).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    # deterministic across runs
+    feats2 = fake_decode_features(to_blob(docs, "text", "doc_id"), dim=8).collect()
+    assert {r.id: tuple(r.features) for r in feats} == {
+        r.id: tuple(r.features) for r in feats2
+    }
+    frames = frame_sample(blobs, frame_bytes=32, max_frames=3)
+    by_doc = (
+        frames.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert all(1 <= r.n <= 3 for r in by_doc)

@@ -1,0 +1,151 @@
+"""Structured Streaming integration tests: file-source micro-batches,
+watermarked windows, stateful rolling mean, foreachBatch chunk host.
+
+Streaming results are compared against the equivalent batch computation
+over the same data — the strongest available oracle for unbounded
+operators.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_spark.streaming import (
+    foreach_batch_stream,
+    read_events_stream,
+    stateful_rolling_mean,
+    windowed_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Split the events fixture into several part files so the file
+    source produces multiple micro-batches."""
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(src)
+    n = table.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(table.slice(i * step, step), os.path.join(out, f"part-{i}.parquet"))
+    return out
+
+
+def _run_available_now(writer, tmpdir):
+    q = (
+        writer.option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream_ev = read_events_stream(spark, events_dir)
+    agg = windowed_counts(stream_ev, window="1 hour", watermark="10 minutes")
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = os.path.join(tmp, "out")
+        writer = agg.writeStream.format("parquet").option("path", out_dir).outputMode("append")
+        _run_available_now(writer, tmp)
+        got = spark.read.parquet(out_dir).toPandas()
+
+    # batch oracle over the same files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"), "n_events", "sum_value"
+        )
+        .toPandas()
+    )
+    # append mode emits only windows sealed by the watermark; every
+    # emitted window must exactly match the batch result for that window
+    got_map = {r.win_start: (r.n_events, r.sum_value) for r in got.itertuples()}
+    batch_map = {r.win_start: (r.n_events, r.sum_value) for r in batch.itertuples()}
+    assert len(got_map) > 0
+    for ws, vals in got_map.items():
+        assert batch_map[ws] == vals
+    # availableNow over ordered files: all but the tail windows seal
+    assert len(got_map) >= len(batch_map) - 3
+
+
+def test_stateful_rolling_mean_stream(spark, events_dir):
+    stream_ev = read_events_stream(spark, events_dir)
+    rolled = stateful_rolling_mean(stream_ev, width=3)
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = os.path.join(tmp, "out")
+        writer = (
+            rolled.writeStream.format("parquet").option("path", out_dir).outputMode("append")
+        )
+        _run_available_now(writer, tmp)
+        got = spark.read.parquet(out_dir).toPandas()
+
+    assert len(got) > 0
+    # oracle: batch rolling mean via window functions over the same data
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("rolling_mean", F.avg("value").over(w))
+        .select("user_id", "event_id", "rolling_mean")
+        .toPandas()
+    )
+    got_map = dict(zip(got["event_id"], got["rolling_mean"]))
+    batch_map = dict(zip(batch["event_id"], batch["rolling_mean"]))
+    assert len(got_map) == len(batch_map)
+    mismatches = [
+        e
+        for e in got_map
+        if abs(got_map[e] - batch_map[e]) > 1e-9
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatching rolling means"
+
+
+def test_foreach_batch_chunk_host(spark, events_dir):
+    """The stream() operator hosted per micro-batch: per-chunk counts
+    accumulate to the total event count."""
+    stream_ev = read_events_stream(spark, events_dir)
+    results = []
+
+    def sink(df, batch_id):
+        results.append(df.agg(F.sum("n").alias("s")).collect()[0].s or 0)
+
+    writer = foreach_batch_stream(
+        stream_ev,
+        lambda pdf: pd.DataFrame({"n": [len(pdf)]}),
+        "n BIGINT",
+        sink,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            writer.option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    total = sum(results)
+    expected = spark.read.parquet(events_dir).count()
+    assert total == expected
+    assert len(results) >= 2  # multiple micro-batches actually happened
