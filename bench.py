@@ -1,0 +1,81 @@
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count-style materialization, no
+driver collect of bulk data).  One warmup of a tiny query amortizes
+session/JVM startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_spark import get_spark
+from streaming_spark.queries import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: core operator families, heaviest first-class workloads.
+BENCH_QUERIES = [
+    "q_grouped_agg",          # hash agg (TPC-H Q1 shape)
+    "q_revenue_by_nation",    # multiway star join
+    "q_top_customers",        # join + top-k
+    "q_overlap_join",         # interval join (reference flagship)
+    "q_rolling_avg3",         # sort-window
+    "q_asof_join",            # union+carry-forward point-in-time join
+    "q_global_sum_twophase",  # two-phase stream() aggregation
+    "q_identity_roundtrip",   # Arrow round-trip bandwidth
+    "q_tumbling_window",      # event-time window
+    "q_session_window",       # session windows (gaps-and-islands)
+    "dedup_exact",            # digest groupBy
+    "dedup_minhash_lsh",      # MinHash+LSH near-dup pipeline
+    "ann_topk_bruteforce",    # broadcast-query blocked matmul
+    "text_quality",           # codegen'd text featurization
+    "multimodal_blob_features",  # binary column plumbing
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="streaming-spark-bench")
+    sf = None
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        pass
+
+    # warmup: JVM + Python worker pool
+    REGISTRY["q_count"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = REGISTRY[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

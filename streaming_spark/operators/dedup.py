@@ -25,19 +25,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streaming_spark.operators.stream import stream
+from streaming_spark.operators.stream import ensure_parallelism, stream
 
 _MERSENNE = (1 << 61) - 1
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime; arithmetic wraps mod 2^64
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Deterministic 64-bit hashes of the k-char shingles of ``text``."""
-    n = max(len(text) - k + 1, 1)
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        h = hashlib.md5(text[i : i + k].encode("utf-8")).digest()
-        out[i] = int.from_bytes(h[:8], "little")
-    return out
+    """Deterministic 64-bit hashes of the k-char shingles of ``text`` —
+    vectorized polynomial rolling hash over the utf-8 bytes (wrapping
+    uint64 arithmetic), O(len) with no per-shingle digest calls."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)), constant_values=0)
+    n = len(data) - k + 1
+    powers = _POLY_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    with np.errstate(over="ignore"):
+        h = (windows * powers).sum(axis=1, dtype=np.uint64)
+        # final avalanche (splitmix64-style) to spread low-entropy inputs
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    return h
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -76,7 +86,9 @@ def minhash_signatures(
         return pd.DataFrame({"id": ids, "shingles": shingle_lists, "sig": sigs})
 
     return stream(
-        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        ensure_parallelism(
+            df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+        ),
         compute,
         "id BIGINT, shingles ARRAY<BIGINT>, sig ARRAY<BIGINT>",
     )
@@ -108,16 +120,22 @@ def lsh_candidate_pairs(
         ).alias("band_id", "band_sig"),
     ).select("id", "band_id", F.xxhash64("band_id", "band_sig").alias("bh"))
 
-    counts = banded.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("bn"))
-    small = banded.join(
-        counts.filter(F.col("bn") <= max_bucket), ["band_id", "bh"]
+    # ONE shuffle keyed by (band_id, bh): gather each bucket, expand its
+    # pairs in-place (bounded by max_bucket² — no self-join, no second
+    # scan of the banded table), then dedup across bands.
+    grouped = (
+        banded.groupBy("band_id", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    left = small.select("band_id", "bh", F.col("id").alias("id_a"))
-    right = small.select("band_id", "bh", F.col("id").alias("id_b"))
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+    )
     return (
-        left.join(right, ["band_id", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -164,15 +182,24 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     band by pigeonhole)."""
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        token_bits: dict[str, np.ndarray] = {}  # memoized per batch
+
+        def bits_of(tok: str) -> np.ndarray:
+            cached = token_bits.get(tok)
+            if cached is None:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                cached = np.where(bits == 1, 1, -1).astype(np.int64)
+                token_bits[tok] = cached
+            return cached
+
         ids, hashes = [], []
         for doc_id, text in zip(pdf[id_col], pdf[text_col]):
             acc = np.zeros(64, dtype=np.int64)
             for tok in (text or "").split():
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits == 1, 1, -1)
+                acc += bits_of(tok)
             val = 0
             for i in range(64):
                 if acc[i] > 0:
@@ -183,7 +210,9 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return pd.DataFrame({"id": ids, "simhash": hashes})
 
     return stream(
-        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        ensure_parallelism(
+            df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+        ),
         compute,
         "id BIGINT, simhash BIGINT",
     )

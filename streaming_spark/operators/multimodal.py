@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streaming_spark.operators.stream import stream
+from streaming_spark.operators.stream import ensure_parallelism, stream
 
 try:  # pragma: no cover - not available in this container
     from PIL import Image  # type: ignore
@@ -67,7 +67,9 @@ def fake_decode_features(df: DataFrame, blob_col: str = "blob", dim: int = 8) ->
         return pd.DataFrame({"id": pdf["id"], "features": feats})
 
     return stream(
-        df.select("id", blob_col), compute, "id BIGINT, features ARRAY<FLOAT>"
+        ensure_parallelism(df.select("id", blob_col)),
+        compute,
+        "id BIGINT, features ARRAY<FLOAT>",
     )
 
 
@@ -96,7 +98,7 @@ def frame_sample(
         )
 
     return stream(
-        df.select("id", blob_col),
+        ensure_parallelism(df.select("id", blob_col)),
         compute,
         "id BIGINT, frame_no INT, frame_md5 STRING, frame_bytes INT",
     )

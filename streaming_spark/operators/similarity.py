@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streaming_spark.operators.stream import stream
+from streaming_spark.operators.stream import ensure_parallelism, stream
 
 
 def _matrix(pdf_vecs) -> np.ndarray:
@@ -66,7 +66,7 @@ def cosine_topk(
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
     partials = stream(
-        vectors.select(id_col, vec_col),
+        ensure_parallelism(vectors.select(id_col, vec_col)),
         local_topk,
         "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE",
         side_input=(q_ids, q_norm),

@@ -155,6 +155,21 @@ def stream_map(
     return stream(df, map_fun, schema, finalize=finalize_fun)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition when the input has fewer partitions than cores.
+
+    Fixture files have a single row group, so scans arrive as one
+    partition regardless of ``maxPartitionBytes``; for Python-heavy maps
+    the per-row compute dominates and a cheap round-robin shuffle first
+    buys full-core parallelism.  At 100 TB inputs are many-filed and this
+    is a no-op — the guard keeps it from ever *reducing* parallelism.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def pack_func(func: Callable) -> bytes:
     """Serialize a function for shipping to workers.
 

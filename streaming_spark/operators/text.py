@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from streaming_spark.operators.stream import stream
+from streaming_spark.operators.stream import ensure_parallelism, stream
 
 # Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
 STOPWORDS = {
@@ -134,7 +134,9 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, width: int = 64) -> D
         return pd.DataFrame({"id": ids, "rolling_hash": rolls, "md5": digests})
 
     return stream(
-        df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)),
+        ensure_parallelism(
+            df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+        ),
         compute,
         "id BIGINT, rolling_hash BIGINT, md5 STRING",
     )

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from streaming_spark.operators.asof import asof_join
+from streaming_spark.operators.overlap import overlap_join
+from streaming_spark.operators.stream import ensure_parallelism
 from streaming_spark.queries.registry import T, events_table, query
 
 
@@ -128,7 +130,11 @@ def q_overlap_join(spark, sf_dir):
     (ranges.Rmd:131) and is the scale-correct plan while the dimension
     side stays broadcastable; for two large sides, bucketize both on
     (chrom, start DIV range_width) first."""
-    li = T(spark, sf_dir, "lineitem")
+    li = ensure_parallelism(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice"
+        )
+    )
     part = T(spark, sf_dir, "part")
     vstart = F.floor(F.col("l_extendedprice") * 7).cast("bigint") % 200000
     variants = li.select(
@@ -144,11 +150,16 @@ def q_overlap_join(spark, sf_dir):
         gstart.alias("gstart"),
         (gstart + 1000 + (F.col("p_size") * 97) % 50000).alias("gend"),
     )
-    joined = variants.join(
-        F.broadcast(genes),
-        (variants.chrom == genes.chrom)
-        & (variants.vstart <= genes.gend)
-        & (variants.vend >= genes.gstart),
+    joined = overlap_join(
+        variants,
+        genes,
+        key="chrom",
+        left_start="vstart",
+        left_end="vend",
+        right_start="gstart",
+        right_end="gend",
+        bin_width=16384,
+        broadcast_right=True,
     )
     return joined.groupBy("gene").agg(F.count(F.lit(1)).alias("n_variants"))
 
