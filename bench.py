@@ -51,8 +51,18 @@ def main() -> None:
     except ValueError:
         pass
 
-    # warmup: JVM + Python worker pool
+    # warmup: JVM codegen paths + the Python worker pool (one trivial
+    # mapInPandas task per core so per-query timings measure steady state)
     REGISTRY["q_count"](spark, SF_DIR).collect()
+    import pandas as pd  # noqa: PLC0415
+
+    from streaming_spark.operators.stream import stream
+
+    warm = spark.range(
+        0, spark.sparkContext.defaultParallelism, 1,
+        spark.sparkContext.defaultParallelism,
+    )
+    stream(warm, lambda pdf: pdf, warm.schema).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -17,13 +17,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from streaming_spark.operators.pipe import parse_tsv_response, pipe_tsv, unescape_field
-from streaming_spark.operators.stream import (
-    ensure_parallelism,
-    pack_func,
-    read_func,
-    stream,
-    stream_map,
-)
+from streaming_spark.operators.stream import pack_func, read_func, stream, stream_map
 from streaming_spark.queries.registry import T, query
 
 _LI_COLS = (
@@ -45,10 +39,8 @@ def q_identity_roundtrip(spark, sf_dir):
     """stream identity: data in == data out, all types + order preserved
     within partition (reference tests/scripts/one_chunk.py,
     tests/test_low.py:59-137)."""
-    li = ensure_parallelism(
-        T(spark, sf_dir, "lineitem").select(
-            *_LI_COLS, F.col("l_shipdate").cast("string").alias("l_shipdate_str")
-        )
+    li = T(spark, sf_dir, "lineitem").select(
+        *_LI_COLS, F.col("l_shipdate").cast("string").alias("l_shipdate_str")
     )
     return stream(li, lambda pdf: pdf, li.schema)
 
@@ -119,7 +111,7 @@ def q_partition_sum_finalize(spark, sf_dir):
     emits one row per partition at end-of-stream (reference
     py_pkg/examples/1-map-finalize.py:74-107); a final reduction combines
     partitions."""
-    li = ensure_parallelism(T(spark, sf_dir, "lineitem").select("l_quantity"))
+    li = T(spark, sf_dir, "lineitem").select("l_quantity")
 
     def make_runner():
         state = {"total": 0.0}
@@ -152,9 +144,7 @@ def q_global_sum_twophase(spark, sf_dir):
     gather to one instance (_sg(...,2,0)) → final combine (reference
     tests/test.sh:49-65, examples/R_sum.R).  Spark: stream partials →
     repartition(1) → stream combine."""
-    li = ensure_parallelism(
-        T(spark, sf_dir, "lineitem").select("l_extendedprice")
-    )
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
     partial_schema = StructType([StructField("partial", DoubleType())])
 
     def partial(pdf: pd.DataFrame):
@@ -188,7 +178,7 @@ def q_instance_mean(spark, sf_dir):
     """Per-instance mean via map(NULL)+finalize then exact global combine
     from (sum, count) partials (reference r_pkg/inst/examples/ex1.R,
     basic_examples.Rmd:112-177)."""
-    li = ensure_parallelism(T(spark, sf_dir, "lineitem").select("l_quantity"))
+    li = T(spark, sf_dir, "lineitem").select("l_quantity")
     schema = StructType(
         [StructField("s", DoubleType()), StructField("n", LongType())]
     )
@@ -277,10 +267,8 @@ def q_ship_function(spark, sf_dir):
     scidbstrm.pack_func/read_func).  Spark-first: the packed bytes ride a
     broadcast (the reference's _sg(A,0) replication) and are revived
     worker-side."""
-    li = ensure_parallelism(
-        T(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
-        )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
 
     def compute_revenue(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -324,9 +312,7 @@ def q_ml_train_combine_predict(spark, sf_dir):
     partials (n, Σx, Σy, Σxx, Σxy) combine EXACTLY, so the distributed
     fit equals the single-node fit — the scale-correct version of the
     reference's averaged per-partition models."""
-    li = ensure_parallelism(
-        T(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
-    )
+    li = T(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
     stats_schema = (
         "n DOUBLE, sx DOUBLE, sy DOUBLE, sxx DOUBLE, sxy DOUBLE"
     )
