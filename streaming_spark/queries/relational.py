@@ -271,3 +271,64 @@ def q_aio_input(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_input_csv",
+    oracle="""
+    SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    """,
+)
+def q_input_csv(spark, sf_dir):
+    """input(schema, path, 0, 'csv:lt') — CSV load with a declared schema
+    (reference 4-machine-learning.py:338-344); unlike q_aio_input the
+    schema is asserted up front, not inferred from a header."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="spark_graft_csv2_"), "orders_csv")
+    orders.write.mode("overwrite").option("header", False).csv(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+    ).csv(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_sg_broadcast",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sg_broadcast(spark, sf_dir):
+    """_sg(A, 0) — replicate an array to every instance (reference
+    ranges.Rmd:237, 2-pack-func.py:56).  Spark-first: an explicit
+    broadcast join — the replicated side never shuffles."""
+    customer = T(spark, sf_dir, "customer")
+    nation = F.broadcast(T(spark, sf_dir, "nation"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_sg_gather",
+    oracle="SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_custs FROM orders",
+)
+def q_sg_gather(spark, sf_dir):
+    """_sg(A, 2, 0) — gather all chunks to instance 0 (reference
+    tests/test.sh:49-65).  Spark: repartition(1); the gathered partition
+    is then processed as one stream."""
+    gathered = T(spark, sf_dir, "orders").select("o_custkey").repartition(1)
+    return gathered.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

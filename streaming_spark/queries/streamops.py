@@ -420,3 +420,56 @@ def q_string_escapes(spark, sf_dir):
 
     clean = parsed.filter(F.col("id").isNotNull())
     return stream(clean, unescape, "id BIGINT, s STRING")
+
+
+@query(
+    "q_parse",
+    oracle="""
+    SELECT CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_keys,
+           CAST(sum(CAST(q AS DOUBLE)) AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey AS k, l_quantity AS q FROM lineitem)
+    """,
+)
+def q_parse(spark, sf_dir):
+    """parse(stream(...), num_attributes:n) — split TSV response strings
+    into typed columns (reference README.md:81-99, the
+    accelerated_io_tools parse() idiom): pipe → response cells →
+    posexplode lines → split fields → cast → aggregate."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    responses = pipe_tsv(li, "cat", chunk_rows=50000)
+    parsed = parse_tsv_response(responses, num_attributes=2, column_names=["k", "q"])
+    typed = parsed.filter(F.col("k").isNotNull()).select(
+        F.col("k").cast("bigint").alias("k"), F.col("q").cast("double").alias("q")
+    )
+    return typed.agg(
+        F.sum("k").alias("sum_keys"), F.sum("q").alias("sum_qty")
+    )
+
+
+@query(
+    "q_csv_to_binary",
+    oracle="""
+    SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+           CAST(doc_id % 10 AS BIGINT) AS label
+    FROM documents
+    """,
+)
+def q_csv_to_binary(spark, sf_dir):
+    """Parse text records into labeled binary blobs — the reference's
+    MNIST csv→binary-image step (4-machine-learning.py:68-96, 112-147):
+    a mapInPandas stage producing a BinaryType column plus metadata."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_labeled_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": pdf["doc_id"],
+                "blob": [t.encode("utf-8") for t in pdf["text"]],
+                "label": pdf["doc_id"] % 10,
+            }
+        )
+
+    blobs = stream(docs, to_labeled_blob, "id BIGINT, blob BINARY, label BIGINT")
+    return blobs.select(
+        "id", F.octet_length("blob").alias("n_bytes"), "label"
+    )

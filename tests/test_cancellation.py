@@ -1,0 +1,56 @@
+"""Query-cancellation behavior — the analog of the reference's
+cancellation suite (reference tests/test.sh:20-40: a deliberately stalled
+child is killed within ~5 s of cancel()).
+
+In Spark the cancellation boundary is the job group: cancelling it
+interrupts running tasks, and the Python workers notice on the next
+Arrow batch boundary (the same cooperative granularity as the
+reference's 100 ms poll slices, ChildProcess.cpp:130-175)."""
+
+import threading
+import time
+
+import pandas as pd
+import pytest
+
+from streaming_spark.operators.stream import stream
+
+
+def test_cancel_job_group_interrupts_stream(spark):
+    sc = spark.sparkContext
+
+    def slow(pdf: pd.DataFrame) -> pd.DataFrame:
+        time.sleep(0.5)
+        return pdf
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        df = spark.range(10_000).repartition(4)
+        slow_df = stream(df, slow, df.schema)
+
+        errors = []
+        done = threading.Event()
+
+        def run():
+            sc.setJobGroup("cancel-me", "stalled stream", interruptOnCancel=True)
+            try:
+                slow_df.count()
+            except Exception as exc:  # expected: job cancelled
+                errors.append(exc)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        time.sleep(2.0)  # let tasks start and stall
+        t0 = time.time()
+        sc.cancelJobGroup("cancel-me")
+        assert done.wait(timeout=15), "cancelled job did not terminate"
+        elapsed = time.time() - t0
+        assert errors, "count() should raise after cancellation"
+        # reference bound: clean within ~5 s of cancel (test.sh:26-29)
+        assert elapsed < 10, f"cancellation took {elapsed:.1f}s"
+        # engine still healthy afterwards
+        assert spark.range(10).count() == 10
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -1,0 +1,75 @@
+"""Physical-plan quality gates — the 100 TB posture, asserted.
+
+These tests read .explain output and fail if a scale property regresses:
+filters must reach the parquet scan, projections must prune the read
+schema, dimension joins must broadcast, top-k must not global-sort, and
+the relational hot path must stay inside WholeStageCodegen with no
+Python stages.
+"""
+
+import pytest
+
+from streaming_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str, executed: bool = False) -> str:
+    df = REGISTRY[name](spark, SF_SMOKE)
+    if executed:
+        # AQE finalizes the physical plan only at runtime; execute THIS
+        # dataframe (count() would plan a different query) so codegen
+        # stages are visible in the explain output.
+        df.collect()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q_filter")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    plan = plan_of(spark, "q_project")
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "c_custkey" in read and "c_name" in read and "c_mktsegment" in read
+    assert "c_acctbal" not in read and "c_nationkey" not in read
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "q_sort")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_overlap_join_is_broadcast_bin_join(spark):
+    plan = plan_of(spark, "q_overlap_join")
+    assert "BroadcastHashJoin" in plan
+    # bin + key equi-join, not a nested-loop over ranges
+    assert "NestedLoop" not in plan
+
+
+def test_relational_hot_path_has_no_python(spark):
+    for name in ("q_grouped_agg", "q_rolling_avg3", "q_revenue_by_nation",
+                 "text_quality", "dedup_exact"):
+        df = REGISTRY[name](spark, SF_SMOKE)
+        df.collect()
+        plan = str(df._jdf.queryExecution().executedPlan())
+        # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+        assert "*(" in plan, f"{name} has no codegen span:\n{plan[:500]}"
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name} has Python stage {marker}"
+
+
+def test_agg_is_two_phase(spark):
+    plan = plan_of(spark, "q_grouped_agg")
+    # partial + final hash aggregate around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
