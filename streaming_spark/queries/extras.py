@@ -1,0 +1,187 @@
+"""Additional surface: grouped-map UDFs, set operations, the scalar
+expression library the reference workloads use (SURVEY.md §2.4), distinct
+aggregation, and the poLCA per-instance model-selection pattern.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from streaming_spark.queries.registry import T, query
+
+
+@query(
+    "q_grouped_map_zscore",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CASE WHEN stddev_pop(l_quantity) OVER w = 0 THEN 0.0
+                      ELSE (l_quantity - avg(l_quantity) OVER w)
+                           / stddev_pop(l_quantity) OVER w END, 6) AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def q_grouped_map_zscore(spark, sf_dir):
+    """groupBy().applyInPandas — the keyed upgrade of the reference's
+    per-*instance* grouping (SURVEY.md §2.6: grouping by key has no
+    reference analog; stream() groups by physical instance only).
+    Whole-group z-score of quantity per return flag."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        sd = float(q.std(ddof=0))
+        z = (q - q.mean()) / sd if sd > 0 else q * 0.0
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "z": z.round(6),
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore, "l_orderkey BIGINT, l_linenumber INT, z DOUBLE"
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+         pri AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, count(*) AS n
+      FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM hi UNION SELECT * FROM pri))
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT DISTINCT o_custkey FROM hi
+                                       INTERSECT SELECT DISTINCT o_custkey FROM pri)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT DISTINCT o_custkey FROM hi
+                                    EXCEPT SELECT DISTINCT o_custkey FROM pri)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """union / intersect / except (absent from the reference, SURVEY.md
+    §2.6) — distinct set semantics over customer key sets."""
+    orders = T(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey").distinct()
+    pri = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    u = hi.union(pri).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = hi.intersect(pri).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = hi.exceptAll(pri).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return u.unionByName(i).unionByName(e)
+
+
+@query(
+    "q_scalar_expressions",
+    oracle=r"""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_extendedprice AS VARCHAR) AS price_str,
+           concat('item-', CAST(l_linenumber AS VARCHAR)) AS tag,
+           regexp_replace(l_returnflag, 'R', 'X', 'g') AS flag_sub,
+           CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_tax END AS maybe_tax,
+           (CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_tax END) IS NULL
+             AS tax_is_null,
+           l_quantity * 10 + 0.1 AS arith,
+           CAST(l_linenumber AS BIGINT) % 2 = 0 AS is_even
+    FROM lineitem
+    """,
+)
+def q_scalar_expressions(spark, sf_dir):
+    """The reference workloads' scalar expression set in one query
+    (SURVEY.md §2.4): iif → when/otherwise, casts, string concat,
+    regex substitution (rsub), null literal + is_null, arithmetic,
+    modulo/bool (reference tests/test.sh:70-75, advanced_example.Rmd:
+    110-127, py_pkg_examples.sh:44)."""
+    li = T(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    maybe_tax = F.when(ln % 4 == 0, F.lit(None)).otherwise(F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 25, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+        F.concat(F.lit("item-"), ln.cast("string")).alias("tag"),
+        F.regexp_replace("l_returnflag", "R", "X").alias("flag_sub"),
+        maybe_tax.alias("maybe_tax"),
+        maybe_tax.isNull().alias("tax_is_null"),
+        (F.col("l_quantity") * 10 + 0.1).alias("arith"),
+        (ln.cast("bigint") % 2 == 0).alias("is_even"),
+    )
+
+
+@query(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation (absent from the reference, SURVEY.md §2.6).
+    At 100 TB swap countDistinct for approx_count_distinct (HLL) — same
+    query shape, no exact-distinct shuffle explosion."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+@query("q_model_selection")  # rows-only: per-partition fits are placement-dependent
+def q_model_selection(spark, sf_dir):
+    """poLCA pattern: replicate data, fit one model per instance with a
+    different seed, select the best by log-likelihood (reference
+    r_pkg/vignettes/poLCA.Rmd:60-80, polca_example.R).  Here: per-partition
+    Gaussian fits of extendedprice with partition-seeded subsampling; the
+    best (highest log-likelihood on its sample) wins via a single-row
+    top-k."""
+    import numpy as np
+
+    from streaming_spark.operators.stream import ensure_parallelism, stream
+
+    li = ensure_parallelism(
+        T(spark, sf_dir, "lineitem").select("l_extendedprice"), 8
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import TaskContext
+
+        seed = (TaskContext.get().partitionId() if TaskContext.get() else 0) + 1
+        rng = np.random.default_rng(seed)
+        x = pdf["l_extendedprice"].to_numpy()
+        sample = rng.choice(x, size=min(len(x), 2000), replace=False)
+        mu, sigma = float(sample.mean()), float(sample.std() + 1e-9)
+        ll = float(
+            -0.5 * np.sum(((sample - mu) / sigma) ** 2)
+            - len(sample) * np.log(sigma * np.sqrt(2 * np.pi))
+        )
+        return pd.DataFrame(
+            {"seed": [seed], "mu": [mu], "sigma": [sigma], "loglik": [ll]}
+        )
+
+    fits = stream(li, fit, "seed INT, mu DOUBLE, sigma DOUBLE, loglik DOUBLE")
+    return fits.orderBy(F.col("loglik").desc()).limit(1)
