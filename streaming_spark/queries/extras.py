@@ -185,3 +185,108 @@ def q_model_selection(spark, sf_dir):
 
     fits = stream(li, fit, "seed INT, mu DOUBLE, sigma DOUBLE, loglik DOUBLE")
     return fits.orderBy(F.col("loglik").desc()).limit(1)
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull a field out of a JSON string
+    column and aggregate (the props column models event payloads)."""
+    from streaming_spark.queries.registry import events_table
+
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_window_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           rank() OVER w AS price_rank,
+           row_number() OVER w AS rn,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_functions(spark, sf_dir):
+    """Ranking/analytic window functions (absent from the reference,
+    SURVEY.md §2.6): rank, row_number, lag, lead, windowed sum."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wp = Window.partitionBy("o_custkey")
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("price_rank"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.round(F.sum("o_totalprice").over(wp), 2).alias("cust_total"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Grouping-set aggregation (rollup) — subtotals + grand total in one
+    pass (absent from the reference, SURVEY.md §2.6)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(min(l_quantity), 6) AS min_qty,
+           round(max(l_quantity), 6) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact percentile aggregation (continuous interpolation, matching
+    quantile_cont).  At 100 TB swap for approx_percentile — same shape."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+            F.round(F.min("l_quantity"), 6).alias("min_qty"),
+            F.round(F.max("l_quantity"), 6).alias("max_qty"),
+        )
+    )
