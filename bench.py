@@ -58,11 +58,15 @@ def main() -> None:
 
     from streaming_spark.operators.stream import stream
 
+    from streaming_spark.operators.stream import stream_arrow
+
     warm = spark.range(
         0, spark.sparkContext.defaultParallelism, 1,
         spark.sparkContext.defaultParallelism,
     )
     stream(warm, lambda pdf: pdf, warm.schema).count()
+    # mapInArrow tasks use a separate Python worker pool — warm it too
+    stream_arrow(warm, lambda b: b, warm.schema).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

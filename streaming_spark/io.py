@@ -37,7 +37,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The reference's only bulk sources are delimited text
     (aio_input/input, SURVEY.md section 2.3); parquet is the scale-correct
     upgrade and the driver's fixture format.
+
+    ``events`` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; it is read via ``nanosAsLong`` and converted to a
+    microsecond timestamp so every caller sees a proper ``ts``.
     """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

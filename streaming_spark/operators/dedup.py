@@ -167,11 +167,21 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 9,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-duplicate pairs with exact verification."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    sigs = sigs.persist()
-    pairs = lsh_candidate_pairs(sigs, bands)
-    return verify_jaccard(pairs, sigs, threshold)
+    """End-to-end MinHash-LSH near-duplicate pairs with exact verification.
+
+    Signatures are cached for the duration of the pipeline (banding and
+    verification both read them) and explicitly released afterwards — a
+    lingering cache degrades later queries in the same session.  The
+    verified pairs are materialized eagerly so the cache lifetime is
+    bounded by this call."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).persist()
+    try:
+        pairs = lsh_candidate_pairs(sigs, bands)
+        verified = verify_jaccard(pairs, sigs, threshold).persist()
+        verified.count()  # materialize while sigs are cached
+    finally:
+        sigs.unpersist()
+    return verified
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -95,6 +95,7 @@ def pipe_tsv(
     df: DataFrame,
     command: str,
     chunk_rows: int = 100_000,
+    allowed_commands: list[str] | None = None,
 ) -> DataFrame:
     """Pipe ``df`` through ``command`` (run via ``/bin/bash -c``, like the
     reference's ``execle("/bin/bash","-c",cmd)`` — ChildProcess.cpp:84-88)
@@ -102,7 +103,24 @@ def pipe_tsv(
     ``<instance_id, chunk_no, response:string>`` — one row per response
     chunk, exactly the reference's TSV output shape
     (TSVInterface.cpp:58-64).
+
+    ``allowed_commands`` (or the STREAMING_SPARK_PIPE_ALLOWLIST env var,
+    colon-separated) is the analog of the reference's
+    ``etc/stream_allowed`` command allowlist (LogicalStream.cpp:97-118):
+    when set, a command not on the list is rejected before any process is
+    forked.  Unset ⇒ unrestricted, matching a user with operator rights.
     """
+    import os
+
+    allow = allowed_commands
+    if allow is None:
+        env = os.environ.get("STREAMING_SPARK_PIPE_ALLOWLIST")
+        allow = env.split(":") if env else None
+    if allow is not None and command not in allow:
+        raise PermissionError(
+            f"pipe_tsv: command {command!r} is not on the allowlist "
+            "(reference etc/stream_allowed semantics)"
+        )
 
     def run_partition(rows_iter) -> Iterator[Row]:
         ctx = TaskContext.get()

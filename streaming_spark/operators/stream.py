@@ -71,6 +71,8 @@ def stream(
     finalize: Callable[..., pd.DataFrame | None] | None = None,
     side_input: Any = None,
     provenance: bool = False,
+    chunk_rows: int | None = None,
+    max_output_rows: int | None = None,
 ) -> DataFrame:
     """Run ``fn`` over each Arrow chunk of each partition of ``df``.
 
@@ -84,6 +86,15 @@ def stream(
     With ``provenance=True`` the output gains leading ``instance_id,
     chunk_no, value_no`` columns mirroring the reference's output
     coordinates (reference FeatherInterface.cpp:96-107).
+
+    ``chunk_rows`` is the per-call analog of the reference's
+    ``chunk_size:`` keyword (reference StreamSettings.h:272): incoming
+    Arrow batches are re-sliced so ``fn`` sees chunks of at most this many
+    rows, regardless of the session-wide ``arrow.maxRecordsPerBatch``.
+
+    ``max_output_rows`` is the per-chunk response-size guard (the
+    reference caps child responses at 1 GiB, TSVInterface.h:102) — a
+    chunk result exceeding it fails the task.
     """
     if isinstance(schema, str):
         out_schema = StructType.fromDDL(schema)
@@ -106,6 +117,12 @@ def stream(
             nonlocal chunk_no, value_no
             if out is None or len(out) == 0:
                 return
+            if max_output_rows is not None and len(out) > max_output_rows:
+                raise RuntimeError(
+                    f"stream(): chunk response of {len(out)} rows exceeds "
+                    f"max_output_rows={max_output_rows} (reference caps "
+                    "child responses, TSVInterface.h:102)"
+                )
             if provenance:
                 out = out.copy()
                 n = len(out)
@@ -116,7 +133,15 @@ def stream(
             chunk_no += 1
             yield out
 
-        for pdf in batches:
+        def sliced(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            if chunk_rows is None:
+                yield from it
+                return
+            for pdf in it:
+                for lo in range(0, len(pdf), chunk_rows):
+                    yield pdf.iloc[lo : lo + chunk_rows]
+
+        for pdf in sliced(batches):
             result = fn(pdf, side) if side is not None else fn(pdf)
             yield from emit(result)
         if finalize is not None:
@@ -153,6 +178,27 @@ def stream_map(
             )
         schema = df.sparkSession.createDataFrame(probe).schema
     return stream(df, map_fun, schema, finalize=finalize_fun)
+
+
+def stream_arrow(
+    df: DataFrame,
+    fn: Callable[[Any], Any],
+    schema: StructType | str,
+) -> DataFrame:
+    """Arrow-native variant of :func:`stream`: ``fn`` maps one
+    ``pyarrow.RecordBatch`` to another — the exact unit the reference's
+    feather protocol exchanges (one Arrow IPC record batch per chunk,
+    reference FeatherInterface.cpp:254-355).  No pandas materialization;
+    use for 1:1/bandwidth-bound transforms where the per-batch work is
+    cheap."""
+
+    def runner(batches):
+        for batch in batches:
+            out = fn(batch)
+            if out is not None and out.num_rows > 0:
+                yield out
+
+    return df.mapInArrow(runner, schema)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -32,15 +32,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load ``events`` with its nanosecond ``ts`` converted to a proper
-    timestamp.  The fixture stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; ``nanosAsLong`` reads it as int64 nanos and we convert
-    to microseconds (no precision that matters is lost — event-time
-    operators in this engine work at microsecond grain).
-    """
-    from streaming_spark.io import table_path
+    timestamp (see io.load_table — the conversion lives in the public
+    loader so every entry point sees the same schema)."""
+    from streaming_spark.io import load_table
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return load_table(spark, sf_dir, "events")

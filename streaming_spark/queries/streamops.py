@@ -38,11 +38,17 @@ _LI_COLS = (
 def q_identity_roundtrip(spark, sf_dir):
     """stream identity: data in == data out, all types + order preserved
     within partition (reference tests/scripts/one_chunk.py,
-    tests/test_low.py:59-137)."""
-    li = T(spark, sf_dir, "lineitem").select(
-        *_LI_COLS, F.col("l_shipdate").cast("string").alias("l_shipdate_str")
+    tests/test_low.py:59-137).  Uses the Arrow-native path — one
+    RecordBatch in, one out, no pandas conversion — matching the
+    reference's feather wire unit exactly."""
+    from streaming_spark.operators.stream import ensure_parallelism, stream_arrow
+
+    li = ensure_parallelism(
+        T(spark, sf_dir, "lineitem").select(
+            *_LI_COLS, F.col("l_shipdate").cast("string").alias("l_shipdate_str")
+        )
     )
-    return stream(li, lambda pdf: pdf, li.schema)
+    return stream_arrow(li, lambda batch: batch, li.schema)
 
 
 @query(

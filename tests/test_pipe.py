@@ -80,3 +80,12 @@ def test_tricky_strings_roundtrip(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == c, f"case {i}: {c!r} -> {got[i]!r}"
+
+
+def test_pipe_allowlist(spark):
+    df = spark.range(10).coalesce(1)
+    with pytest.raises(PermissionError, match="allowlist"):
+        pipe_tsv(df, "cat", allowed_commands=["wc -l"])
+    # allowlisted command still runs
+    out = pipe_tsv(df, "cat", chunk_rows=100, allowed_commands=["cat"])
+    assert out.count() >= 1

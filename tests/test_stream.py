@@ -153,3 +153,32 @@ def test_chunked_map_state_carry(spark):
         assert out.collect()[0].total == 4950
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+
+
+def test_chunk_rows_reslices_batches(spark):
+    """chunk_size: parity (reference StreamSettings.h:272) — fn sees
+    chunks of at most chunk_rows rows."""
+    df = spark.range(1000).coalesce(1)
+    out = stream(
+        df,
+        lambda pdf: pd.DataFrame({"n": [len(pdf)]}),
+        "n BIGINT",
+        chunk_rows=64,
+    ).toPandas()
+    assert out["n"].max() <= 64
+    assert out["n"].sum() == 1000
+
+
+def test_max_output_rows_guard(spark):
+    """Response-size guard parity (reference TSVInterface.h:102)."""
+    import pytest as _pytest
+
+    df = spark.range(100).coalesce(1)
+    big = stream(
+        df,
+        lambda pdf: pd.DataFrame({"x": range(1000)}),
+        "x BIGINT",
+        max_output_rows=10,
+    )
+    with _pytest.raises(Exception, match="max_output_rows|exceeds"):
+        big.collect()

@@ -34,8 +34,14 @@ def events_dir(tmp_path_factory):
     table = pq.read_table(src)
     n = table.num_rows
     step = (n + 3) // 4
+    base = int(__import__("time").time()) - 1000
     for i in range(4):
-        pq.write_table(table.slice(i * step, step), os.path.join(out, f"part-{i}.parquet"))
+        path = os.path.join(out, f"part-{i}.parquet")
+        pq.write_table(table.slice(i * step, step), path)
+        # the file source orders micro-batches by modification time; the
+        # stateful-rolling contract is in-order arrival (the reference's
+        # chunk order), so make the order deterministic
+        os.utime(path, (base + i, base + i))
     return out
 
 
