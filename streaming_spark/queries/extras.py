@@ -290,3 +290,157 @@ def q_percentiles(spark, sf_dir):
             F.round(F.max("l_quantity"), 6).alias("max_qty"),
         )
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n, max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-proof aggregation: two-phase salted groupBy (phase 1 spreads
+    each key over 16 salt buckets, phase 2 merges partials).  Identical
+    results to a plain groupBy — the point is the shuffle shape: no
+    single reducer ever owns a hot key.  l_returnflag has only 3 values,
+    exactly the degenerate-key case salting exists for."""
+    from streaming_spark.operators.skew import salted_aggregate
+
+    li = T(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        partials={
+            "p_sum": F.sum("l_quantity"),
+            "p_n": F.count(F.lit(1)),
+            "p_max": F.max("l_extendedprice"),
+        },
+        merges={
+            "sum_qty": F.round(F.sum("p_sum"), 2),
+            "n": F.sum("p_n"),
+            "max_price": F.max("p_max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select("l_returnflag", "sum_qty", "n", "max_price")
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join via bucketing: both sides written bucketed by the
+    join key, so the join needs NO exchange on either side — at 100 TB
+    this converts the nightly fact-fact join from a full shuffle into a
+    local merge per bucket.  (Bucket tables are materialized once per
+    session into the local warehouse; tests assert the exchange-free
+    plan.)"""
+    import shutil
+
+    size_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    li_tbl, o_tbl = f"li_bucketed_{size_tag}", f"o_bucketed_{size_tag}"
+    existing = {t.name for t in spark.catalog.listTables()}
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def materialize(tbl, df, key):
+        if tbl in existing:
+            return
+        # a stale location from a previous session is invisible to the
+        # in-memory catalog — clear it before writing
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+
+    materialize(
+        li_tbl,
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
+    )
+    materialize(
+        o_tbl,
+        T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+    )
+    li = spark.table(li_tbl)
+    orders = spark.table(o_tbl)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_BIG_GENES_SQL = """
+    SELECT o_orderkey AS gene_id,
+           o_custkey % 23 AS chrom,
+           (o_orderkey * 7919) % 190000 AS gstart,
+           (o_orderkey * 7919) % 190000 + 500 + (o_custkey * 13) % 8000 AS gend
+    FROM orders
+"""
+
+
+@query(
+    "q_overlap_join_large",
+    oracle=f"""
+    WITH variants AS (
+      SELECT l_orderkey AS vid,
+             l_partkey % 23 AS chrom,
+             CAST(floor(l_extendedprice * 7) AS BIGINT) % 200000 AS vstart,
+             CAST(floor(l_extendedprice * 7) AS BIGINT) % 200000
+               + l_linenumber % 8 AS vend
+      FROM lineitem),
+    genes AS ({_BIG_GENES_SQL})
+    SELECT v.chrom AS chrom, count(*) AS n_overlaps
+    FROM variants v JOIN genes g
+      ON v.chrom = g.chrom AND v.vstart <= g.gend AND v.vend >= g.gstart
+    GROUP BY v.chrom
+    """,
+)
+def q_overlap_join_large(spark, sf_dir):
+    """Interval join where BOTH sides are fact-sized (genes derived from
+    orders — 10x too big to broadcast comfortably at scale): the binned
+    grid join shuffles both sides on (chrom, bin) instead of
+    broadcasting.  This is the honest 100 TB path for range joins."""
+    from streaming_spark.operators.overlap import overlap_join
+    from streaming_spark.operators.stream import ensure_parallelism
+
+    li = ensure_parallelism(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice"
+        )
+    )
+    vstart = F.floor(F.col("l_extendedprice") * 7).cast("bigint") % 200000
+    variants = li.select(
+        F.col("l_orderkey").alias("vid"),
+        (F.col("l_partkey") % 23).alias("chrom"),
+        vstart.alias("vstart"),
+        (vstart + F.col("l_linenumber") % 8).alias("vend"),
+    )
+    gstart = (F.col("o_orderkey") * 7919) % 190000
+    genes = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("gene_id"),
+        (F.col("o_custkey") % 23).alias("chrom"),
+        gstart.alias("gstart"),
+        (gstart + 500 + (F.col("o_custkey") * 13) % 8000).alias("gend"),
+    )
+    joined = overlap_join(
+        variants, genes, key="chrom",
+        left_start="vstart", left_end="vend",
+        right_start="gstart", right_end="gend",
+        bin_width=8192, broadcast_right=False,
+    )
+    return joined.groupBy("chrom").agg(F.count(F.lit(1)).alias("n_overlaps"))

@@ -73,3 +73,29 @@ def test_agg_is_two_phase(spark):
     # partial + final hash aggregate around the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located bucketed join: neither side shuffles.  Broadcast is
+    disabled for the check — at fixture scale AQE (correctly) prefers a
+    broadcast join; the bucketing payoff is the fact-fact case."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["q_bucketed_join"](spark, SF_SMOKE)
+        df.collect()
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "SortMergeJoin" in plan
+        # no shuffle on either join key: both scans are bucketed on it
+        # (the aggregation above the join still exchanges, on its own key)
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_salted_agg_spreads_keys(spark):
+    plan = plan_of(spark, "q_salted_agg")
+    # phase-1 grouping includes the salt column
+    assert "__salt" in plan
