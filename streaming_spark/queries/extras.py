@@ -444,3 +444,85 @@ def q_overlap_join_large(spark, sf_dir):
         bin_width=8192, broadcast_right=False,
     )
     return joined.groupBy("chrom").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+@query(
+    "q_datetime_functions",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_datetime_functions(spark, sf_dir):
+    """Date/time function surface (absent from the reference, SURVEY.md
+    §2.4 last row): truncation, field extraction, time-grouped rollup."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           replace(c_mktsegment, 'AUTO', 'CAR') AS seg_sub,
+           contains(c_mktsegment, 'BUILD') AS is_build,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+    FROM customer
+    """,
+)
+def q_string_functions(spark, sf_dir):
+    """String function surface: case, substring, length, replace,
+    contains, padding."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_mktsegment", "AUTO", "CAR").alias("seg_sub"),
+        F.col("c_mktsegment").contains("BUILD").alias("is_build"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(COALESCE(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS qty_O,
+           round(COALESCE(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot: linestatus values become columns (conditional aggregation
+    under the hood — one shuffle, same as the groupBy)."""
+    li = T(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
