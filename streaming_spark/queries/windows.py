@@ -187,3 +187,65 @@ def q_user_activity_topk(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select("user_id", "n_events", "rank")
     )
+
+
+@query(
+    "q_streaming_tumbling",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY win_start
+    """,
+)
+def q_streaming_tumbling(spark, sf_dir):
+    """A REAL Structured Streaming execution inside the correctness gate:
+    the events table is re-materialized as four part files, consumed as a
+    file-source stream (micro-batch per file), aggregated with window()
+    in complete output mode into a memory sink, and the final result
+    table is returned — it must equal the batch tumbling aggregation
+    row-for-row (the streaming/batch unification guarantee)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from streaming_spark.io import table_path
+
+    stream_dir = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    table = pq.read_table(table_path(sf_dir, "events"))
+    step = (table.num_rows + 3) // 4
+    base = int(_time.time()) - 1000
+    for i in range(4):
+        path = os.path.join(stream_dir, f"part-{i}.parquet")
+        pq.write_table(table.slice(i * step, step), path)
+        os.utime(path, (base + i, base + i))
+
+    from streaming_spark.streaming import read_events_stream
+
+    ev = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink_name = "q_streaming_tumbling_sink"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink_name)
