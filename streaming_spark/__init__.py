@@ -26,18 +26,28 @@ that capability Spark-first:
 
 from streaming_spark.session import get_spark
 from streaming_spark.io import load_tables, table_path
-from streaming_spark.operators.stream import stream, stream_map, pack_func, read_func
-from streaming_spark.operators.pipe import pipe_tsv, parse_tsv_response
+from streaming_spark.operators.stream import (
+    stream,
+    stream_arrow,
+    stream_map,
+    pack_func,
+    read_func,
+    ensure_parallelism,
+)
+from streaming_spark.operators.pipe import pipe_tsv, pipe_arrow, parse_tsv_response
 
 __all__ = [
     "get_spark",
     "load_tables",
     "table_path",
     "stream",
+    "stream_arrow",
     "stream_map",
+    "ensure_parallelism",
     "pack_func",
     "read_func",
     "pipe_tsv",
+    "pipe_arrow",
     "parse_tsv_response",
 ]
 

@@ -223,3 +223,121 @@ def parse_tsv_response(
     ]
     error = F.when(F.size("parts") < num_attributes, F.lit("short")).alias("error")
     return parts.select(*cols, error)
+
+
+def pipe_arrow(
+    df: DataFrame,
+    command: str,
+    schema,
+    side_input=None,
+    chunk_rows: int = 65536,
+    allowed_commands: list[str] | None = None,
+    env: dict[str, str] | None = None,
+) -> DataFrame:
+    """The feather-protocol external pipe: each chunk crosses the child's
+    stdin/stdout as an 8-byte LE size + Arrow IPC record batch, the child
+    answers one message per chunk plus one final message after the 0-size
+    terminator (reference README.md:37-56, FeatherInterface.cpp:201-235).
+
+    ``side_input`` (a pandas DataFrame) is sent FIRST, before any data
+    chunks — the reference's second-array semantics
+    (PhysicalStream.cpp:74-100); a child using ``client.read_func`` pops
+    it and acks with an empty message.
+
+    Child programs written against the reference's Python client API run
+    unchanged with ``streaming_spark.client`` on their PYTHONPATH.
+    Output schema must be declared (the reference's ``types:``/``names:``
+    keywords, README.md:23-27).
+    """
+    import os as _os
+    import struct
+
+    import pyarrow as pa
+
+    allow = allowed_commands
+    if allow is None:
+        envlist = _os.environ.get("STREAMING_SPARK_PIPE_ALLOWLIST")
+        allow = envlist.split(":") if envlist else None
+    if allow is not None and command not in allow:
+        raise PermissionError(
+            f"pipe_arrow: command {command!r} is not on the allowlist "
+            "(reference etc/stream_allowed semantics)"
+        )
+
+    from pyspark.sql.types import StructType
+
+    out_schema = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    arrow_schema_ref = {"schema": out_schema}
+    spark = df.sparkSession
+    side_bc = (
+        spark.sparkContext.broadcast(side_input) if side_input is not None else None
+    )
+    child_env = dict(env or {})
+
+    def run_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        full_env = dict(_os.environ)
+        full_env.update(child_env)
+        proc = subprocess.Popen(
+            ["/bin/bash", "-c", command],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env=full_env,
+        )
+        sout, sin = proc.stdin, proc.stdout
+
+        def write_message(batch_or_none) -> None:
+            if batch_or_none is None:
+                sout.write(struct.pack("<Q", 0))
+                sout.flush()
+                return
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, batch_or_none.schema) as w:
+                w.write_batch(batch_or_none)
+            buf = sink.getvalue()
+            sout.write(struct.pack("<Q", buf.size))
+            sout.write(buf.to_pybytes())
+            sout.flush()
+
+        def read_message():
+            header = sin.read(8)
+            if len(header) < 8:
+                raise RuntimeError("pipe_arrow: child closed stream mid-protocol")
+            (size,) = struct.unpack("<Q", header)
+            if size == 0:
+                return None
+            payload = sin.read(size)
+            reader = pa.ipc.open_stream(payload)
+            return reader.read_all()
+
+        import pandas as _pd
+
+        if side_bc is not None:
+            side_tbl = pa.Table.from_pandas(
+                side_bc.value, preserve_index=False
+            ).replace_schema_metadata(None)
+            for b in side_tbl.to_batches(max_chunksize=chunk_rows) or [
+                pa.record_batch([], schema=side_tbl.schema)
+            ]:
+                write_message(b)
+            ack = read_message()  # child acks the side input (read_func)
+            del ack
+
+        def emit(table) -> Iterator[pa.RecordBatch]:
+            # schema enforcement happens in mapInArrow against out_schema
+            if table is None or table.num_rows == 0:
+                return
+            yield from table.to_batches(max_chunksize=chunk_rows)
+
+        for batch in batches:
+            for lo in range(0, batch.num_rows, chunk_rows):
+                write_message(batch.slice(lo, chunk_rows))
+                yield from emit(read_message())
+        write_message(None)
+        yield from emit(read_message())
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipe_arrow child exited with status {rc}")
+
+    return df.mapInArrow(run_partition, out_schema)

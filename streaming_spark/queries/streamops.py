@@ -479,3 +479,50 @@ def q_csv_to_binary(spark, sf_dir):
     return blobs.select(
         "id", F.octet_length("blob").alias("n_bytes"), "label"
     )
+
+
+_ARROW_CHILD_SUM = (
+    "import streaming_spark.client as scidbstrm\n"
+    "import pandas as pd\n"
+    "state = {'s': 0.0, 'n': 0}\n"
+    "def on_chunk(df):\n"
+    "    state['s'] += float(df['l_quantity'].sum()); state['n'] += len(df)\n"
+    "    return None\n"
+    "def finalize():\n"
+    "    return pd.DataFrame({'s': [state['s']], 'n': [state['n']]})\n"
+    "scidbstrm.map(on_chunk, finalize)\n"
+)
+
+
+@query(
+    "q_arrow_pipe",
+    oracle="""
+    SELECT round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_arrow_pipe(spark, sf_dir):
+    """The feather wire protocol to an EXTERNAL process: a child program
+    written against the reference's Python client API (map+finalize over
+    framed Arrow IPC messages) computes per-partition sums; a relational
+    reduction combines them (reference op_stream_feather,
+    FeatherInterface.cpp:201-235 + scidbstrm contract)."""
+    import base64
+    import sys
+
+    from streaming_spark.operators.pipe import pipe_arrow
+
+    b64 = base64.b64encode(_ARROW_CHILD_SUM.encode()).decode()
+    repo_root = __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    )
+    cmd = (
+        f"PYTHONPATH={__import__('os').path.dirname(repo_root)} {sys.executable} -uc "
+        f"\"import base64; exec(base64.b64decode('{b64}'))\""
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_quantity")
+    partials = pipe_arrow(li, cmd, "s DOUBLE, n BIGINT", chunk_rows=50000)
+    return partials.agg(
+        F.round(F.sum("s"), 2).alias("sum_qty"),
+        F.sum("n").alias("n_rows"),
+    )

@@ -89,3 +89,83 @@ def test_pipe_allowlist(spark):
     # allowlisted command still runs
     out = pipe_tsv(df, "cat", chunk_rows=100, allowed_commands=["cat"])
     assert out.count() >= 1
+
+
+ARROW_CLIENT_COUNT = (
+    "import streaming_spark.client as scidbstrm\n"
+    "import pandas as pd\n"
+    "scidbstrm.map(lambda df: pd.DataFrame({'count': [len(df)]}))\n"
+)
+
+ARROW_CLIENT_SUM_FINALIZE = (
+    "import streaming_spark.client as scidbstrm\n"
+    "import pandas as pd\n"
+    "state = {'total': 0.0}\n"
+    "def on_chunk(df):\n"
+    "    state['total'] += float(df['v'].sum())\n"
+    "    return None\n"
+    "def finalize():\n"
+    "    return pd.DataFrame({'total': [state['total']]})\n"
+    "scidbstrm.map(on_chunk, finalize)\n"
+)
+
+
+def _py_cmd(code: str) -> str:
+    import base64
+    import sys
+
+    b64 = base64.b64encode(code.encode()).decode()
+    return (
+        f"PYTHONPATH=/root/repo {sys.executable} -uc "
+        f"\"import base64; exec(base64.b64decode('{b64}'))\""
+    )
+
+
+def test_pipe_arrow_chunk_count(spark):
+    """A child written against the reference's client API (map over
+    chunks) runs against pipe_arrow — per-chunk counts sum to the row
+    count (reference py_pkg/examples/0-iquery.txt pattern)."""
+    from streaming_spark.operators.pipe import pipe_arrow
+
+    df = spark.range(5000).repartition(2)
+    out = pipe_arrow(df, _py_cmd(ARROW_CLIENT_COUNT), "count BIGINT", chunk_rows=500)
+    got = out.toPandas()
+    assert got["count"].sum() == 5000
+    assert got["count"].max() <= 500
+
+
+def test_pipe_arrow_map_finalize(spark):
+    """map(None-returning chunk fn) + finalize through the wire — the
+    reference's 1-map-finalize example shape."""
+    from pyspark.sql import functions as F2
+
+    from streaming_spark.operators.pipe import pipe_arrow
+
+    df = spark.range(1, 101).select(F2.col("id").cast("double").alias("v")).repartition(2)
+    out = pipe_arrow(df, _py_cmd(ARROW_CLIENT_SUM_FINALIZE), "total DOUBLE")
+    totals = [r.total for r in out.collect()]
+    assert len(totals) == 2  # one finalize message per partition/child
+    assert sum(totals) == 5050.0
+
+
+def test_pipe_arrow_side_input_read_func(spark):
+    """Function shipping over the wire: pack_func → side input → child
+    read_func pops and applies it (reference 2-pack-func.py flow)."""
+    import pandas as pd2
+
+    from streaming_spark.client import pack_func
+    from streaming_spark.operators.pipe import pipe_arrow
+
+    def triple(df):
+        return pd2.DataFrame({"v3": df["v"] * 3})
+
+    packed = pack_func(triple)
+    child = (
+        "import streaming_spark.client as scidbstrm\n"
+        "scidbstrm.map(scidbstrm.read_func())\n"
+    )
+    from pyspark.sql import functions as F2
+
+    df = spark.range(1, 11).select(F2.col("id").cast("double").alias("v")).coalesce(1)
+    out = pipe_arrow(df, _py_cmd(child), "v3 DOUBLE", side_input=packed)
+    assert sorted(r.v3 for r in out.collect()) == [float(i * 3) for i in range(1, 11)]
