@@ -262,3 +262,66 @@ def simhash_dedup_pairs(
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list
+    ``(id_a, id_b)`` → ``(id, component)`` where component is the
+    minimum member id — the cluster step that turns near-dup PAIRS into
+    dedup GROUPS (keep one doc per component).
+
+    Algorithm: iterative min-label propagation (each node takes the min
+    label among itself and its neighbors) until a fixpoint; converges in
+    O(diameter) rounds, and near-dup graphs are shallow (dup clusters are
+    cliques or near-cliques, diameter ≈ 1-2).  Each round is ONE shuffle
+    of the edge list; ``localCheckpoint`` truncates the growing lineage —
+    without it, iteration i replays all i-1 predecessors (the classic
+    iterative-Spark trap at scale)."""
+    edges = pairs.select(
+        F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        lu = edges.join(labels, edges.u == labels.id).select(
+            F.col("v").alias("id"), "component"
+        )
+        lv = edges.join(labels, edges.v == labels.id).select(
+            F.col("u").alias("id"), "component"
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(lu)
+            .union(lv)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_one(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Materialized dedup: drop every near-duplicate except the
+    minimum-id representative of each component.  Rows not in any pair
+    are kept untouched (no join fan-out for the clean majority)."""
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -350,3 +350,35 @@ def multimodal_frame_sample(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     blobs = multimodal.to_blob(docs, text_col="text", id_col="doc_id")
     return multimodal.frame_sample(blobs, frame_bytes=64, max_frames=4)
+
+
+@query("dedup_clusters")  # rows-only: built on engine-internal minhash pairs
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → cluster summary (component
+    id, size).  The grouping step that turns pairwise similarity into
+    actionable dedup decisions at corpus scale."""
+    from streaming_spark.operators.dedup import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy("component")
+    )
+
+
+@query("dedup_keep_one_count")  # rows-only: kept set depends on LSH pairs
+def dedup_keep_one_count(spark, sf_dir):
+    """Full dedup materialization: documents minus non-representative
+    near-dup cluster members (pairs → components → anti-join).  The
+    fixture corpus DOES contain shingle-level near-dups at Jaccard 0.9
+    (word-salad texts over a small vocabulary), so the kept count is
+    strictly below the corpus size."""
+    from streaming_spark.operators.dedup import dedup_keep_one
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.9)
+    kept = dedup_keep_one(docs, pairs, "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_docs"))

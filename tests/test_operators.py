@@ -122,3 +122,52 @@ def test_fake_decode_and_frames(spark):
         frames.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert all(1 <= r.n <= 3 for r in by_doc)
+
+
+def test_connected_components_known_graph(spark):
+    from streaming_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, {20} is absent (no edges)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_one_planted(spark):
+    from streaming_spark.operators.dedup import dedup_keep_one, minhash_dedup_pairs
+
+    docs = _docs_df(spark)
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    kept = dedup_keep_one(docs, pairs, "doc_id")
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    # clusters {0,1} and {2,3} keep their min; 4 untouched
+    assert kept_ids == [0, 2, 4]
+
+
+def test_ann_lsh_recall_floor(spark):
+    """LSH top-k must recover a reasonable fraction of the exact top-k
+    on random data at these parameters (recall floor, not exactness)."""
+    import numpy as np2
+
+    from streaming_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    rng = np2.random.default_rng(11)
+    vecs = rng.standard_normal((400, 32)).astype(np2.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>").repartition(4)
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucket_topk(
+            df, queries, dim=32, k=5, n_bits=4, n_tables=12
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.92 at these parameters on this seed; floor leaves margin
+    assert recall >= 0.7, f"LSH recall {recall:.2f} below floor"
