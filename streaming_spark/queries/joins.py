@@ -195,3 +195,89 @@ def q_asof_join(spark, sf_dir):
     return joined.select(
         "event_id", F.col("order_s_right").alias("matched_order_epoch")
     )
+
+
+@query(
+    "q_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS orderdate_str
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective filters on all three
+    tables reach the scans as pushed predicates; the segment filter
+    shrinks customer before the join."""
+    cutoff = "1995-03-15"
+    customer = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+        .orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("__rev", 2).alias("revenue"),
+            F.col("o_orderdate").cast("string").alias("orderdate_str"),
+        )
+    )
+
+
+@query(
+    "q_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): fact filter pushed to
+    the lineitem scan, nation broadcast, top-20 customers by lost
+    revenue."""
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(T(spark, sf_dir, "nation"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", F.round("__rev", 2).alias("revenue"), "n_name")
+    )
