@@ -62,6 +62,17 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     if s_cols != o_cols:
         problems.append(f"columns: spark={s_cols} oracle={o_cols}")
         return problems
+    # dtype-kind drift (e.g. DuckDB promoting integer sums to HUGEINT →
+    # float64 in pandas) breaks exact-schema/hash comparisons downstream
+    kind_of = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts"}
+    for col in s_cols:
+        ks = kind_of.get(spark_pdf[col].dtype.kind, "obj")
+        ko = kind_of.get(oracle_pdf[col].dtype.kind, "obj")
+        if ks != ko and len(spark_pdf) and len(oracle_pdf):
+            problems.append(
+                f"dtype kind for {col}: spark={spark_pdf[col].dtype} "
+                f"oracle={oracle_pdf[col].dtype}"
+            )
     s_rows = normalized_rows(spark_pdf)
     o_rows = normalized_rows(oracle_pdf)
     if s_rows != o_rows:

@@ -230,10 +230,10 @@ def text_token_count(spark, sf_dir):
     "text_bpe_token_count",
     oracle="""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
                               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) END
-             AS n_bpe_tokens
+             AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )
