@@ -177,3 +177,67 @@ def foreach_batch_stream(
         sink(result, batch_id)
 
     return stream_df.writeStream.foreachBatch(process)
+
+
+def running_totals_tws(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running totals via ``transformWithStateInPandas`` — the
+    modern arbitrary-stateful API (Spark 4): explicit typed ValueState,
+    per-key isolation, works identically across micro-batches.  This is
+    the engine's recommended replacement for ``applyInPandasWithState``
+    in new stateful operators (richer state types, timers, TTL).
+
+    Requires the ``protobuf`` package (the transformWithState state
+    server speaks protobuf to the Python worker) — absent in this
+    container, so the operator raises a clear error here and works
+    unmodified where protobuf is installed; ``stateful_rolling_mean``
+    (applyInPandasWithState) is the dependency-free fallback."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package, "
+            "which is not installed in this environment; use "
+            "stateful_rolling_mean (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = "user_id BIGINT, batch_events BIGINT, running_sum DOUBLE"
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.total = handle.getValueState(
+                "total", StructType.fromDDL("s DOUBLE")
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            s = self.total.get()[0] if self.total.exists() else 0.0
+            n = 0
+            for pdf in rows:
+                s += float(pdf[value_col].sum())
+                n += len(pdf)
+            self.total.update((s,))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "batch_events": [n], "running_sum": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotal(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

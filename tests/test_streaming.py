@@ -155,3 +155,67 @@ def test_foreach_batch_chunk_host(spark, events_dir):
     expected = spark.read.parquet(events_dir).count()
     assert total == expected
     assert len(results) >= 2  # multiple micro-batches actually happened
+
+
+def test_transform_with_state_running_totals(spark, events_dir):
+    """transformWithStateInPandas: per-key ValueState accumulates across
+    micro-batches; final running sums equal the batch per-key sums.
+
+    Skipped where protobuf is unavailable (the state server's wire
+    dependency, not installable in this container); the operator then
+    raises NotImplementedError with the fallback named."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (absent in container)",
+    )
+    from streaming_spark.streaming.core import running_totals_tws
+
+    stream_ev = read_events_stream(spark, events_dir)
+    totals = running_totals_tws(stream_ev)
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = os.path.join(tmp, "out")
+        writer = (
+            totals.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+        )
+        q = (
+            writer.option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(out_dir).toPandas()
+
+    # one output row per (key, micro-batch it appeared in); the LAST
+    # running_sum per key must equal the batch total
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+        .toPandas()
+    )
+    import numpy as np
+
+    # rows arrive in batch order; take the max running_sum (monotone)
+    last = got.groupby("user_id")["running_sum"].max()
+    want = dict(zip(batch["user_id"], batch["total"]))
+    assert set(last.index) == set(want)
+    for uid, total in want.items():
+        assert abs(last[uid] - total) < 1e-6, uid
+    # events were split across multiple batches → some key has >1 row
+    assert (got.groupby("user_id").size() > 1).any()
+
+
+def test_transform_with_state_gated_without_protobuf(spark):
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf present; gate not applicable")
+    except ImportError:
+        pass
+    from streaming_spark.streaming.core import running_totals_tws
+
+    ev = spark.createDataFrame([(1, 1.0)], "user_id BIGINT, value DOUBLE")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        running_totals_tws(ev)
