@@ -526,3 +526,53 @@ def q_pivot(spark, sf_dir):
         F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
         F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
     )
+
+
+@query(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT 'with_urgent_order' AS cohort, count(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'without_urgent_order', count(*) FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_anti_join(spark, sf_dir):
+    """Semi and anti joins (SURVEY.md §2.6 joins list): customers with /
+    without an urgent order.  Semi/anti never materialize the right
+    side's columns — at scale this is the EXISTS pattern without the
+    join fan-out."""
+    customer = T(spark, sf_dir, "customer")
+    urgent = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    semi = customer.join(urgent, "c_custkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_urgent_order").alias("cohort"), "n")
+    anti = customer.join(urgent, "c_custkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_urgent_order").alias("cohort"), "n")
+    return semi.unionByName(anti)
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets — all 2^k subtotal combinations in one pass."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
