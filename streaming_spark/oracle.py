@@ -39,8 +39,10 @@ def _norm_cell(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
-    if isinstance(v, list):
+    if isinstance(v, list) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar → python scalar
+        return _norm_cell(v.item())
     return v
 
 

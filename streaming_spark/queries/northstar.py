@@ -382,3 +382,32 @@ def dedup_keep_one_count(spark, sf_dir):
     pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.9)
     kept = dedup_keep_one(docs, pairs, "doc_id")
     return kept.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_val,
+           round(list_min(CAST(embedding AS DOUBLE[])), 4) AS min_val,
+           list_transform(CAST(embedding[1:3] AS DOUBLE[]),
+                          v -> round(v, 3)) AS head3
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark, sf_dir):
+    """Array-function surface over vector columns: size, min/max, slice +
+    element-wise transform — all JVM-side (nested types are a capability
+    the reference's 5-type wire format cannot express, SURVEY.md §1.2)."""
+    emb = T(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda v: v.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(as_double), 4).alias("max_val"),
+        F.round(F.array_min(as_double), 4).alias("min_val"),
+        F.transform(
+            F.slice(as_double, 1, 3), lambda v: F.round(v, 3)
+        ).alias("head3"),
+    )
