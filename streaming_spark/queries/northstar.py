@@ -411,3 +411,58 @@ def q_array_functions(spark, sf_dir):
             F.slice(as_double, 1, 3), lambda v: F.round(v, 3)
         ).alias("head3"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs
+    with cosine >= 0.4.  One side is broadcast as a normalized float64
+    matrix; each partition does a blocked matmul over its rows and emits
+    only above-threshold pairs — shuffle volume tracks the OUTPUT, never
+    O(N²).  At corpus scale the broadcast side is replaced by the
+    hyperplane-LSH blocking (ann_topk_lsh), same emit contract."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_spark.operators.similarity import _matrix
+    from streaming_spark.operators.stream import ensure_parallelism, stream
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()  # broadcast side: fits comfortably (N x 64 floats)
+    ids = np.array([r.vec_id for r in rows])
+    mat = _matrix([r.embedding for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def pairs(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        all_ids, all_mat = side
+        if len(pdf) == 0:
+            return None
+        m = _matrix(pdf["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ all_mat.T  # (rows, N)
+        my_ids = pdf["vec_id"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        ri, ci = np.where(sims >= 0.4)
+        for r, c in zip(ri, ci):
+            if my_ids[r] < all_ids[c]:  # each unordered pair once
+                out_a.append(my_ids[r])
+                out_b.append(all_ids[c])
+                out_s.append(round(float(sims[r, c]), 4))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    return stream(
+        ensure_parallelism(emb),
+        pairs,
+        "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE",
+        side_input=(ids, mat),
+    )
