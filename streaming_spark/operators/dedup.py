@@ -18,8 +18,6 @@ kill-query-on-failure model (SURVEY.md §7 'hard parts').
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -104,21 +102,12 @@ def lsh_candidate_pairs(
     Shuffle key is (band_id, band_hash); bucket size is capped at
     ``max_bucket`` to bound the quadratic within-bucket pairing (oversized
     buckets are degenerate content — at web scale they are boilerplate
-    and are handled by the exact-dup pass instead; the cap is logged via
-    the ``hot_bucket`` flag, not silently dropped).
+    and are handled by the exact-dup pass instead).  Buckets over the cap
+    ARE dropped from pairing; the loss is observable via
+    ``lsh_bucket_stats`` (same banding, returns the hot buckets and their
+    sizes) — run it when tuning ``max_bucket`` for a corpus.
     """
-    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.slice(
-                    "sig", i * rows_per_band + 1, rows_per_band
-                ),
-            )
-        ).alias("band_id", "band_sig"),
-    ).select("id", "band_id", F.xxhash64("band_id", "band_sig").alias("bh"))
+    banded = _banded(sigs, bands)
 
     # ONE shuffle keyed by (band_id, bh): gather each bucket, expand its
     # pairs in-place (bounded by max_bucket² — no self-join, no second
@@ -137,6 +126,35 @@ def lsh_candidate_pairs(
         grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def _banded(sigs: DataFrame, bands: int) -> DataFrame:
+    """Shared banding: (id, band_id, bh) — one row per (doc, band)."""
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice("sig", i * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band_id", "band_sig"),
+    ).select("id", "band_id", F.xxhash64("band_id", "band_sig").alias("bh"))
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame, bands: int = 16, max_bucket: int = 200
+) -> DataFrame:
+    """Hot-bucket observability for ``lsh_candidate_pairs``: the buckets
+    whose size exceeds ``max_bucket`` (and are therefore excluded from
+    pairing), with their sizes — ``(band_id, bh, bucket_size)``.  Empty
+    result ⇒ no recall loss from the cap."""
+    return (
+        _banded(sigs, bands)
+        .groupBy("band_id", "bh")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -188,39 +206,43 @@ def minhash_dedup_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document from token md5 hashes (deterministic).
+    """64-bit SimHash per document from deterministic 64-bit token hashes.
 
     Output ``(id, simhash)``; near-dup blocking splits the 64 bits into
     4×16-bit bands (two docs within Hamming distance 3 share at least one
-    band by pigeonhole)."""
+    band by pigeonhole).
+
+    Fully vectorized per Arrow batch: distinct tokens are factorized and
+    hashed ONCE with pandas' C-level siphash (``pd.util.hash_array``,
+    fixed default key ⇒ deterministic across processes and task retries),
+    their ±1 bit matrix is scattered into per-doc accumulators with a
+    single ``np.add.at`` — no per-token Python, no per-doc 64-bit loop.
+    """
+    bit_idx = np.arange(64, dtype=np.uint64)
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        token_bits: dict[str, np.ndarray] = {}  # memoized per batch
-
-        def bits_of(tok: str) -> np.ndarray:
-            cached = token_bits.get(tok)
-            if cached is None:
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                cached = np.where(bits == 1, 1, -1).astype(np.int64)
-                token_bits[tok] = cached
-            return cached
-
-        ids, hashes = [], []
-        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in (text or "").split():
-                acc += bits_of(tok)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            # store as signed int64
-            ids.append(doc_id)
-            hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pd.DataFrame({"id": ids, "simhash": hashes})
+        texts = pdf[text_col].fillna("")
+        n_docs = len(texts)
+        token_lists = [t.split() for t in texts]
+        counts = np.fromiter(
+            (len(t) for t in token_lists), dtype=np.int64, count=n_docs
+        )
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        flat: list[str] = [tok for toks in token_lists for tok in toks]
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = pd.util.hash_array(np.asarray(uniques, dtype=object))
+            signs = np.where(
+                ((uh[:, None] >> bit_idx) & np.uint64(1)).astype(bool), 1, -1
+            ).astype(np.int64)  # (n_unique, 64)
+            doc_idx = np.repeat(np.arange(n_docs), counts)
+            np.add.at(acc, doc_idx, signs[codes])
+        packed = (
+            ((acc > 0).astype(np.uint64) << bit_idx)
+            .sum(axis=1, dtype=np.uint64)
+            .view(np.int64)
+        )
+        return pd.DataFrame({"id": pdf[id_col].to_numpy(), "simhash": packed})
 
     return stream(
         ensure_parallelism(
@@ -235,8 +257,20 @@ def simhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
-    distance via xor + bit_count (all JVM-side)."""
+    distance via xor + bit_count (all JVM-side).
+
+    The signature cache lifetime is bounded by this call (eager
+    localCheckpoint of the result, then unpersist) — a lingering persist
+    degrades later same-session queries 3-4× (measured; CLAUDE.md)."""
     sh = simhash64(df, text_col, id_col).persist()
+    try:
+        result = _simhash_pairs_from(sh, max_hamming).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return result
+
+
+def _simhash_pairs_from(sh: DataFrame, max_hamming: int) -> DataFrame:
     banded = sh.select(
         "id",
         "simhash",

@@ -188,6 +188,16 @@ def pipe_tsv(
             )
             chunk_no += 1
         t.join(timeout=60)
+        if t.is_alive():
+            # writer still blocked feeding a stalled child — kill it so the
+            # task FAILS instead of hanging on proc.wait() (the reference
+            # kills the query when the child wedges, ChildProcess.cpp:147-156)
+            proc.kill()
+            proc.wait()
+            raise RuntimeError(
+                "pipe_tsv: child stopped consuming stdin (writer stalled "
+                ">60s); killed child and failed the task"
+            )
         rc = proc.wait()
         if write_error:
             raise write_error[0]

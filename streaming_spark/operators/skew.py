@@ -28,12 +28,13 @@ def salted_aggregate(
     ``partials``: output-name → aggregate over the raw rows (phase 1,
     grouped by keys + salt).  ``merges``: output-name → aggregate over
     the phase-1 partial columns (phase 2, grouped by keys only).
-    The salt is derived from a hash of the full row content via a
-    monotonic id — uniform, deterministic per execution, and invisible
-    in the result.
+    The salt is a deterministic hash of the full row content: rows land
+    in the same (key, salt) group even under stage retry / partial
+    recomputation (monotonically_increasing_id would not — it is
+    nondeterministic across retries).
     """
     salted = df.withColumn(
-        "__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+        "__salt", F.pmod(F.hash(*df.columns), F.lit(salt_buckets)).cast("int")
     )
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[c.alias(name) for name, c in partials.items()]
