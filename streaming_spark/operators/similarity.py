@@ -171,6 +171,121 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "auto",
+    broadcast_limit: int = 100_000,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """All unordered pairs with cosine similarity ≥ ``threshold`` —
+    ``(id_a, id_b, cos_sim)``, id_a < id_b — the semantic-dedup primitive.
+
+    Two physical strategies, selected by ``mode``:
+
+    - ``"broadcast"``: EXACT.  The whole table (ids + normalized float64
+      matrix) is broadcast to every partition, which does a blocked
+      matmul over its own rows and emits only above-threshold pairs.
+      Output-bound shuffle, but the broadcast side is O(N·dim) — only
+      valid while N is small (a query/dim table, a sampled corpus).
+    - ``"lsh"``: the 100 TB path.  Random-hyperplane buckets on both
+      sides (``hyperplane_buckets``), candidates generated by a
+      self-join keyed (table_id, bucket) — ONE shuffle whose fan-in is
+      tuned by ``n_bits`` — then exact JVM-side cosine verification
+      (``_cosine_expr``) on candidates only.  NO driver collect, no
+      O(N²) stage; recall < 1 by construction (raise ``n_tables`` /
+      lower ``n_bits`` to trade shuffle volume for recall).
+    - ``"auto"``: probe the row count with a LIMIT scan; ≤
+      ``broadcast_limit`` rows → broadcast, else LSH.
+    """
+    if mode == "auto":
+        probe = vectors.select(id_col).limit(broadcast_limit + 1).count()
+        mode = "broadcast" if probe <= broadcast_limit else "lsh"
+    if mode == "broadcast":
+        return _cosine_pairs_broadcast(vectors, threshold, id_col, vec_col)
+    if mode == "lsh":
+        return _cosine_pairs_lsh(
+            vectors, threshold, id_col, vec_col, n_bits, n_tables, seed
+        )
+    raise ValueError(f"cosine_pairs: unknown mode {mode!r}")
+
+
+def _cosine_pairs_broadcast(
+    vectors: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    emb = vectors.select(id_col, vec_col)
+    rows = emb.collect()  # small-side contract: N x dim floats fit in driver
+    ids = np.array([r[0] for r in rows])
+    mat = _matrix([r[1] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def pairs(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        all_ids, all_mat = side
+        if len(pdf) == 0:
+            return None
+        m = _matrix(pdf[vec_col])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ all_mat.T  # (rows, N)
+        my_ids = pdf[id_col].to_numpy()
+        ri, ci = np.where(sims >= threshold)
+        keep = my_ids[ri] < all_ids[ci]  # each unordered pair exactly once
+        return pd.DataFrame(
+            {
+                "id_a": my_ids[ri[keep]],
+                "id_b": all_ids[ci[keep]],
+                "cos_sim": np.round(sims[ri[keep], ci[keep]], 4),
+            }
+        )
+
+    return stream(
+        ensure_parallelism(emb),
+        pairs,
+        "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE",
+        side_input=(ids, mat),
+    )
+
+
+def _cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    )
+    vb = hyperplane_buckets(base, "__vec", dim, n_bits, n_tables, seed)
+    cand = (
+        vb.alias("a")
+        .join(vb.alias("b"), ["table_id", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("__vec").alias("__va"))
+    vb2 = base.select(F.col("vec_id").alias("id_b"), F.col("__vec").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine_expr("__va", "__vb"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _cosine_expr(a: str, b: str):
     """JVM-side cosine via zip_with + aggregate (float64 accumulation)."""
     dot = F.aggregate(

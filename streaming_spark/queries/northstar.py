@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from streaming_spark.operators import multimodal
 from streaming_spark.operators.dedup import minhash_dedup_pairs, simhash_dedup_pairs
 from streaming_spark.operators.similarity import (
+    cosine_pairs,
     cosine_topk,
     lsh_bucket_topk,
 )
@@ -426,43 +427,22 @@ def q_array_functions(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs
-    with cosine >= 0.4.  One side is broadcast as a normalized float64
-    matrix; each partition does a blocked matmul over its rows and emits
-    only above-threshold pairs — shuffle volume tracks the OUTPUT, never
-    O(N²).  At corpus scale the broadcast side is replaced by the
-    hyperplane-LSH blocking (ann_topk_lsh), same emit contract."""
-    import numpy as np
-    import pandas as pd
-
-    from streaming_spark.operators.similarity import _matrix
-    from streaming_spark.operators.stream import ensure_parallelism, stream
-
+    with cosine >= 0.4, via ``cosine_pairs`` in auto mode — EXACT
+    broadcast-matmul while the table fits the broadcast contract
+    (≤ 100k rows), hyperplane-LSH blocking + JVM cosine verify above it.
+    The scale path never collects the vector table to the driver."""
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # broadcast side: fits comfortably (N x 64 floats)
-    ids = np.array([r.vec_id for r in rows])
-    mat = _matrix([r.embedding for r in rows])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return cosine_pairs(emb, threshold=0.4)
 
-    def pairs(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        all_ids, all_mat = side
-        if len(pdf) == 0:
-            return None
-        m = _matrix(pdf["embedding"])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ all_mat.T  # (rows, N)
-        my_ids = pdf["vec_id"].to_numpy()
-        out_a, out_b, out_s = [], [], []
-        ri, ci = np.where(sims >= 0.4)
-        for r, c in zip(ri, ci):
-            if my_ids[r] < all_ids[c]:  # each unordered pair once
-                out_a.append(my_ids[r])
-                out_b.append(all_ids[c])
-                out_s.append(round(float(sims[r, c]), 4))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
 
-    return stream(
-        ensure_parallelism(emb),
-        pairs,
-        "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE",
-        side_input=(ids, mat),
-    )
+@query("dedup_embedding_cosine_lsh")  # rows-only: hyperplane buckets are
+# engine-internal (seeded numpy projections — not SQL-expressible); the
+# exactness of the VERIFY stage is covered by dedup_embedding_cosine's
+# oracle, and LSH⊆exact containment is asserted in tests/test_operators.py
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    """The 100 TB path of semantic dedup, forced: LSH-bucketed candidate
+    generation (one shuffle keyed (table_id, bucket)) + exact JVM-side
+    cosine verification.  No driver collect of the vectors — the plan
+    this query builds is the one that runs at corpus scale."""
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_pairs(emb, threshold=0.4, mode="lsh").orderBy("id_a", "id_b")

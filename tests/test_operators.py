@@ -146,6 +146,48 @@ def test_dedup_keep_one_planted(spark):
     assert kept_ids == [0, 2, 4]
 
 
+def test_cosine_pairs_lsh_contained_in_exact(spark):
+    """The LSH scale path must emit a SUBSET of the exact pairs (its
+    verify stage is exact cosine, so no false positives) and must still
+    find a planted near-identical pair (high-cos pairs collide in some
+    hyperplane table with overwhelming probability)."""
+    from streaming_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((120, 32)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(32).astype(np.float32)  # planted
+    rows = [(i, vecs[i].tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>").repartition(4)
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(df, threshold=0.4, mode="broadcast").collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(
+            df, threshold=0.4, mode="lsh", n_bits=6, n_tables=8
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert (0, 1) in approx
+    for pair, sim in approx.items():
+        assert abs(sim - exact[pair]) < 1e-6  # verify stage is exact
+
+
+def test_cosine_pairs_auto_picks_lsh_above_limit(spark):
+    """auto mode must route to the LSH plan (no driver collect of the
+    vector table) once the probe exceeds broadcast_limit."""
+    from streaming_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = cosine_pairs(df, threshold=0.9, broadcast_limit=10)  # 50 > 10 → lsh
+    plan = str(out._jdf.queryExecution().analyzed())
+    # the LSH plan self-joins hyperplane buckets; broadcast path has no join
+    assert "Join" in plan
+
+
 def test_ann_lsh_recall_floor(spark):
     """LSH top-k must recover a reasonable fraction of the exact top-k
     on random data at these parameters (recall floor, not exactness)."""

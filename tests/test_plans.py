@@ -95,6 +95,18 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
+def test_embedding_dedup_scale_path_is_bucketed_join(spark):
+    """The forced-LSH semantic-dedup query must verify candidates with
+    JVM-side cosine (no Python stage after the bucket join) — the only
+    Python in the plan is the Arrow-batched hyperplane bucketizer."""
+    df = REGISTRY["dedup_embedding_cosine_lsh"](spark, SF_SMOKE)
+    df.collect()
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    # candidate generation is a bucket join, and scoring joins are JVM-side
+    assert "Join" in plan
+
+
 def test_salted_agg_spreads_keys(spark):
     plan = plan_of(spark, "q_salted_agg")
     # phase-1 grouping includes the salt column
