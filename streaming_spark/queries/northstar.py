@@ -148,11 +148,48 @@ def ann_topk_bruteforce(spark, sf_dir):
 
 @query("ann_topk_lsh")  # rows-only: approximate by construction
 def ann_topk_lsh(spark, sf_dir):
-    """Approximate top-5 via 3-table random-hyperplane LSH (10 bits) —
-    the scale path: candidates only within matching buckets."""
+    """Approximate top-5 via 12-table random-hyperplane LSH (4 bits) —
+    the scale path: candidates only within matching buckets.
+
+    Parameters are sized to the FIXTURE (500 vectors → 2⁴ buckets/table
+    keeps buckets ~30 rows and measured recall@5 ≈ 0.8-0.9, see
+    ann_recall_at_k).  At corpus scale n_bits grows like
+    log2(N / target_bucket_rows) so per-bucket work stays constant, and
+    recall is bought back with n_tables — same operator, same plan."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_bucket_topk(emb, queries, dim=64, k=5, n_bits=10, n_tables=3)
+    return lsh_bucket_topk(emb, queries, dim=64, k=5, n_bits=4, n_tables=12)
+
+
+@query("ann_recall_at_k")  # rows-only: measures the approximation contract
+# of the seeded-hyperplane LSH path — the hash is engine-internal (numpy
+# projections), so no SQL oracle; the recall FLOOR is asserted in
+# tests/test_operators.py::test_ann_recall_query_floor
+def ann_recall_at_k(spark, sf_dir):
+    """Recall@5 of the LSH ANN path vs the exact brute-force top-k, per
+    query vector — the externally visible approximation contract.  Both
+    sides are deterministic (fixed seeds, float64 scoring), so this is
+    reproducible; computed with ONE extra shuffle (left join on
+    (query_id, neighbor_id) + per-query aggregate) over the two top-k
+    results."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        lsh_bucket_topk(emb, queries, dim=64, k=5, n_bits=4, n_tables=12)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
+            ).alias("recall_at_5")
+        )
+        .orderBy("query_id")
+    )
 
 
 @query(
@@ -443,6 +480,12 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     """The 100 TB path of semantic dedup, forced: LSH-bucketed candidate
     generation (one shuffle keyed (table_id, bucket)) + exact JVM-side
     cosine verification.  No driver collect of the vectors — the plan
-    this query builds is the one that runs at corpus scale."""
+    this query builds is the one that runs at corpus scale.
+
+    Fixture-sized parameters (4 bits × 12 tables → measured recall 0.86
+    vs the exact oracle query at sf0.01); at corpus scale n_bits grows
+    with log2(N) to hold bucket sizes, n_tables buys recall back."""
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_pairs(emb, threshold=0.4, mode="lsh").orderBy("id_a", "id_b")
+    return cosine_pairs(
+        emb, threshold=0.4, mode="lsh", n_bits=4, n_tables=12
+    ).orderBy("id_a", "id_b")
