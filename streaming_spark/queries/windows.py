@@ -189,6 +189,53 @@ def q_user_activity_topk(spark, sf_dir):
     )
 
 
+def _stage_stream_dir(
+    sf_dir: str, n_files: int = 4, event_type: str | None = None
+) -> str:
+    """Re-materialize the events table as ``n_files`` part files (with
+    ascending mtimes, so the file source discovers them in order) — the
+    finite stand-in for an unbounded source; each file becomes one
+    micro-batch.  ``event_type`` filters to a single type (for
+    stream-stream joins where the two sides are different substreams)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from streaming_spark.io import table_path
+
+    stream_dir = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    table = pq.read_table(table_path(sf_dir, "events"))
+    if event_type is not None:
+        table = table.filter(pc.equal(table["event_type"], event_type))
+    step = (table.num_rows + n_files - 1) // n_files
+    base = int(_time.time()) - 1000
+    for i in range(n_files):
+        path = os.path.join(stream_dir, f"part-{i}.parquet")
+        pq.write_table(table.slice(i * step, step), path)
+        os.utime(path, (base + i, base + i))
+    return stream_dir
+
+
+def _run_to_memory_sink(df, sink_name: str, output_mode: str):
+    """Execute a finite streaming query to a memory sink (availableNow)
+    and return the final result table."""
+    import tempfile
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(sink_name)
+
+
 @query(
     "q_streaming_tumbling",
     oracle="""
@@ -205,26 +252,11 @@ def q_streaming_tumbling(spark, sf_dir):
     in complete output mode into a memory sink, and the final result
     table is returned — it must equal the batch tumbling aggregation
     row-for-row (the streaming/batch unification guarantee)."""
-    import os
-    import tempfile
-    import time as _time
-
-    import pyarrow.parquet as pq
-
-    from streaming_spark.io import table_path
-
-    stream_dir = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    table = pq.read_table(table_path(sf_dir, "events"))
-    step = (table.num_rows + 3) // 4
-    base = int(_time.time()) - 1000
-    for i in range(4):
-        path = os.path.join(stream_dir, f"part-{i}.parquet")
-        pq.write_table(table.slice(i * step, step), path)
-        os.utime(path, (base + i, base + i))
-
     from streaming_spark.streaming import read_events_stream
 
-    ev = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -237,15 +269,111 @@ def q_streaming_tumbling(spark, sf_dir):
             "sum_value",
         )
     )
-    sink_name = "q_streaming_tumbling_sink"
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_memory_sink(agg, "q_streaming_tumbling_sink", "complete")
+
+
+@query(
+    "q_streaming_sessionization",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marks
     )
-    q.awaitTermination(300)
-    return spark.table(sink_name)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+           CAST(floor(epoch(max(ts) + INTERVAL '10 minutes')) AS BIGINT) AS sess_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_sessionization(spark, sf_dir):
+    """Sessionization executed AS A STREAM: per-user 10-minute-gap
+    session windows over the file-source event stream, one micro-batch
+    per file — sessions merge correctly ACROSS micro-batches (the state
+    store carries open sessions between triggers).  The final table must
+    equal the batch q_session_window / gaps-and-islands oracle
+    row-for-row.
+
+    Complete output mode is used because the fixture is finite and the
+    gate compares the FINAL table (same decision as q_streaming_tumbling
+    — with append mode the watermark never passes the last sessions).
+    In unbounded production the same aggregation runs in append mode
+    with ``sessionized_counts``'s watermark, where state is evicted as
+    sessions close."""
+    from streaming_spark.streaming import read_events_stream
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).alias("sess_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory_sink(
+        agg, "q_streaming_sessionization_sink", "complete"
+    )
+
+
+@query(
+    "q_streaming_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           CAST(floor((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0)
+                AS BIGINT) AS secs_to_purchase
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+)
+def q_streaming_join(spark, sf_dir):
+    """Stream-stream interval join executed as a real streaming query:
+    clicks and purchases arrive as two independent file-source streams
+    (different micro-batch cadence), joined on user within a 30-minute
+    attribution window via ``interval_join`` — watermarked on both sides
+    so join state is EVICTABLE (the property that keeps this runnable on
+    an unbounded 100 TB stream).  Inner-join output in append mode; the
+    result must equal the batch interval join row-for-row."""
+    from streaming_spark.streaming import interval_join, read_events_stream
+
+    clicks = read_events_stream(
+        spark, _stage_stream_dir(sf_dir, n_files=3, event_type="click")
+    ).select("event_id", "ts", "user_id")
+    purchases = read_events_stream(
+        spark, _stage_stream_dir(sf_dir, n_files=2, event_type="purchase")
+    ).select("event_id", "ts", "user_id")
+    joined = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        lower="0 seconds",
+        upper="30 minutes",
+        watermark="2 hours",
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+        # whole seconds via µs arithmetic — unix_timestamp() TRUNCATES
+        # each side separately, which disagrees with flooring the diff
+        F.floor(
+            (F.unix_micros("ts_r") - F.unix_micros("ts")) / F.lit(1_000_000.0)
+        ).alias("secs_to_purchase"),
+    )
+    return _run_to_memory_sink(joined, "q_streaming_join_sink", "append")

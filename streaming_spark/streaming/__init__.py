@@ -1,5 +1,6 @@
 from streaming_spark.streaming.core import (
     foreach_batch_stream,
+    interval_join,
     read_events_stream,
     sessionized_counts,
     stateful_rolling_mean,
@@ -8,6 +9,7 @@ from streaming_spark.streaming.core import (
 
 __all__ = [
     "foreach_batch_stream",
+    "interval_join",
     "read_events_stream",
     "sessionized_counts",
     "stateful_rolling_mean",

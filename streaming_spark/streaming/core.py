@@ -154,6 +154,47 @@ def stateful_rolling_mean(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: rows pair when they
+    share ``on`` and ``right_time`` ∈ [left_time + lower, left_time +
+    upper].  Works identically on batch DataFrames (the oracle form).
+
+    Every right column is suffixed (no ambiguity), both sides carry an
+    event-time watermark, and the join condition contains the explicit
+    time-range constraint — the three things Spark needs to bound the
+    join STATE: a left row is evictable once the right watermark passes
+    left_time + upper, a right row once the left watermark passes
+    right_time - lower.  Without the range constraint, stream-stream
+    join state grows forever — the 100 TB failure mode this operator
+    exists to prevent.  Inner-join matches emit as soon as both sides
+    arrive; the watermark only bounds state, it never delays output.
+    """
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + right_suffix)
+    if left.isStreaming:
+        left = left.withWatermark(left_time, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_time + right_suffix, watermark)
+    rt = right_time + right_suffix
+    cond = (
+        f"{on} = {on}{right_suffix}"
+        f" AND {rt} >= {left_time} + INTERVAL {lower}"
+        f" AND {rt} <= {left_time} + INTERVAL {upper}"
+    )
+    return left.join(r, F.expr(cond), "inner")
+
+
 def foreach_batch_stream(
     stream_df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame | None],

@@ -157,6 +157,57 @@ def test_foreach_batch_chunk_host(spark, events_dir):
     assert len(results) >= 2  # multiple micro-batches actually happened
 
 
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream interval join: clicks joined to purchases within the
+    attribution window, two independent streams — append-mode output must
+    equal the identical batch interval join (inner matches emit as both
+    sides arrive; nothing waits on the watermark)."""
+    from streaming_spark.streaming import interval_join
+
+    def side(event_type):
+        return read_events_stream(spark, events_dir).filter(
+            F.col("event_type") == event_type
+        ).select("event_id", "ts", "user_id")
+
+    joined = interval_join(
+        side("click"), side("purchase"), on="user_id", upper="30 minutes"
+    ).select(
+        F.col("event_id").alias("a_id"), F.col("event_id_r").alias("b_id")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = os.path.join(tmp, "out")
+        writer = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+        )
+        _run_available_now(writer, tmp)
+        got = {(r.a_id, r.b_id) for r in spark.read.parquet(out_dir).collect()}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"), "user_id"
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"),
+        F.col("user_id").alias("b_user"),
+    )
+    want = {
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_transform_with_state_running_totals(spark, events_dir):
     """transformWithStateInPandas: per-key ValueState accumulates across
     micro-batches; final running sums equal the batch per-key sums.
