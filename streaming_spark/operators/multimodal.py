@@ -73,6 +73,95 @@ def fake_decode_features(df: DataFrame, blob_col: str = "blob", dim: int = 8) ->
     )
 
 
+def write_tar_shards(
+    samples: list[tuple[str, str, bytes]],
+    out_dir: str,
+    n_shards: int = 2,
+) -> list[str]:
+    """Write ``(key, ext, payload)`` samples into ``n_shards`` webdataset-
+    style tar shards (member name ``<key>.<ext>``), deterministically:
+    samples sorted by key, round-robin sharded, fixed mtimes.  Fixture
+    generator for the container-source tests/queries — at production
+    scale shards come from the data-collection pipeline."""
+    import os
+    import tarfile
+
+    paths = []
+    shards: list[list[tuple[str, str, bytes]]] = [[] for _ in range(n_shards)]
+    for i, item in enumerate(sorted(samples)):
+        shards[i % n_shards].append(item)
+    for s, members in enumerate(shards):
+        path = os.path.join(out_dir, f"shard-{s:05d}.tar")
+        with tarfile.open(path, "w") as tf:
+            for key, ext, payload in members:
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0
+                import io
+
+                tf.addfile(info, io.BytesIO(payload))
+        paths.append(path)
+    return paths
+
+
+def read_tar_members(
+    spark, path: str, pattern: str = "*.tar"
+) -> DataFrame:
+    """Container (webdataset-style) multimodal source: a directory of tar
+    shards → one row per member file —
+    ``(shard, sample_key, ext, blob, n_bytes)``.
+
+    Scale shape: Spark's ``binaryFile`` source assigns ONE TASK PER
+    SHARD (shards don't split — tar has no internal index), so
+    parallelism = shard count; the webdataset convention of ~1 GB shards
+    makes each task's working set bounded.  The tar walk runs
+    executor-side inside an Arrow-batched map — the driver never sees a
+    byte of payload.  Members named ``<key>.<ext>`` with the same key
+    are one logical sample (group downstream by ``sample_key``)."""
+    import ntpath
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def explode(batches):
+        import io
+        import tarfile
+
+        for pdf in batches:
+            for shard_path, content in zip(pdf["path"], pdf["content"]):
+                shard = ntpath.basename(shard_path)
+                keys, exts, blobs, sizes = [], [], [], []
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        base = ntpath.basename(m.name)
+                        key, _, ext = base.rpartition(".")
+                        data = tf.extractfile(m).read()
+                        keys.append(key or base)
+                        exts.append(ext)
+                        blobs.append(data)
+                        sizes.append(len(data))
+                yield pd.DataFrame(
+                    {
+                        "shard": shard,
+                        "sample_key": keys,
+                        "ext": exts,
+                        "blob": blobs,
+                        "n_bytes": sizes,
+                    }
+                )
+
+    return files.mapInPandas(
+        explode,
+        "shard STRING, sample_key STRING, ext STRING, blob BINARY, n_bytes BIGINT",
+    )
+
+
 def frame_sample(
     df: DataFrame, blob_col: str = "blob", frame_bytes: int = 64, max_frames: int = 4
 ) -> DataFrame:

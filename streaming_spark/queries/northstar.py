@@ -372,6 +372,47 @@ def multimodal_blob_features(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_tar_ingest",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS sample_key,
+           'txt' AS ext,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS blob_md5
+    FROM documents
+    """,
+)
+def multimodal_tar_ingest(spark, sf_dir):
+    """Container (webdataset-style) source end-to-end: the documents
+    table is packed into tar shards (member ``<doc_id>.txt``), read back
+    through ``read_tar_members`` — one binaryFile task per shard, tar
+    walked executor-side — and verified byte-exact against the source
+    table (size + md5 per member, both computed JVM-side on the blob).
+    The oracle reads the ORIGINAL table: a full round-trip proof for the
+    container path the reference feeds via binary attributes
+    (4-machine-learning.py:80-96)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from streaming_spark.io import table_path
+
+    docs = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    samples = [
+        (str(i), "txt", (t or "").encode("utf-8"))
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    ]
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_tar_")
+    multimodal.write_tar_shards(samples, out_dir, n_shards=4)
+    members = multimodal.read_tar_members(spark, out_dir)
+    return members.select(
+        "sample_key",
+        "ext",
+        "n_bytes",
+        F.md5("blob").alias("blob_md5"),
+    )
+
+
 @query("multimodal_fake_decode")  # rows-only: fake decode is engine-internal
 def multimodal_fake_decode(spark, sf_dir):
     """Deterministic fake decode→feature-extract over blobs (real decode

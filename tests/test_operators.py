@@ -124,6 +124,40 @@ def test_fake_decode_and_frames(spark):
     assert all(1 <= r.n <= 3 for r in by_doc)
 
 
+def test_tar_container_roundtrip(spark, tmp_path):
+    """webdataset-style tar shards: multi-extension samples round-trip
+    byte-exact through read_tar_members, and blobs chain into the
+    existing frame sampler."""
+    from streaming_spark.operators.multimodal import (
+        read_tar_members,
+        write_tar_shards,
+    )
+
+    samples = [
+        ("0001", "txt", b"hello world"),
+        ("0001", "json", b'{"label": 3}'),
+        ("0002", "txt", b"x" * 200),
+        ("0003", "bin", bytes(range(256))),
+    ]
+    paths = write_tar_shards(samples, str(tmp_path), n_shards=2)
+    assert len(paths) == 2
+    got = read_tar_members(spark, str(tmp_path)).collect()
+    back = {(r.sample_key, r.ext): bytes(r.blob) for r in got}
+    assert back == {(k, e): p for k, e, p in samples}
+    assert all(r.n_bytes == len(bytes(r.blob)) for r in got)
+    # sample assembly: group members by key
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.sample_key, set()).add(r.ext)
+    assert by_key["0001"] == {"txt", "json"}
+    # blobs chain into the frame sampler (one-to-many explode)
+    blobs = read_tar_members(spark, str(tmp_path)).filter(
+        F.col("ext") == "bin"
+    ).select(F.col("sample_key").cast("bigint").alias("id"), "blob")
+    frames = frame_sample(blobs, frame_bytes=64, max_frames=8).collect()
+    assert len(frames) == 4  # 256 bytes / 64
+
+
 def test_connected_components_known_graph(spark):
     from streaming_spark.operators.dedup import connected_components
 
