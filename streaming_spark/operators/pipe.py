@@ -32,6 +32,7 @@ import subprocess
 import threading
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, Row
@@ -233,6 +234,182 @@ def parse_tsv_response(
     ]
     error = F.when(F.size("parts") < num_attributes, F.lit("short")).alias("error")
     return parts.select(*cols, error)
+
+
+def pipe_df(
+    df: DataFrame,
+    command: str,
+    schema,
+    provenance: bool = False,
+    allowed_commands: list[str] | None = None,
+    env: dict[str, str] | None = None,
+    read_timeout: float = 60.0,
+) -> DataFrame:
+    """The reference's ``format=df`` external pipe: each chunk crosses the
+    child's stdin/stdout as one R-serialized named list of column vectors
+    (reference DFInterface.cpp:179-283 write side, :285-447 read side);
+    the child replies one message per chunk, then one final message after
+    the parent's empty-list terminator.  R children written against the
+    reference contract (examples/R_identity.R, R_sum.R) speak this exact
+    byte stream; Python children use ``rserial.df_child_loop``.
+
+    Input/output columns are restricted to the reference's allowlist —
+    double, int32 (short widens), string (DFInterface.cpp:74-79); int64
+    input is rejected rather than silently truncated.  ``schema`` is the
+    declared child output (the reference's mandatory ``types:``/``names:``
+    keywords, DFInterface.cpp:46-64).  With ``provenance=True`` the
+    output carries (instance_id, chunk_no, value_no) — the reference's
+    output dimensions (DFInterface.cpp:82-85).
+
+    The exchange is strictly synchronous request/response per chunk (the
+    reference's streamData :137-158), so no writer thread is needed; a
+    child that stops replying trips ``read_timeout`` and fails the task
+    (kill-query-on-wedge, ChildProcess.cpp:147-156).
+    """
+    import os as _os
+    import select
+
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+        StringType,
+    )
+
+    from streaming_spark.operators import rserial
+
+    allow = allowed_commands
+    if allow is None:
+        envlist = _os.environ.get("STREAMING_SPARK_PIPE_ALLOWLIST")
+        allow = envlist.split(":") if envlist else None
+    if allow is not None and command not in allow:
+        raise PermissionError(
+            f"pipe_df: command {command!r} is not on the allowlist "
+            "(reference etc/stream_allowed semantics)"
+        )
+
+    def rtype_of(field) -> str:
+        t = field.dataType
+        if isinstance(t, (DoubleType, FloatType)):
+            return rserial.RTYPE_REAL
+        if isinstance(t, (IntegerType, ShortType)):
+            return rserial.RTYPE_INT
+        if isinstance(t, StringType):
+            return rserial.RTYPE_STR
+        raise TypeError(
+            f"pipe_df: column {field.name!r} has unsupported type {t.simpleString()} "
+            "— only double, int32/uint16 and string cross the df wire "
+            "(reference DFInterface.cpp:74-79)"
+        )
+
+    in_rtypes = [rtype_of(f) for f in df.schema.fields]
+    out_schema = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    out_rtypes = [rtype_of(f) for f in out_schema.fields]
+    out_names = [f.name for f in out_schema.fields]
+    if provenance:
+        full_schema = StructType(
+            [
+                StructField("instance_id", LongType(), False),
+                StructField("chunk_no", LongType(), False),
+                StructField("value_no", LongType(), False),
+            ]
+            + list(out_schema.fields)
+        )
+    else:
+        full_schema = out_schema
+    child_env = dict(env or {})
+
+    class _TimeoutReader:
+        """File-like over the child's stdout that fails instead of
+        blocking forever when the child wedges mid-protocol."""
+
+        def __init__(self, stream):
+            # Use the UNBUFFERED raw stream: selecting on the fd while
+            # reading through a BufferedReader deadlocks (the buffer
+            # slurps bytes the fd no longer shows).  _read_exact loops,
+            # so raw short reads are fine.
+            self._raw = stream.raw if hasattr(stream, "raw") else stream
+            self._fd = stream.fileno()
+
+        def read(self, n: int) -> bytes:
+            ready, _, _ = select.select([self._fd], [], [], read_timeout)
+            if not ready:
+                raise TimeoutError(
+                    f"pipe_df: child produced no output for {read_timeout}s"
+                )
+            return self._raw.read(n)
+
+    def run_partition(batches):
+        ctx = TaskContext.get()
+        instance_id = ctx.partitionId() if ctx is not None else 0
+        full_env = dict(_os.environ)
+        full_env.update(child_env)
+        proc = subprocess.Popen(
+            ["/bin/bash", "-c", command],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env=full_env,
+        )
+        reader = _TimeoutReader(proc.stdout)
+
+        def exchange(pdf_or_none, chunk_no: int):
+            try:
+                if pdf_or_none is None:
+                    rserial.write_empty_message(proc.stdin)
+                else:
+                    rserial.write_df_message(
+                        proc.stdin,
+                        rserial.pandas_to_columns(pdf_or_none, in_rtypes),
+                    )
+                proc.stdin.flush()
+                cols = rserial.read_df_message(reader)
+            except BaseException:
+                proc.kill()
+                proc.wait()
+                raise
+            if cols == {}:
+                return None
+            if len(cols) != len(out_names):
+                proc.kill()
+                proc.wait()
+                raise RuntimeError(
+                    f"pipe_df: child returned {len(cols)} columns, declared "
+                    f"{len(out_names)} (reference readDF:291-295)"
+                )
+            out = rserial.columns_to_pandas(cols)
+            out.columns = out_names  # positional, like the reference reader
+            for name, rt in zip(out_names, out_rtypes):
+                want = {"double": "Float64", "int32": "Int32", "string": "string"}[rt]
+                if str(out[name].dtype) != want:
+                    proc.kill()
+                    proc.wait()
+                    raise RuntimeError(
+                        f"pipe_df: child column {name!r} arrived as "
+                        f"{out[name].dtype}, declared {rt}"
+                    )
+            if provenance:
+                out.insert(0, "value_no", np.arange(len(out), dtype=np.int64))
+                out.insert(0, "chunk_no", np.int64(chunk_no))
+                out.insert(0, "instance_id", np.int64(instance_id))
+            return out
+
+        chunk_no = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = exchange(pdf, chunk_no)
+            if out is not None and len(out):
+                yield out
+                chunk_no += 1
+        out = exchange(None, chunk_no)
+        if out is not None and len(out):
+            yield out
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipe_df child exited with status {rc}")
+
+    return df.mapInPandas(run_partition, full_schema)
 
 
 def pipe_arrow(

@@ -526,3 +526,91 @@ def q_arrow_pipe(spark, sf_dir):
         F.round(F.sum("s"), 2).alias("sum_qty"),
         F.sum("n").alias("n_rows"),
     )
+
+
+_DF_CHILD_SUM = (
+    "import pandas as pd\n"
+    "from streaming_spark.operators.rserial import df_child_loop\n"
+    "state = {'s': 0.0, 'n': 0}\n"
+    "def on_chunk(df):\n"
+    "    state['s'] += float(df['l_quantity'].sum()); state['n'] += len(df)\n"
+    "    return None\n"
+    "def finalize():\n"
+    "    return pd.DataFrame({'s': pd.array([state['s']], dtype='Float64'),\n"
+    "                         'n': pd.array([state['n']], dtype='Int32')})\n"
+    "df_child_loop(on_chunk, finalize)\n"
+)
+
+_DF_CHILD_IDENTITY = (
+    "from streaming_spark.operators.rserial import df_child_loop\n"
+    "df_child_loop(lambda df: df)\n"
+)
+
+
+def _df_child_cmd(code: str) -> str:
+    import base64
+    import os
+    import sys
+
+    b64 = base64.b64encode(code.encode()).decode()
+    repo_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return (
+        f"PYTHONPATH={repo_parent} {sys.executable} -uc "
+        f"\"import base64; exec(base64.b64decode('{b64}'))\""
+    )
+
+
+@query(
+    "q_df_pipe",
+    oracle="""
+    SELECT round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS INT) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_df_pipe(spark, sf_dir):
+    """The R ``df`` wire protocol to an external process (reference
+    op_stream_df, DFInterface.cpp:179-447): an R_sum.R-shaped child
+    (reference examples/R_sum.R:7-31 — empty reply per chunk, one total
+    at the final handshake) accumulates per-partition sums over
+    R-serialized messages; a relational reduction combines them."""
+    from streaming_spark.operators.pipe import pipe_df
+
+    li = T(spark, sf_dir, "lineitem").select("l_quantity")
+    partials = pipe_df(li, _df_child_cmd(_DF_CHILD_SUM), "s DOUBLE, n INT")
+    return partials.agg(
+        F.round(F.sum("s"), 2).alias("sum_qty"),
+        F.sum("n").cast("int").alias("n_rows"),
+    )
+
+
+@query(
+    "q_df_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS INTEGER) AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status
+    FROM orders
+    """,
+)
+def q_df_roundtrip(spark, sf_dir):
+    """R_identity.R echo child over the df wire: int32/double/string
+    columns with nulls round-trip exactly — R NA conventions on the wire
+    (NA_real_ 1954-payload NaN, NA_integer_ INT32_MIN, length -1 CHARSXP;
+    reference DFInterface.cpp:116-118, :206-216)."""
+    from streaming_spark.operators.pipe import pipe_df
+
+    orders = T(spark, sf_dir, "orders")
+    typed = orders.select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    return pipe_df(
+        typed, _df_child_cmd(_DF_CHILD_IDENTITY), "k INT, price DOUBLE, status STRING"
+    )

@@ -169,3 +169,210 @@ def test_pipe_arrow_side_input_read_func(spark):
     df = spark.range(1, 11).select(F2.col("id").cast("double").alias("v")).coalesce(1)
     out = pipe_arrow(df, _py_cmd(child), "v3 DOUBLE", side_input=packed)
     assert sorted(r.v3 for r in out.collect()) == [float(i * 3) for i in range(1, 11)]
+
+
+# --------------------------------------------------------------- df protocol
+
+DF_CLIENT_IDENTITY = (
+    "from streaming_spark.operators.rserial import df_child_loop\n"
+    "df_child_loop(lambda df: df)\n"
+)
+
+DF_CLIENT_SUM_FINALIZE = (
+    "import pandas as pd\n"
+    "from streaming_spark.operators.rserial import df_child_loop\n"
+    "state = {'total': 0.0}\n"
+    "def on_chunk(df):\n"
+    "    state['total'] += float(df[df.columns[0]].sum())\n"
+    "    return None\n"
+    "def finalize():\n"
+    "    return pd.DataFrame({'s': pd.array([state['total']], dtype='Float64')})\n"
+    "df_child_loop(on_chunk, finalize)\n"
+)
+
+
+def test_rserial_roundtrip():
+    """Writer and reader agree on all three wire types incl. the NA
+    sentinels (reference DFInterface.cpp:116-118, :206-216)."""
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    from streaming_spark.operators import rserial
+
+    pdf = pd.DataFrame(
+        {
+            "d": pd.array([1.5, None, float("nan"), -0.0], dtype="Float64"),
+            "i": pd.array([7, None, -(2**31) + 1, 0], dtype="Int32"),
+            "s": pd.array(["plain", None, "", "unié€"], dtype="string"),
+        }
+    )
+    buf = io.BytesIO()
+    rserial.write_df_message(
+        buf, rserial.pandas_to_columns(pdf, ["double", "int32", "string"])
+    )
+    buf.seek(0)
+    cols = rserial.read_df_message(buf)
+    assert buf.read() == b""  # message fully consumed
+    back = rserial.columns_to_pandas(cols)
+    assert list(back.columns) == ["d", "i", "s"]
+    assert back["d"][0] == 1.5 and back["d"][3] == 0.0
+    assert back["d"].isna().tolist() == [False, True, True, False]  # NaN -> NA
+    assert back["i"].tolist()[0] == 7 and back["i"][2] == -(2**31) + 1
+    assert back["i"].isna().tolist() == [False, True, False, False]
+    assert back["s"].tolist()[0] == "plain" and back["s"][2] == ""
+    assert back["s"][3] == "unié€"
+    assert back["s"].isna().tolist() == [False, True, False, False]
+
+
+def test_rserial_bytes_exact():
+    """Byte-for-byte check of one serialized message against the layout
+    hand-assembled from the reference's constants (DFInterface.cpp:168-177,
+    writeDF :179-275) — guards against drift from the R wire format."""
+    import io
+    import struct
+
+    import numpy as np
+
+    from streaming_spark.operators import rserial
+
+    buf = io.BytesIO()
+    rserial.write_df_message(
+        buf,
+        {
+            "x": np.array([1.0], dtype=np.float64),
+            "n": np.array([5, rserial.NA_INT], dtype=np.int32),
+        },
+    )
+    i32 = struct.Struct("<i").pack
+    expected = (
+        bytes([0x42, 0x0A, 0x02, 0, 0, 0, 0, 0x02, 0x03, 0, 0, 0x03, 0x02, 0])  # R_HEADER
+        + bytes([0x13, 0x02, 0, 0])  # R_VECSXP (list with attributes)
+        + i32(2)
+        + bytes([0x0E, 0, 0, 0])  # R_REALSXP
+        + i32(1)
+        + struct.pack("<d", 1.0)
+        + bytes([0x0D, 0, 0, 0])  # R_INTSXP
+        + i32(2)
+        + i32(5)
+        + i32(-(2**31))  # NA_integer_
+        + bytes(  # R_TAIL_HDR: pairlist + symbol + "names"
+            [0x02, 0x04, 0, 0, 0x01, 0, 0, 0, 0x09, 0, 0x04, 0, 0x05, 0, 0, 0]
+        )
+        + b"names"
+        + bytes([0x10, 0, 0, 0])  # R_STRSXP
+        + i32(2)
+        + bytes([0x09, 0, 0x04, 0]) + i32(1) + b"x"
+        + bytes([0x09, 0, 0x04, 0]) + i32(1) + b"n"
+        + bytes([0xFE, 0, 0, 0])  # R_TAIL
+    )
+    assert buf.getvalue() == expected
+
+
+def test_rserial_reads_what_dfinterface_writes():
+    """The child-side reader consumes the exact byte stream the reference
+    parent emits (writeDF :179-275), including the NA double bit pattern
+    (:116-117) and the final-handshake empty message (:277-283)."""
+    import io
+    import struct
+
+    from streaming_spark.operators import rserial
+
+    i32 = struct.Struct("<i").pack
+    parent_msg = (
+        bytes([0x42, 0x0A, 0x02, 0, 0, 0, 0, 0x02, 0x03, 0, 0, 0x03, 0x02, 0])
+        + bytes([0x13, 0x02, 0, 0])
+        + i32(1)
+        + bytes([0x10, 0, 0, 0])  # one STRSXP column
+        + i32(3)
+        + bytes([0x09, 0, 0x04, 0]) + i32(2) + b"ab"
+        + bytes([0x09, 0, 0x04, 0]) + i32(-1)  # NA string
+        + bytes([0x09, 0, 0x04, 0]) + i32(0)  # empty string
+        + bytes([0x02, 0x04, 0, 0, 0x01, 0, 0, 0, 0x09, 0, 0x04, 0, 0x05, 0, 0, 0])
+        + b"names"
+        + bytes([0x10, 0, 0, 0])
+        + i32(1)
+        + bytes([0x09, 0, 0x04, 0]) + i32(1) + b"v"
+        + bytes([0xFE, 0, 0, 0])
+    )
+    cols = rserial.read_df_message(io.BytesIO(parent_msg))
+    assert cols == {"v": ["ab", None, ""]}
+    final = bytes([0x42, 0x0A, 0x02, 0, 0, 0, 0, 0x02, 0x03, 0, 0, 0x03, 0x02, 0]) + bytes(
+        [0x13, 0, 0, 0]
+    ) + i32(0)
+    assert rserial.read_df_message(io.BytesIO(final)) == {}
+
+
+def test_pipe_df_identity(spark):
+    """R_identity.R-shaped echo child round-trips double/int32/string with
+    nulls through the df wire."""
+    from pyspark.sql import functions as F2
+
+    from streaming_spark.operators.pipe import pipe_df
+
+    df = (
+        spark.range(100)
+        .select(
+            F2.when(F2.col("id") % 7 == 0, None)
+            .otherwise(F2.col("id").cast("double") / 4)
+            .alias("d"),
+            F2.when(F2.col("id") % 5 == 0, None)
+            .otherwise(F2.col("id").cast("int"))
+            .alias("i"),
+            F2.when(F2.col("id") % 3 == 0, None)
+            .otherwise(F2.concat(F2.lit("s"), F2.col("id")))
+            .alias("s"),
+        )
+        .repartition(3)
+    )
+    out = pipe_df(df, _py_cmd(DF_CLIENT_IDENTITY), "d DOUBLE, i INT, s STRING")
+    got = sorted(out.collect(), key=lambda r: (r.i is None, r.i, r.s is None, r.s))
+    want = sorted(df.collect(), key=lambda r: (r.i is None, r.i, r.s is None, r.s))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pipe_df_sum_finalize(spark):
+    """R_sum.R semantics: empty reply per chunk, one total at the final
+    handshake, per child/partition; provenance dims attached
+    (DFInterface.cpp:82-85)."""
+    from pyspark.sql import functions as F2
+
+    from streaming_spark.operators.pipe import pipe_df
+
+    df = (
+        spark.range(1, 101)
+        .select(F2.col("id").cast("double").alias("v"))
+        .repartition(2)
+    )
+    out = pipe_df(df, _py_cmd(DF_CLIENT_SUM_FINALIZE), "s DOUBLE", provenance=True)
+    rows = out.collect()
+    assert len(rows) == 2  # one finalize total per partition child
+    assert sum(r.s for r in rows) == 5050.0
+    assert all(r.value_no == 0 for r in rows)
+    assert {r.instance_id for r in rows} == {0, 1}
+
+
+def test_pipe_df_rejects_int64(spark):
+    """int64 has no df wire representation — rejected up front, mirroring
+    the reference's type allowlist error (DFInterface.cpp:74-79)."""
+    import pytest as _pytest
+
+    from streaming_spark.operators.pipe import pipe_df
+
+    with _pytest.raises(TypeError, match="unsupported type"):
+        pipe_df(spark.range(5), "cat", "id BIGINT")
+
+
+def test_pipe_df_child_death_fails_task(spark):
+    """A child that exits mid-protocol fails the task (the reference kills
+    the query on child death, ChildProcess.cpp:147-156)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from streaming_spark.operators.pipe import pipe_df
+
+    df = spark.range(10).select(F2.col("id").cast("double").alias("v")).coalesce(1)
+    out = pipe_df(df, "head -c 4 > /dev/null", "v DOUBLE")
+    with _pytest.raises(Exception):
+        out.collect()
