@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "dedup_exact",            # digest groupBy
     "dedup_minhash_lsh",      # MinHash+LSH near-dup pipeline
     "ann_topk_bruteforce",    # broadcast-query blocked matmul
+    "ann_topk_lsh",           # hyperplane-bucketed approximate top-k
+    "dedup_embedding_cosine",  # LSH-blocked semantic near-dup (scale path)
     "text_quality",           # codegen'd text featurization
     "multimodal_blob_features",  # binary column plumbing
 ]
@@ -74,12 +76,13 @@ def main() -> None:
     # bucketing is write-once/join-many)
     REGISTRY["q_bucketed_join"](spark, SF_DIR).count()
 
-    # min of 2 runs per query: steady-state time, excluding one-off pool
-    # spawn / JIT / GC noise (the shared host varies ±30% run to run)
+    # min of 3 runs per query: steady-state time, excluding one-off pool
+    # spawn / JIT / GC noise (the shared host varies ±30% run to run;
+    # min-of-2 was observed to let a multi-second load spike through)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best, rows = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = REGISTRY[name](spark, SF_DIR)
             rows = df.count()
