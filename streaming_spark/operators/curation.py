@@ -1,0 +1,213 @@
+"""Dataset-curation operators for training-data pipelines — sequence
+packing, document chunking, deterministic sampling, PII scrubbing.
+
+All pure column expressions (window functions, ``sequence`` explodes,
+``regexp_replace``) — whole-stage codegen end to end, no Python in any
+hot path.  These generalize the reference's train/test-split and
+ML-pipeline patterns (reference py_pkg/examples/4-machine-learning.py,
+1-map-finalize.py) to the curation surface a 100 TB corpus needs.
+
+Scale notes, per operator, are in each docstring; the common theme is
+that every shuffle is keyed by a bounded-cardinality column (``source``
+strata, pack ids) or is a single global exchange the operation
+fundamentally requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_spark.operators.text import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign documents to training
+    context windows ("packs") of ``max_tokens`` whitespace tokens.
+
+    Documents are ordered deterministically inside each ``group_col``
+    stratum (by md5 of the id — a stable shuffle-proof order), a running
+    token total is computed, and a document starts a new pack whenever
+    the running total before it crosses a ``max_tokens`` boundary:
+    ``pack_no = floor((cumsum - n_tokens) / max_tokens)``.  Documents
+    longer than ``max_tokens`` occupy packs alone (they overflow their
+    boundary, exactly like real packing with truncation downstream).
+
+    Scale shape: ONE shuffle, keyed (group, md5-order) via a window sort
+    per group — packing is embarrassingly parallel across groups
+    (sources/shards), which is how 100 TB pipelines pack (per input
+    shard, never a global sort).  Output is one row per document with
+    its (group, pack_no) assignment.
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order)
+    toks = token_count(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            toks.alias("n_tokens"),
+            order.alias("__ord"),
+        )
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / max_tokens)
+            .cast("bigint")
+            .alias("pack_no"),
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, group_col: str = "source") -> DataFrame:
+    """Aggregate pack assignments → per-pack fill statistics (doc count,
+    token total).  Partial aggregation applies; the shuffle key
+    (group, pack_no) is high-cardinality and uniform by construction."""
+    return packed.groupBy(group_col, "pack_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window chunking step of a pretraining/RAG pipeline.
+
+    Chunk starts are ``1, 1+stride, 1+2*stride, ...`` with
+    ``stride = chunk_chars - overlap``; the final chunk is the last
+    start < length (so every character is covered and short tails are
+    kept).  Implemented as a JVM-side ``sequence()`` explode +
+    ``substring`` — one narrow map stage, no shuffle at all; chunking is
+    per-row and scales linearly.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(1), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_no", "start"),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            F.substring(F.col(text_col), F.col("start"), chunk_chars).alias("chunk"),
+        )
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly ``min(k, |stratum|)``
+    rows per stratum, chosen by md5-of-id order — a content-independent,
+    rerun-stable pseudo-random order (the engine's standard deterministic
+    substitute for ``rand()``, which breaks under task retry).
+
+    Scale shape: one shuffle keyed by stratum.  A hot stratum sorts only
+    its own partitionful; for truly giant strata switch to the
+    ``sample_uniform_hash`` threshold filter (no sort, approximate k).
+    """
+    w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_uniform_hash(
+    df: DataFrame, id_col: str = "doc_id", fraction: float = 0.1
+) -> DataFrame:
+    """Deterministic uniform sampling by hash threshold: keep a row when
+    the first 8 hex digits of md5(id) fall under ``fraction`` of the
+    32-bit space.  NO shuffle, no sort, no RNG state — the filter pushes
+    into the scan stage and the sample is identical on every rerun and
+    every cluster size.  This is the 100 TB default; exact-k sampling is
+    what :func:`sample_stratified` is for."""
+    threshold = format(int(fraction * 0xFFFFFFFF), "08x")
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    # fixed-width lowercase hex compares lexicographically == numerically,
+    # so no base conversion is needed on either engine
+    return df.filter(prefix <= threshold)
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Replace email addresses and phone-shaped digit groups with typed
+    placeholder tokens — the standard pre-training scrub pass.  Pure
+    ``regexp_replace`` (RE2-compatible patterns, so the DuckDB oracle
+    matches byte for byte); flags rows that were touched.  Codegen'd,
+    no shuffle."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.withColumn(out_col, scrubbed).withColumn(
+        "had_pii", F.col(out_col) != F.col(text_col)
+    )
+
+
+def frame_windows(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    frame_bytes: int = 64,
+    hop_bytes: int = 32,
+) -> DataFrame:
+    """Overlapping byte windows over a binary column — the audio framing
+    primitive (frame length + hop, as in STFT pipelines), kept as opaque
+    bytes because codecs are stubbed in this container.
+
+    JVM-side ``sequence`` explode + binary ``substring`` — one narrow
+    stage, no Python, no shuffle; each row expands to
+    ``ceil(max(n - frame, 0) / hop) + 1`` frames.
+    """
+    n = F.octet_length(F.col(blob_col))
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)), F.lit(hop_bytes))
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(blob_col),
+            F.posexplode(starts).alias("frame_no", "start"),
+        )
+        .select(
+            id_col,
+            "frame_no",
+            F.expr(f"substring({blob_col}, start, {frame_bytes})").alias("frame"),
+            F.octet_length(
+                F.expr(f"substring({blob_col}, start, {frame_bytes})")
+            ).alias("frame_len"),
+        )
+    )

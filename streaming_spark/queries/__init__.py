@@ -14,5 +14,6 @@ from streaming_spark.queries import streamops  # noqa: F401
 from streaming_spark.queries import windows  # noqa: F401
 from streaming_spark.queries import northstar  # noqa: F401
 from streaming_spark.queries import extras  # noqa: F401
+from streaming_spark.queries import curation  # noqa: F401
 
 __all__ = ["REGISTRY", "ORACLES", "query"]

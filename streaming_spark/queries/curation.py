@@ -1,0 +1,191 @@
+"""Dataset-curation queries: sequence packing, chunking, deterministic
+sampling, PII scrubbing, audio-style byte framing — the curation surface
+of a 100 TB training-data pipeline, over the ``documents`` fixture.
+
+Every query here is a pure-JVM plan (window functions / sequence
+explodes / regexp), each with a DuckDB oracle.  The md5-order trick is
+the engine's standard deterministic substitute for ``rand()``: stable
+under task retry and identical across engines, so sampling and packing
+are oracle-checkable exactly rather than statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_spark.operators import curation
+from streaming_spark.queries.registry import T, query
+
+# the exact whitespace token counter used by text_token_count's oracle
+_TOKS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord) AS cum
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_no
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy contiguous sequence packing into 512-token context windows,
+    parallel per source stratum (one bounded shuffle; no global sort —
+    the per-shard packing layout 100 TB pipelines use)."""
+    docs = T(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, max_tokens=512)
+
+
+@query(
+    "pack_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents),
+    c AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord) AS cum
+      FROM t),
+    p AS (
+      SELECT source, n_tokens,
+             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_no
+      FROM c)
+    SELECT source, pack_no, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY source, pack_no
+    """,
+)
+def pack_stats(spark, sf_dir):
+    """Pack fill statistics (docs + tokens per pack) — the partial-agg
+    rollup that monitors packing efficiency."""
+    docs = T(spark, sf_dir, "documents")
+    packed = curation.pack_sequences(docs, max_tokens=512)
+    return curation.pack_stats(packed).select(
+        "source",
+        "pack_no",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@query(
+    "text_chunk_split",
+    oracle="""
+    SELECT doc_id,
+           CAST((gs.start - 1) / 160 AS INT) AS chunk_no,
+           substring(text, gs.start, 200) AS chunk
+    FROM documents,
+    LATERAL (SELECT unnest(generate_series(
+               1, greatest(length(text) - 1, 1), 160)) AS start) gs
+    WHERE length(text) > 0
+    """,
+)
+def text_chunk_split(spark, sf_dir):
+    """Fixed-window document chunking: 200-char chunks, 40-char overlap
+    (stride 160) — a JVM sequence explode, zero shuffles."""
+    docs = T(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, chunk_chars=200, overlap=40)
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents)
+    SELECT doc_id, source, lang FROM r WHERE rn <= 50
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic exact-k stratified sample: 50 docs per source by
+    md5-of-id order (rerun-stable; one shuffle keyed by stratum)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return curation.sample_stratified(docs, strata_col="source", k=50)
+
+
+@query(
+    "sample_uniform_hash",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '19999999'
+    """,
+)
+def sample_uniform_hash(spark, sf_dir):
+    """Shuffle-free deterministic ~10% uniform sample by md5 hash
+    threshold — the filter pushes into the scan; the 100 TB default
+    sampling path (no RNG state, no sort, cluster-size independent)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation.sample_uniform_hash(docs, fraction=0.1)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS scrubbed,
+             text
+      FROM documents)
+    SELECT doc_id, scrubbed, (scrubbed <> text) AS had_pii FROM s
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """Email/phone scrub with typed placeholders (RE2-safe patterns so
+    Spark and DuckDB agree byte for byte); flags touched rows.  Pure
+    regexp_replace — codegen'd, no shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    return curation.scrub_pii(docs, "text").select("doc_id", "scrubbed", "had_pii")
+
+
+@query(
+    "audio_frame_windows",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 20 = 0 AND length(text) > 0)
+    SELECT id,
+           CAST((gs.start - 1) / 32 AS INT) AS frame_no,
+           substring(hx, (gs.start - 1) * 2 + 1, 128) AS frame_hex,
+           CAST(length(substring(hx, (gs.start - 1) * 2 + 1, 128)) / 2 AS INT)
+             AS frame_len
+    FROM b,
+    LATERAL (SELECT unnest(generate_series(1, greatest(n - 1, 1), 32)) AS start) gs
+    """,
+)
+def audio_frame_windows(spark, sf_dir):
+    """Overlapping byte framing over binary blobs (64-byte frames,
+    32-byte hop — the STFT frame/hop shape).  Frames stay opaque bytes;
+    the oracle compares hex because DuckDB lacks blob substring.  JVM
+    sequence explode, no shuffle, no Python."""
+    from streaming_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") > 0)
+    )
+    blobs = multimodal.to_blob(docs, text_col="text", id_col="doc_id")
+    frames = curation.frame_windows(blobs, frame_bytes=64, hop_bytes=32)
+    return frames.select(
+        "id",
+        "frame_no",
+        F.hex("frame").alias("frame_hex"),
+        "frame_len",
+    )

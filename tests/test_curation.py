@@ -1,0 +1,101 @@
+"""Dataset-curation operators: packing, chunking, sampling, scrubbing,
+byte framing — semantics + plan-shape (JVM-only, shuffle-bounded)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_spark.operators import curation
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta", "web"),
+        (2, "one two", "web"),
+        (3, "x " * 600, "web"),  # 600 tokens: longer than max_tokens
+        (4, "short", "books"),
+        (5, "lorem ipsum dolor sit amet", "books"),
+        (6, "", "books"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+
+
+def test_pack_sequences_bounds_and_determinism(spark, docs):
+    packed = curation.pack_sequences(docs, max_tokens=10).toPandas()
+    # every doc assigned exactly once
+    assert sorted(packed["doc_id"]) == [1, 2, 3, 4, 5, 6]
+    # a pack only exceeds max_tokens via its LAST doc crossing the
+    # boundary (greedy contiguous fill): tokens before each doc < limit
+    stats = packed.groupby(["source", "pack_no"])["n_tokens"].sum()
+    over = stats[stats > 10]
+    for (src, pack), _ in over.items():
+        members = packed[(packed["source"] == src) & (packed["pack_no"] == pack)]
+        assert (members["n_tokens"].cumsum() - members["n_tokens"] < 10).all()
+    # deterministic rerun
+    again = curation.pack_sequences(docs, max_tokens=10).toPandas()
+    assert packed.sort_values("doc_id").equals(again.sort_values("doc_id"))
+
+
+def test_chunk_documents_coverage(spark, docs):
+    chunks = curation.chunk_documents(
+        docs, chunk_chars=10, overlap=4
+    ).toPandas()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_no")
+        # stride reconstruction: first chunk + tail of each subsequent
+        rebuilt = grp.iloc[0]["chunk"]
+        for c in grp["chunk"].iloc[1:]:
+            rebuilt += c[4:]
+        assert rebuilt == texts[doc_id]
+    assert 6 not in set(chunks["doc_id"])  # empty text yields no chunks
+
+
+def test_chunk_documents_no_shuffle_no_python(spark, docs):
+    plan = curation.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sample_stratified_exact_k(spark, docs):
+    out = curation.sample_stratified(docs, strata_col="source", k=2).toPandas()
+    assert out.groupby("source").size().tolist() == [2, 2]
+    again = curation.sample_stratified(docs, strata_col="source", k=2).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_sample_uniform_hash_no_shuffle(spark, docs):
+    sampled = curation.sample_uniform_hash(docs, fraction=0.5)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    n = sampled.count()
+    assert 0 <= n <= 6
+    assert sampled.count() == n  # deterministic
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk today"),
+            (2, "call 555-123-4567 or 555.123.4567"),
+            (3, "clean text"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in curation.scrub_pii(df, "text").collect()}
+    assert out[1].scrubbed == "mail me at <EMAIL> today"
+    assert out[2].scrubbed == "call <PHONE> or <PHONE>"
+    assert out[3].scrubbed == "clean text"
+    assert [out[i].had_pii for i in (1, 2, 3)] == [True, True, False]
+
+
+def test_frame_windows_shapes(spark):
+    df = spark.createDataFrame([(1, bytes(range(100)))], "id BIGINT, blob BINARY")
+    frames = curation.frame_windows(df, frame_bytes=64, hop_bytes=32).collect()
+    # starts 1, 33, 65, 97 -> lengths 64, 64, 36, 4
+    assert [r.frame_no for r in frames] == [0, 1, 2, 3]
+    assert [r.frame_len for r in frames] == [64, 64, 36, 4]
+    assert bytes(frames[1].frame) == bytes(range(32, 96))
+    # overlap: consecutive frames share hop..frame bytes
+    assert bytes(frames[0].frame)[32:] == bytes(frames[1].frame)[:32]
