@@ -281,3 +281,64 @@ def q_returned_items(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", F.round("__rev", 2).alias("revenue"), "n_name")
     )
+
+
+@query(
+    "q_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year.  Scale plan: the ship-date filter pushes into the lineitem
+    scan; supplier/customer/nation broadcast (dims), so the ONLY fact
+    shuffle is lineitem⋈orders on the order key; the nation-pair filter
+    applies before the grouped aggregation, which is partial-agg'd on a
+    tiny (nation, nation, year) key space."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = F.broadcast(T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    supplier = F.broadcast(T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )

@@ -377,3 +377,26 @@ def q_streaming_join(spark, sf_dir):
         ).alias("secs_to_purchase"),
     )
     return _run_to_memory_sink(joined, "q_streaming_join_sink", "append")
+
+
+@query(
+    "q_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming deduplication: dropDuplicates state carried ACROSS
+    micro-batches (one per staged file) — each (user, event_type) key is
+    emitted exactly once over the whole stream, in append mode.  Only
+    the key columns are emitted, so the result is deterministic whatever
+    duplicate arrives first (the batch oracle is a plain DISTINCT).  In
+    unbounded production the same plan runs as
+    ``dropDuplicatesWithinWatermark`` to bound the key state."""
+    from streaming_spark.streaming import read_events_stream
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory_sink(deduped, "q_streaming_dedup_sink", "append")

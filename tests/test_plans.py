@@ -111,3 +111,16 @@ def test_salted_agg_spreads_keys(spark):
     plan = plan_of(spark, "q_salted_agg")
     # phase-1 grouping includes the salt column
     assert "__salt" in plan
+
+
+def test_volume_shipping_plan(spark):
+    """Q7 shape: dims broadcast, ship-date filter pushed to the lineitem
+    scan, and at most one hash exchange (the final partial-agg'd
+    groupBy) — no sort-merge join anywhere at this scale."""
+    df = REGISTRY["q_volume_shipping"](spark, SF_SMOKE)
+    df.collect()
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "PushedFilters" in plan and "l_shipdate" in plan
