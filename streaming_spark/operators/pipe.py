@@ -241,6 +241,7 @@ def pipe_df(
     command: str,
     schema,
     provenance: bool = False,
+    side_input=None,
     allowed_commands: list[str] | None = None,
     env: dict[str, str] | None = None,
     read_timeout: float = 60.0,
@@ -265,6 +266,13 @@ def pipe_df(
     reference's streamData :137-158), so no writer thread is needed; a
     child that stops replying trips ``read_timeout`` and fails the task
     (kill-query-on-wedge, ChildProcess.cpp:147-156).
+
+    ``side_input`` (a pandas DataFrame) is sent FIRST, before any data
+    chunks, as one df message whose response is discarded — the
+    reference's second-array semantics (PhysicalStream.cpp:74-100; the
+    poLCA vignette ships a whole serialized R program this way,
+    poLCA.Rmd:70-78).  A child using ``df_child_loop(..., n_side=1,
+    on_side=...)`` pops it.
     """
     import os as _os
     import select
@@ -319,6 +327,11 @@ def pipe_df(
     else:
         full_schema = out_schema
     child_env = dict(env or {})
+    side_bc = (
+        df.sparkSession.sparkContext.broadcast(side_input)
+        if side_input is not None
+        else None
+    )
 
     class _TimeoutReader:
         """File-like over the child's stdout that fails instead of
@@ -393,6 +406,26 @@ def pipe_df(
                 out.insert(0, "chunk_no", np.int64(chunk_no))
                 out.insert(0, "instance_id", np.int64(instance_id))
             return out
+
+        if side_bc is not None:
+            # second-array semantics: the side chunk goes down the same
+            # wire first; its response is discarded (the reference
+            # streams the extra array's chunks before the main one,
+            # PhysicalStream.cpp:74-100)
+            side_pdf = side_bc.value
+            try:
+                rserial.write_df_message(
+                    proc.stdin,
+                    rserial.pandas_to_columns(
+                        side_pdf, rserial.infer_rtypes(side_pdf)
+                    ),
+                )
+                proc.stdin.flush()
+                rserial.read_df_message(reader)
+            except BaseException:
+                proc.kill()
+                proc.wait()
+                raise
 
         chunk_no = 0
         for pdf in batches:

@@ -263,16 +263,28 @@ def df_child_loop(
     final_fn: Optional[Callable[[], Optional[pd.DataFrame]]] = None,
     stdin: Optional[BinaryIO] = None,
     stdout: Optional[BinaryIO] = None,
+    n_side: int = 0,
+    on_side: Optional[Callable[[pd.DataFrame], None]] = None,
 ) -> None:
     """Child-side protocol loop — the Python analog of the reference's R
     client (examples/R_identity.R:6-19, R_sum.R:7-31): for each incoming
     chunk reply ``map_fn(chunk)`` (None ⇒ empty message); on the final
     empty message reply ``final_fn()`` and exit.  Lets users run
-    ``df``-protocol children with no R installed."""
+    ``df``-protocol children with no R installed.
+
+    ``n_side`` messages are popped FIRST and handed to ``on_side``, each
+    acked with an empty reply — the reference's side-input contract (the
+    poLCA vignette's ``getChunk()`` bootstrap, poLCA.Rmd:70-78)."""
     import sys
 
     sin = stdin if stdin is not None else sys.stdin.buffer
     sout = stdout if stdout is not None else sys.stdout.buffer
+    for _ in range(n_side):
+        side = read_df_message(sin)
+        if side and on_side is not None:
+            on_side(columns_to_pandas(side))
+        write_empty_message(sout)
+        sout.flush()
     while True:
         msg = read_df_message(sin)
         if msg == {}:

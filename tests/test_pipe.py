@@ -376,3 +376,38 @@ def test_pipe_df_child_death_fails_task(spark):
     out = pipe_df(df, "head -c 4 > /dev/null", "v DOUBLE")
     with _pytest.raises(Exception):
         out.collect()
+
+
+def test_pipe_df_side_input(spark):
+    """Second-array semantics over the df wire: a lookup table is shipped
+    first, the child joins it into every chunk (the poLCA vignette's
+    program-shipping pattern, reference poLCA.Rmd:70-78)."""
+    import pandas as pd2
+    from pyspark.sql import functions as F2
+
+    from streaming_spark.operators.pipe import pipe_df
+
+    side = pd2.DataFrame(
+        {
+            "i": pd2.array([0, 1, 2], dtype="Int32"),
+            "label": pd2.array(["zero", "one", "two"], dtype="string"),
+        }
+    )
+    child = (
+        "import pandas as pd\n"
+        "from streaming_spark.operators.rserial import df_child_loop\n"
+        "lut = {}\n"
+        "def on_side(df):\n"
+        "    lut.update(dict(zip(df['i'].astype(int), df['label'].astype(str))))\n"
+        "def on_chunk(df):\n"
+        "    out = pd.DataFrame({\n"
+        "        'i': df['i'],\n"
+        "        'label': pd.array([lut.get(int(v), '?') for v in df['i']],\n"
+        "                          dtype='string')})\n"
+        "    return out\n"
+        "df_child_loop(on_chunk, n_side=1, on_side=on_side)\n"
+    )
+    df = spark.range(6).select((F2.col("id") % 4).cast("int").alias("i")).coalesce(1)
+    out = pipe_df(df, _py_cmd(child), "i INT, label STRING", side_input=side)
+    got = {(r.i, r.label) for r in out.collect()}
+    assert got == {(0, "zero"), (1, "one"), (2, "two"), (3, "?")}
