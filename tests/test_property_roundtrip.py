@@ -47,3 +47,50 @@ def _norm(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     return v
+
+
+# ----------------------------------------------------- df wire (rserial)
+
+df_int = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),  # NA_INT reserved
+)
+df_double = st.one_of(
+    st.none(), st.floats(allow_nan=False, allow_infinity=True, width=64)
+)
+df_str = st.one_of(st.none(), st.text(max_size=30))
+df_row = st.tuples(df_int, df_double, df_str)
+df_frames = st.lists(df_row, min_size=0, max_size=30)
+
+
+@given(df_frames)
+@settings(max_examples=200, deadline=None)
+def test_rserial_property_roundtrip(rows):
+    """Arbitrary null-bearing int32/double/string frames survive the R
+    df wire byte format exactly (reference DFInterface.cpp layout):
+    write → read → identical values, nulls, and column names."""
+    import io
+
+    from streaming_spark.operators import rserial
+
+    pdf = pd.DataFrame(
+        {
+            "i": pd.array([r[0] for r in rows], dtype="Int32"),
+            "d": pd.array([r[1] for r in rows], dtype="Float64"),
+            "s": pd.array([r[2] for r in rows], dtype="string"),
+        }
+    )
+    buf = io.BytesIO()
+    rserial.write_df_message(
+        buf, rserial.pandas_to_columns(pdf, ["int32", "double", "string"])
+    )
+    buf.seek(0)
+    back = rserial.columns_to_pandas(rserial.read_df_message(buf))
+    assert buf.read() == b""  # fully consumed, no trailing bytes
+    assert list(back.columns) == ["i", "d", "s"]
+    assert back["i"].isna().tolist() == pdf["i"].isna().tolist()
+    assert back["d"].isna().tolist() == pdf["d"].isna().tolist()
+    assert back["s"].isna().tolist() == pdf["s"].isna().tolist()
+    for col in ("i", "d", "s"):
+        a, b = back[col].dropna().tolist(), pdf[col].dropna().tolist()
+        assert a == b
