@@ -211,7 +211,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     is a no-op — the guard keeps it from ever *reducing* parallelism.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # partition count via the JVM query execution — df.rdd would build a
+    # Python RDD wrapper and force a separate analysis pass per call
+    n = df._jdf.rdd().getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
