@@ -530,3 +530,54 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     return cosine_pairs(
         emb, threshold=0.4, mode="lsh", n_bits=4, n_tables=12
     ).orderBy("id_a", "id_b")
+
+
+@query("dedup_minhash_recall")  # rows-only: measures the approximation
+# contract of banded MinHash-LSH — the truth pass uses engine-internal
+# shingle hashing, so no SQL oracle; the recall FLOOR is asserted in
+# tests/test_operators.py::test_dedup_minhash_recall_floor
+def dedup_minhash_recall(spark, sf_dir):
+    """Recall of the MinHash-LSH near-dup pipeline against the EXACT
+    all-pairs shingle-Jaccard truth at threshold 0.5 — the dedup analog
+    of ann_recall_at_k.  Both sides are deterministic (seeded
+    permutations, md5-free rolling shingle hashes), so the number is
+    reproducible.  The all-pairs truth join is the measurement pass:
+    run it at fixture/sample scale to tune (bands, max_bucket) — the
+    production pipeline runs only the banded path it measures."""
+    from streaming_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id").localCheckpoint()
+    try:
+        sh = sigs.select("id", "shingles")
+        a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        truth = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("j", jac)
+            .filter(F.col("j") >= 0.5)
+            .select("id_a", "id_b")
+        )
+        found = (
+            minhash_dedup_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5)
+            .select("id_a", "id_b")
+            .withColumn("hit", F.lit(1))
+        )
+        return (
+            truth.join(found, ["id_a", "id_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+                F.round(
+                    F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
+                ).alias("recall"),
+            )
+        )
+    finally:
+        sigs.unpersist()

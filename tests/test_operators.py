@@ -260,3 +260,15 @@ def test_ann_lsh_recall_floor(spark):
     recall = len(exact & approx) / len(exact)
     # measured 0.92 at these parameters on this seed; floor leaves margin
     assert recall >= 0.7, f"LSH recall {recall:.2f} below floor"
+
+
+def test_dedup_minhash_recall_floor(spark):
+    """The registered recall measurement must stay >= 0.9 at fixture
+    scale (planted dups are high-Jaccard; banded LSH catches them)."""
+    from streaming_spark.queries.registry import REGISTRY
+
+    row = REGISTRY["dedup_minhash_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.n_true >= 1
+    assert row.recall >= 0.9
