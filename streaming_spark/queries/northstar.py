@@ -545,39 +545,48 @@ def dedup_minhash_recall(spark, sf_dir):
     run it at fixture/sample scale to tune (bands, max_bucket) — the
     production pipeline runs only the banded path it measures."""
     from streaming_spark.operators.dedup import (
-        minhash_dedup_pairs,
+        lsh_candidate_pairs,
         minhash_signatures,
+        verify_jaccard,
     )
 
     docs = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id").localCheckpoint()
-    try:
-        sh = sigs.select("id", "shingles")
-        a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-        b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-            F.array_union("sh_a", "sh_b")
-        )
-        truth = (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("j", jac)
-            .filter(F.col("j") >= 0.5)
-            .select("id_a", "id_b")
-        )
-        found = (
-            minhash_dedup_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5)
-            .select("id_a", "id_b")
-            .withColumn("hit", F.lit(1))
-        )
-        return (
-            truth.join(found, ["id_a", "id_b"], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_true"),
-                F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
-                F.round(
-                    F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
-                ).alias("recall"),
-            )
-        )
-    finally:
-        sigs.unpersist()
+    # one signature pass feeds BOTH the truth join and the banded path
+    sigs = minhash_signatures(docs, "text", "doc_id").localCheckpoint(eager=True)
+    sh = sigs.select("id", "shingles", F.size("shingles").alias("n"))
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    # J >= 0.5 implies |A|/|B| in [1/2, 2]: prune with the cheap size
+    # test inside the join condition so the array ops run on survivors
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("n_a") <= 2 * F.col("n_b"))
+        & (F.col("n_b") <= 2 * F.col("n_a"))
+    )
+    truth = (
+        a.join(F.broadcast(b), cond)
+        .withColumn("j", jac)
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    found = (
+        verify_jaccard(lsh_candidate_pairs(sigs), sigs, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return truth.join(found, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+        F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3).alias(
+            "recall"
+        ),
+    )
