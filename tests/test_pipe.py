@@ -411,3 +411,42 @@ def test_pipe_df_side_input(spark):
     out = pipe_df(df, _py_cmd(child), "i INT, label STRING", side_input=side)
     got = {(r.i, r.label) for r in out.collect()}
     assert got == {(0, "zero"), (1, "one"), (2, "two"), (3, "?")}
+
+
+def test_pipe_df_ships_program(spark):
+    """The poLCA vignette pattern end-to-end: a serialized PROGRAM rides
+    the df-wire side input as a base64 string cell; the child decodes it
+    and maps it over every chunk (reference poLCA.Rmd:70-78 ships a
+    serialized R expression the same way)."""
+    import base64 as b64mod
+
+    import pandas as pd2
+    from pyspark.sql import functions as F2
+
+    from pyspark import cloudpickle
+
+    from streaming_spark.operators.pipe import pipe_df
+
+    def program(df):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"v2": _pd.array(df["v"] * 2 + 1, dtype="Float64")}
+        )
+
+    side = pd2.DataFrame(
+        {"program": pd2.array(
+            [b64mod.b64encode(cloudpickle.dumps(program)).decode()], dtype="string"
+        )}
+    )
+    child = (
+        "import base64, pickle, pandas as pd\n"
+        "from streaming_spark.operators.rserial import df_child_loop\n"
+        "state = {}\n"
+        "def on_side(df):\n"
+        "    state['fn'] = pickle.loads(base64.b64decode(df['program'][0]))\n"
+        "df_child_loop(lambda df: state['fn'](df), n_side=1, on_side=on_side)\n"
+    )
+    df = spark.range(1, 6).select(F2.col("id").cast("double").alias("v")).coalesce(1)
+    out = pipe_df(df, _py_cmd(child), "v2 DOUBLE", side_input=side)
+    assert sorted(r.v2 for r in out.collect()) == [3.0, 5.0, 7.0, 9.0, 11.0]
