@@ -41,12 +41,14 @@ def q_identity_roundtrip(spark, sf_dir):
     tests/test_low.py:59-137).  Uses the Arrow-native path — one
     RecordBatch in, one out, no pandas conversion — matching the
     reference's feather wire unit exactly."""
-    from streaming_spark.operators.stream import ensure_parallelism, stream_arrow
+    from streaming_spark.operators.stream import stream_arrow
 
-    li = ensure_parallelism(
-        T(spark, sf_dir, "lineitem").select(
-            *_LI_COLS, F.col("l_shipdate").cast("string").alias("l_shipdate_str")
-        )
+    # no ensure_parallelism: the identity map is bandwidth-bound, and the
+    # repartition costs more than the parallelism buys (measured 1.26s vs
+    # 1.53s at sf0.1 — the CLAUDE.md rule); at scale inputs are
+    # many-filed and arrive parallel anyway
+    li = T(spark, sf_dir, "lineitem").select(
+        *_LI_COLS, F.col("l_shipdate").cast("string").alias("l_shipdate_str")
     )
     return stream_arrow(li, lambda batch: batch, li.schema)
 
