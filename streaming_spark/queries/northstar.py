@@ -590,3 +590,52 @@ def dedup_minhash_recall(spark, sf_dir):
             "recall"
         ),
     )
+
+
+@query("ann_topk_ivf")  # rows-only: approximate by construction (the
+# k-means cells are engine-internal); recall contract measured by
+# ann_recall_ivf and floor-tested in tests/test_operators.py
+def ann_topk_ivf(spark, sf_dir):
+    """Approximate top-5 via an IVF index (8-cell spherical k-means
+    coarse quantizer, 4-cell probes) — the data-adaptive ANN scale path
+    next to the hyperplane-LSH one.  Quantizer trained on a bounded
+    deterministic sample; assignment and scoring fully distributed.
+
+    Cells/probes are sized to the FIXTURE: its embeddings are nearly
+    uniform on the sphere, so recall tracks probe coverage (4/8 cells →
+    measured recall ≈ 0.88, floor-tested at 0.7).  On a real clustered
+    corpus n_cells grows like N/target_cell_size and nprobe stays small —
+    same operator, same plan; the gap is a data property the
+    ann_recall_ivf measurement exposes per corpus."""
+    from streaming_spark.operators.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=4)
+
+
+@query("ann_recall_ivf")  # rows-only: same contract as ann_recall_at_k
+def ann_recall_ivf(spark, sf_dir):
+    """Recall@5 of the IVF path vs exact brute force, per query — the
+    IVF approximation contract, computed engine-internally like
+    ann_recall_at_k."""
+    from streaming_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
+            ).alias("recall_at_5")
+        )
+        .orderBy("query_id")
+    )

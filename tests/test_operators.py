@@ -272,3 +272,14 @@ def test_dedup_minhash_recall_floor(spark):
     ).collect()[0]
     assert row.n_true >= 1
     assert row.recall >= 0.9
+
+
+def test_ann_recall_ivf_floor(spark):
+    """IVF with 16 cells / 4 probes must hold recall@5 >= 0.7 at fixture
+    scale (same contract style as the hyperplane-LSH floor)."""
+    from streaming_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["ann_recall_ivf"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 8
+    mean_recall = sum(r.recall_at_5 for r in rows) / len(rows)
+    assert mean_recall >= 0.7, f"IVF mean recall {mean_recall}"
