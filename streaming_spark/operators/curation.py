@@ -211,3 +211,66 @@ def frame_windows(
             ).alias("frame_len"),
         )
     )
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_files: int = 8,
+) -> None:
+    """Materialize ``df`` as ``n_files`` parquet files range-partitioned
+    and sorted by ``range_col`` — the write-side layout that makes later
+    range scans prune: each file owns a disjoint key range, so parquet
+    footer min/max statistics skip whole files/row groups for selective
+    predicates.  This is the z-order-lite single-key layout; one range
+    shuffle (sampled boundaries) + in-partition sort, no driver data."""
+    (
+        df.repartitionByRange(n_files, F.col(range_col))
+        .sortWithinPartitions(range_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def layout_file_stats(spark, path: str, range_col: str) -> DataFrame:
+    """Per-file (min, max, rows) of a written layout plus a global
+    disjointness check — reads back only the key column."""
+    df = spark.read.parquet(path).select(
+        F.col(range_col), F.input_file_name().alias("file")
+    )
+    per_file = df.groupBy("file").agg(
+        F.min(range_col).alias("lo"),
+        F.max(range_col).alias("hi"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+    w = Window.orderBy("lo")
+    return per_file.withColumn(
+        "disjoint", F.coalesce(F.col("lo") > F.lag("hi").over(w), F.lit(True))
+    )
+
+
+def sample_domain_mix(
+    df: DataFrame,
+    targets: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mix resampling: take exactly ``targets[stratum]`` rows per
+    stratum (md5-of-id order — deterministic), dropping strata not in
+    ``targets``.  The curation step that rebalances a crawl toward a
+    training mixture.  One shuffle keyed by stratum; the per-stratum k
+    is a small CASE expression, no driver loop."""
+    w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(id_col).cast("string")))
+    k = F.lit(None).cast("int")
+    expr = None
+    for stratum, count in sorted(targets.items()):
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, count) if expr is None else expr.when(cond, count)
+    k = expr.otherwise(F.lit(0))
+    return (
+        df.withColumn("__k", k)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__k", "__rn")
+    )

@@ -189,3 +189,64 @@ def audio_frame_windows(spark, sf_dir):
         F.hex("frame").alias("frame_hex"),
         "frame_len",
     )
+
+
+@query(
+    "layout_sorted_write",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(true AS BOOLEAN) AS all_disjoint
+    FROM lineitem
+    """,
+)
+def layout_sorted_write(spark, sf_dir):
+    """Write-side layout optimization end-to-end: lineitem is
+    materialized as 8 parquet files range-partitioned + sorted on
+    l_orderkey (one sampled range shuffle), then read back and checked —
+    every file owns a DISJOINT key range (the property that lets parquet
+    footer min/max stats skip whole files on selective range scans).
+    The disjointness proof is computed Spark-side over the per-file
+    min/max; the oracle pins file count and row conservation."""
+    import tempfile
+
+    from streaming_spark.operators import curation
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_layout_") + "/t"
+    curation.write_sorted_layout(li, out_dir, "l_orderkey", n_files=8)
+    stats = curation.layout_file_stats(spark, out_dir, "l_orderkey")
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows").alias("total_rows"),
+        F.min("disjoint").alias("all_disjoint"),
+    )
+
+
+@query(
+    "sample_domain_mix",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM r
+    WHERE (source = 'src0' AND rn <= 30)
+       OR (source = 'src1' AND rn <= 10)
+       OR (source = 'src2' AND rn <= 20)
+    GROUP BY source
+    """,
+)
+def sample_domain_mix(spark, sf_dir):
+    """Domain-mix resampling toward a target mixture (30/10/20 docs from
+    three of the fixture's src strata; other sources dropped) — exact-k
+    deterministic md5-order draws per stratum, the rebalancing step of a
+    training-mixture pipeline."""
+    from streaming_spark.operators import curation
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = curation.sample_domain_mix(
+        docs, {"src0": 30, "src1": 10, "src2": 20}
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))

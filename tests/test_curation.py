@@ -99,3 +99,30 @@ def test_frame_windows_shapes(spark):
     assert bytes(frames[1].frame) == bytes(range(32, 96))
     # overlap: consecutive frames share hop..frame bytes
     assert bytes(frames[0].frame)[32:] == bytes(frames[1].frame)[:32]
+
+
+def test_write_sorted_layout_disjoint_files(spark, tmp_path):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "layout")
+    curation.write_sorted_layout(df, path, "k", n_files=4)
+    stats = curation.layout_file_stats(spark, path, "k").collect()
+    assert len(stats) == 4
+    assert sum(r.rows for r in stats) == 10000
+    assert all(r.disjoint for r in stats)  # duplicate keys never straddle files
+    spans = sorted((r.lo, r.hi) for r in stats)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+
+
+def test_sample_domain_mix_exact_counts(spark, docs):
+    out = curation.sample_domain_mix(
+        docs, {"web": 2, "books": 1}, strata_col="source"
+    ).toPandas()
+    counts = out.groupby("source").size().to_dict()
+    assert counts == {"web": 2, "books": 1}
+    again = curation.sample_domain_mix(
+        docs, {"web": 2, "books": 1}, strata_col="source"
+    ).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
