@@ -28,6 +28,7 @@ def pack_sequences(
     text_col: str = "text",
     group_col: str = "source",
     max_tokens: int = 512,
+    token_counter=None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: assign documents to training
     context windows ("packs") of ``max_tokens`` whitespace tokens.
@@ -48,7 +49,10 @@ def pack_sequences(
     """
     order = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(group_col).orderBy(order)
-    toks = token_count(text_col)
+    # token_counter: any str|Column -> Column counter (default whitespace
+    # words; pass text.bpe_ish_token_count — or a real tokenizer's count
+    # column — to budget in sub-word pieces)
+    toks = (token_counter or token_count)(text_col)
     return (
         df.select(
             F.col(id_col),

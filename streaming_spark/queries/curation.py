@@ -250,3 +250,37 @@ def sample_domain_mix(spark, sf_dir):
         docs, {"src0": 30, "src1": 10, "src2": 20}
     )
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "pack_sequences_bpe",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE list_sum(list_transform(
+                         string_split_regex(trim(text), '\\s+'),
+                         t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) END
+               AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord) AS cum
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_no
+    FROM c
+    """,
+)
+def pack_sequences_bpe(spark, sf_dir):
+    """Tokenizer-cost sequence packing: same greedy per-stratum packing
+    but budgeted in BPE-ish sub-word pieces (ceil(len/4) per word) into
+    2048-piece context windows — the packing a real pretraining loader
+    does.  A real tokenizer slots in behind the same column contract."""
+    from streaming_spark.operators.text import bpe_ish_token_count
+
+    docs = T(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        docs, max_tokens=2048, token_counter=bpe_ish_token_count
+    )
