@@ -616,3 +616,81 @@ def q_df_roundtrip(spark, sf_dir):
     return pipe_df(
         typed, _df_child_cmd(_DF_CHILD_IDENTITY), "k INT, price DOUBLE, status STRING"
     )
+
+
+_DF_CHILD_GAUSS = (
+    "import pandas as pd\n"
+    "from streaming_spark.operators.rserial import df_child_loop\n"
+    "def on_chunk(df):\n"
+    "    g = df.groupby('seed')['x']\n"
+    "    out = pd.DataFrame({\n"
+    "        'seed': pd.array(g.count().index.astype(int), dtype='Int32'),\n"
+    "        'n': pd.array(g.count().to_numpy(), dtype='Int32'),\n"
+    "        's1': pd.array(g.sum().to_numpy(), dtype='Float64'),\n"
+    "        's2': pd.array((g.apply(lambda v: (v * v).sum())).to_numpy(),\n"
+    "                       dtype='Float64')})\n"
+    "    return out\n"
+    "df_child_loop(on_chunk)\n"
+)
+
+
+@query(
+    "q_model_selection_df",
+    oracle="""
+    WITH seeds AS (SELECT unnest(generate_series(1, 4)) AS seed),
+    s AS (
+      SELECT seed, l_extendedprice AS x
+      FROM lineitem, seeds
+      WHERE substring(md5(seed || ':' || l_orderkey), 1, 8) <= '0ccccccc')
+    SELECT CAST(seed AS INT) AS seed,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(x), 2) AS mu,
+           round(stddev_pop(x), 2) AS sigma,
+           round(-count(*) * (0.5 + ln(stddev_pop(x)) + 0.5 * ln(2 * pi())), 1)
+             AS loglik
+    FROM s GROUP BY seed
+    """,
+)
+def q_model_selection_df(spark, sf_dir):
+    """The poLCA vignette made FULLY verifiable: per-seed deterministic
+    subsamples (md5-threshold — the reproducible-across-cluster-sizes
+    replication the vignette gets from L'Ecuyer streams, poLCA.Rmd:8-14)
+    are fitted by an EXTERNAL df-wire child that emits exact sufficient
+    statistics (n, Σx, Σx²) per chunk; the relational layer combines
+    them into (μ, σ, log-likelihood) per candidate model.  Because the
+    statistics combine exactly, the result is partition-independent and
+    ORACLE-CHECKED — an external-process model fit matching SQL to the
+    last rounded digit."""
+    from streaming_spark.operators.pipe import pipe_df
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    seeds = spark.range(1, 5).select(F.col("id").cast("int").alias("seed"))
+    replicated = (
+        li.crossJoin(F.broadcast(seeds))
+        .filter(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("seed"), F.col("l_orderkey"))), 1, 8
+            )
+            <= "0ccccccc"
+        )
+        .select("seed", F.col("l_extendedprice").alias("x"))
+    )
+    partials = pipe_df(
+        replicated, _df_child_cmd(_DF_CHILD_GAUSS), "seed INT, n INT, s1 DOUBLE, s2 DOUBLE"
+    )
+    n = F.sum("n").cast("bigint")
+    mu = F.sum("s1") / F.sum("n")
+    var = F.sum("s2") / F.sum("n") - mu * mu
+    sigma = F.sqrt(var)
+    pi2 = 2 * 3.141592653589793
+    loglik = -n * (F.lit(0.5) + F.log(sigma) + 0.5 * F.log(F.lit(pi2)))
+    return (
+        partials.groupBy("seed")
+        .agg(
+            n.alias("n"),
+            F.round(mu, 2).alias("mu"),
+            F.round(sigma, 2).alias("sigma"),
+            F.round(loglik, 1).alias("loglik"),
+        )
+        .select(F.col("seed").cast("int").alias("seed"), "n", "mu", "sigma", "loglik")
+    )
