@@ -400,3 +400,54 @@ def q_streaming_dedup(spark, sf_dir):
         ["user_id", "event_type"]
     )
     return _run_to_memory_sink(deduped, "q_streaming_dedup_sink", "append")
+
+
+@query(
+    "q_streaming_sink_parquet",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_sink_parquet(spark, sf_dir):
+    """Exactly-once streaming ETL into a parquet sink: each micro-batch
+    lands via foreachBatch as an idempotent overwrite keyed by batch_id
+    (rerun-safe — a retried batch replaces its own output, never
+    duplicates it); the sink directory is then read back and aggregated.
+    This is the streaming→lakehouse write path; with a transactional
+    table format the same foreachBatch body becomes a MERGE."""
+    import tempfile
+
+    from streaming_spark.streaming import read_events_stream
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_sink_") + "/t"
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+
+    def land(batch_df, batch_id):
+        # partition-by-batch overwrite: idempotent under Spark's batch
+        # replay (same batch_id -> same directory replaced)
+        (
+            batch_df.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(land)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="spark_graft_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    landed = spark.read.parquet(sink_dir)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
