@@ -242,6 +242,7 @@ def pipe_df(
     schema,
     provenance: bool = False,
     side_input=None,
+    chunk_rows: int = 100_000,
     allowed_commands: list[str] | None = None,
     env: dict[str, str] | None = None,
     read_timeout: float = 60.0,
@@ -427,14 +428,39 @@ def pipe_df(
                 proc.wait()
                 raise
 
+        # coalesce Arrow batches up to chunk_rows per wire message: each
+        # exchange is a synchronous round trip, so bigger chunks amortize
+        # the per-message serialization + handshake (the reference's
+        # chunk == SciDB chunk; ours is a tunable batch)
         chunk_no = 0
+        pending: list[pd.DataFrame] = []
+        pending_rows = 0
+
+        def flush_pending():
+            nonlocal pending, pending_rows, chunk_no
+            if not pending:
+                return None
+            pdf = pending[0] if len(pending) == 1 else pd.concat(
+                pending, ignore_index=True
+            )
+            pending, pending_rows = [], 0
+            out = exchange(pdf, chunk_no)
+            if out is not None and len(out):
+                chunk_no += 1
+            return out
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = exchange(pdf, chunk_no)
-            if out is not None and len(out):
-                yield out
-                chunk_no += 1
+            pending.append(pdf)
+            pending_rows += len(pdf)
+            if pending_rows >= chunk_rows:
+                out = flush_pending()
+                if out is not None and len(out):
+                    yield out
+        out = flush_pending()
+        if out is not None and len(out):
+            yield out
         out = exchange(None, chunk_no)
         if out is not None and len(out):
             yield out
