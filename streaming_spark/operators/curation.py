@@ -93,18 +93,19 @@ def chunk_documents(
     the context-window chunking step of a pretraining/RAG pipeline.
 
     Chunk starts are ``1, 1+stride, 1+2*stride, ...`` with
-    ``stride = chunk_chars - overlap``; the final chunk is the last
-    start < length (so every character is covered and short tails are
-    kept).  Implemented as a JVM-side ``sequence()`` explode +
-    ``substring`` — one narrow map stage, no shuffle at all; chunking is
-    per-row and scales linearly.
+    ``stride = chunk_chars - overlap``, up to ``len - overlap`` — the
+    smallest start set that covers every character (the last start s
+    satisfies s + chunk > len), without redundant tail chunks.
+    Implemented as a JVM-side ``sequence()`` explode + ``substring`` —
+    one narrow map stage, no shuffle at all; chunking is per-row and
+    scales linearly.
     """
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     stride = chunk_chars - overlap
     n = F.length(F.col(text_col))
     starts = F.sequence(
-        F.lit(1), F.greatest(n - F.lit(1), F.lit(1)), F.lit(stride)
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
     )
     return (
         df.filter(n > 0)
@@ -194,11 +195,15 @@ def frame_windows(
     bytes because codecs are stubbed in this container.
 
     JVM-side ``sequence`` explode + binary ``substring`` — one narrow
-    stage, no Python, no shuffle; each row expands to
-    ``ceil(max(n - frame, 0) / hop) + 1`` frames.
+    stage, no Python, no shuffle; frame starts run to ``n - overlap``
+    (overlap = frame - hop), the smallest set covering every byte with
+    no redundant tail frames.
     """
+    overlap = max(frame_bytes - hop_bytes, 0)
     n = F.octet_length(F.col(blob_col))
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)), F.lit(hop_bytes))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(hop_bytes)
+    )
     return (
         df.filter(n > 0)
         .select(
@@ -266,7 +271,8 @@ def sample_domain_mix(
     training mixture.  One shuffle keyed by stratum; the per-stratum k
     is a small CASE expression, no driver loop."""
     w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(id_col).cast("string")))
-    k = F.lit(None).cast("int")
+    if not targets:
+        return df.filter(F.lit(False))  # empty mixture -> empty result
     expr = None
     for stratum, count in sorted(targets.items()):
         cond = F.col(strata_col) == stratum

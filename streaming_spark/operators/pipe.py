@@ -97,6 +97,7 @@ def pipe_tsv(
     command: str,
     chunk_rows: int = 100_000,
     allowed_commands: list[str] | None = None,
+    silence_timeout: float = 600.0,
 ) -> DataFrame:
     """Pipe ``df`` through ``command`` (run via ``/bin/bash -c``, like the
     reference's ``execle("/bin/bash","-c",cmd)`` — ChildProcess.cpp:84-88)
@@ -161,15 +162,51 @@ def pipe_tsv(
         t = threading.Thread(target=writer, daemon=True)
         t.start()
 
+        # line reader over the RAW stream with a silence watchdog: a
+        # wedged child (stopped reading AND writing without closing
+        # stdout) fails the task instead of blocking readline forever.
+        # select() must see the raw fd — the BufferedReader would slurp
+        # bytes the fd no longer shows.
+        import select as _select
+
+        raw = proc.stdout.raw if hasattr(proc.stdout, "raw") else proc.stdout
+        fd = proc.stdout.fileno()
+        rbuf = bytearray()
+        eof = [False]
+
+        def read_line() -> bytes:
+            while True:
+                i = rbuf.find(b"\n")
+                if i >= 0:
+                    line = bytes(rbuf[: i + 1])
+                    del rbuf[: i + 1]
+                    return line
+                if eof[0]:
+                    line = bytes(rbuf)
+                    rbuf.clear()
+                    return line
+                ready, _, _ = _select.select([fd], [], [], silence_timeout)
+                if not ready:
+                    proc.kill()
+                    proc.wait()
+                    raise RuntimeError(
+                        f"pipe_tsv: child produced no output for "
+                        f"{silence_timeout}s mid-protocol; killed"
+                    )
+                got = raw.read(1 << 20)
+                if not got:
+                    eof[0] = True
+                else:
+                    rbuf.extend(got)
+
         def read_message() -> str | None:
-            header = proc.stdout.readline()
+            header = read_line()
             if not header:
                 return None
             n = int(header.strip() or 0)
             if n == 0:
                 return ""
-            lines = [proc.stdout.readline() for _ in range(n)]
-            body = b"".join(lines).decode("utf-8")
+            body = b"".join(read_line() for _ in range(n)).decode("utf-8")
             # strip single trailing newline, as the reference does
             # (TSVInterface.cpp:58-64 / README.md:81)
             return body[:-1] if body.endswith("\n") else body
@@ -354,6 +391,37 @@ def pipe_df(
                 )
             return self._raw.read(n)
 
+    class _TimeoutWriter:
+        """Write-side twin: a child that stops CONSUMING stdin would
+        block a plain write forever once the pipe buffer fills (the
+        chunk is typically MBs, the pipe 64 KB) — select on writability
+        and fail the task instead."""
+
+        def __init__(self, stream):
+            self._fd = stream.fileno()
+            # MUST be non-blocking: on a blocking pipe, write(2) of more
+            # than PIPE_BUF blocks until the WHOLE chunk transfers, and
+            # select's writability (≥ PIPE_BUF free) cannot prevent that
+            _os.set_blocking(self._fd, False)
+
+        def write(self, data) -> int:
+            view = memoryview(bytes(data))
+            total = 0
+            while total < len(view):
+                _, ready, _ = select.select([], [self._fd], [], read_timeout)
+                if not ready:
+                    raise TimeoutError(
+                        f"pipe_df: child stopped consuming stdin for {read_timeout}s"
+                    )
+                try:
+                    total += _os.write(self._fd, view[total : total + (1 << 20)])
+                except BlockingIOError:
+                    continue  # raced: buffer refilled before our write
+            return total
+
+        def flush(self) -> None:
+            pass  # writes go straight to the fd
+
     def run_partition(batches):
         ctx = TaskContext.get()
         instance_id = ctx.partitionId() if ctx is not None else 0
@@ -366,17 +434,17 @@ def pipe_df(
             env=full_env,
         )
         reader = _TimeoutReader(proc.stdout)
+        writer = _TimeoutWriter(proc.stdin)
 
         def exchange(pdf_or_none, chunk_no: int):
             try:
                 if pdf_or_none is None:
-                    rserial.write_empty_message(proc.stdin)
+                    rserial.write_empty_message(writer)
                 else:
                     rserial.write_df_message(
-                        proc.stdin,
+                        writer,
                         rserial.pandas_to_columns(pdf_or_none, in_rtypes),
                     )
-                proc.stdin.flush()
                 cols = rserial.read_df_message(reader)
             except BaseException:
                 proc.kill()
@@ -416,12 +484,11 @@ def pipe_df(
             side_pdf = side_bc.value
             try:
                 rserial.write_df_message(
-                    proc.stdin,
+                    writer,
                     rserial.pandas_to_columns(
                         side_pdf, rserial.infer_rtypes(side_pdf)
                     ),
                 )
-                proc.stdin.flush()
                 rserial.read_df_message(reader)
             except BaseException:
                 proc.kill()
@@ -464,7 +531,15 @@ def pipe_df(
         out = exchange(None, chunk_no)
         if out is not None and len(out):
             yield out
-        rc = proc.wait()
+        try:
+            rc = proc.wait(timeout=read_timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            raise RuntimeError(
+                "pipe_df: child replied to the final handshake but did not "
+                f"exit within {read_timeout}s; killed"
+            )
         if rc != 0:
             raise RuntimeError(f"pipe_df child exited with status {rc}")
 

@@ -26,6 +26,14 @@ from pyspark.sql.window import Window
 from streaming_spark.operators.stream import ensure_parallelism, stream
 
 
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize with a zero guard: an all-zero vector (padding row,
+    failed upstream embed) stays zero instead of going NaN and silently
+    poisoning every downstream matmul/argmax."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(norms, 1e-12)
+
+
 def _matrix(pdf_vecs) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
 
@@ -44,14 +52,13 @@ def cosine_topk(
     qrows = queries.select(id_col, vec_col).collect()  # queries are small by contract
     q_ids = np.array([r[0] for r in qrows])
     q_mat = _matrix([r[1] for r in qrows])
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = _norm_rows(q_mat)
 
     def local_topk(pdf: pd.DataFrame, side) -> pd.DataFrame:
         qi, qm = side
         if len(pdf) == 0:
             return None
-        mat = _matrix(pdf[vec_col])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _norm_rows(_matrix(pdf[vec_col]))
         sims = qm @ mat.T  # (Q, rows)
         out_q, out_n, out_s = [], [], []
         ids = pdf[id_col].to_numpy()
@@ -204,8 +211,7 @@ def ivf_centroids(
         .limit(sample_limit)
         .collect()
     )
-    mat = _matrix([r[1] for r in rows])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
     cent = mat[:n_cells].copy()
     for _ in range(n_iters):
         assign = np.argmax(mat @ cent.T, axis=1)
@@ -235,8 +241,7 @@ def ivf_assign(
         cent = side
         if len(pdf) == 0:
             return None
-        mat = _matrix(pdf[vec_col])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _norm_rows(_matrix(pdf[vec_col]))
         sims = mat @ cent.T  # (rows, n_cells)
         p = min(nprobe, cent.shape[0])
         top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
@@ -323,12 +328,16 @@ def cosine_pairs(
         probe = vectors.select(id_col).limit(broadcast_limit + 1).count()
         mode = "broadcast" if probe <= broadcast_limit else "lsh"
     if mode == "broadcast":
-        return _cosine_pairs_broadcast(vectors, threshold, id_col, vec_col)
-    if mode == "lsh":
-        return _cosine_pairs_lsh(
+        out = _cosine_pairs_broadcast(vectors, threshold, id_col, vec_col)
+    elif mode == "lsh":
+        out = _cosine_pairs_lsh(
             vectors, threshold, id_col, vec_col, n_bits, n_tables, seed
         )
-    raise ValueError(f"cosine_pairs: unknown mode {mode!r}")
+    else:
+        raise ValueError(f"cosine_pairs: unknown mode {mode!r}")
+    # threshold is applied on RAW similarity in both modes; the display
+    # rounding happens once here so the modes agree bit for bit
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
 def _cosine_pairs_broadcast(
@@ -337,15 +346,13 @@ def _cosine_pairs_broadcast(
     emb = vectors.select(id_col, vec_col)
     rows = emb.collect()  # small-side contract: N x dim floats fit in driver
     ids = np.array([r[0] for r in rows])
-    mat = _matrix([r[1] for r in rows])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
 
     def pairs(pdf: pd.DataFrame, side) -> pd.DataFrame:
         all_ids, all_mat = side
         if len(pdf) == 0:
             return None
-        m = _matrix(pdf[vec_col])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        m = _norm_rows(_matrix(pdf[vec_col]))
         sims = m @ all_mat.T  # (rows, N)
         my_ids = pdf[id_col].to_numpy()
         ri, ci = np.where(sims >= threshold)
@@ -354,7 +361,7 @@ def _cosine_pairs_broadcast(
             {
                 "id_a": my_ids[ri[keep]],
                 "id_b": all_ids[ci[keep]],
-                "cos_sim": np.round(sims[ri[keep], ci[keep]], 4),
+                "cos_sim": sims[ri[keep], ci[keep]],
             }
         )
 
@@ -397,7 +404,7 @@ def _cosine_pairs_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(_cosine_expr("__va", "__vb"), 4).alias("cos_sim"),
+            _cosine_expr("__va", "__vb").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -88,7 +88,7 @@ def pack_stats(spark, sf_dir):
            substring(text, gs.start, 200) AS chunk
     FROM documents,
     LATERAL (SELECT unnest(generate_series(
-               1, greatest(length(text) - 1, 1), 160)) AS start) gs
+               1, greatest(length(text) - 40, 1), 160)) AS start) gs
     WHERE length(text) > 0
     """,
 )
@@ -168,7 +168,7 @@ def text_pii_scrub(spark, sf_dir):
            CAST(length(substring(hx, (gs.start - 1) * 2 + 1, 128)) / 2 AS INT)
              AS frame_len
     FROM b,
-    LATERAL (SELECT unnest(generate_series(1, greatest(n - 1, 1), 32)) AS start) gs
+    LATERAL (SELECT unnest(generate_series(1, greatest(n - 32, 1), 32)) AS start) gs
     """,
 )
 def audio_frame_windows(spark, sf_dir):

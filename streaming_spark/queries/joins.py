@@ -372,7 +372,7 @@ def q_order_priority(spark, sf_dir):
     late = orders.join(
         li,
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(

@@ -232,7 +232,13 @@ def _run_to_memory_sink(df, sink_name: str, output_mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {sink_name} did not finish within 300s — "
+            "refusing to return a partial memory-sink table"
+        )
     return df.sparkSession.table(sink_name)
 
 
@@ -445,7 +451,9 @@ def q_streaming_sink_parquet(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_sink_parquet did not finish within 300s")
     landed = spark.read.parquet(sink_dir)
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -37,6 +37,14 @@ def test_pack_sequences_bounds_and_determinism(spark, docs):
     assert packed.sort_values("doc_id").equals(again.sort_values("doc_id"))
 
 
+def test_chunk_documents_no_char_lost_at_boundary(spark):
+    # regression: overlap=0 with len = k*chunk + 1 must not lose the
+    # final character (the old n-1 bound dropped it)
+    df = spark.createDataFrame([(1, "a" * 201 + "Z")], "doc_id BIGINT, text STRING")
+    chunks = curation.chunk_documents(df, chunk_chars=101, overlap=0).collect()
+    assert "".join(c.chunk for c in sorted(chunks, key=lambda r: r.chunk_no)) == "a" * 201 + "Z"
+
+
 def test_chunk_documents_coverage(spark, docs):
     chunks = curation.chunk_documents(
         docs, chunk_chars=10, overlap=4
@@ -93,9 +101,11 @@ def test_scrub_pii(spark):
 def test_frame_windows_shapes(spark):
     df = spark.createDataFrame([(1, bytes(range(100)))], "id BIGINT, blob BINARY")
     frames = curation.frame_windows(df, frame_bytes=64, hop_bytes=32).collect()
-    # starts 1, 33, 65, 97 -> lengths 64, 64, 36, 4
-    assert [r.frame_no for r in frames] == [0, 1, 2, 3]
-    assert [r.frame_len for r in frames] == [64, 64, 36, 4]
+    # starts run to n - overlap = 68: 1, 33, 65 -> lengths 64, 64, 36
+    # (start 97 would be a redundant tail: bytes 97-100 are already
+    # covered by the frame at 65)
+    assert [r.frame_no for r in frames] == [0, 1, 2]
+    assert [r.frame_len for r in frames] == [64, 64, 36]
     assert bytes(frames[1].frame) == bytes(range(32, 96))
     # overlap: consecutive frames share hop..frame bytes
     assert bytes(frames[0].frame)[32:] == bytes(frames[1].frame)[:32]

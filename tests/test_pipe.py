@@ -450,3 +450,29 @@ def test_pipe_df_ships_program(spark):
     df = spark.range(1, 6).select(F2.col("id").cast("double").alias("v")).coalesce(1)
     out = pipe_df(df, _py_cmd(child), "v2 DOUBLE", side_input=side)
     assert sorted(r.v2 for r in out.collect()) == [3.0, 5.0, 7.0, 9.0, 11.0]
+
+
+def test_pipe_df_stalled_consumer_fails_fast(spark):
+    """A child that never reads stdin must FAIL the task via the write
+    watchdog once the message exceeds the pipe buffer — not hang the
+    write forever."""
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from streaming_spark.operators.pipe import pipe_df
+
+    # ~1.6 MB message >> 64 KB pipe buffer; 'sleep 600' consumes nothing.
+    # Acceptable failures: the write watchdog (TimeoutError) or, on a
+    # Spark task retry, EPIPE from the dead child — either way the task
+    # FAILS long before the child would have exited on its own.
+    df = (
+        spark.range(200_000)
+        .select(F2.col("id").cast("double").alias("v"))
+        .coalesce(1)
+    )
+    t0 = _time.monotonic()
+    with _pytest.raises(Exception, match="consuming|no output|Broken pipe"):
+        pipe_df(df, "sleep 600", "v DOUBLE", read_timeout=4.0).collect()
+    assert _time.monotonic() - t0 < 120  # failed fast, not after 600s
