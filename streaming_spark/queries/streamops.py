@@ -694,3 +694,97 @@ def q_model_selection_df(spark, sf_dir):
         )
         .select(F.col("seed").cast("int").alias("seed"), "n", "mu", "sigma", "loglik")
     )
+
+
+_DF_CHILD_LINREG_STATS = (
+    "import pandas as pd\n"
+    "from streaming_spark.operators.rserial import df_child_loop\n"
+    "def on_chunk(df):\n"
+    "    x, y = df['x'], df['y']\n"
+    "    return pd.DataFrame({\n"
+    "        'n': pd.array([len(df)], dtype='Int32'),\n"
+    "        'sx': pd.array([float(x.sum())], dtype='Float64'),\n"
+    "        'sy': pd.array([float(y.sum())], dtype='Float64'),\n"
+    "        'sxx': pd.array([float((x * x).sum())], dtype='Float64'),\n"
+    "        'sxy': pd.array([float((x * y).sum())], dtype='Float64')})\n"
+    "df_child_loop(on_chunk)\n"
+)
+
+_DF_CHILD_LINREG_PREDICT = (
+    "import pandas as pd\n"
+    "from streaming_spark.operators.rserial import df_child_loop\n"
+    "model = {}\n"
+    "def on_side(df):\n"
+    "    model['a'] = float(df['intercept'][0]); model['b'] = float(df['slope'][0])\n"
+    "def on_chunk(df):\n"
+    "    return pd.DataFrame({\n"
+    "        'k': pd.array(df['k'], dtype='Int32'),\n"
+    "        'ln': pd.array(df['ln'], dtype='Int32'),\n"
+    "        'pred': pd.array(model['a'] + model['b'] * df['x'], dtype='Float64')})\n"
+    "df_child_loop(on_chunk, n_side=1, on_side=on_side)\n"
+)
+
+
+@query(
+    "q_ml_train_predict_df",
+    oracle="""
+    WITH m AS (
+      SELECT regr_slope(l_extendedprice, l_quantity) AS b,
+             regr_intercept(l_extendedprice, l_quantity) AS a
+      FROM lineitem WHERE l_orderkey % 10 <> 0)
+    SELECT CAST(l_orderkey AS INT) AS k,
+           l_linenumber AS ln,
+           round(a + b * l_quantity, 4) AS pred
+    FROM lineitem, m
+    WHERE l_orderkey % 10 = 0
+    """,
+)
+def q_ml_train_predict_df(spark, sf_dir):
+    """The advanced vignette's full ML flow over the df wire (reference
+    advanced_example.Rmd:288,326: train children → _sg gather → combine
+    → store model → predict children with the model as _sg side input):
+    an external trainer child emits EXACT sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) per chunk; the relational layer combines them
+    and solves the normal equations (the 5-number gather IS the
+    reference's _sg(...,2,0)); the fitted model rides the df-wire side
+    input into an external predictor child scoring the held-out split.
+    Oracle: DuckDB's regr_slope/regr_intercept on the same split —
+    an end-to-end external-process ML pipeline checked against SQL."""
+    from streaming_spark.operators.pipe import pipe_df
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    train = li.filter(F.col("l_orderkey") % 10 != 0).select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    partials = pipe_df(
+        train,
+        _df_child_cmd(_DF_CHILD_LINREG_STATS),
+        "n INT, sx DOUBLE, sy DOUBLE, sxx DOUBLE, sxy DOUBLE",
+    )
+    m = partials.agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"), F.sum("sxy").alias("sxy"),
+    ).first()
+    # normal equations on combined exact statistics
+    slope = (m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)
+    intercept = (m.sy - slope * m.sx) / m.n
+    side = pd.DataFrame(
+        {
+            "slope": pd.array([slope], dtype="Float64"),
+            "intercept": pd.array([intercept], dtype="Float64"),
+        }
+    )
+    test = li.filter(F.col("l_orderkey") % 10 == 0).select(
+        F.col("l_orderkey").cast("int").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").alias("x"),
+    )
+    preds = pipe_df(
+        test,
+        _df_child_cmd(_DF_CHILD_LINREG_PREDICT),
+        "k INT, ln INT, pred DOUBLE",
+        side_input=side,
+    )
+    return preds.select("k", "ln", F.round("pred", 4).alias("pred"))
