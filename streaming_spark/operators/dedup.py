@@ -71,41 +71,17 @@ def minhash_signatures(
     a, b = _perm_params(num_perm, seed)
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        # batched signatures: concatenate the (unique) shingles of many
-        # docs, compute ONE (num_perm, S) permutation table, and take
-        # per-doc minima with minimum.reduceat — ~4x faster than a
-        # per-doc outer-product loop, bit-identical (min over duplicates
-        # equals min over uniques).  Blocks bound S so the table stays
-        # ~250 MB regardless of batch size.
-        ids = list(pdf[id_col])
-        uniq = [
-            np.unique(_shingle_hashes(t or "", shingle_k)) for t in pdf[text_col]
-        ]
-        sig_rows = np.empty((len(ids), num_perm), dtype=np.int64)
-        block_shingles = 500_000
-        i = 0
-        while i < len(uniq):
-            j, total = i, 0
-            while j < len(uniq) and (j == i or total + len(uniq[j]) <= block_shingles):
-                total += len(uniq[j])
-                j += 1
-            block = uniq[i:j]
-            flat = np.concatenate(block)
-            lens = np.fromiter((len(h) for h in block), dtype=np.int64)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            permuted = (np.outer(a, flat) + b[:, None]) % _MERSENNE
-            sig_rows[i:j] = (
-                np.minimum.reduceat(permuted, starts, axis=1).T.astype(np.int64)
-            )
-            i = j
-        return pd.DataFrame(
-            {
-                "id": ids,
-                # int64 view for Spark LongType (values < 2^61 so safe)
-                "shingles": [h.astype(np.int64).tolist() for h in uniq],
-                "sig": [row.tolist() for row in sig_rows],
-            }
-        )
+        ids, shingle_lists, sigs = [], [], []
+        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            h = _shingle_hashes(text or "", shingle_k)
+            # (num_perm, n_shingles) permuted hashes; min per row
+            permuted = (np.outer(a, h) + b[:, None]) % _MERSENNE
+            sig = permuted.min(axis=1)
+            ids.append(doc_id)
+            # int64 view for Spark LongType (values < 2^61 so safe)
+            shingle_lists.append(np.unique(h).astype(np.int64).tolist())
+            sigs.append(sig.astype(np.int64).tolist())
+        return pd.DataFrame({"id": ids, "shingles": shingle_lists, "sig": sigs})
 
     return stream(
         ensure_parallelism(
