@@ -170,9 +170,12 @@ def verify_jaccard(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    # threshold on the RAW ratio; rounding is display-only (rounding
+    # first would admit pairs up to 5e-5 below the threshold)
     return (
-        joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        joined.select("id_a", "id_b", jac.alias("__j"))
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
     )
 
 
