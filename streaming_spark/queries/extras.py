@@ -576,3 +576,55 @@ def q_cube(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query("q_sketch_distinct")  # rows-only: the HLL sketch estimate is
+# engine-internal; its error CONTRACT is asserted in
+# tests/test_operators.py::test_sketch_accuracy_floors
+def q_sketch_distinct(spark, sf_dir):
+    """Sketch-based distinct counting (HyperLogLog++) next to the exact
+    count, with the realized relative error — the cardinality-estimation
+    contract surfaced as a query.  At 100 TB the sketch is the only
+    option for high-cardinality streams: fixed memory, partial-merge
+    (one tiny shuffle of sketch buffers), vs the exact path's full
+    shuffle of distinct keys."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_distinct"),
+    ).select(
+        "exact_distinct",
+        "approx_distinct",
+        F.round(
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+@query("q_sketch_percentiles")  # rows-only: approx_percentile's internal
+# quantile sketch is engine-specific; accuracy floor tested alongside
+# q_sketch_distinct
+def q_sketch_percentiles(spark, sf_dir):
+    """Quantile sketch (Greenwald-Khanna) vs exact percentiles of
+    l_extendedprice, with realized absolute rank error — the
+    percentile-estimation contract.  Exact percentiles need a full sort;
+    the sketch is mergeable and single-pass."""
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+    ).alias("exact")
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 1000)"
+    ).alias("approx")
+    agg = li.agg(exact, approx)
+    return agg.select(
+        F.posexplode(
+            F.arrays_zip(F.col("exact"), F.col("approx"))
+        ).alias("q_idx", "pair")
+    ).select(
+        "q_idx",
+        F.round(F.col("pair.exact"), 2).alias("exact_val"),
+        F.round(F.col("pair.approx"), 2).alias("approx_val"),
+    )

@@ -283,3 +283,19 @@ def test_ann_recall_ivf_floor(spark):
     assert len(rows) == 8
     mean_recall = sum(r.recall_at_5 for r in rows) / len(rows)
     assert mean_recall >= 0.7, f"IVF mean recall {mean_recall}"
+
+
+def test_sketch_accuracy_floors(spark):
+    """The sketch queries must realize their documented error contracts
+    at fixture scale: HLL++ rsd=0.02 within 5% relative error;
+    approx_percentile(accuracy=1000) within 1% of the exact value."""
+    from streaming_spark.queries.registry import REGISTRY
+
+    d = REGISTRY["q_sketch_distinct"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert d.rel_error <= 0.05, f"HLL error {d.rel_error}"
+    rows = REGISTRY["q_sketch_percentiles"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r.approx_val - r.exact_val) <= max(0.01 * abs(r.exact_val), 1.0)
