@@ -10,6 +10,7 @@ from streaming_spark.queries.registry import REGISTRY, ORACLES, query
 # Import for side effect: each module registers its queries.
 from streaming_spark.queries import relational  # noqa: F401
 from streaming_spark.queries import joins  # noqa: F401
+from streaming_spark.queries import analytics  # noqa: F401
 from streaming_spark.queries import streamops  # noqa: F401
 from streaming_spark.queries import windows  # noqa: F401
 from streaming_spark.queries import northstar  # noqa: F401

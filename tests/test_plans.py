@@ -124,3 +124,45 @@ def test_volume_shipping_plan(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """Q19 shape: Catalyst must factor side-local implications out of the
+    OR-of-ANDs so BOTH scans arrive pre-filtered (the whole point of
+    declaring the disjunction instead of hand-splitting it)."""
+    plan = plan_of(spark, "q_disjunctive_revenue")
+    # lineitem scan: quantity disjunction pushed
+    assert "LessThanOrEqual(l_quantity,15.0)" in plan
+    # part scan: per-brand size bounds pushed
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "LessThanOrEqual(p_size,35)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_large_orders_semi_join_broadcasts(spark):
+    """Q18 shape: the HAVING key set probes as a broadcast LEFT SEMI
+    (orders never shuffles for it) and top-100 is TakeOrdered, not a
+    global sort."""
+    plan = plan_of(spark, "q_large_orders")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_idle_customers_anti_join_filter_pushed(spark):
+    """Q22 shape: the recency filter must reach the orders scan feeding
+    the anti join; the scalar-average side stays a broadcast."""
+    plan = plan_of(spark, "q_idle_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_waiting_suppliers_single_fact_shuffle(spark):
+    """Q21 shape rewritten as one grouped pass: exactly one join of the
+    two fact tables; no correlated self-joins surviving as extra
+    exchanges of lineitem."""
+    df = REGISTRY["q_waiting_suppliers"](spark, SF_SMOKE)
+    df.collect()
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    # supplier dim broadcast for the name lookup
+    assert "BroadcastHashJoin" in plan
