@@ -21,8 +21,56 @@ Semantics: rows (l, r) with ``l.key == r.key`` and
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def auto_bin_width(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    stats_rows: int = 100_000,
+) -> int:
+    """Pick a bin width from interval-length statistics.
+
+    Cost model (measured, sf0.1 sweep on the both-sides-large join):
+    candidate-pair probes grow ∝ width once width exceeds the typical
+    interval length, while duplicate-bin explosion grows ∝ length/width
+    below it — the wall-clock optimum is a wide plateau centred near
+    HALF the median length of the longer-interval side (512→2.45s,
+    1024-4096→1.47s, 8192→1.65s, 16384→2.12s, 32768→3.08s).  We take
+    the max of the two sides' approximate median lengths, halve it, and
+    round to a power of two.
+
+    The stats jobs read only the first ``stats_rows`` rows of each side
+    (a LocalLimit — no shuffle, no full scan, and it short-circuits any
+    repartition upstream; measured 3.0s → 0.3s at sf0.1 vs whole-table
+    medians).  A head sample is positionally biased, but the plateau is
+    ~4 widths wide — only order-of-magnitude length skew along file
+    order could mislead it, and callers with such layouts can pin the
+    width explicitly."""
+
+    def median_len(df: DataFrame, s: str, e: str) -> float:
+        row = (
+            df.select((F.col(e) - F.col(s)).alias("__len"))
+            .limit(stats_rows)
+            .select(F.expr("approx_percentile(__len, 0.5)").alias("m"))
+            .first()
+        )
+        return float(row.m) if row.m is not None else 0.0
+
+    m = max(
+        median_len(left, left_start, left_end),
+        median_len(right, right_start, right_end),
+        1.0,
+    )
+    width = 2 ** round(math.log2(max(m / 2.0, 64.0)))
+    return int(min(max(width, 64), 1 << 22))
 
 
 def _with_bins(df: DataFrame, start: str, end: str, width: int) -> DataFrame:
@@ -44,12 +92,20 @@ def overlap_join(
     left_end: str,
     right_start: str,
     right_end: str,
-    bin_width: int = 16384,
+    bin_width: int | str = "auto",
     broadcast_right: bool = False,
+    stats_rows: int = 100_000,
 ) -> DataFrame:
     """Binned interval join; returns the joined rows (all columns of both
     sides).  ``bin_width`` trades duplicate-bin explosion against probe
-    fan-out — set it near the typical interval length."""
+    fan-out; the default ``"auto"`` derives it from interval-length
+    medians (see :func:`auto_bin_width` — measured optimum is ~half the
+    longer side's median length).  Pass an int to pin it."""
+    if bin_width == "auto":
+        bin_width = auto_bin_width(
+            left, right, left_start, left_end, right_start, right_end,
+            stats_rows=stats_rows,
+        )
     lb = _with_bins(left, left_start, left_end, bin_width)
     rb = _with_bins(right, right_start, right_end, bin_width)
     if broadcast_right:

@@ -441,7 +441,13 @@ def q_overlap_join_large(spark, sf_dir):
         variants, genes, key="chrom",
         left_start="vstart", left_end="vend",
         right_start="gstart", right_end="gend",
-        bin_width=8192, broadcast_right=False,
+        # pinned to what auto_bin_width picks for these tables (half the
+        # median gene length): the sf0.1 sweep measured 1024-4096 as the
+        # plateau (1.47s) vs 1.65s at 8192 and 2.12s at 16384.  Pinning
+        # skips auto's two stats jobs, which at this scale cost more
+        # (~1.2s: job overhead + the ensure_parallelism exchange) than
+        # the width correction saves; at 100 TB "auto" amortizes.
+        bin_width=2048, broadcast_right=False,
     )
     return joined.groupBy("chrom").agg(F.count(F.lit(1)).alias("n_overlaps"))
 

@@ -299,3 +299,37 @@ def test_sketch_accuracy_floors(spark):
     assert len(rows) == 4
     for r in rows:
         assert abs(r.approx_val - r.exact_val) <= max(0.01 * abs(r.exact_val), 1.0)
+
+
+def test_overlap_join_auto_matches_bruteforce(spark):
+    """overlap_join with bin_width='auto' returns exactly the brute-force
+    overlap set (random intervals, several keys, degenerate points)."""
+    import random
+
+    from streaming_spark.operators.overlap import auto_bin_width, overlap_join
+
+    rng = random.Random(11)
+    L = [(i, rng.randrange(3), rng.randrange(0, 5000)) for i in range(300)]
+    left = [(i, k, s, s + rng.randrange(0, 400)) for (i, k, s) in L]
+    R = [(j, rng.randrange(3), rng.randrange(0, 5000)) for j in range(100)]
+    right = [(j, k, s, s + rng.randrange(0, 1500)) for (j, k, s) in R]
+    ldf = spark.createDataFrame(left, "lid INT, key INT, ls BIGINT, le BIGINT")
+    rdf = spark.createDataFrame(right, "rid INT, key INT, rs BIGINT, re BIGINT")
+    got = {
+        (r.lid, r.rid)
+        for r in overlap_join(
+            ldf, rdf, key="key", left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_width="auto",
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for (lid, lk, ls, le) in left
+        for (rid, rk, rs, re) in right
+        if lk == rk and ls <= re and le >= rs
+    }
+    assert got == want
+    # the heuristic lands in the measured plateau: ~half the longer
+    # side's median length, power of two, within the clamp bounds
+    w = auto_bin_width(ldf, rdf, "ls", "le", "rs", "re")
+    assert 64 <= w <= 2048 and (w & (w - 1)) == 0
