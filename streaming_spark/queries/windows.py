@@ -190,17 +190,30 @@ def q_user_activity_topk(spark, sf_dir):
 
 
 def _stage_stream_dir(
-    sf_dir: str, n_files: int = 4, event_type: str | None = None
+    sf_dir: str,
+    n_files: int = 4,
+    event_type: str | None = None,
+    sentinel_advance_s: int | None = None,
 ) -> str:
     """Re-materialize the events table as ``n_files`` part files (with
     ascending mtimes, so the file source discovers them in order) — the
     finite stand-in for an unbounded source; each file becomes one
     micro-batch.  ``event_type`` filters to a single type (for
-    stream-stream joins where the two sides are different substreams)."""
+    stream-stream joins where the two sides are different substreams).
+
+    ``sentinel_advance_s`` appends a LAST file holding one marker row
+    (user_id = -1) whose ts sits that many seconds past the stream's max
+    event time.  Outer-join null rows and other watermark-gated state
+    only flush once the watermark PASSES the stalled rows; on a finite
+    stream the watermark otherwise parks at max_ts - delay and the last
+    unmatched rows never emit.  The sentinel drives the watermark past
+    everything real (Spark's no-data micro-batch then flushes state);
+    queries filter user_id < 0 back out."""
     import os
     import tempfile
     import time as _time
 
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -208,6 +221,7 @@ def _stage_stream_dir(
 
     stream_dir = tempfile.mkdtemp(prefix="spark_graft_stream_")
     table = pq.read_table(table_path(sf_dir, "events"))
+    max_ts = pc.max(table["ts"]).as_py()
     if event_type is not None:
         table = table.filter(pc.equal(table["event_type"], event_type))
     step = (table.num_rows + n_files - 1) // n_files
@@ -216,7 +230,84 @@ def _stage_stream_dir(
         path = os.path.join(stream_dir, f"part-{i}.parquet")
         pq.write_table(table.slice(i * step, step), path)
         os.utime(path, (base + i, base + i))
+    if sentinel_advance_s is not None:
+        one = table.slice(0, 1)
+        import datetime as _dt
+
+        far = max_ts + _dt.timedelta(seconds=sentinel_advance_s)
+        one = one.set_column(
+            one.schema.get_field_index("ts"),
+            "ts",
+            pa.array([far], type=one.schema.field("ts").type),
+        )
+        one = one.set_column(
+            one.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array([-1], type=one.schema.field("user_id").type),
+        )
+        path = os.path.join(stream_dir, f"part-{n_files}.parquet")
+        pq.write_table(one, path)
+        os.utime(path, (base + n_files, base + n_files))
     return stream_dir
+
+
+def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300):
+    """Run a streaming DF in append mode until the engine's event-time
+    watermark has PASSED ``min_watermark`` (a datetime) in a committed
+    batch, then stop and return the sink table.
+
+    Why not availableNow: watermark-gated output (outer-join nulls,
+    evicted sessions) emits in the batch AFTER the one that ingested the
+    watermark-advancing rows — and availableNow terminates as soon as
+    the file snapshot is consumed, skipping that trailing no-data batch
+    (measured here: the sentinel batch runs, its watermark update is
+    committed, the flush batch never fires).  A processing-time trigger
+    keeps no-data micro-batches coming; we watch query progress until a
+    committed batch reports a watermark past everything real, which
+    proves the flush batch has already run with it."""
+    import datetime as _dt
+    import tempfile
+    import time as _time
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + timeout_s
+    try:
+        while _time.time() < deadline:
+            prog = q.lastProgress
+            wm = (prog or {}).get("eventTime", {}).get("watermark")
+            if wm is not None:
+                wm_dt = _dt.datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
+                if wm_dt >= min_watermark:
+                    break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"streaming query {sink_name}: watermark never reached "
+                f"{min_watermark} within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    return df.sparkSession.table(sink_name)
+
+
+def _max_event_ts(sf_dir: str):
+    """Max event timestamp of the events fixture (driver-side pyarrow
+    read of one column — cheap, and only used to pick sentinel/flush
+    thresholds for finite streaming runs)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from streaming_spark.io import table_path
+
+    return pc.max(pq.read_table(table_path(sf_dir, "events"), columns=["ts"])["ts"]).as_py()
 
 
 def _run_to_memory_sink(df, sink_name: str, output_mode: str):
@@ -459,3 +550,86 @@ def q_streaming_sink_parquet(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "q_streaming_join_outer",
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         purch  AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           CAST(floor((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0)
+                AS BIGINT) AS secs_to_purchase
+    FROM clicks a LEFT JOIN purch b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+)
+def q_streaming_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join with ASYMMETRIC watermarks:
+    every click emits — attributed to a purchase within 30 minutes, or
+    with null purchase columns once the purchase-side watermark proves no
+    match can still arrive.  Clicks run a 30-minute lateness budget,
+    purchases 2 hours (the batchy side); state for a click is held until
+    the PURCHASE watermark clears click_ts + 30min, so only the slow
+    side's budget pays for extra state (streaming/core.py interval_join).
+
+    Finite-run mechanics: unmatched rows flush only when the watermark
+    PASSES them, so each staged stream ends with a far-future sentinel
+    row (user_id = -1, filtered back out below) that drives the final
+    watermark past all real events, and the query runs under a
+    processing-time trigger until a committed batch reports that
+    watermark (availableNow would skip the trailing flush batch — see
+    _run_until_watermark).  The result must equal the batch LEFT JOIN
+    oracle row-for-row."""
+    import datetime as _dt
+
+    from streaming_spark.streaming import interval_join, read_events_stream
+
+    clicks = read_events_stream(
+        spark,
+        _stage_stream_dir(
+            sf_dir, n_files=3, event_type="click", sentinel_advance_s=4 * 3600
+        ),
+    ).select("event_id", "ts", "user_id")
+    purchases = read_events_stream(
+        spark,
+        _stage_stream_dir(
+            sf_dir, n_files=2, event_type="purchase", sentinel_advance_s=4 * 3600
+        ),
+    ).select("event_id", "ts", "user_id")
+    joined = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        lower="0 seconds",
+        upper="30 minutes",
+        watermark="30 minutes",
+        right_watermark="2 hours",
+        how="left_outer",
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+        F.floor(
+            (F.unix_micros("ts_r") - F.unix_micros("ts")) / F.lit(1_000_000.0)
+        ).alias("secs_to_purchase"),
+    )
+    # The sentinel filter MUST happen after the sink, in batch: inside
+    # the streaming plan Catalyst pushes `user_id >= 0` below the
+    # watermark node into BOTH scans (constraint propagation through the
+    # equi-join), which silently deletes the sentinels before they can
+    # advance the watermark — measured: the watermark parks at
+    # last-real-click - 30min and the trailing nulls never flush.
+    #
+    # Every real click is flushable once the watermark clears
+    # max_ts + 30min; the sentinels sit at max_ts + 4h, leaving the
+    # final global watermark at max_ts + 2h (sentinel minus the 2h
+    # purchase budget) — aim between the two.
+    sink = _run_until_watermark(
+        joined,
+        "q_streaming_join_outer_sink",
+        _max_event_ts(sf_dir) + _dt.timedelta(hours=1),
+    )
+    return sink.filter(F.col("user_id") >= 0)

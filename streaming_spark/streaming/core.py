@@ -164,8 +164,10 @@ def interval_join(
     upper: str = "30 minutes",
     watermark: str = "2 hours",
     right_suffix: str = "_r",
+    right_watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER interval join: rows pair when they
+    """Watermarked stream-stream interval join: rows pair when they
     share ``on`` and ``right_time`` ∈ [left_time + lower, left_time +
     upper].  Works identically on batch DataFrames (the oracle form).
 
@@ -178,21 +180,34 @@ def interval_join(
     join state grows forever — the 100 TB failure mode this operator
     exists to prevent.  Inner-join matches emit as soon as both sides
     arrive; the watermark only bounds state, it never delays output.
-    """
+
+    ``right_watermark`` makes the lateness budgets ASYMMETRIC: a
+    near-real-time side (e.g. clicks) can run a tight watermark while a
+    batchy upstream (e.g. purchase confirmations syncing every hour or
+    two) keeps a loose one.  State cost follows the asymmetry — left
+    rows are held until the RIGHT watermark clears them, so only the
+    slow side's budget pays for extra state; shrinking the fast side's
+    budget releases ITS rows sooner.
+
+    ``how="left_outer"`` additionally emits unmatched left rows (right
+    columns null) — but only once the watermark PASSES the row's
+    no-more-matches point, so outer output trails the slow side's
+    lateness budget.  That delay is inherent: emitting earlier could
+    retract on a late match, and append-mode sinks can't retract."""
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, c + right_suffix)
     if left.isStreaming:
         left = left.withWatermark(left_time, watermark)
     if r.isStreaming:
-        r = r.withWatermark(right_time + right_suffix, watermark)
+        r = r.withWatermark(right_time + right_suffix, right_watermark or watermark)
     rt = right_time + right_suffix
     cond = (
         f"{on} = {on}{right_suffix}"
         f" AND {rt} >= {left_time} + INTERVAL {lower}"
         f" AND {rt} <= {left_time} + INTERVAL {upper}"
     )
-    return left.join(r, F.expr(cond), "inner")
+    return left.join(r, F.expr(cond), how)
 
 
 def foreach_batch_stream(
