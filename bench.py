@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q_session_window",       # session windows (gaps-and-islands)
     "dedup_exact",            # digest groupBy
     "dedup_minhash_lsh",      # MinHash+LSH near-dup pipeline
+    "dedup_simhash",          # SimHash near-dup (vectorized signatures)
     "ann_topk_bruteforce",    # broadcast-query blocked matmul
     "ann_topk_lsh",           # hyperplane-bucketed approximate top-k
     "dedup_embedding_cosine",  # LSH-blocked semantic near-dup (scale path)
