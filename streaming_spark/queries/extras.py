@@ -634,3 +634,35 @@ def q_sketch_percentiles(spark, sf_dir):
         F.round(F.col("pair.exact"), 2).alias("exact_val"),
         F.round(F.col("pair.approx"), 2).alias("approx_val"),
     )
+
+
+@query("q_sketch_heavyhitters")  # rows-only: the Misra-Gries candidate
+# set is engine-internal (bounded false positives by construction); the
+# no-false-NEGATIVES contract is asserted in
+# tests/test_operators.py::test_freq_items_no_false_negatives
+def q_sketch_heavyhitters(spark, sf_dir):
+    """Heavy hitters via Spark's Misra-Gries frequent-items sketch
+    (df.stat.freqItems), completing the sketch family next to HLL
+    distinct and quantile sketches: single-pass, fixed memory
+    (≤ 1/support counters per partition, mergeable), vs the exact path's
+    full groupBy shuffle.  The candidate set may contain false positives
+    but NEVER misses an item above the support threshold — each
+    candidate is therefore joined back to its exact share and flagged.
+    The driver-side collect is of the sketch result itself, bounded at
+    1/support items regardless of input size — scale-safe by design."""
+    from streaming_spark.queries.registry import events_table
+
+    support = 0.2
+    ev = events_table(spark, sf_dir).select("event_type")
+    candidates = ev.stat.freqItems(["event_type"], support).collect()[0][0]
+    total = ev.count()
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        exact.filter(F.col("event_type").isin(list(candidates)))
+        .select(
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(total)), 4).alias("share"),
+            (F.col("cnt") / F.lit(float(total)) > support).alias("is_true_heavy"),
+        )
+    )

@@ -333,3 +333,27 @@ def test_overlap_join_auto_matches_bruteforce(spark):
     # side's median length, power of two, within the clamp bounds
     w = auto_bin_width(ldf, rdf, "ls", "le", "rs", "re")
     assert 64 <= w <= 2048 and (w & (w - 1)) == 0
+
+
+def test_freq_items_no_false_negatives(spark):
+    """Misra-Gries contract behind q_sketch_heavyhitters: freqItems may
+    return false positives but must include EVERY item whose frequency
+    exceeds the support threshold — here on a skewed synthetic column
+    (60% a, 25% b, the rest spread thin)."""
+    rows = (
+        [("a",)] * 600 + [("b",)] * 250 + [(f"x{i}",) for i in range(150)]
+    )
+    df = spark.createDataFrame(rows, "v STRING")
+    cand = set(df.stat.freqItems(["v"], 0.2).collect()[0][0])
+    assert {"a", "b"} <= cand
+    # the registered query flags exactly the true heavies
+    from streaming_spark.queries.registry import REGISTRY
+
+    out = REGISTRY["q_sketch_heavyhitters"](spark, "/root/testdata/sf0.01").collect()
+    assert len(out) >= 1
+    # the is_true_heavy flag must agree with the exact share it reports
+    # (away from the threshold: share is rounded for display, the flag
+    # is computed on the raw ratio)
+    for r in out:
+        if abs(r.share - 0.2) > 1e-3:
+            assert r.is_true_heavy == (r.share > 0.2)
