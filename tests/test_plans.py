@@ -166,3 +166,43 @@ def test_waiting_suppliers_single_fact_shuffle(spark):
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
     # supplier dim broadcast for the name lookup
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime-filter capability, pinned: on a shuffled fact⋈selective-dim
+    join Catalyst injects a bloom filter built from the filtered side
+    into the fact scan (might_contain on the join key), so at scale the
+    big side drops non-joining rows BEFORE the exchange.  Fixture scans
+    are far below the 10 GB application-side default, so the thresholds
+    are lowered for the assertion and restored after."""
+    from pyspark.sql import functions as F
+
+    from streaming_spark.queries.registry import T
+
+    app_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bcast = spark.conf.get(app_key), spark.conf.get(bcast_key)
+    spark.conf.set(app_key, "0")
+    spark.conf.set(bcast_key, "-1")
+    try:
+        li = T(spark, SF_SMOKE, "lineitem")
+        orders = T(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(app_key, old_app)
+        spark.conf.set(bcast_key, old_bcast)
