@@ -284,3 +284,75 @@ def sample_domain_mix(
         .filter(F.col("__rn") <= F.col("__k"))
         .drop("__k", "__rn")
     )
+
+
+def _spread_bits16(c: Column) -> Column:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    word (closed-form magic-mask sequence — 4 shift/or/mask steps, all
+    whole-stage-codegen'd; no UDF)."""
+    c = c.cast("bigint").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in (
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ):
+        c = F.shiftleft(c, shift).bitwiseOR(c).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zvalue2(x: Column, y: Column) -> Column:
+    """Morton (Z-order) interleave of two 16-bit dimensions into one
+    32-bit sort key: x bits at even positions, y bits at odd.  Rows
+    close in BOTH dimensions land close on the curve, so a layout
+    sorted by z-value clusters multi-dimensional locality into few
+    files — the property file-statistics pruning needs for predicates
+    on EITHER dimension (a single-column sort only serves its own
+    column)."""
+    return _spread_bits16(x).bitwiseOR(F.shiftleft(_spread_bits16(y), 1))
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+) -> None:
+    """Materialize ``df`` as ``n_files`` parquet files range-partitioned
+    and sorted by the Morton code of min-max-scaled (x, y) — the
+    two-dimensional upgrade of write_sorted_layout.
+
+    Both dimensions are scaled to the full 16-bit domain first (one
+    tiny min/max aggregate, broadcast back).  Interleaving RAW values
+    of unequal bit width silently degenerates to a single-column sort —
+    the wider column's high bits own the top of every z-value, and the
+    narrow column's locality is lost (measured on the fixture: raw
+    interleave of an 11-bit × 7-bit pair left a y-range query touching
+    all 16 files, exactly like the linear layout).  Cost shape: the
+    stats agg + one sampled range shuffle + in-partition sort; the z
+    computation is pure codegen.  At 100 TB this is the layout pass you
+    run once per ingest so every later selective scan on either
+    dimension prunes."""
+    stats = df.agg(
+        F.min(x_col).alias("__xmin"),
+        F.max(x_col).alias("__xmax"),
+        F.min(y_col).alias("__ymin"),
+        F.max(y_col).alias("__ymax"),
+    )
+
+    def scaled(col: str, lo: str, hi: str) -> Column:
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        frac = (F.col(col) - F.col(lo)).cast("double") / span
+        return F.least(F.floor(frac * 65536).cast("bigint"), F.lit(65535))
+
+    z = zvalue2(scaled(x_col, "__xmin", "__xmax"), scaled(y_col, "__ymin", "__ymax"))
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

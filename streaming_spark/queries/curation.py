@@ -284,3 +284,91 @@ def pack_sequences_bpe(spark, sf_dir):
     return curation.pack_sequences(
         docs, max_tokens=2048, token_counter=bpe_ish_token_count
     )
+
+
+def _spread16_sql(e: str) -> str:
+    """DuckDB-side twin of operators.curation._spread_bits16 — generated
+    from the same mask sequence so both engines compute identical Morton
+    codes."""
+    e = f"(({e}) & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"(((({e}) << {shift}) | ({e})) & {mask})"
+    return e
+
+
+_Z_SQL = (
+    f"({_spread16_sql('l_partkey % 65536')}"
+    f" | ({_spread16_sql('l_suppkey % 65536')} << 1))"
+)
+
+
+@query(
+    "q_zorder_values",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_Z_SQL} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
+def q_zorder_values(spark, sf_dir):
+    """Morton (Z-order) codes over (partkey, suppkey) — exact-integer
+    bit interleaving verified cross-engine (the Spark column expression
+    and the DuckDB oracle are generated from the same mask sequence).
+    This is the sort key behind write_zorder_layout; all codegen, no
+    Python."""
+    from streaming_spark.operators.curation import zvalue2
+
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zvalue2(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+        .cast("bigint")
+        .alias("zval"),
+    )
+
+
+@query("layout_zorder_pruning")  # rows-only: file placement is
+# engine-internal; the z-beats-linear locality contract is asserted in
+# tests/test_curation.py::test_zorder_clusters_better_than_linear
+def layout_zorder_pruning(spark, sf_dir):
+    """Why Z-order: lineitem is written twice — 16 files sorted by
+    l_partkey alone, and 16 files z-ordered on (partkey, suppkey) — then
+    a SUPPKEY-range query (the column the linear layout does NOT serve)
+    is run against both and we count how many files hold matches.
+    Under the linear layout the matches smear across ~every file; under
+    z-order they cluster into ~sqrt(selectivity) of the curve, so
+    file-statistics pruning (parquet footer min/max, or a lakehouse
+    manifest) can skip most of the data.  Matched-row counts must be
+    identical — layout never changes semantics."""
+    import tempfile
+
+    from streaming_spark.operators import curation
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    lin_dir, z_dir = base + "/linear", base + "/zorder"
+    curation.write_sorted_layout(li, lin_dir, "l_partkey", n_files=16)
+    curation.write_zorder_layout(
+        li, z_dir, "l_partkey", "l_suppkey", n_files=16
+    )
+    # a ~15%-of-domain suppkey band — selective on the y dim, at any SF
+    mm = li.agg(F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi")).first()
+    span = max(mm.hi - mm.lo, 1)
+    lo, hi = mm.lo + int(0.40 * span), mm.lo + int(0.55 * span)
+
+    def probe(path, layout):
+        hits = (
+            spark.read.parquet(path)
+            .filter(F.col("l_suppkey").between(lo, hi))
+            .select(F.input_file_name().alias("f"))
+        )
+        return hits.agg(
+            F.lit(layout).alias("layout"),
+            F.countDistinct("f").alias("files_with_matches"),
+            F.count(F.lit(1)).alias("rows_matched"),
+        )
+
+    return probe(lin_dir, "linear").unionByName(probe(z_dir, "zorder"))

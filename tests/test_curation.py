@@ -136,3 +136,44 @@ def test_sample_domain_mix_exact_counts(spark, docs):
         docs, {"web": 2, "books": 1}, strata_col="source"
     ).toPandas()
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_zorder_clusters_better_than_linear(spark):
+    """Contract behind layout_zorder_pruning: for a range query on the
+    dimension the linear layout does NOT serve, the z-ordered layout
+    must (a) return identical rows and (b) concentrate the matches into
+    strictly fewer files — the locality that file-statistics pruning
+    turns into skipped IO."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.layout: r
+        for r in REGISTRY["layout_zorder_pruning"](spark, SF_SMOKE).collect()
+    }
+    assert rows["zorder"].rows_matched == rows["linear"].rows_matched > 0
+    assert rows["zorder"].files_with_matches < rows["linear"].files_with_matches
+
+
+def test_zvalue2_bit_interleave_exact(spark):
+    """Morton-code math on handcrafted values: zvalue2(x, y) must equal
+    the reference bit interleave (x even positions, y odd)."""
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.curation import zvalue2
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535), (12345, 54321), (65535, 65535)]
+    df = spark.createDataFrame(cases, "x INT, y INT")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zvalue2(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == ref(x, y), (x, y)
