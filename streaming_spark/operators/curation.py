@@ -88,6 +88,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_chars: int = 200,
     overlap: int = 40,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into fixed-size character chunks with overlap —
     the context-window chunking step of a pretraining/RAG pipeline.
@@ -107,15 +108,21 @@ def chunk_documents(
     starts = F.sequence(
         F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
     )
+    # carry_cols ride the explode (no join-back needed downstream —
+    # recovering metadata by re-joining on id would shuffle the chunk
+    # set, which is strictly larger than the input)
+    carry = [F.col(c) for c in carry_cols]
     return (
         df.filter(n > 0)
         .select(
             F.col(id_col),
             F.col(text_col),
+            *carry,
             F.posexplode(starts).alias("chunk_no", "start"),
         )
         .select(
             id_col,
+            *carry_cols,
             "chunk_no",
             F.substring(F.col(text_col), F.col("start"), chunk_chars).alias("chunk"),
         )

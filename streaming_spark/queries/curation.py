@@ -12,6 +12,7 @@ are oracle-checkable exactly rather than statistically.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from streaming_spark.operators import curation
 from streaming_spark.queries.registry import T, query
@@ -372,3 +373,88 @@ def layout_zorder_pruning(spark, sf_dir):
         )
 
     return probe(lin_dir, "linear").unionByName(probe(z_dir, "zorder"))
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, source, text, len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) AS hits_en,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS hits_de,
+             len(list_filter(toks, t -> t IN ('le','la','et','les','des','un'))) AS hits_fr,
+             len(list_filter(toks, t -> t IN ('el','los','y','una','este','por'))) AS hits_es
+      FROM t),
+    lang AS (
+      SELECT doc_id, source, text, n_tokens,
+             CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'unknown'
+                  WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                  WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                  WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM h),
+    filtered AS (
+      SELECT doc_id, source, text FROM lang
+      WHERE pred_lang = 'en' AND n_tokens >= 20),
+    deduped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered)
+      WHERE rn = 1),
+    chunks AS (
+      SELECT doc_id, source,
+             substring(text, gs.start, 200) AS chunk
+      FROM deduped,
+      LATERAL (SELECT unnest(generate_series(
+                 1, greatest(length(text) - 40, 1), 160)) AS start) gs
+      WHERE length(text) > 0)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_kept,
+           count(*) AS n_chunks,
+           CAST(sum(length(chunk)) AS BIGINT) AS sum_chunk_chars
+    FROM chunks GROUP BY source
+    """,
+)
+def pipeline_curate_corpus(spark, sf_dir):
+    """The training-data curation pipeline END TO END, one declarative
+    plan: language-ID filter (stopword vote = 'en') → quality gate
+    (≥ 20 tokens) → exact dedup keep-one (min doc_id per content
+    digest) → 200/40 overlap chunking → per-source rollup.  Every stage
+    is also a registered standalone query; composing them stays fully
+    oracle-checkable because each stage is deterministic SQL.
+
+    Scale shape: lang-ID + quality are codegen'd scan-stage expressions
+    (no shuffle); dedup is ONE shuffle of (digest, id, source, text);
+    chunking is a narrow explode that carries source through (no
+    join-back — see chunk_documents carry_cols); the rollup
+    partial-aggregates to source cardinality.  Total: two shuffles for
+    the whole pipeline."""
+    from streaming_spark.operators.text import token_count, with_lang_scores
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    en = (
+        with_lang_scores(docs, "text")
+        .filter(F.col("pred_lang") == "en")
+        .filter(token_count("text") >= 20)
+        .select("doc_id", "source", "text")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        en.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    chunks = curation.chunk_documents(
+        deduped, chunk_chars=200, overlap=40, carry_cols=("source",)
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("docs_kept"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("sum_chunk_chars"),
+    )
