@@ -9,6 +9,8 @@ compositions assume.  Each query documents its 100 TB physical plan: what
 shuffles, what broadcasts, where the predicate lands.
 
 Shapes covered here:
+  Q6   pure scan-filter-aggregate (zero joins, full pushdown)
+  Q8   per-year market share (broadcast dims + two fact shuffles)
   Q13  outer-join fact distribution (two-level aggregation)
   Q14  conditional-aggregate ratio over a broadcast dim join
   Q15  argmax against a scalar subquery (top supplier)
@@ -388,4 +390,143 @@ def q_idle_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue increase from dropping small discounts —
+    a pure scan-filter-aggregate with zero joins.
+
+    Scale plan: every predicate (ship-date range, discount band, quantity
+    cap) is a parquet-pushable comparison on a scanned column, so the
+    scan reads only three columns and prunes row groups by min/max stats;
+    the single sum partial-aggregates map-side to one row per task.  At
+    100 TB this is the canonical full-scan-bandwidth query — no shuffle
+    at all (asserted in tests/test_plans.py)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue_delta")
+        )
+    )
+
+
+@query(
+    "q_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's revenue for one
+    part type, per order year.
+
+    Scale plan: part (type-filtered), supplier, nation, region are
+    broadcast dims, so lineitem never shuffles for them; the two real
+    exchanges are lineitem⋈orders on orderkey and orders⋈customer on
+    custkey — the unavoidable fact-fact pair.  The order-date range
+    pushes into the orders scan, shrinking the custkey shuffle to the
+    two-year slice before it happens.  The share divides two partial-
+    aggregated sums per year — no second pass over the join."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    part = F.broadcast(
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    asia_nations = F.broadcast(
+        nation.join(
+            region,
+            (nation.n_regionkey == region.r_regionkey)
+            & (region.r_name == "ASIA"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    customer = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    asia_cust = customer.join(
+        asia_nations, customer.c_nationkey == F.col("cn_key")
+    ).select("c_custkey")
+    supp_nation = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
     )

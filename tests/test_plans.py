@@ -206,3 +206,25 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         spark.conf.set(app_key, old_app)
         spark.conf.set(bcast_key, old_bcast)
+
+
+def test_forecast_revenue_is_pure_scan_aggregate(spark):
+    """Q6 shape: all three predicates reach the parquet scan, only the
+    needed columns are read, and there is no shuffle other than the
+    single-row final aggregate exchange."""
+    plan = plan_of(spark, "q_forecast_revenue")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "Join" not in plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """Q8 shape: part, supplier+nation, nation+region are broadcast; the
+    only sort-merge/shuffled-hash exchanges are the two fact joins."""
+    plan = plan_of(spark, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "NestedLoop" not in plan
