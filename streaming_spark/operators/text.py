@@ -140,3 +140,62 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, width: int = 64) -> D
         compute,
         "id BIGINT, rolling_hash BIGINT, md5 STRING",
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals, zero-shuffle.
+
+    Adds ``n_tokens``, ``dup_word_frac`` (fraction of tokens that are
+    repeats of an earlier occurrence) and ``top_word_frac`` (frequency of
+    the single most common token).  Instead of the obvious
+    explode→groupBy(doc, token) plan — which shuffles one row per
+    distinct (doc, token) — this sorts each token array in place and
+    folds it with a single ``aggregate`` HOF: equal tokens are adjacent
+    after the sort, so one pass tracks run lengths and the distinct
+    count.  Pure codegen'd expressions, narrow all the way down: the
+    plan that survives 100 TB is the one with NO exchange at all."""
+    fold = F.expr(
+        """
+        aggregate(
+          sort_array(__toks),
+          struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS maxrun, 0L AS ndist),
+          (s, t) -> struct(
+            t AS prev,
+            IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L) AS run,
+            GREATEST(s.maxrun,
+                     IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L)) AS maxrun,
+            s.ndist + IF(s.prev IS NOT NULL AND t = s.prev, 0L, 1L) AS ndist),
+          s -> struct(s.maxrun AS maxrun, s.ndist AS ndist))
+        """
+    )
+    n = F.size(F.col("__toks")).cast("long")
+    safe = F.greatest(n, F.lit(1).cast("long"))
+    return (
+        df.withColumn("__toks", tokens_col(text_col))
+        .withColumn("__fold", fold)
+        .withColumn("n_tokens", n)
+        .withColumn(
+            "dup_word_frac",
+            F.round((n - F.col("__fold.ndist")).cast("double") / safe, 6),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("__fold.maxrun").cast("double") / safe, 6)
+            ),
+        )
+        .drop("__toks", "__fold")
+    )
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Word ``n``-grams (space-joined) from a token array; empty when the
+    document is shorter than ``n`` tokens.  The CASE guard matters:
+    Spark's ``sequence(1, k)`` with k < 1 counts DOWNWARD, which would
+    fabricate grams for short docs."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )

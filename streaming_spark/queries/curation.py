@@ -458,3 +458,73 @@ def pipeline_curate_corpus(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.length("chunk")).alias("sum_chunk_chars"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' ')) AS grams
+      FROM t),
+    b AS (
+      SELECT DISTINCT gram
+      FROM g, UNNEST(grams) AS u(gram)
+      WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT gram) AS n_hits
+      FROM g, UNNEST(grams) AS u(gram)
+      WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)
+      GROUP BY g.doc_id)
+    SELECT g.doc_id, g.source,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(hits.n_hits, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits USING (doc_id)
+    WHERE g.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    5-gram with a held-out benchmark set (here the deterministic
+    doc_id % 97 slice stands in for the eval suite).
+
+    Scale plan: the benchmark side is always small (eval suites are
+    megabytes against a 100 TB corpus), so its distinct 5-gram set is
+    BROADCAST; corpus n-grams are generated in-line (narrow) and probed
+    against the broadcast hash — the only exchange is the per-doc hit
+    aggregate, which carries (doc_id, gram) for MATCHING grams only.
+    Raw text never shuffles."""
+    from streaming_spark.operators.text import ngrams_col, tokens_col
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    grams = docs.select(
+        "doc_id", "source", ngrams_col(tokens_col("text"), 5).alias("grams")
+    )
+    bench_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0).cast("long")) > 0).alias("contaminated"),
+        )
+    )

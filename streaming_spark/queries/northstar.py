@@ -19,6 +19,7 @@ from streaming_spark.operators.similarity import (
 from streaming_spark.operators.text import (
     fingerprint,
     quality_features,
+    repetition_signals,
     token_count,
     bpe_ish_token_count,
     with_lang_scores,
@@ -638,4 +639,43 @@ def ann_recall_ivf(spark, sf_dir):
             ).alias("recall_at_5")
         )
         .orderBy("query_id")
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, tok, count(*) AS n
+      FROM t, UNNEST(toks) AS u(tok)
+      GROUP BY doc_id, tok),
+    a AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS total,
+             count(*) AS ndist, max(n) AS topn
+      FROM c GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.total, 0) AS n_tokens,
+           round(COALESCE((a.total - a.ndist) * 1.0 / a.total, 0.0), 6)
+             AS dup_word_frac,
+           round(COALESCE(a.topn * 1.0 / a.total, 0.0), 6) AS top_word_frac
+    FROM t LEFT JOIN a USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    top-word frequency fraction) per document.
+
+    The oracle takes the obvious relational route (unnest + two GROUP
+    BYs); the engine computes the identical numbers with a sort+fold
+    ``aggregate`` HOF inside one codegen stage — no exchange (see
+    operators/text.py repetition_signals; zero-shuffle plan asserted in
+    tests/test_plans.py)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs, "text").select(
+        "doc_id", "n_tokens", "dup_word_frac", "top_word_frac"
     )

@@ -633,3 +633,73 @@ def q_streaming_join_outer(spark, sf_dir):
         _max_event_ts(sf_dir) + _dt.timedelta(hours=1),
     )
     return sink.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+             count(*) AS n_events,
+             round(avg(value), 4) AS avg_value
+      FROM events GROUP BY event_type, hour),
+    b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM h),
+    g AS (
+      SELECT t.event_type, unnest(generate_series(b.mn, b.mx, 3600)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t, b)
+    SELECT g.event_type, g.hour,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_ffill
+    FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+)
+def q_resample_ffill(spark, sf_dir):
+    """Time-series resample to a dense hourly grid with forward-fill —
+    the gap-fill operator every metrics/feature pipeline needs and plain
+    SQL lacks.
+
+    Scale plan: the hourly pre-aggregate is ONE partial-agg'd shuffle of
+    (type, hour) — data-sized but collapsing.  The dense grid is
+    time-bounded, not data-bounded (hours × types), generated by a
+    sequence explode off a broadcast 1-row bounds frame — no collect().
+    The forward-fill window partitions by event_type; for very long
+    spans with few types, re-key to (type, day) and seed each day with
+    the previous day's closing value — same operator, two passes."""
+    ev = events_table(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    bounds = hourly.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, 3600)")).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_ffill"),
+        )
+    )

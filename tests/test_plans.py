@@ -228,3 +228,19 @@ def test_market_share_broadcasts_all_dims(spark):
     plan = plan_of(spark, "q_market_share")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "NestedLoop" not in plan
+
+
+def test_repetition_signals_has_no_exchange(spark):
+    """The sort+fold HOF formulation keeps repetition scoring narrow:
+    no shuffle, no Python stage — one codegen'd scan→project."""
+    plan = plan_of(spark, "text_repetition")
+    assert "Exchange" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set must be the build side of a broadcast
+    join — the corpus side never shuffles its text."""
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
