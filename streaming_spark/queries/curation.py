@@ -528,3 +528,45 @@ def text_decontaminate(spark, sf_dir):
             (F.coalesce("n_hits", F.lit(0).cast("long")) > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT n.doc_id, n.norm_text,
+           length(n.norm_text) AS n_chars_norm,
+           n.norm_text <> d.text AS changed
+    FROM n JOIN documents d USING (doc_id)
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Text normalization: lowercase, strip control characters, collapse
+    whitespace runs, trim — the canonical pre-dedup canonicalization pass
+    (exact dedup hashes the NORMALIZED text so formatting variants
+    collapse).
+
+    All three rewrites are JVM regexp/string builtins — narrow,
+    codegen'd, zero shuffle; the plan is a scan→project at any scale.
+    (Unicode NFC folding would slot in here too; Spark lacks a builtin,
+    so it would ride the same Arrow-batch map as `fingerprint` — left
+    out rather than dropping to Python for ASCII fixtures.)"""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f\x7f]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )

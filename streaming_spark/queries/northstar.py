@@ -679,3 +679,56 @@ def text_repetition(spark, sf_dir):
     return repetition_signals(docs, "text").select(
         "doc_id", "n_tokens", "dup_word_frac", "top_word_frac"
     )
+
+
+@query("quality_classifier_score")  # rows-only: LBFGS coefficients are
+# engine-internal (no SQL-expressible oracle for an iterative fit); the
+# classification-accuracy floor vs the weak label is asserted in
+# tests/test_operators.py::test_quality_classifier_accuracy
+def quality_classifier_score(spark, sf_dir):
+    """Model-based corpus filter: distill the rule-based quality gate
+    (the `pipeline_curate_corpus` keep rule: enough tokens, healthy
+    stopword rate) into a distributed logistic regression, then score
+    every document with the trained model.
+
+    This is the standard shape for learned quality filters over
+    pretraining corpora — a small trained model applied corpus-wide,
+    bootstrapped from rule labels (the fixture's `lang` column is
+    uncorrelated with its synthetic text, so the rule gate IS the
+    honest weak label here).  Scale split: the FIT iterates
+    treeAggregate passes over the training frame — at 100 TB you fit on
+    a sample (the full fixture IS the sample at this scale); the SCORE
+    is a narrow map with the coefficient vector broadcast — no shuffle,
+    applied to the full corpus."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features(docs, "text").select(
+        "doc_id",
+        ((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.03))
+        .cast("double")
+        .alias("label"),
+        F.col("stopword_ratio").cast("double"),
+        F.col("punct_ratio").cast("double"),
+        F.col("mean_token_len").cast("double"),
+        F.log1p(F.col("n_tokens").cast("double")).alias("log_tokens"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["stopword_ratio", "punct_ratio", "mean_token_len", "log_tokens"],
+        outputCol="features",
+    ).transform(feats)
+    model = LogisticRegression(
+        maxIter=50, regParam=0.001, featuresCol="features", labelCol="label"
+    ).fit(assembled)
+    return (
+        model.transform(assembled)
+        .select(
+            "doc_id",
+            F.col("label").cast("boolean").alias("rule_keep"),
+            F.round(vector_to_array("probability")[1], 4).alias("score"),
+            F.col("prediction").cast("boolean").alias("model_keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -703,3 +703,59 @@ def q_resample_ffill(spark, sf_dir):
             F.last("avg_value", ignorenulls=True).over(w).alias("avg_ffill"),
         )
     )
+
+
+@query(
+    "q_rollup_multires",
+    oracle="""
+    SELECT 'minute' AS res, event_type,
+           CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type, bucket
+    UNION ALL
+    SELECT 'hour', event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+           count(*), round(sum(value), 4)
+    FROM events GROUP BY event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+    UNION ALL
+    SELECT 'day', event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT),
+           count(*), round(sum(value), 4)
+    FROM events GROUP BY event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+    """,
+)
+def q_rollup_multires(spark, sf_dir):
+    """Multi-resolution time rollup (minute/hour/day), continuous-
+    aggregate style: the engine CASCADES — raw events aggregate once to
+    minute grain (the only data-sized shuffle), then hours re-aggregate
+    the ~60× smaller minute frame and days the ~24× smaller hour frame.
+
+    The oracle recomputes each grain from raw events; sums are rounded
+    to 4 dp because the cascade adds doubles in a different order.  At
+    100 TB the cascade reads the fact table once instead of three times
+    — the same trick materialized-view rollups (timeseries hypertables)
+    use, expressed as three Catalyst aggregates."""
+    ev = events_table(spark, sf_dir)
+    minute = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    hour = minute.groupBy(
+        "event_type",
+        (F.floor(F.col("bucket") / 3600) * 3600).alias("bucket"),
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        "event_type",
+        (F.floor(F.col("bucket") / 86400) * 86400).alias("bucket"),
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+
+    def out(df, res):
+        return df.select(
+            F.lit(res).alias("res"),
+            "event_type",
+            "bucket",
+            F.col("n").alias("n_events"),
+            F.round("s", 4).alias("sum_value"),
+        )
+
+    return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(out(day, "day"))

@@ -357,3 +357,22 @@ def test_freq_items_no_false_negatives(spark):
     for r in out:
         if abs(r.share - 0.2) > 1e-3:
             assert r.is_true_heavy == (r.share > 0.2)
+
+
+def test_quality_classifier_accuracy(spark):
+    """The distilled quality classifier must beat the majority class and
+    agree with the rule gate on ≥80% of documents (measured 0.85 at this
+    SF; the margin absorbs LBFGS tie-breaking, not data drift — the
+    fixture is fixed)."""
+    import pyspark.sql.functions as F
+
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    df = REGISTRY["quality_classifier_score"](spark, SF_SMOKE)
+    r = df.agg(
+        F.avg((F.col("rule_keep") == F.col("model_keep")).cast("double")).alias("acc"),
+        F.avg(F.col("rule_keep").cast("double")).alias("pos"),
+    ).first()
+    assert r["acc"] >= 0.80
+    assert r["acc"] > max(r["pos"], 1 - r["pos"]) + 0.02  # real lift
