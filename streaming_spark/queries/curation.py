@@ -500,20 +500,30 @@ def text_decontaminate(spark, sf_dir):
     against the broadcast hash — the only exchange is the per-doc hit
     aggregate, which carries (doc_id, gram) for MATCHING grams only.
     Raw text never shuffles."""
-    from streaming_spark.operators.text import ngrams_col, tokens_col
+    from streaming_spark.operators.text import tokens_col, with_word_ngrams
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    grams = docs.select(
-        "doc_id", "source", ngrams_col(tokens_col("text"), 5).alias("grams")
-    )
+
+    def grams_of(side):
+        # filter BEFORE the NGram transform — the Scala UDF blocks
+        # predicate pushdown, so filtering the transformed frame would
+        # build grams for both sides twice
+        return with_word_ngrams(
+            side.select("doc_id", tokens_col("text").alias("toks")),
+            "toks",
+            5,
+            "grams",
+        ).select("doc_id", "grams")
+
     bench_grams = (
-        grams.filter(F.col("doc_id") % 97 == 0)
+        grams_of(docs.filter(F.col("doc_id") % 97 == 0))
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
     hits = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        grams_of(corpus)
+        .select("doc_id", F.explode("grams").alias("gram"))
         .join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_hits"))
