@@ -759,3 +759,107 @@ def q_rollup_multires(spark, sf_dir):
         )
 
     return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(out(day, "day"))
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel (first view → first click after it →
+    first purchase after that), corpus-wide counts per stage.
+
+    The oracle takes the textbook route: three passes over the fact
+    table, each stage re-joining and re-aggregating.  The engine makes
+    ONE shuffle: per-user events collapse to a sorted (ts, type) array
+    in a single groupBy, and the sequential stage logic runs as a
+    codegen'd fold over that array — the strict `ts > prev-stage`
+    comparisons inside the fold reproduce the oracle's semantics
+    exactly.  At 100 TB this is 1× the fact shuffled vs the oracle's
+    3×; per-user arrays are bounded by per-user activity (salt or
+    window the fold per (user, day) for pathological hot users)."""
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          evs,
+          struct(CAST(NULL AS TIMESTAMP) AS t1,
+                 CAST(NULL AS TIMESTAMP) AS t2,
+                 CAST(NULL AS TIMESTAMP) AS t3),
+          (s, e) -> struct(
+            IF(s.t1 IS NULL AND e.event_type = 'view', e.ts, s.t1) AS t1,
+            IF(s.t2 IS NULL AND s.t1 IS NOT NULL
+               AND e.event_type = 'click' AND e.ts > s.t1, e.ts, s.t2) AS t2,
+            IF(s.t3 IS NULL AND s.t2 IS NOT NULL
+               AND e.event_type = 'purchase' AND e.ts > s.t2, e.ts, s.t3) AS t3))
+        """
+    )
+    stages = per_user.select(fold.alias("f"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("f.t1").alias("n_view"),
+        F.count("f.t2").alias("n_view_click"),
+        F.count("f.t3").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT CAST(epoch(date_trunc('day', f.first_ts)) AS BIGINT) AS cohort_day,
+           CAST(floor((floor(epoch(e.ts)) - floor(epoch(f.first_ts))) / 604800.0)
+                AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users grouped by first-activity day, counted
+    as active per week-offset from their own first event.
+
+    Scale plan: first-seen is one partial-agg'd shuffle on user_id; the
+    join back to the fact stays on the SAME key, so with AQE the
+    exchange is reused (no second full shuffle of the fact — asserted
+    by eye in explain; the small first_seen side broadcasts).  The
+    distinct-user count per (cohort, offset) is the only other
+    exchange, over the already-collapsed frame."""
+    ev = events_table(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.unix_timestamp(F.date_trunc("day", F.col("first_ts"))).alias(
+                "cohort_day"
+            ),
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("first_ts")) / 604800.0
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
