@@ -117,8 +117,48 @@ def main() -> None:
     timed("tar_ingest 1x (5k members)", lambda: tar_roundtrip(samples1, 8))
     timed("tar_ingest 10x (50k members)", lambda: tar_roundtrip(samples10, 32))
 
+    round2b(spark, t)
+
     spark.stop()
 
 
 if __name__ == "__main__":
     main()
+
+
+def round2b(spark, t):
+    """Scale-stress for the round-2b operators: funnel fold,
+    decontamination probe, multires cascade."""
+    from streaming_spark.queries.curation import decontaminate_flags
+    from streaming_spark.queries.windows import funnel_counts
+
+    docs1 = t["documents"]
+    docs10 = replicate(docs1, 10, ["doc_id"], 10_000_000).localCheckpoint()
+    ev1 = t["events"]
+    ev10 = replicate(ev1, 10, ["user_id", "event_id"], 10_000_000).localCheckpoint()
+
+    timed("funnel 1x (100k events)", lambda: funnel_counts(ev1).count())
+    timed("funnel 10x (1M events)", lambda: funnel_counts(ev10).count())
+
+    pred = F.col("doc_id") % 97 == 0
+    timed(
+        "decontaminate 1x (5k docs)",
+        lambda: decontaminate_flags(docs1, pred).count(),
+    )
+    timed(
+        "decontaminate 10x (50k docs)",
+        lambda: decontaminate_flags(docs10, pred).count(),
+    )
+
+    def multires(ev):
+        m = ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        h = m.groupBy(
+            "event_type", (F.floor(F.col("bucket") / 3600) * 3600).alias("bucket")
+        ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        return m.count() + h.count()
+
+    timed("multires 1x (100k events)", lambda: multires(ev1))
+    timed("multires 10x (1M events)", lambda: multires(ev10))

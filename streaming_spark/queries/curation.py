@@ -500,9 +500,14 @@ def text_decontaminate(spark, sf_dir):
     against the broadcast hash — the only exchange is the per-doc hit
     aggregate, which carries (doc_id, gram) for MATCHING grams only.
     Raw text never shuffles."""
-    from streaming_spark.operators.text import tokens_col, with_word_ngrams
-
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return decontaminate_flags(docs, F.col("doc_id") % 97 == 0)
+
+
+def decontaminate_flags(docs, bench_pred, n: int = 5):
+    """Decontamination core (see text_decontaminate): flag docs sharing
+    any word ``n``-gram with the slice selected by ``bench_pred``."""
+    from streaming_spark.operators.text import tokens_col, with_word_ngrams
 
     def grams_of(side):
         # filter BEFORE the NGram transform — the Scala UDF blocks
@@ -511,16 +516,16 @@ def text_decontaminate(spark, sf_dir):
         return with_word_ngrams(
             side.select("doc_id", tokens_col("text").alias("toks")),
             "toks",
-            5,
+            n,
             "grams",
         ).select("doc_id", "grams")
 
     bench_grams = (
-        grams_of(docs.filter(F.col("doc_id") % 97 == 0))
+        grams_of(docs.filter(bench_pred))
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    corpus = docs.filter(~bench_pred)
     hits = (
         grams_of(corpus)
         .select("doc_id", F.explode("grams").alias("gram"))

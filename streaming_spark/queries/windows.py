@@ -794,7 +794,12 @@ def q_event_funnel(spark, sf_dir):
     exactly.  At 100 TB this is 1× the fact shuffled vs the oracle's
     3×; per-user arrays are bounded by per-user activity (salt or
     window the fold per (user, day) for pathological hot users)."""
-    ev = events_table(spark, sf_dir)
+    return funnel_counts(events_table(spark, sf_dir))
+
+
+def funnel_counts(ev):
+    """Single-shuffle ordered-funnel core (see q_event_funnel); takes
+    any frame with (user_id, ts, event_type)."""
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
