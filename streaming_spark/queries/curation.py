@@ -585,3 +585,55 @@ def text_normalize(spark, sf_dir):
         F.length(norm).alias("n_chars_norm"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS weight,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, source, weight
+    FROM k
+    WHERE weight > 0
+    ORDER BY ln(u) / weight DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each doc draws a deterministic uniform u from md5(doc_id) and ranks
+    by ln(u)/weight — the top-k under that key is an exact weighted
+    sample, here weighted by token count (longer docs proportionally
+    likelier).
+
+    Deterministic u makes the sample reproducible under retry AND
+    oracle-checkable exactly — same reason the engine's uniform sampler
+    uses md5 order instead of rand().  Scale plan: no global sort;
+    Spark's top-k is TakeOrderedAndProject (per-partition heaps, merge
+    of k·partitions rows).  One pass, no shuffle of the data itself."""
+    from streaming_spark.operators.text import token_count
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("weight"),
+        u.alias("u"),
+    ).filter(F.col("weight") > 0)
+    return (
+        keyed.orderBy(
+            (F.log("u") / F.col("weight")).desc(), F.col("doc_id")
+        )
+        .select("doc_id", "source", "weight")
+        .limit(100)
+    )

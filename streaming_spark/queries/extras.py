@@ -666,3 +666,48 @@ def q_sketch_heavyhitters(spark, sf_dir):
             (F.col("cnt") / F.lit(float(total)) > support).alias("is_true_heavy"),
         )
     )
+
+
+@query("q_sketch_union")  # rows-only: Datasketches HLL buffers are
+# engine-internal; the merge-consistency and error contracts are
+# asserted in tests/test_operators.py::test_sketch_union_merge_contract
+def q_sketch_union(spark, sf_dir):
+    """Mergeable-sketch contract: per-source HLL sketches of customer
+    keys, UNIONED into a global estimate — the pattern that makes
+    sketches work on a cluster (partials merge associatively; no
+    re-scan for rollups).
+
+    Per source-nation we keep the sketch AND the exact distinct; the
+    global row estimates from the MERGED sketches only — at 100 TB the
+    global pass touches one fixed-size buffer per group, not the data.
+    The realized error of the merged estimate is part of the output."""
+    orders = T(spark, sf_dir, "orders").select("o_custkey")
+    # two deterministic "sources" (key parity) stand in for per-shard
+    # sketch production
+    tagged = orders.withColumn("src", (F.col("o_custkey") % 2).cast("int"))
+    per_src = tagged.groupBy("src").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    merged = per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),  # parity classes are disjoint
+    )
+    per_src_out = per_src.select(
+        F.concat(F.lit("src_"), F.col("src")).alias("level"),
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    out = per_src_out.unionByName(
+        merged.select(F.lit("global").alias("level"), "est_distinct", "exact_distinct")
+    )
+    return out.select(
+        "level",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -376,3 +376,22 @@ def test_quality_classifier_accuracy(spark):
     ).first()
     assert r["acc"] >= 0.80
     assert r["acc"] > max(r["pos"], 1 - r["pos"]) + 0.02  # real lift
+
+
+def test_sketch_union_merge_contract(spark):
+    """Merged per-source HLL sketches must estimate the global distinct
+    within the sketch's error envelope (default lgConfigK=12 → ~1.6%
+    stderr; 5% floor leaves slack), and each per-source estimate must
+    hit its own exact count equally well."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["level"]: r for r in REGISTRY["q_sketch_union"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"src_0", "src_1", "global"}
+    for level, r in rows.items():
+        assert r["rel_error"] <= 0.05, (level, r)
+    # parity classes are disjoint, so the exact global is the sum —
+    # the merged sketch must agree with it, not just with each part
+    assert rows["global"]["exact_distinct"] == (
+        rows["src_0"]["exact_distinct"] + rows["src_1"]["exact_distinct"]
+    )
