@@ -868,3 +868,39 @@ def q_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_streaming_rolling_mean",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean
+    FROM events
+    """,
+)
+def q_streaming_rolling_mean(spark, sf_dir):
+    """The custom stateful operator (applyInPandasWithState per-key
+    rolling mean, streaming/core.py) executed as a REAL streaming run —
+    availableNow over mtime-ordered file micro-batches — and checked
+    against the batch window-function oracle.
+
+    This works because the operator is deterministic under ordered
+    replay: the fixture files are staged in event-time order, each
+    micro-batch sorts within itself, and the keyed state (last
+    ``width-1`` values per user) carries the tail across batch
+    boundaries — so the streaming output is EXACTLY the batch
+    ``avg OVER (ROWS 2 PRECEDING)``.  State is bounded (2 floats/key);
+    at scale the shuffle is the one hash-exchange on user_id that any
+    stateful op pays, and the same code runs unbounded."""
+    from streaming_spark.streaming.core import read_events_stream, stateful_rolling_mean
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    out = stateful_rolling_mean(ev, width=3)
+    result = _run_to_memory_sink(out, "rolling_mean_sink", "append")
+    return result.select(
+        "user_id", "event_id", F.round("rolling_mean", 6).alias("rolling_mean")
+    )
