@@ -201,3 +201,15 @@ def with_word_ngrams(df: DataFrame, toks_col: str, n: int, out_col: str) -> Data
     from pyspark.ml.feature import NGram
 
     return NGram(n=n, inputCol=toks_col, outputCol=out_col).transform(df)
+
+
+def normalize_text_col(text: str | Column) -> Column:
+    """Canonicalization expression shared by text_normalize and the
+    pretraining pipeline: lowercase, strip control chars, collapse
+    whitespace runs, trim — all codegen'd string builtins."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[\x00-\x1f\x7f]", ""), r"\s+", " "
+        )
+    )

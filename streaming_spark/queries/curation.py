@@ -571,14 +571,10 @@ def text_normalize(spark, sf_dir):
     (Unicode NFC folding would slot in here too; Spark lacks a builtin,
     so it would ride the same Arrow-batch map as `fingerprint` — left
     out rather than dropping to Python for ASCII fixtures.)"""
+    from streaming_spark.operators.text import normalize_text_col
+
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f\x7f]", ""),
-            r"\s+",
-            " ",
-        )
-    )
+    norm = normalize_text_col("text")
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -636,4 +632,100 @@ def sample_weighted(spark, sf_dir):
         )
         .select("doc_id", "source", "weight")
         .limit(100)
+    )
+
+
+@query(
+    "pipeline_pretraining_sample",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS text
+      FROM documents),
+    k AS (
+      SELECT doc_id, source, text,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM n),
+    surv AS (SELECT doc_id, source, text FROM k WHERE doc_id = keep_id),
+    t AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM surv),
+    g AS (
+      SELECT doc_id, source, len(toks) AS weight,
+             list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' ')) AS grams
+      FROM t),
+    b AS (
+      SELECT DISTINCT gram FROM g, UNNEST(grams) AS u(gram)
+      WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT DISTINCT g.doc_id FROM g, UNNEST(grams) AS u(gram)
+      WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)),
+    clean AS (
+      SELECT g.doc_id, g.source, g.weight
+      FROM g LEFT JOIN hits USING (doc_id)
+      WHERE g.doc_id % 97 <> 0 AND hits.doc_id IS NULL AND g.weight > 0),
+    keyed AS (
+      SELECT doc_id, source, weight,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM clean)
+    SELECT doc_id, source, weight
+    FROM keyed
+    ORDER BY ln(u) / weight DESC, doc_id
+    LIMIT 50
+    """,
+)
+def pipeline_pretraining_sample(spark, sf_dir):
+    """End-to-end pretraining-mix pipeline #2, composing the round-2
+    curation operators: normalize → exact dedup keep-one (on the
+    NORMALIZED text, so formatting variants collapse) → benchmark
+    decontamination (drop any survivor sharing a 5-gram with the
+    held-out slice) → weighted sample of 50 docs (longer docs
+    proportionally likelier, deterministic Efraimidis–Spirakis keys).
+
+    Shuffle budget at 100 TB: dedup's digest window (1 fact shuffle),
+    decontamination's matching-grams aggregate (tiny — matching grams
+    only, benchmark side broadcast), the final top-k
+    (TakeOrderedAndProject, k·partitions rows).  Raw text shuffles
+    exactly once (the dedup exchange) and never leaves the cluster."""
+    from streaming_spark.operators.text import (
+        normalize_text_col,
+        token_count,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", normalize_text_col("text").alias("text")
+    )
+    w_dig = Window.partitionBy(F.md5("text"))
+    surv = (
+        docs.withColumn("keep_id", F.min("doc_id").over(w_dig))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "text")
+    )
+    flags = decontaminate_flags(surv, F.col("doc_id") % 97 == 0)
+    clean = flags.filter(~F.col("contaminated")).select("doc_id", "source")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    keyed = (
+        clean.join(surv.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            token_count("text").alias("weight"),
+            u.alias("u"),
+        )
+        .filter(F.col("weight") > 0)
+    )
+    return (
+        keyed.orderBy((F.log("u") / F.col("weight")).desc(), F.col("doc_id"))
+        .select("doc_id", "source", "weight")
+        .limit(50)
     )
