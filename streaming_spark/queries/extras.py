@@ -711,3 +711,123 @@ def q_sketch_union(spark, sf_dir):
             4,
         ).alias("rel_error"),
     )
+
+
+@query(
+    "q_data_quality_report",
+    oracle="""
+    WITH orphans AS (
+      SELECT count(*) AS fk_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL)
+    SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+             AS null_quantity,
+           (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+             AS null_shipdate,
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+             AS bad_quantity,
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+           (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+             AS bad_price,
+           (SELECT fk_orphans FROM orphans) AS fk_orphans
+    """,
+)
+def q_data_quality_report(spark, sf_dir):
+    """Expectations-style data-quality report over the fact table: null
+    counts, range-constraint violations, and referential orphans — the
+    validation gate a pipeline runs before training consumes a drop.
+
+    Scale plan: every null/range check is a conditional sum in ONE
+    scan-stage aggregate (no per-check passes — the oracle's subquery
+    list is the readable form, not the physical plan).  The FK-orphan
+    check is a left anti join against the orders key column only; at
+    100 TB that's the one shuffle (or zero, with a bloom-filtered
+    probe), and everything else partial-aggregates map-side."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey")
+    checks = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_quantity"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_shipdate"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_quantity"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_discount"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    return checks.crossJoin(F.broadcast(orphans))
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+                  ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, md5('inserted')
+      FROM documents WHERE doc_id % 11 = 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                WHEN o.h <> n.h THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (CDC shape): classify every key as
+    insert/update/delete between two corpus snapshots by comparing
+    content digests — the incremental-refresh primitive for derived
+    datasets (the second snapshot is synthesized deterministically from
+    the fixture: %13 deleted, %7 rewritten, %11 re-inserted shifted).
+
+    Scale plan: each side reduces to (key, digest) at the scan — the
+    full outer join shuffles 16-byte digests, never the documents; a
+    parquet-bucketed layout on doc_id makes it exchange-free.  Output
+    carries changed keys only, so downstream refresh touches the delta,
+    not the corpus."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.select("doc_id", F.md5("text").alias("h"))
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2")))
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5(F.lit("inserted")).alias("h"),
+            )
+        )
+    )
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("h").alias("n_h"))
+    joined = o.join(n, o.o_id == n.n_id, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("o_id", "n_id").alias("doc_id"),
+            F.when(F.col("o_id").isNull(), "insert")
+            .when(F.col("n_id").isNull(), "delete")
+            .when(F.col("o_h") != F.col("n_h"), "update")
+            .otherwise("unchanged")
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
