@@ -788,3 +788,90 @@ def dedup_incremental(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+@query("ann_tradeoff_curve")  # rows-only: IVF cells are engine-internal;
+# the monotone recall-vs-probes contract is asserted in
+# tests/test_operators.py::test_ann_tradeoff_monotone
+def ann_tradeoff_curve(spark, sf_dir):
+    """Recall-vs-cost curve for the IVF ANN path: recall@5 against the
+    exact brute-force top-k, per probe budget nprobe ∈ {1, 2, 4, 8} of
+    8 cells — the tuning artifact an ANN deployment reads to pick its
+    operating point (cost scales ~linearly with nprobe; recall is what
+    you buy).
+
+    One exact pass is shared across the sweep; each IVF pass reuses the
+    same deterministic quantizer (same sample, same seed), so the curve
+    isolates probe coverage.  nprobe = n_cells is exhaustive search by
+    construction — that endpoint must hit recall 1.0, pinning the top
+    of the curve."""
+    from streaming_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    curves = []
+    for nprobe in (1, 2, 4, 8):
+        approx = (
+            ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=nprobe)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        r = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce("hit", F.lit(0)))
+                    / F.count(F.lit(1)).cast("double"),
+                    4,
+                ).alias("recall_at_5")
+            )
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                F.round(F.lit(nprobe / 8.0), 4).alias("probe_fraction"),
+                "recall_at_5",
+            )
+        )
+        curves.append(r)
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query("dedup_method_agreement")  # rows-only: both pair sets come from
+# engine-internal signatures; the planted-duplicate floor is asserted in
+# tests/test_operators.py::test_dedup_method_agreement_floor
+def dedup_method_agreement(spark, sf_dir):
+    """Cross-method near-dup agreement: the pair sets found by
+    MinHash-LSH (Jaccard ≥ 0.5 verified) and SimHash (Hamming ≤ 3
+    verified) compared as sets — overlap counts + Jaccard of the two
+    PAIR SETS.  The operational health metric for a dedup deployment:
+    two different signature families should agree on the blatant
+    duplicates; a collapse in agreement flags a regression in one of
+    them (different thresholds mean they legitimately diverge in the
+    gray band, so the contract is a floor on planted-dup coverage, not
+    equality)."""
+    docs = T(spark, sf_dir, "documents")
+    mh = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sh = simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    both = mh.join(sh, ["id_a", "id_b"])
+    return (
+        mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+        .crossJoin(sh.agg(F.count(F.lit(1)).alias("n_simhash")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")),
+                4,
+            ).alias("pair_jaccard"),
+        )
+    )

@@ -395,3 +395,30 @@ def test_sketch_union_merge_contract(spark):
     assert rows["global"]["exact_distinct"] == (
         rows["src_0"]["exact_distinct"] + rows["src_1"]["exact_distinct"]
     )
+
+
+def test_ann_tradeoff_monotone(spark):
+    """Recall must be non-decreasing in probe budget, and probing all
+    cells IS exhaustive search — that endpoint must be exactly 1.0."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        REGISTRY["ann_tradeoff_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    recalls = [r["recall_at_5"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert rows[-1]["nprobe"] == 8 and recalls[-1] == 1.0
+
+
+def test_dedup_method_agreement_floor(spark):
+    """MinHash and SimHash disagree in the gray band (different
+    thresholds) but must agree on the planted blatant duplicates —
+    floor on the pair-set overlap (measured 0.72 at this SF)."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    r = REGISTRY["dedup_method_agreement"](spark, SF_SMOKE).collect()[0]
+    assert r["n_both"] >= 10, r
+    assert r["pair_jaccard"] >= 0.5, r
