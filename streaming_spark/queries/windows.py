@@ -904,3 +904,73 @@ def q_streaming_rolling_mean(spark, sf_dir):
     return result.select(
         "user_id", "event_id", F.round("rolling_mean", 6).alias("rolling_mean")
     )
+
+
+@query(
+    "q_streaming_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def q_streaming_incremental_rollup(spark, sf_dir):
+    """Incrementally-maintained rollup (materialized-view pattern): each
+    micro-batch writes its minute-grain PARTIAL aggregates — not raw
+    rows — into a batch-keyed partition (idempotent overwrite, rerun
+    safe), and reads compact partials by summing per bucket.  The final
+    result equals the batch rollup exactly because count/sum are
+    associative.
+
+    This is the continuous-aggregate write path at scale: sink growth
+    is O(buckets per batch), not O(events); compaction is a periodic
+    re-aggregate of a tiny frame; and a retried batch replaces its own
+    partials, so exactly-once holds without a transaction log.  The
+    shuffle per batch is the one minute-grain aggregate any rollup
+    pays."""
+    import tempfile
+
+    from streaming_spark.streaming import read_events_stream
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_mv_") + "/t"
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+
+    def land_partials(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                "event_type",
+                F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias(
+                    "bucket"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(land_partials)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="spark_graft_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_incremental_rollup did not finish within 300s"
+        )
+    partials = spark.read.parquet(sink_dir)
+    return partials.groupBy("event_type", "bucket").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("s"), 4).alias("sum_value"),
+    )
