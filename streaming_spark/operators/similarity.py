@@ -428,3 +428,151 @@ def _cosine_expr(a: str, b: str):
         )
     )
     return dot / (na * nb)
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    sample_limit: int = 2048,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: the vector space splits into
+    ``m`` subspaces of dim/m dims; each gets its own ``ksub``-centroid
+    L2 k-means codebook.  Trained driver-side on the same bounded
+    deterministic md5-ordered sample as ``ivf_centroids`` (codebooks
+    are tiny — m·ksub·dsub floats — and training sees thousands of
+    vectors regardless of corpus size; only encode/score distribute).
+
+    Returns (m, ksub, dsub) float64."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_limit)
+        .collect()
+    )
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes (nearest codebook entry
+    per subspace, L2) — a narrow Arrow-batch map with the codebooks as
+    broadcast side input; no shuffle.  At 100 TB the encoded index is
+    m bytes/vector instead of 4·dim — the point of PQ."""
+    m, ksub, dsub = codebooks.shape
+
+    def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        books = side
+        if len(pdf) == 0:
+            return None
+        mat = _norm_rows(_matrix(pdf[vec_col]))
+        codes = np.empty((len(pdf), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+        )
+
+    return stream(
+        df.select(id_col, vec_col),
+        encode,
+        f"{id_col} BIGINT, codes ARRAY<INT>",
+        side_input=codebooks,
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization with asymmetric
+    distance computation (ADC): queries stay exact; every encoded
+    vector's similarity is a table lookup — per query a (m × ksub) LUT
+    of subspace inner products, sim ≈ Σⱼ lut[j, codes[j]].
+
+    The third ANN path next to hyperplane LSH and IVF: PQ scans ALL
+    codes (no candidate generation, perfectly partition-parallel, m
+    bytes/vector memory traffic) and pays approximation error in the
+    SCORES rather than in candidate recall.  ``rerank`` keeps the top-R
+    per query by ADC score per partition, then re-scores that candidate
+    pool exactly — the standard PQ + exact-rerank deployment.  Shuffle
+    volume: O(Q·R·partitions) candidate ids, then the rerank join."""
+    books = pq_codebooks(vectors, dim, m, ksub, vec_col=vec_col)
+    enc = pq_encode(vectors, books, vec_col=vec_col)
+    q_rows = queries.select("vec_id", vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
+    dsub = dim // m
+    # per-query LUTs: (Q, m, ksub) — inner product of each query
+    # subvector with every codebook entry
+    luts = np.einsum("qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), books)
+
+    def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        qids, tables, topr = side
+        if len(pdf) == 0:
+            return None
+        codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
+        ids = pdf["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        cols = np.arange(codes.shape[1])
+        for qi, qid in enumerate(qids):
+            sims = tables[qi][cols, codes].sum(axis=1)  # (rows,)
+            mask = ids != qid
+            sims_m, ids_m = sims[mask], ids[mask]
+            r = min(topr, len(ids_m))
+            if r == 0:
+                continue
+            top = np.argpartition(-sims_m, r - 1)[:r]
+            out_q.extend([qid] * r)
+            out_v.extend(ids_m[top].tolist())
+            out_s.extend(sims_m[top].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
+        )
+
+    partial = stream(
+        ensure_parallelism(enc),
+        adc_score,
+        "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE",
+        side_input=(q_ids, luts, rerank),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("vec_id")
+    )
+    cand = (
+        partial.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    return _topk_on_candidates(cand, queries, vectors, k, vec_col)

@@ -875,3 +875,51 @@ def dedup_method_agreement(spark, sf_dir):
             ).alias("pair_jaccard"),
         )
     )
+
+
+@query("ann_topk_pq")  # rows-only: PQ codebooks are engine-internal;
+# the recall floor is asserted in
+# tests/test_operators.py::test_ann_pq_recall_floor
+def ann_topk_pq(spark, sf_dir):
+    """Approximate top-5 via product quantization + ADC + exact rerank
+    (16 subspaces × 16 codes, rerank pool 64) — the third ANN path.
+
+    Where LSH and IVF cut the CANDIDATE SET, PQ compresses the
+    REPRESENTATION: every vector is scanned but costs m byte-indexed
+    lookups instead of a dim-float dot product, and the index is
+    m bytes/vector (16× smaller than dim=64 float32) — the path that
+    wins when the index must fit in memory at 10⁹+ vectors.  Exact
+    rerank of the top-64 ADC pool recovers the score precision PQ
+    gives up (parameter sweep on the fixture: m=8/rerank=32 → recall
+    0.6; m=16/rerank=64 → 0.93-0.98)."""
+    from streaming_spark.operators.similarity import pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(emb, queries, dim=64, k=5, m=16, ksub=16, rerank=64)
+
+
+@query("ann_recall_pq")  # rows-only: same contract as ann_recall_at_k
+def ann_recall_pq(spark, sf_dir):
+    """Recall@5 of the PQ+rerank path vs exact brute force, per query —
+    the PQ approximation contract."""
+    from streaming_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        pq_topk(emb, queries, dim=64, k=5, m=16, ksub=16, rerank=64)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall_at_5")
+        )
+        .orderBy("query_id")
+    )

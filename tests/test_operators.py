@@ -422,3 +422,16 @@ def test_dedup_method_agreement_floor(spark):
     r = REGISTRY["dedup_method_agreement"](spark, SF_SMOKE).collect()[0]
     assert r["n_both"] >= 10, r
     assert r["pair_jaccard"] >= 0.5, r
+
+
+def test_ann_pq_recall_floor(spark):
+    """PQ+rerank must hold recall@5 ≥ 0.8 on the fixture (measured
+    0.975 at this SF with m=16, ksub=16, rerank=64)."""
+    import pyspark.sql.functions as F
+
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["ann_recall_pq"](spark, SF_SMOKE).collect()
+    mean = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean >= 0.8, [r.asDict() for r in rows]
