@@ -729,3 +729,68 @@ def pipeline_pretraining_sample(spark, sf_dir):
         .select("doc_id", "source", "weight")
         .limit(50)
     )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    shares AS (
+      SELECT source, n,
+             pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS share
+      FROM counts),
+    quotas AS (
+      SELECT source, n, CAST(round(200 * share) AS BIGINT) AS quota
+      FROM shares),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)))
+               AS rn
+      FROM documents d)
+    SELECT r.source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           any_value(q.quota) AS quota
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rn <= q.quota
+    GROUP BY r.source
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-flattened domain mixture (τ = 0.5): each source's
+    quota in a 200-doc sample is proportional to count^τ — the standard
+    rebalancing that upweights small domains without drowning large
+    ones (τ=1 keeps natural proportions, τ=0 is uniform).  Draws are
+    exact-k deterministic md5-order per stratum.
+
+    Scale plan: quotas come from a per-source count aggregate (one
+    partial-agg'd shuffle collapsing to |sources| rows, broadcast
+    back); the draw is one rank-window shuffle keyed by source.  The
+    natural-vs-target mixture never needs a second pass over the
+    data."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total_share = counts.agg(
+        F.sum(F.pow("n", 0.5)).alias("denom")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(total_share))
+        .select(
+            "source",
+            F.round(200 * F.pow("n", 0.5) / F.col("denom"))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.first("quota").alias("quota"),
+        )
+    )
