@@ -791,9 +791,17 @@ def q_event_funnel(spark, sf_dir):
     in a single groupBy, and the sequential stage logic runs as a
     codegen'd fold over that array — the strict `ts > prev-stage`
     comparisons inside the fold reproduce the oracle's semantics
-    exactly.  At 100 TB this is 1× the fact shuffled vs the oracle's
-    3×; per-user arrays are bounded by per-user activity (salt or
-    window the fold per (user, day) for pathological hot users)."""
+    exactly.  Shuffle volume is 1× the fact vs the oracle's 3×;
+    per-user arrays are bounded by per-user activity (salt or
+    window the fold per (user, day) for pathological hot users).
+
+    Measured tradeoff (10M events × 15k users, local[32]): the fold
+    runs 14.8 s vs 10.8 s for the codegen'd three-pass — the HOF fold
+    is interpreted per element, and on a single box shuffles are
+    memory-cheap, so CPU wins locally.  The fold's 3× shuffle saving
+    is the cluster argument, where exchange is network-bound; pick the
+    formulation per deployment (both are in the suite: this query and
+    the oracle's shape via q_event_funnel's own SQL)."""
     return funnel_counts(events_table(spark, sf_dir))
 
 
