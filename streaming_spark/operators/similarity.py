@@ -269,6 +269,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: vectors live
     in their nearest coarse-quantizer cell; each query scores only the
@@ -278,8 +279,14 @@ def ivf_topk(
     |vectors|·nprobe/n_cells per query, tuned by (n_cells, nprobe)
     instead of (n_bits, n_tables); cells adapt to the data distribution
     (k-means), which beats data-oblivious hyperplanes on clustered
-    corpora.  One shuffle (candidates ⋈ vectors); centroids broadcast."""
-    cent = ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
+    corpora.  One shuffle (candidates ⋈ vectors); centroids broadcast.
+    Pass ``centroids`` to reuse a trained quantizer across calls (e.g.
+    an nprobe sweep)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
+    )
     va = ivf_assign(vectors, cent, vec_col=vec_col, nprobe=1)
     qa = ivf_assign(
         queries, cent, vec_col=vec_col, nprobe=nprobe, out_id="query_id"
@@ -527,7 +534,12 @@ def pq_topk(
     SCORES rather than in candidate recall.  ``rerank`` keeps the top-R
     per query by ADC score per partition, then re-scores that candidate
     pool exactly — the standard PQ + exact-rerank deployment.  Shuffle
-    volume: O(Q·R·partitions) candidate ids, then the rerank join."""
+    volume: O(Q·R·partitions) candidate ids, then the rerank join.
+
+    The QUERY side is collected driver-side to build the LUTs — the
+    same bounded-queries contract as cosine_topk's broadcast: this
+    serves a small query batch against a huge index, never
+    index-vs-index (use cosine_pairs for that)."""
     books = pq_codebooks(vectors, dim, m, ksub, vec_col=vec_col)
     enc = pq_encode(vectors, books, vec_col=vec_col)
     q_rows = queries.select("vec_id", vec_col).collect()

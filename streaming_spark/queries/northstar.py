@@ -805,15 +805,23 @@ def ann_tradeoff_curve(spark, sf_dir):
     isolates probe coverage.  nprobe = n_cells is exhaustive search by
     construction — that endpoint must hit recall 1.0, pinning the top
     of the curve."""
-    from streaming_spark.operators.similarity import cosine_topk, ivf_topk
+    from streaming_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    cent = ivf_centroids(emb, dim=64, n_cells=8)  # trained ONCE for the sweep
     curves = []
     for nprobe in (1, 2, 4, 8):
         approx = (
-            ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=nprobe)
+            ivf_topk(
+                emb, queries, dim=64, k=5, n_cells=8, nprobe=nprobe,
+                centroids=cent,
+            )
             .select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1))
         )
