@@ -43,16 +43,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp so every caller sees a proper ``ts``.
     """
     if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize a raw events frame's ``ts`` to a microsecond timestamp.
+
+    Spark <= 4.0 honors ``spark.sql.legacy.parquet.nanosAsLong`` (ts
+    arrives as bigint nanos, needs the explicit conversion); Spark >= 4.1
+    reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ truncated to µs, in
+    which case the frame passes through unchanged.  Every reader of the
+    events fixture (batch, streaming, tests) must go through this guard
+    — an unconditional ``ts / 1000`` breaks on one version or the other."""
+    if dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

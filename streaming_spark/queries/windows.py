@@ -182,18 +182,19 @@ def q_user_activity_topk(spark, sf_dir):
 
     The sort+limit plans as TakeOrderedAndProject (per-partition top-20
     heaps merged on the driver) — the engine never funnels every distinct
-    user through one partition the way a global row_number window would
-    (fixed per VERDICT r2; same delegation as q_top_customers,
-    test_plans.py).  The rank column is derived driver-side from the ≤20
-    collected rows — bounded by construction, not a distributed collect.
-    """
+    user through one partition the way a global row_number window over the
+    full aggregate would (fixed per VERDICT r2; same delegation as
+    q_top_customers, test_plans.py).  Rank is then a row_number window over
+    the ALREADY-LIMITED frame: a single-partition sort of ≤20 rows, which
+    is harmless and keeps the query lazy (no collect at construction —
+    ADVICE r3)."""
     ev = events_table(spark, sf_dir)
     agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     top = agg.orderBy(F.col("n_events").desc(), F.col("user_id")).limit(20)
-    rows = top.collect()  # ≤ 20 rows by construction
-    return spark.createDataFrame(
-        [(r.user_id, r.n_events, i + 1) for i, r in enumerate(rows)],
-        schema="user_id bigint, n_events bigint, rank int",
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("user_id", "n_events", "rank")
     )
 
 

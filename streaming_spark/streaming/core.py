@@ -40,13 +40,14 @@ def read_events_stream(
     """File-source stream of events parquet part-files: each discovered
     file becomes (part of) a micro-batch — the unbounded analog of the
     reference's chunk iteration."""
+    from streaming_spark.io import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(path)
-    return (
+    return normalize_events_ts(
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
     )
 
 

@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from streaming_spark.io import normalize_events_ts
 from streaming_spark.streaming import (
     foreach_batch_stream,
     read_events_stream,
@@ -67,8 +68,7 @@ def test_windowed_counts_match_batch(spark, events_dir):
     # batch oracle over the same files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        normalize_events_ts(spark.read.parquet(events_dir))
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -185,9 +185,7 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
         got = {(r.a_id, r.b_id) for r in spark.read.parquet(out_dir).collect()}
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(events_dir).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = normalize_events_ts(spark.read.parquet(events_dir))
     a = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"), "user_id"
     )
