@@ -53,16 +53,23 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
     Spark <= 4.0 honors ``spark.sql.legacy.parquet.nanosAsLong`` (ts
     arrives as bigint nanos, needs the explicit conversion); Spark >= 4.1
-    reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ truncated to µs, in
-    which case the frame passes through unchanged.  Every reader of the
-    events fixture (batch, streaming, tests) must go through this guard
-    — an unconditional ``ts / 1000`` breaks on one version or the other."""
-    if dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ truncated to µs.
+    NTZ must then be cast to TIMESTAMP: ``withWatermark`` rejects NTZ
+    event-time columns (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the
+    session timezone is pinned to UTC (session.py) so the cast is
+    value-preserving — wall-clock fields and epoch both unchanged.
+    Every reader of the events fixture (batch, streaming, tests) must go
+    through this guard — an unconditional ``ts / 1000`` breaks on one
+    version or the other."""
+    from pyspark.sql import functions as F
 
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

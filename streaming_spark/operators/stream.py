@@ -250,11 +250,33 @@ def dense_index(
     on the canonicalized exchange) computes it ONCE, which also
     guarantees both passes see identical partition boundaries
     (RangePartitioner samples per-exchange; stage reuse makes the sample
-    shared — asserted in test_plans.py).  Task retries are safe: the
-    local counter replays deterministically from the sorted shuffle data
-    (same mechanism as RDD ``zipWithIndex``).
+    shared — asserted in test_plans.py AND guarded at runtime below:
+    with ``spark.sql.exchange.reuse`` disabled the two branches would
+    each sample their own boundaries and silently mis-key the offsets,
+    so this raises instead of planning a wrong query).  Task retries are
+    safe PROVIDED ``order_cols`` is a (near-)unique key: shuffle-fetch
+    order is nondeterministic and ``sortWithinPartitions`` gives no
+    stable order to tied keys, so rows tied on ``order_cols`` may swap
+    indexes across retries.  The index SET is always a correct dense
+    1..N either way; include a tie-breaker column when row-to-index
+    stability matters.
+
+    Per-partition positions use the low 33 bits of
+    ``monotonically_increasing_id``; a partition holding ≥ 2^33 rows
+    (~8.6 B) would wrap the counter into the pid bits and collide.  The
+    already-computed per-partition counts are checked at execution time
+    (``raise_error`` inside the offset sum, so the check is load-bearing
+    and cannot be pruned) — raise ``num_partitions`` if it ever fires.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        raise RuntimeError(
+            "dense_index requires spark.sql.exchange.reuse=true: partition "
+            "boundaries are only shared between the fact and counts branches "
+            "via exchange reuse; without it the offsets would be keyed to "
+            "different boundaries than the rows' partition ids"
+        )
+    n = num_partitions or spark.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -264,9 +286,24 @@ def dense_index(
         )
     )
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    checked_n = F.when(
+        F.col("_n") >= F.lit(1 << 33),
+        F.raise_error(
+            F.concat(
+                F.lit("dense_index: partition "),
+                F.col("_pid").cast("string"),
+                F.lit(" holds >= 2^33 rows; raise num_partitions"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_n"))
+    # inclusive running sum minus own count (not an exclusive frame):
+    # every partition's checked_n enters the sum, so the overflow check
+    # fires even for the last pid
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        "_pid", (F.sum(checked_n).over(w_off) - F.col("_n")).alias("_off")
     )
     return (
         parted.join(F.broadcast(offsets), "_pid")

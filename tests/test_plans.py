@@ -260,12 +260,67 @@ def test_unpack_numbering_is_partition_parallel(spark):
     same shuffle — which also pins both passes to identical partition
     boundaries), and no Window touches the fact rows; the only window is
     the offsets cumulative-sum over <= num_partitions count rows."""
+    import re
+
     plan = plan_of(spark, "q_unpack", executed=True)
     assert "ReusedExchange" in plan
-    # exactly one range shuffle materialized for the fact table
-    assert plan.count("rangepartitioning") >= 1
+    # EXACTLY one materialized range exchange in the FINAL plan: two
+    # independent range exchanges (each sampling its own boundaries) is
+    # the failure mode this test exists to catch.  Formatted mode lists
+    # the final-plan tree first (the Initial Plan section repeats the
+    # pre-reuse shape), with node arguments in a trailing details block.
+    tree = plan.split("== Initial Plan ==")[0]
+    tree_exchanges = set(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", tree))
+    range_ids = set()
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if m and "rangepartitioning" in block:
+            range_ids.add(m.group(1))
+    assert len(tree_exchanges & range_ids) == 1, plan
     # the window's input is the per-partition counts aggregate, not facts
     assert "SPARK_PARTITION_ID" in plan
+
+
+_LIMIT_NODES = {
+    "GlobalLimit",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+}
+
+
+def _is_bounded(node) -> bool:
+    """True when a physical subtree's output row count is bounded by
+    construction rather than by data size: a limit (<= k rows), an
+    aggregate that is global (one row) or keyed on partition id / input
+    file (<= num_partitions / num_files rows — cluster-topology- or
+    metadata-sized), any unary node over a bounded child, a join or
+    union of all-bounded inputs.  Leaf scans are unbounded.  Unlike a
+    substring match over the whole subtree, this requires the bounding
+    node to DOMINATE the flow: a limit on one branch of a join does not
+    bless the other branch (ADVICE r4)."""
+    name = node.nodeName()
+    if name in _LIMIT_NODES:
+        return True
+    if "Aggregate" in name:
+        head = node.simpleString(10000)
+        if "keys=[]" in head:
+            return True  # global aggregate: one row
+        # keyed aggregate: it DOMINATES the flow (all rows pass through
+        # it, output = num distinct keys), so it bounds the window input
+        # when its keys derive from partition id / input file — those
+        # derivations live in ITS OWN subtree, below the aggregate, so
+        # an unrelated join branch elsewhere can no longer bless it
+        subtree = node.toString()
+        if "SPARK_PARTITION_ID" in subtree or "input_file_name" in subtree:
+            return True
+        # keyed on data columns: bounded iff the input already is
+    children = node.children()
+    if children.length() == 0:
+        return False
+    return all(
+        _is_bounded(children.apply(i)) for i in range(children.length())
+    )
 
 
 def test_registry_has_no_unbounded_global_window(spark):
@@ -273,12 +328,12 @@ def test_registry_has_no_unbounded_global_window(spark):
     unpartitioned WindowExec over data-sized input — that moves the
     whole table through one task at 100 TB.  An empty partitionSpec is
     allowed ONLY when the window's input subtree is bounded by
-    construction: a Limit/TakeOrderedAndProject (<= k rows, e.g.
-    q_user_activity_topk's rank over the top-20 frame), a
-    per-partition-count aggregate keyed on SPARK_PARTITION_ID (<=
-    num_partitions rows, e.g. dense_index offsets), or a per-FILE
-    aggregate keyed on input_file_name (metadata-sized: one row per
-    parquet file, e.g. layout_file_stats' disjointness lag).
+    construction (see _is_bounded): a dominating Limit /
+    TakeOrderedAndProject (e.g. q_user_activity_topk's rank over the
+    top-20 frame), a per-partition-count aggregate keyed on
+    SPARK_PARTITION_ID (e.g. dense_index offsets), or a per-FILE
+    aggregate keyed on input_file_name (e.g. layout_file_stats'
+    disjointness lag).
 
     Streaming queries are skipped — they execute real streams at
     construction time and carry their own oracle parity checks."""
@@ -295,15 +350,7 @@ def test_registry_has_no_unbounded_global_window(spark):
                 continue
             if not node.partitionSpec().isEmpty():
                 continue
-            subtree = node.toString()
-            bounded = (
-                "SPARK_PARTITION_ID" in subtree
-                or "input_file_name" in subtree
-                or "GlobalLimit" in subtree
-                or "TakeOrderedAndProject" in subtree
-                or "CollectLimit" in subtree
-            )
-            if not bounded:
+            if not _is_bounded(node.children().apply(0)):
                 offenders.append(name)
                 break
     assert not offenders, f"unbounded global windows in: {offenders}"

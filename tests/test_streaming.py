@@ -268,3 +268,21 @@ def test_transform_with_state_gated_without_protobuf(spark):
     ev = spark.createDataFrame([(1, 1.0)], "user_id BIGINT, value DOUBLE")
     with pytest.raises(NotImplementedError, match="protobuf"):
         running_totals_tws(ev)
+
+
+def test_events_ts_is_watermark_compatible(spark, events_dir):
+    """Contract pin: load_table / read_events_stream must yield a ts
+    column of plain TIMESTAMP (not timestamp_ntz, not bigint) — Spark
+    rejects withWatermark on NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    A Spark version bump that changes how TIMESTAMP(NANOS) parquet
+    arrives should fail HERE, in one second, not in the streaming gate
+    (VERDICT r4 item 2)."""
+    from streaming_spark.io import load_table
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+
+    stream_ev = read_events_stream(spark, events_dir)
+    assert dict(stream_ev.dtypes)["ts"] == "timestamp"
+    # must not raise EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    stream_ev.withWatermark("ts", "1 hour")
