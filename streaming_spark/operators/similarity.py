@@ -588,3 +588,183 @@ def pq_topk(
         .select("query_id", "vec_id")
     )
     return _topk_on_candidates(cand, queries, vectors, k, vec_col)
+
+
+def ivfpq_residual_codebooks(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    sample_limit: int = 2048,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """PQ codebooks trained on RESIDUALS (vector minus its nearest IVF
+    centroid) — the billion-scale composition: residuals are far more
+    concentrated than raw vectors, so the same (m, ksub) budget spends
+    its codes on a much smaller region and quantization error drops.
+    Same bounded deterministic md5-ordered driver-side sample as
+    ``ivf_centroids`` / ``pq_codebooks``; only encode/score distribute.
+
+    Returns (m, ksub, dsub) float64."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_limit)
+        .collect()
+    )
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+    assign = np.argmax(mat @ centroids.T, axis=1)
+    resid = mat - centroids[assign]
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = resid[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[a == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index rows: each vector's coarse cell plus the PQ codes of
+    its residual — ONE narrow Arrow-batch map (centroids + codebooks
+    broadcast), no shuffle.  Index cost: 4 + m bytes/vector."""
+    m, ksub, dsub = codebooks.shape
+
+    def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        cent, books = side
+        if len(pdf) == 0:
+            return None
+        mat = _norm_rows(_matrix(pdf[vec_col]))
+        cells = np.argmax(mat @ cent.T, axis=1)
+        resid = mat - cent[cells]
+        codes = np.empty((len(pdf), m), dtype=np.int32)
+        for j in range(m):
+            sub = resid[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cells.astype(np.int32),
+                "codes": list(codes),
+            }
+        )
+
+    return stream(
+        df.select(id_col, vec_col),
+        encode,
+        f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
+        side_input=(centroids, codebooks),
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via the composed IVF-PQ index — the standard
+    billion-scale ANN deployment: a coarse quantizer prunes the search
+    to ``nprobe`` of ``n_cells`` inverted cells, residual PQ codes give
+    each candidate an O(m)-lookup approximate score (ADC), and the top
+    ``rerank`` pool per query is re-scored exactly.
+
+    The inner-product algebra makes the composition cheap: with v ≈
+    c_cell + r_v,  q·v = q·c_cell + q·r_v — so ONE (m × ksub) residual
+    LUT per query serves every probed cell, and the cell's contribution
+    is a per-(query, cell) scalar added at scoring time.  Residual
+    encoding is why IVF-PQ beats plain PQ at equal (m, ksub): the
+    codebooks only have to cover centroid-local offsets.
+
+    Physical plan: encode is a shuffle-free Arrow map; scoring is a
+    partition-parallel scan that masks to probed cells in-map (on a
+    cell-PARTITIONED index layout the mask becomes partition pruning —
+    same operator, the layout choice is orthogonal, cf.
+    layout_zorder_write); the only shuffles are the O(Q·rerank·
+    partitions) candidate window and the exact-rerank join.  Queries
+    collect driver-side under the same bounded-queries contract as
+    cosine_topk/pq_topk."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
+    )
+    books = ivfpq_residual_codebooks(vectors, cent, dim, m, ksub, vec_col=vec_col)
+    enc = ivfpq_encode(vectors, cent, books, vec_col=vec_col)
+
+    q_rows = queries.select("vec_id", vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
+    dsub = dim // m
+    qc = q_mat @ cent.T  # (Q, n_cells): the q·c_cell scalar terms
+    p = min(nprobe, cent.shape[0])
+    probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]  # (Q, p)
+    luts = np.einsum("qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), books)
+
+    def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        qids, qc_terms, probe_sets, tables, topr = side
+        if len(pdf) == 0:
+            return None
+        codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
+        cells = pdf["cell"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        cols = np.arange(codes.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cells, probe_sets[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            sims = (
+                tables[qi][cols, codes[mask]].sum(axis=1)
+                + qc_terms[qi][cells[mask]]
+            )
+            ids_m = ids[mask]
+            r = min(topr, len(ids_m))
+            top = np.argpartition(-sims, r - 1)[:r]
+            out_q.extend([qid] * r)
+            out_v.extend(ids_m[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
+        )
+
+    partial = stream(
+        ensure_parallelism(enc),
+        adc_score,
+        "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE",
+        side_input=(q_ids, qc, probed, luts, rerank),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("vec_id")
+    )
+    cand = (
+        partial.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    return _topk_on_candidates(cand, queries, vectors, k, vec_col)

@@ -808,15 +808,33 @@ def q_event_funnel(spark, sf_dir):
     runs 14.8 s vs 10.8 s for the codegen'd three-pass — the HOF fold
     is interpreted per element, and on a single box shuffles are
     memory-cheap, so CPU wins locally.  The fold's 3× shuffle saving
-    is the cluster argument, where exchange is network-bound; pick the
-    formulation per deployment (both are in the suite: this query and
-    the oracle's shape via q_event_funnel's own SQL)."""
+    is the cluster argument, where exchange is network-bound; the
+    choice is exposed as ``funnel_counts(formulation=...)`` defaulting
+    to the shuffle-light fold, with oracle-equality of both
+    formulations pinned in tests/test_operators.py::
+    test_funnel_formulations_agree."""
     return funnel_counts(events_table(spark, sf_dir))
 
 
-def funnel_counts(ev):
-    """Single-shuffle ordered-funnel core (see q_event_funnel); takes
-    any frame with (user_id, ts, event_type)."""
+def funnel_counts(ev, formulation: str = "fold"):
+    """Ordered-funnel core (see q_event_funnel); takes any frame with
+    (user_id, ts, event_type).
+
+    ``formulation`` picks the physical strategy — the semantics are
+    identical (tested equal):
+
+    - ``"fold"`` (default): ONE shuffle of the fact; per-user events
+      collapse to a sorted array and the stage logic is an interpreted
+      HOF fold.  Wins on network-bound clusters (3× less exchange).
+    - ``"three_pass"``: the oracle's relational shape — three
+      filter+join+agg passes, each a codegen'd shuffle.  Wins on
+      CPU-bound deployments (measured 1.4× faster on local[32] at 10M
+      events) at 3× the shuffle volume.
+    """
+    if formulation == "three_pass":
+        return _funnel_counts_three_pass(ev)
+    if formulation != "fold":
+        raise ValueError(f"funnel_counts: unknown formulation {formulation!r}")
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
@@ -841,6 +859,40 @@ def funnel_counts(ev):
         F.count("f.t1").alias("n_view"),
         F.count("f.t2").alias("n_view_click"),
         F.count("f.t3").alias("n_full_funnel"),
+    )
+
+
+def _funnel_counts_three_pass(ev):
+    """The relational funnel formulation: each stage filters its event
+    type, joins the previous stage's first-timestamp, and keeps the
+    earliest qualifying event — three codegen'd shuffles of the fact.
+    Stage frames are user-keyed aggregates (small sides): Spark
+    broadcasts them into the fact scans, so each pass is scan + bcast
+    join + partial agg, never a fact-fact shuffle join."""
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        ev.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
 
 
