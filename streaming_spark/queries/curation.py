@@ -504,30 +504,42 @@ def text_decontaminate(spark, sf_dir):
     return decontaminate_flags(docs, F.col("doc_id") % 97 == 0)
 
 
-def decontaminate_flags(docs, bench_pred, n: int = 5):
-    """Decontamination core (see text_decontaminate): flag docs sharing
-    any word ``n``-gram with the slice selected by ``bench_pred``."""
+def _grams_of(side, n: int = 5):
+    """Word n-gram frame (doc_id, grams) — filter callers filter BEFORE
+    this NGram transform: the Scala UDF blocks predicate pushdown, so
+    filtering the transformed frame would build grams for both sides
+    twice."""
     from streaming_spark.operators.text import tokens_col, with_word_ngrams
 
-    def grams_of(side):
-        # filter BEFORE the NGram transform — the Scala UDF blocks
-        # predicate pushdown, so filtering the transformed frame would
-        # build grams for both sides twice
-        return with_word_ngrams(
-            side.select("doc_id", tokens_col("text").alias("toks")),
-            "toks",
-            n,
-            "grams",
-        ).select("doc_id", "grams")
+    return with_word_ngrams(
+        side.select("doc_id", tokens_col("text").alias("toks")),
+        "toks",
+        n,
+        "grams",
+    ).select("doc_id", "grams")
 
-    bench_grams = (
-        grams_of(docs.filter(bench_pred))
+
+def benchmark_grams(bench_docs, n: int = 5):
+    """Distinct word ``n``-gram set of a benchmark slice — the small
+    broadcast side of every decontamination probe (eval suites are
+    megabytes against a 100 TB corpus)."""
+    return (
+        _grams_of(bench_docs, n)
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    corpus = docs.filter(~bench_pred)
+
+
+def decontaminate_against(corpus, bench_grams, n: int = 5):
+    """Flag ``corpus`` docs sharing any word ``n``-gram with the
+    prebuilt ``bench_grams`` set (see :func:`benchmark_grams`).  The
+    per-doc flags depend only on the doc and the static benchmark set —
+    which is what makes the operator INCREMENTAL: any partition of the
+    corpus (a micro-batch, an ingest delta) can be flagged
+    independently and the union equals the whole-corpus run
+    (q_streaming_decontaminate exercises exactly that)."""
     hits = (
-        grams_of(corpus)
+        _grams_of(corpus, n)
         .select("doc_id", F.explode("grams").alias("gram"))
         .join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
@@ -542,6 +554,14 @@ def decontaminate_flags(docs, bench_pred, n: int = 5):
             F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0).cast("long")) > 0).alias("contaminated"),
         )
+    )
+
+
+def decontaminate_flags(docs, bench_pred, n: int = 5):
+    """Decontamination core (see text_decontaminate): flag docs sharing
+    any word ``n``-gram with the slice selected by ``bench_pred``."""
+    return decontaminate_against(
+        docs.filter(~bench_pred), benchmark_grams(docs.filter(bench_pred), n), n
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streaming_spark.queries.registry import events_table, query
+from streaming_spark.queries.registry import T, events_table, query
 
 
 @query(
@@ -257,6 +257,29 @@ def _stage_stream_dir(
         path = os.path.join(stream_dir, f"part-{n_files}.parquet")
         pq.write_table(one, path)
         os.utime(path, (base + n_files, base + n_files))
+    return stream_dir
+
+
+def _stage_docs_stream_dir(sf_dir: str, n_files: int = 3) -> str:
+    """Re-materialize the documents table as ``n_files`` mtime-ordered
+    part files — the finite stand-in for a document-ingest stream (same
+    mechanism as :func:`_stage_stream_dir` for events)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from streaming_spark.io import table_path
+
+    stream_dir = tempfile.mkdtemp(prefix="spark_graft_docstream_")
+    table = pq.read_table(table_path(sf_dir, "documents"))
+    step = (table.num_rows + n_files - 1) // n_files
+    base = int(_time.time()) - 1000
+    for i in range(n_files):
+        path = os.path.join(stream_dir, f"part-{i}.parquet")
+        pq.write_table(table.slice(i * step, step), path)
+        os.utime(path, (base + i, base + i))
     return stream_dir
 
 
@@ -1042,4 +1065,101 @@ def q_streaming_incremental_rollup(spark, sf_dir):
     return partials.groupBy("event_type", "bucket").agg(
         F.sum("n").alias("n_events"),
         F.round(F.sum("s"), 4).alias("sum_value"),
+    )
+
+
+@query(
+    "q_streaming_decontaminate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' ')) AS grams
+      FROM t),
+    b AS (
+      SELECT DISTINCT gram
+      FROM g, UNNEST(grams) AS u(gram)
+      WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT gram) AS n_hits
+      FROM g, UNNEST(grams) AS u(gram)
+      WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)
+      GROUP BY g.doc_id)
+    SELECT g.doc_id, g.source,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(hits.n_hits, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits USING (doc_id)
+    WHERE g.doc_id % 97 <> 0
+    """,
+)
+def q_streaming_decontaminate(spark, sf_dir):
+    """Streaming decontamination: documents arrive as an ingest stream
+    (one micro-batch per staged file) and each batch is flagged against
+    the STATIC benchmark 5-gram set via foreachBatch, landing flags in
+    a batch-keyed parquet sink (idempotent overwrite, rerun-safe).  The
+    union over batches equals the whole-corpus `text_decontaminate`
+    EXACTLY — same DuckDB oracle — because per-doc flags depend only on
+    the doc and the benchmark set (decontaminate_against's incremental
+    contract).
+
+    This is the continuous-ingest curation path at scale: the eval-suite
+    gram set is built once and broadcast into every batch (megabytes
+    against an unbounded corpus); each batch pays one narrow gram
+    generation + broadcast probe + per-doc aggregate; raw text never
+    shuffles and never accumulates in state — sink growth is O(docs
+    flagged per batch)."""
+    import tempfile
+
+    from streaming_spark.queries.curation import (
+        benchmark_grams,
+        decontaminate_against,
+    )
+
+    docs_static = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench = benchmark_grams(
+        docs_static.filter(F.col("doc_id") % 97 == 0)
+    ).persist()
+    bench.count()  # materialize once; every micro-batch reuses it
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_decon_") + "/t"
+    stream_docs = (
+        spark.readStream.schema(docs_static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir))
+    )
+
+    def flag_batch(batch_df, batch_id):
+        corpus = batch_df.filter(F.col("doc_id") % 97 != 0)
+        (
+            decontaminate_against(corpus, bench)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(flag_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q_streaming_decontaminate did not finish within 300s"
+            )
+    finally:
+        bench.unpersist()
+    return spark.read.parquet(sink_dir).select(
+        "doc_id", "source", "n_hits", "contaminated"
     )
