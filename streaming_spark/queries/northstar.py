@@ -1011,3 +1011,48 @@ def ann_recall_ivfpq(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query("text_bpe_train")  # rows-only: the merge list is the fixed point
+# of an iterative count-merge-recount loop — not SQL-expressible; the
+# determinism / roundtrip / compression-monotonicity contracts are in
+# tests/test_operators.py::test_bpe_*
+def text_bpe_train(spark, sf_dir):
+    """REAL BPE tokenizer training over the corpus (upgrade of the
+    `text_bpe_token_count` stand-in): the learned merge table, in rank
+    order, plus the word-mass coverage of the driver-side cap.
+
+    Scale shape (operators/bpe.py): merges never cross word boundaries,
+    so the word-frequency table is a SUFFICIENT STATISTIC for whole-
+    corpus training — the corpus-sized work is one word-count shuffle
+    whose output (distinct words) grows sublinearly; merge learning
+    runs driver-side on that bounded table, exact whenever it fits the
+    `max_words` cap (coverage = 1.0), with the dropped token mass
+    reported — never silent — when it doesn't."""
+    from streaming_spark.operators.bpe import bpe_train
+
+    docs = T(spark, sf_dir, "documents")
+    merges, coverage = bpe_train(docs, n_merges=200, max_words=50_000)
+    rows = [
+        (i, a, b, a + b, round(coverage, 4))
+        for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank BIGINT, left STRING, right STRING, merged STRING,"
+        " train_coverage DOUBLE",
+    )
+
+
+@query("text_bpe_encode_stats")  # rows-only: token counts depend on the
+# learned merge list (same iterative closure as text_bpe_train)
+def text_bpe_encode_stats(spark, sf_dir):
+    """Per-document statistics under the trained BPE vocabulary: real
+    subword token count, distinct pieces used, word-character mass.
+    Encoding is a shuffle-free Arrow map with the merge ranks broadcast
+    and per-batch memoization over distinct words (operators/bpe.py)."""
+    from streaming_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = T(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=200, max_words=50_000)
+    return bpe_encode_counts(docs, merges)

@@ -505,3 +505,74 @@ def test_funnel_formulations_agree(spark):
     fold = funnel_counts(ev, formulation="fold").collect()[0].asDict()
     three = funnel_counts(ev, formulation="three_pass").collect()[0].asDict()
     assert fold == three, (fold, three)
+
+
+def _bpe_docs(spark):
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new newer"),
+        (2, "low new lowest newest"),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_bpe_train_deterministic_and_known_merge(spark):
+    """Training twice gives identical merges, and the most frequent
+    pair of the toy corpus ('l','o' / 'o','w' family) merges first —
+    the Sennrich fixed point is a pure function of word counts."""
+    from streaming_spark.operators.bpe import bpe_train
+
+    docs = _bpe_docs(spark)
+    m1, cov1 = bpe_train(docs, n_merges=10, max_words=100)
+    m2, cov2 = bpe_train(docs, n_merges=10, max_words=100)
+    assert m1 == m2 and cov1 == cov2 == 1.0
+    # hand-computed: six pairs tie at count 7 ((l,o),(o,w),(w,</w>),
+    # (n,e),(e,w),(w,e)); the deterministic tie-break (lexicographically
+    # largest) picks (w,e) first
+    assert m1[0] == ("w", "e"), m1[:3]
+    # the (l,o)/(o,w) family must appear among the early merges
+    assert ("l", "o") in m1[:6], m1
+
+
+def test_bpe_encode_roundtrip_and_char_base(spark):
+    """Every word's encoded pieces concatenate back to word + </w>
+    (lossless), and with ZERO merges encoding is exactly
+    character-level (chars + end marker)."""
+    from streaming_spark.operators.bpe import _encode_word, bpe_train
+
+    docs = _bpe_docs(spark)
+    merges, _ = bpe_train(docs, n_merges=10, max_words=100)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("low", "lowest", "newer", "unseen"):
+        pieces = _encode_word(w, ranks)
+        assert "".join(pieces) == w + "</w>"
+    assert _encode_word("low", {}) == ["l", "o", "w", "</w>"]
+
+
+def test_bpe_compression_monotone_in_merges(spark):
+    """More merges never increase the corpus token count — the
+    compression-vs-vocab-size contract a tokenizer deployment reads."""
+    from streaming_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = _bpe_docs(spark)
+    totals = []
+    for n in (0, 5, 20):
+        merges, _ = bpe_train(docs, n_merges=n, max_words=100)
+        total = (
+            bpe_encode_counts(docs, merges)
+            .agg(F.sum("n_bpe_tokens").alias("t"))
+            .collect()[0]["t"]
+        )
+        totals.append(total)
+    assert totals == sorted(totals, reverse=True), totals
+
+
+def test_bpe_max_words_cap_reports_coverage(spark):
+    """The driver-side cap is observable: capping to 2 words reports
+    the retained token-mass fraction < 1, never silently."""
+    from streaming_spark.operators.bpe import bpe_train
+
+    docs = _bpe_docs(spark)
+    _, cov = bpe_train(docs, n_merges=3, max_words=2)
+    assert 0 < cov < 1
