@@ -1,0 +1,90 @@
+"""Fuzzy string matching: blocked edit-distance self-join.
+
+The entity-resolution primitive (name/title matching across records) as
+a candidate-generation + exact-verify pipeline, like every near-dup
+family in the engine (MinHash, SimHash, LSH):
+
+- **Blocking** by SYMMETRIC DELETION (the SymSpell scheme): two strings
+  within Levenshtein distance d always share a common string obtainable
+  by deleting ≤ d characters from each (substitution = one delete on
+  each side; insert/delete = a delete on the longer side).  Generating
+  every ≤ d-deletion variant and hash-joining on the variant is
+  therefore SOUND — no false negatives — unlike prefix or phonetic
+  blocking.
+- **Verification** is exact JVM-side ``levenshtein`` on candidate pairs
+  only.
+
+Scale shape: variant expansion is O(len^d) per row (len+1 variants at
+d=1), candidates are ONE shuffle keyed by variant, and the raw strings
+join back only for the per-candidate verify.  Hot variants (very common
+short substrings) fan out quadratically within their bucket — the same
+hot-bucket failure mode as LSH bands; cap or pre-aggregate by variant
+frequency when deploying against short-string columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col, max_dist: int = 1):
+    """Array of all strings reachable by deleting ≤ ``max_dist`` chars
+    (including the string itself).  Implemented with HOF transforms —
+    per-element string building runs interpreted (CLAUDE.md quirk), but
+    the expansion is one pass over len+1 elements per row, measured
+    fine at fixture scale; for d=2 the same expression composes one
+    more deletion level."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def drop_one(s):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1, F.length(s))
+            ),
+        )
+
+    base = F.array(c)
+    if max_dist == 0:
+        return base
+    one = drop_one(c)
+    if max_dist == 1:
+        return F.array_distinct(F.concat(base, one))
+    if max_dist == 2:
+        two = F.flatten(F.transform(one, drop_one))
+        return F.array_distinct(F.concat(base, one, two))
+    raise ValueError("deletion_variants supports max_dist <= 2")
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All unordered pairs of rows whose ``col`` strings are within
+    Levenshtein distance ``max_dist`` — (id_a, id_b, dist), id_a < id_b.
+    Symmetric-deletion blocking + exact verify (module docstring)."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__s"))
+    variants = base.select(
+        "__id", F.explode(deletion_variants("__s", max_dist)).alias("__v")
+    )
+    cand = (
+        variants.alias("a")
+        .join(variants.alias("b"), "__v")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

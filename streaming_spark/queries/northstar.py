@@ -1056,3 +1056,27 @@ def text_bpe_encode_stats(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, n_merges=200, max_words=50_000)
     return bpe_encode_counts(docs, merges)
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy entity matching: all customer-name pairs within Levenshtein
+    distance 1 — the record-linkage primitive (near-identical names from
+    typos / transcription).  The oracle is the exact O(n²) cross join;
+    the engine blocks by SYMMETRIC DELETION (SymSpell): strings within
+    distance d share a ≤ d-deletion variant, so candidates come from ONE
+    variant-keyed shuffle (len+1 variants/row at d=1) and only
+    candidates pay the exact levenshtein verify — no all-pairs stage
+    anywhere (operators/fuzzy.py)."""
+    from streaming_spark.operators.fuzzy import fuzzy_self_pairs
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)

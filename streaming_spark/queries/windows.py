@@ -1163,3 +1163,88 @@ def q_streaming_decontaminate(spark, sf_dir):
     return spark.read.parquet(sink_dir).select(
         "doc_id", "source", "n_hits", "contaminated"
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to,
+           round(value, 4) AS value,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type 2 from a change log: each user's
+    events become versioned rows with [valid_from, valid_to) intervals
+    — valid_to is the NEXT change's timestamp (NULL = current version).
+    The warehouse pattern every CDC ingest lands into, and the
+    point-in-time source q_asof_join queries against.
+
+    Scale: ONE shuffle (hash on user_id) and a per-key sort for the
+    lead() — the window is keyed, never global, so the plan is the same
+    at 100 TB; rebuilding only changed keys is the incremental variant
+    (join against the CDC batch's distinct keys first)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events_table(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("valid_to"),
+        F.round("value", 4).alias("value"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_hist >= 5 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-key streaming-style anomaly detection: each event's value
+    scored against its OWN user's trailing-20 window (current row
+    excluded — no self-contamination), flagged when |z| > 2.5 with at
+    least 5 history rows.  The per-key keyed window means one hash
+    shuffle + per-key sort — the same plan at any scale; the history
+    width bounds state exactly like a stream's sliding window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    ev = events_table(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.filter(
+            (F.col("n_hist") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2.5)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
