@@ -1248,3 +1248,102 @@ def q_anomaly_zscore(spark, sf_dir):
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "q_streaming_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup_watermark(spark, sf_dir):
+    """Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    holds each key only until the event-time watermark passes its
+    lateness budget, instead of forever (q_streaming_dedup's
+    `dropDuplicates` keeps every key for the life of the stream — the
+    state-growth failure mode this operator exists to fix).
+
+    Oracle-equality with global DISTINCT holds here because the delay
+    budget (31 days) exceeds the fixture's whole event-time span, so no
+    key expires while duplicates can still arrive; production picks the
+    real dedup horizon and trades state for it.  Same plan unbounded."""
+    from streaming_spark.streaming import read_events_stream
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory_sink(
+        deduped, "q_streaming_dedup_wm_sink", "append"
+    )
+
+
+@query(
+    "q_streaming_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_streaming_static_join(spark, sf_dir):
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins the STATIC customer dimension (re-planned per batch —
+    dimension updates between batches are picked up automatically),
+    then rolls up per market segment via foreachBatch into batch-keyed
+    partial aggregates (idempotent, compacted at read — the same
+    exactly-once sink pattern as q_streaming_incremental_rollup).
+
+    Scale: the dimension side broadcasts into every micro-batch (no
+    stream-side shuffle for the join, no join state at all — unlike a
+    stream-stream join there is nothing to evict); the only exchange is
+    the per-batch segment aggregate, O(segments) rows."""
+    import tempfile
+
+    from streaming_spark.streaming import read_events_stream
+
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_ssj_") + "/t"
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id").select(
+        "c_mktsegment", "value"
+    )
+
+    def land(batch_df, batch_id):
+        (
+            batch_df.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        enriched.writeStream.foreachBatch(land)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_static_join did not finish within 300s")
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 4).alias("sum_value"),
+        )
+    )
