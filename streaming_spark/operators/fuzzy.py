@@ -62,14 +62,30 @@ def fuzzy_self_pairs(
     col: str,
     id_col: str,
     max_dist: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All unordered pairs of rows whose ``col`` strings are within
     Levenshtein distance ``max_dist`` — (id_a, id_b, dist), id_a < id_b.
-    Symmetric-deletion blocking + exact verify (module docstring)."""
+    Symmetric-deletion blocking + exact verify (module docstring).
+
+    ``max_bucket`` caps the per-variant bucket size (the LSH-band
+    analog): a variant shared by more than ``max_bucket`` rows is
+    DROPPED before pair expansion, trading recall for a hard quadratic
+    bound — a pair is only lost if EVERY shared variant is hot, and the
+    loss is observable (compare against an uncapped run on a sample).
+    Default None = exact (the oracle-checked configuration); set it
+    when deploying against short/low-entropy string columns."""
     base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__s"))
     variants = base.select(
         "__id", F.explode(deletion_variants("__s", max_dist)).alias("__v")
     )
+    if max_bucket is not None:
+        sizes = variants.groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
+        variants = (
+            variants.join(sizes, "__v")
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
     cand = (
         variants.alias("a")
         .join(variants.alias("b"), "__v")

@@ -1080,3 +1080,42 @@ def q_fuzzy_name_pairs(spark, sf_dir):
 
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)
+
+
+@query("text_bpe_tradeoff")  # rows-only: depends on the learned merge
+# list; the monotone compression contract is asserted in
+# tests/test_operators.py::test_bpe_tradeoff_monotone
+def text_bpe_tradeoff(spark, sf_dir):
+    """Compression-vs-vocabulary-size curve for the BPE tokenizer:
+    corpus token count and chars-per-token at merge budgets 0/25/50/
+    100/200 — the artifact a tokenizer deployment reads to pick its
+    vocab size (the ann_tradeoff_curve analog for text).
+
+    ONE training run at the largest budget serves the whole sweep: BPE
+    merge learning is prefix-incremental by construction (merge k is
+    chosen from the state after merges 1..k-1), so ``merges[:n]`` IS
+    the n-merge tokenizer.  Each budget then pays one shuffle-free
+    distributed encode."""
+    from streaming_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = T(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=200, max_words=50_000)
+    curves = []
+    for n in (0, 25, 50, 100, 200):
+        stats = bpe_encode_counts(docs, merges[:n]).agg(
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+            F.sum("n_word_chars").alias("total_chars"),
+        )
+        curves.append(
+            stats.select(
+                F.lit(n).alias("n_merges"),
+                "total_tokens",
+                F.round(
+                    F.col("total_chars") / F.col("total_tokens"), 4
+                ).alias("chars_per_token"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out

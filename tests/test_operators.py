@@ -611,3 +611,42 @@ def test_fuzzy_pairs_known_distances(spark):
             for a in names for b in names
             if a < b and lev(names[a], names[b]) <= 2}
     assert got2 == want
+
+
+def test_bpe_tradeoff_monotone(spark):
+    """Token count non-increasing (chars-per-token non-decreasing) in
+    the merge budget, and the zero-merge endpoint is exact character
+    tokenization — pinning both ends of the curve."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        REGISTRY["text_bpe_tradeoff"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["n_merges"],
+    )
+    tokens = [r["total_tokens"] for r in rows]
+    assert tokens == sorted(tokens, reverse=True), tokens
+    cpt = [r["chars_per_token"] for r in rows]
+    assert cpt == sorted(cpt), cpt
+    # 0 merges: every word is chars + </w> marker → tokens > chars
+    assert rows[0]["chars_per_token"] < 1.0
+
+
+def test_fuzzy_bucket_cap_observable(spark):
+    """The hot-variant cap bounds pair expansion and its recall loss is
+    observable: with a tiny cap some true pairs disappear (never
+    silently more pairs), and the surviving pairs are a subset of the
+    exact result."""
+    from streaming_spark.operators.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [(i, "aa" + str(i % 3)) for i in range(9)] + [(100, "zzzz9"), (101, "zzzz8")],
+        "id BIGINT, name STRING",
+    )
+    exact = {(r.id_a, r.id_b)
+             for r in fuzzy_self_pairs(df, "name", "id", 1).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in fuzzy_self_pairs(df, "name", "id", 1, max_bucket=2).collect()}
+    assert capped <= exact
+    assert (100, 101) in capped  # cold buckets survive the cap
+    assert len(capped) < len(exact)  # hot 'aa*' family got dropped
