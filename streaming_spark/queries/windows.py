@@ -1347,3 +1347,59 @@ def q_streaming_static_join(spark, sf_dir):
             F.round(F.sum("s"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_streaming_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def q_streaming_funnel(spark, sf_dir):
+    """The ordered conversion funnel as a REAL streaming run: per-user
+    (t1, t2, t3) stage state carried across micro-batches by
+    ``stateful_funnel_stages`` (applyInPandasWithState, O(1) state per
+    key), each batch emitting the key's post-batch state; the final
+    state per user is its max-``n_seen`` row, and the corpus-wide stage
+    counts over those EXACTLY match the batch fold / the oracle's
+    three-pass SQL (same oracle as q_event_funnel).
+
+    This upgrades q_event_funnel to continuous operation: a live funnel
+    dashboard reads the sink's latest row per user instead of re-folding
+    history — per-batch cost is the arriving events, not the corpus.
+    Order contract: per-key in-order arrival (file stage is ts-sorted),
+    as for q_streaming_rolling_mean."""
+    from streaming_spark.streaming.core import stateful_funnel_stages
+
+    from streaming_spark.streaming import read_events_stream
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    staged = stateful_funnel_stages(ev)
+    result = _run_to_memory_sink(staged, "q_streaming_funnel_sink", "append")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    final = (
+        result.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1_us").alias("n_view"),
+        F.count("t2_us").alias("n_view_click"),
+        F.count("t3_us").alias("n_full_funnel"),
+    )

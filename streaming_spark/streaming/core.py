@@ -155,6 +155,80 @@ def stateful_rolling_mean(
     )
 
 
+def stateful_funnel_stages(
+    events: DataFrame,
+    key_col: str = "user_id",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Per-key ordered-funnel state carried ACROSS micro-batches: the
+    streaming twin of the batch fold in queries/windows.py
+    ``funnel_counts`` — t1 = first stage-1 event, t2 = first stage-2
+    event strictly after t1, t3 = first stage-3 event strictly after
+    t2, updated incrementally as batches arrive (state: three optional
+    µs timestamps + an event counter per key — bounded, O(1)/key).
+
+    Emits one row per (key, batch) with the key's post-batch state and
+    its cumulative event count ``n_seen``; the caller keeps each key's
+    max-``n_seen`` row for the final state (windows.py
+    q_streaming_funnel) and aggregates.  Correctness requires per-key
+    in-order arrival across batches — the fixture files are staged in
+    event-time order, the same contract as ``stateful_rolling_mean``."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("t1_us", LongType()),
+            StructField("t2_us", LongType()),
+            StructField("t3_us", LongType()),
+        ]
+    )
+    state_schema = "s STRING"
+    s1, s2, s3 = stages
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        n_seen, t1, t2, t3 = (
+            json.loads(state.get[0]) if state.exists else (0, None, None, None)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64")  # datetime64[us] → µs
+            for t, et in zip(ts_us, pdf["event_type"]):
+                t = int(t)
+                if t1 is None and et == s1:
+                    t1 = t
+                elif t2 is None and t1 is not None and et == s2 and t > t1:
+                    t2 = t
+                elif t3 is None and t2 is not None and et == s3 and t > t2:
+                    t3 = t
+            n_seen += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [n_seen],
+                    "t1_us": [t1],
+                    "t2_us": [t2],
+                    "t3_us": [t3],
+                }
+            )
+        state.update((json.dumps([n_seen, t1, t2, t3]),))
+
+    return (
+        events.select(key_col, "event_id", "ts", "event_type")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -286,3 +286,39 @@ def test_events_ts_is_watermark_compatible(spark, events_dir):
     assert dict(stream_ev.dtypes)["ts"] == "timestamp"
     # must not raise EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
     stream_ev.withWatermark("ts", "1 hour")
+
+
+def test_streaming_funnel_state_carries_across_batches(spark, events_dir):
+    """The funnel state must genuinely span micro-batches: users emit
+    one row per batch they appear in (several batches → several rows),
+    the cumulative n_seen is strictly increasing, and stage timestamps
+    never regress (monotone state)."""
+    import os
+    import tempfile
+
+    from streaming_spark.streaming import read_events_stream
+    from streaming_spark.streaming.core import stateful_funnel_stages
+
+    stream_ev = read_events_stream(spark, events_dir)
+    staged = stateful_funnel_stages(stream_ev)
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            staged.writeStream.format("memory")
+            .queryName("funnel_carry_sink")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("funnel_carry_sink").toPandas()
+
+    multi = got.groupby("user_id").size()
+    assert (multi > 1).any()  # state crossed at least one batch boundary
+    for _, g in got.groupby("user_id"):
+        g = g.sort_values("n_seen")
+        assert g["n_seen"].is_monotonic_increasing
+        for col in ("t1_us", "t2_us", "t3_us"):
+            vals = g[col].dropna()
+            # once set, a stage timestamp never changes
+            assert vals.nunique() <= 1
