@@ -650,3 +650,83 @@ def test_fuzzy_bucket_cap_observable(spark):
     assert capped <= exact
     assert (100, 101) in capped  # cold buckets survive the cap
     assert len(capped) < len(exact)  # hot 'aa*' family got dropped
+
+
+def test_ivfpq_residuals_win_on_clustered_corpus(spark):
+    """The fixture's uniform embeddings hide the residual-PQ advantage
+    (documented in ann_topk_ivfpq); this pins the advantage itself on a
+    CLUSTERED corpus — 8 tight clusters, where residuals concentrate
+    near the centroids: residual codebooks must reconstruct better than
+    plain-PQ codebooks, and IVF-PQ recall must match-or-beat plain PQ
+    at the same (m, ksub, rerank) while scanning a QUARTER of the codes
+    (nprobe=2 of 8, measured 1.0 vs 1.0 at rerank=64 — pruning is free
+    on clustered data because each query's neighbors live in its own
+    cell)."""
+    from streaming_spark.operators.similarity import (
+        _matrix,
+        _norm_rows,
+        cosine_topk,
+        ivf_centroids,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = _norm_rows(rng.standard_normal((8, 64)))
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + 0.08 * rng.standard_normal(64)
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(4)
+    queries = df.filter(F.col("vec_id") < 8)
+
+    # reconstruction: residual books beat plain books on clustered data
+    cent = ivf_centroids(df, 64, 8)
+    rbooks = ivfpq_residual_codebooks(df, cent, 64, m=16, ksub=16)
+    pbooks = pq_codebooks(df, 64, m=16, ksub=16)
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+    cells = np.argmax(mat @ cent.T, axis=1)
+    resid = mat - cent[cells]
+
+    def recon_err(books, data, add):
+        m, ksub, dsub = books.shape
+        out = np.empty_like(mat)
+        for j in range(m):
+            sub = data[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j * dsub : (j + 1) * dsub] = books[j][np.argmin(d2, axis=1)]
+        return np.linalg.norm(out + add - mat, axis=1).mean()
+
+    err_resid = recon_err(rbooks, resid, cent[cells])
+    err_plain = recon_err(pbooks, mat, 0.0)
+    assert err_resid < err_plain, (err_resid, err_plain)
+
+    # recall: IVF-PQ at a quarter of the scan >= plain PQ at full scan
+    exact = set(
+        map(
+            tuple,
+            cosine_topk(df, queries, k=5)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+
+    def recall(out):
+        got = set(
+            map(tuple, out.select("query_id", "neighbor_id").collect())
+        )
+        return len(exact & got) / len(exact)
+
+    r_ivfpq = recall(
+        ivfpq_topk(
+            df, queries, dim=64, k=5, n_cells=8, nprobe=2, m=16, ksub=16,
+            rerank=64, centroids=cent,
+        )
+    )
+    r_pq = recall(pq_topk(df, queries, dim=64, k=5, m=16, ksub=16, rerank=64))
+    assert r_ivfpq >= r_pq - 1e-9, (r_ivfpq, r_pq)
+    assert r_ivfpq >= 0.95, r_ivfpq
