@@ -322,3 +322,28 @@ def test_streaming_funnel_state_carries_across_batches(spark, events_dir):
             vals = g[col].dropna()
             # once set, a stage timestamp never changes
             assert vals.nunique() <= 1
+
+
+def test_normalize_events_ts_all_encodings(spark):
+    """normalize_events_ts must map every encoding the fixture can
+    arrive in — bigint nanos (Spark <= 4.0 nanosAsLong), timestamp_ntz
+    (Spark >= 4.1 native), plain timestamp (already normalized) — to
+    the same watermark-compatible timestamp values."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from streaming_spark.io import normalize_events_ts
+
+    want = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    nanos = int(want.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
+
+    as_bigint = spark.createDataFrame([(nanos,)], "ts BIGINT")
+    as_ntz = spark.createDataFrame([(want,)], "ts TIMESTAMP_NTZ")
+    as_ts = spark.createDataFrame([(want,)], "ts TIMESTAMP")
+    got = set()
+    for df in (as_bigint, as_ntz, as_ts):
+        out = normalize_events_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp", df.dtypes
+        got.add(out.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).first()[0])
+    assert got == {"2024-03-01 12:30:45.123456"}, got
