@@ -363,3 +363,60 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> DataFrame:
+    """Small-files compaction — the table-maintenance operator every
+    long-running ingest needs: micro-batch sinks and per-batch
+    partitions (q_streaming_sink_parquet, incremental rollups) leave
+    thousands of small files whose per-file open/footer cost eventually
+    dominates scans.  Rewrites ``src_dir`` into ceil(total/target)
+    files at ``dst_dir`` and returns a one-row stats frame
+    (files/bytes before and after, achieved mean file size).
+
+    ``shuffle=False`` (default) uses coalesce — no exchange, adjacent
+    partitions concatenate, file sizes approximate the target (right
+    for maintenance passes).  ``shuffle=True`` uses a round-robin
+    repartition — one full exchange buying near-uniform output sizes
+    (right when the source is skewed or downstream wants balanced
+    splits).  Sizing reads the filesystem listing, not the data.
+
+    At deployment this runs per table partition (compact yesterday's
+    partition after the day closes), so the rewrite unit stays bounded
+    regardless of table size."""
+    import math
+    import os
+
+    def dir_stats(d):
+        sizes = []
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    sizes.append(os.path.getsize(os.path.join(root, n)))
+        return len(sizes), sum(sizes)
+
+    files_before, bytes_total = dir_stats(src_dir)
+    n_out = max(1, math.ceil(bytes_total / target_bytes))
+    df = spark.read.parquet(src_dir)
+    writer = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    writer.write.mode("overwrite").parquet(dst_dir)
+    files_after, bytes_after = dir_stats(dst_dir)
+    return spark.createDataFrame(
+        [
+            (
+                files_before,
+                files_after,
+                bytes_total,
+                bytes_after,
+                int(bytes_after / max(files_after, 1)),
+            )
+        ],
+        "files_before BIGINT, files_after BIGINT, bytes_before BIGINT,"
+        " bytes_after BIGINT, mean_file_bytes BIGINT",
+    )

@@ -814,3 +814,26 @@ def sample_temperature_mix(spark, sf_dir):
             F.first("quota").alias("quota"),
         )
     )
+
+
+@query("layout_compact")  # rows-only: file counts/bytes depend on
+# parquet encoding internals; row preservation + file-count reduction
+# are pinned in tests/test_curation.py::test_compact_files_reduces_file_count
+def layout_compact(spark, sf_dir):
+    """Small-files compaction as a registered maintenance pass: the
+    documents table is staged as 24 undersized files (the shape a
+    micro-batch sink leaves behind), compacted to ~256 KiB targets, and
+    the one-row stats frame reports files/bytes before and after — the
+    observability a table-maintenance job emits.  coalesce path (no
+    exchange); see operators/curation.py compact_files for the
+    shuffle=True variant and the per-partition deployment note."""
+    import tempfile
+
+    from streaming_spark.operators.curation import compact_files
+
+    base = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    src, dst = base + "/small", base + "/compacted"
+    T(spark, sf_dir, "documents").repartition(24).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return compact_files(spark, src, dst, target_bytes=256 * 1024)

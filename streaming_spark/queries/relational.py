@@ -336,3 +336,35 @@ def q_sg_gather(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+@query(
+    "q_input_jsonl",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+)
+def q_input_jsonl(spark, sf_dir):
+    """JSON-lines ingestion with a DECLARED schema — the de facto
+    interchange format for pretraining corpora (one JSON doc per line,
+    gzip-splittable shards).  Schema is asserted up front like
+    q_input_csv (no inference pass over 100 TB: an explicit schema
+    makes the read single-pass and catches drift as nulls/corrupt-record
+    rows instead of silent type flips); round-trips the documents table
+    byte-exactly (oracle compares against the parquet originals).
+
+    Scale: one task per shard line-range — JSONL splits on newlines, so
+    a 100 TB corpus parallelizes exactly like CSV; columns still prune
+    (Spark's JSON reader projects during parse)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = os.path.join(tempfile.mkdtemp(prefix="spark_graft_jsonl_"), "docs_jsonl")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id BIGINT, source STRING, text STRING").json(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )

@@ -177,3 +177,30 @@ def test_zvalue2_bit_interleave_exact(spark):
     }
     for x, y in cases:
         assert got[(x, y)] == ref(x, y), (x, y)
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """Compaction must collapse a many-small-files directory to the
+    size-targeted count, preserve every row, and report honest stats."""
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.curation import compact_files
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 20_000).withColumn("payload", F.md5(F.col("id").cast("string")))
+    df.repartition(32).write.parquet(src)
+
+    stats = compact_files(spark, src, dst, target_bytes=512 * 1024).collect()[0]
+    assert stats.files_before == 32
+    assert stats.files_after < stats.files_before
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert back.agg(F.count_distinct("id")).first()[0] == 20_000
+    # shuffle=True path: same rows, balanced output
+    dst2 = str(tmp_path / "compact2")
+    stats2 = compact_files(
+        spark, src, dst2, target_bytes=512 * 1024, shuffle=True
+    ).collect()[0]
+    assert spark.read.parquet(dst2).count() == 20_000
+    assert stats2.files_after == stats.files_after
