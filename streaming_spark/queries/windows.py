@@ -260,10 +260,12 @@ def _stage_stream_dir(
     return stream_dir
 
 
-def _stage_docs_stream_dir(sf_dir: str, n_files: int = 3) -> str:
-    """Re-materialize the documents table as ``n_files`` mtime-ordered
-    part files — the finite stand-in for a document-ingest stream (same
-    mechanism as :func:`_stage_stream_dir` for events)."""
+def _stage_docs_stream_dir(
+    sf_dir: str, n_files: int = 3, table_name: str = "documents"
+) -> str:
+    """Re-materialize a fixture table as ``n_files`` mtime-ordered part
+    files — the finite stand-in for an ingest stream (same mechanism as
+    :func:`_stage_stream_dir` for events)."""
     import os
     import tempfile
     import time as _time
@@ -273,7 +275,7 @@ def _stage_docs_stream_dir(sf_dir: str, n_files: int = 3) -> str:
     from streaming_spark.io import table_path
 
     stream_dir = tempfile.mkdtemp(prefix="spark_graft_docstream_")
-    table = pq.read_table(table_path(sf_dir, "documents"))
+    table = pq.read_table(table_path(sf_dir, table_name))
     step = (table.num_rows + n_files - 1) // n_files
     base = int(_time.time()) - 1000
     for i in range(n_files):
@@ -1402,4 +1404,80 @@ def q_streaming_funnel(spark, sf_dir):
         F.count("t1_us").alias("n_view"),
         F.count("t2_us").alias("n_view_click"),
         F.count("t3_us").alias("n_full_funnel"),
+    )
+
+
+@query("q_streaming_ann_index")  # rows-only: encoded cells/codes are
+# engine-internal; exact streaming-vs-batch index equality is asserted
+# both in the returned row (n_mismatch must be 0) and in
+# tests/test_streaming.py::test_streaming_ann_index_equals_batch
+def q_streaming_ann_index(spark, sf_dir):
+    """Incremental ANN index maintenance: embeddings arrive as an
+    ingest stream and each micro-batch is IVF-PQ-encoded (cell +
+    residual codes) into a batch-keyed parquet index partition — the
+    streaming path for keeping a vector index fresh as a corpus grows.
+
+    It works because encode is a pure per-row map against FROZEN
+    quantizers (centroids + codebooks trained once on the static
+    corpus, broadcast into every batch): no shuffle, no state, and the
+    incrementally-built index is BIT-IDENTICAL to a batch rebuild —
+    which is what this query proves, returning the row counts and the
+    number of disagreeing rows (must be 0) between the streamed index
+    and a batch encode of the same corpus.  At deployment the quantizer
+    refreshes on a slow cadence (retrain → re-encode) while ingest
+    stays on this fast path."""
+    import tempfile
+
+    from streaming_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_encode,
+        ivfpq_residual_codebooks,
+    )
+
+    emb_static = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = ivf_centroids(emb_static, dim=64, n_cells=8)
+    books = ivfpq_residual_codebooks(emb_static, cent, dim=64, m=16, ksub=16)
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_annidx_") + "/t"
+    stream_emb = (
+        spark.readStream.schema(emb_static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir, table_name="embeddings"))
+    )
+
+    def encode_batch(batch_df, batch_id):
+        (
+            ivfpq_encode(batch_df, cent, books, id_col="vec_id")
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_emb.writeStream.foreachBatch(encode_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_ann_index did not finish within 300s")
+
+    streamed = spark.read.parquet(sink_dir).select("vec_id", "cell", "codes")
+    batch = ivfpq_encode(emb_static, cent, books, id_col="vec_id")
+    joined = streamed.alias("s").join(batch.alias("b"), "vec_id", "full")
+    disagree = joined.filter(
+        (F.col("s.cell") != F.col("b.cell"))
+        | (F.col("s.codes") != F.col("b.codes"))
+        | F.col("s.cell").isNull()
+        | F.col("b.cell").isNull()
+    )
+    return (
+        streamed.agg(F.count(F.lit(1)).alias("n_streamed"))
+        .crossJoin(batch.agg(F.count(F.lit(1)).alias("n_batch")))
+        .crossJoin(disagree.agg(F.count(F.lit(1)).alias("n_mismatch")))
     )

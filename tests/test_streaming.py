@@ -347,3 +347,15 @@ def test_normalize_events_ts_all_encodings(spark):
         assert dict(out.dtypes)["ts"] == "timestamp", df.dtypes
         got.add(out.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).first()[0])
     assert got == {"2024-03-01 12:30:45.123456"}, got
+
+
+def test_streaming_ann_index_equals_batch(spark):
+    """The incrementally-built ANN index must be bit-identical to a
+    batch rebuild (pure per-row encode against frozen quantizers):
+    every vector present exactly once, zero disagreeing rows."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    r = REGISTRY["q_streaming_ann_index"](spark, SF_SMOKE).collect()[0]
+    assert r.n_streamed == r.n_batch > 0, r
+    assert r.n_mismatch == 0, r
