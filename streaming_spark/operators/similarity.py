@@ -446,6 +446,7 @@ def pq_codebooks(
     n_iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: the vector space splits into
     ``m`` subspaces of dim/m dims; each gets its own ``ksub``-centroid
@@ -464,6 +465,8 @@ def pq_codebooks(
         .collect()
     )
     mat = _norm_rows(_matrix([r[1] for r in rows]))
+    if rotation is not None:
+        mat = mat @ rotation
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         sub = mat[:, j * dsub : (j + 1) * dsub]
@@ -484,6 +487,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` small codes (nearest codebook entry
     per subspace, L2) — a narrow Arrow-batch map with the codebooks as
@@ -492,10 +496,12 @@ def pq_encode(
     m, ksub, dsub = codebooks.shape
 
     def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        books = side
+        books, rot = side
         if len(pdf) == 0:
             return None
         mat = _norm_rows(_matrix(pdf[vec_col]))
+        if rot is not None:
+            mat = mat @ rot
         codes = np.empty((len(pdf), m), dtype=np.int32)
         for j in range(m):
             sub = mat[:, j * dsub : (j + 1) * dsub]
@@ -509,7 +515,7 @@ def pq_encode(
         df.select(id_col, vec_col),
         encode,
         f"{id_col} BIGINT, codes ARRAY<INT>",
-        side_input=codebooks,
+        side_input=(codebooks, rotation),
     )
 
 
@@ -522,11 +528,18 @@ def pq_topk(
     ksub: int = 16,
     rerank: int = 32,
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization with asymmetric
     distance computation (ADC): queries stay exact; every encoded
     vector's similarity is a table lookup — per query a (m × ksub) LUT
     of subspace inner products, sim ≈ Σⱼ lut[j, codes[j]].
+
+    ``rotation`` (an orthogonal matrix, see :func:`opq_train`) rotates
+    BOTH sides before quantization — inner products are invariant under
+    orthogonal maps (q·v = (Rq)·(Rv)), so the same LUT/ADC machinery
+    serves OPQ unchanged; only the codebooks and codes live in the
+    rotated space.
 
     The third ANN path next to hyperplane LSH and IVF: PQ scans ALL
     codes (no candidate generation, perfectly partition-parallel, m
@@ -540,11 +553,13 @@ def pq_topk(
     same bounded-queries contract as cosine_topk's broadcast: this
     serves a small query batch against a huge index, never
     index-vs-index (use cosine_pairs for that)."""
-    books = pq_codebooks(vectors, dim, m, ksub, vec_col=vec_col)
-    enc = pq_encode(vectors, books, vec_col=vec_col)
+    books = pq_codebooks(vectors, dim, m, ksub, vec_col=vec_col, rotation=rotation)
+    enc = pq_encode(vectors, books, vec_col=vec_col, rotation=rotation)
     q_rows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
+    if rotation is not None:
+        q_mat = q_mat @ rotation
     dsub = dim // m
     # per-query LUTs: (Q, m, ksub) — inner product of each query
     # subvector with every codebook entry
@@ -768,3 +783,61 @@ def ivfpq_topk(
         .select("query_id", "vec_id")
     )
     return _topk_on_candidates(cand, queries, vectors, k, vec_col)
+
+
+def opq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_opq_iters: int = 8,
+    sample_limit: int = 2048,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge et al. 2014, non-parametric):
+    learn an ORTHOGONAL rotation R that minimizes PQ reconstruction
+    error before the space splits into subspaces — the fix for PQ's
+    blind spot, energy unevenly spread across the fixed subspace
+    partition (correlated/anisotropic embeddings).  Alternates (1)
+    train+encode PQ in the rotated space, (2) solve the Procrustes
+    problem R = argmin ||XR − X̂|| over orthogonal R (SVD of XᵀX̂).
+
+    Driver-side on the same bounded md5-ordered sample as every other
+    quantizer here; deterministic (fixed init R = I, fixed iteration
+    counts, SVD of a fixed matrix).  Returns (R, codebooks); apply by
+    passing both to :func:`pq_topk` / :func:`pq_encode` — scoring is
+    unchanged because inner products are rotation-invariant."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_limit)
+        .collect()
+    )
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+    rot = np.eye(dim)
+    books = None
+    for _ in range(n_opq_iters):
+        y = mat @ rot
+        books = np.empty((m, ksub, dsub))
+        recon = np.empty_like(y)
+        for j in range(m):
+            sub = y[:, j * dsub : (j + 1) * dsub]
+            cent = sub[:ksub].copy()
+            for _ in range(n_iters):
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(ksub):
+                    members = sub[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[j] = cent
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            recon[:, j * dsub : (j + 1) * dsub] = cent[np.argmin(d2, axis=1)]
+        # Procrustes: closest orthogonal map from mat to recon
+        u, _, vt = np.linalg.svd(mat.T @ recon)
+        rot = u @ vt
+    return rot, books

@@ -1119,3 +1119,28 @@ def text_bpe_tradeoff(spark, sf_dir):
     for c in curves[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query("ann_topk_opq")  # rows-only: rotation + codebooks are
+# engine-internal; the anisotropic-corpus reconstruction win is pinned
+# in tests/test_operators.py::test_opq_beats_pq_on_anisotropic_corpus
+def ann_topk_opq(spark, sf_dir):
+    """Approximate top-5 via OPQ — product quantization behind a learned
+    orthogonal rotation (Ge et al. 2014) that equalizes energy across
+    the subspace split before quantization.  Scoring reuses the plain
+    PQ ADC + exact-rerank machinery unchanged: inner products are
+    rotation-invariant (q.v = (Rq).(Rv)), so only codebooks and codes
+    live in the rotated space (operators/similarity.py opq_train).
+
+    On this fixture's isotropic embeddings the learned rotation is a
+    near-no-op (recall matches plain PQ) — the win appears on
+    correlated/anisotropic corpora, pinned by the unit test's
+    synthetic anisotropic data."""
+    from streaming_spark.operators.similarity import opq_train, pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    rot, _ = opq_train(emb, dim=64, m=16, ksub=16)
+    return pq_topk(
+        emb, queries, dim=64, k=5, m=16, ksub=16, rerank=64, rotation=rot
+    )

@@ -730,3 +730,71 @@ def test_ivfpq_residuals_win_on_clustered_corpus(spark):
     r_pq = recall(pq_topk(df, queries, dim=64, k=5, m=16, ksub=16, rerank=64))
     assert r_ivfpq >= r_pq - 1e-9, (r_ivfpq, r_pq)
     assert r_ivfpq >= 0.95, r_ivfpq
+
+
+def test_opq_beats_pq_on_anisotropic_corpus(spark):
+    """OPQ's rotation must recover unevenly-distributed subspace energy:
+    on a corpus whose variance is concentrated in a few directions and
+    then scrambled by a fixed rotation, the learned rotation must cut
+    sample reconstruction error below plain PQ's, and OPQ recall must
+    match-or-beat plain PQ at the same budget."""
+    from streaming_spark.operators.similarity import (
+        _matrix,
+        _norm_rows,
+        cosine_topk,
+        opq_train,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    # decaying spectrum → most energy in few directions, then scramble
+    scales = np.linspace(3.0, 0.05, 64)
+    q_rand, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    raw = rng.standard_normal((400, 64)) * scales
+    data = raw @ q_rand.T
+    rows = [(i, data[i].tolist()) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(4)
+    queries = df.filter(F.col("vec_id") < 8)
+
+    rot, obooks = opq_train(df, dim=64, m=16, ksub=16)
+    pbooks = pq_codebooks(df, 64, m=16, ksub=16)
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+
+    def recon_err(books, x):
+        m, ksub, dsub = books.shape
+        out = np.empty_like(x)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j * dsub : (j + 1) * dsub] = books[j][np.argmin(d2, axis=1)]
+        return np.linalg.norm(out - x, axis=1).mean()
+
+    err_opq = recon_err(obooks, mat @ rot)
+    err_pq = recon_err(pbooks, mat)
+    assert err_opq < err_pq, (err_opq, err_pq)
+    # rotation must be orthogonal (scores preserved exactly)
+    assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-8)
+
+    exact = set(
+        map(
+            tuple,
+            cosine_topk(df, queries, k=5)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+
+    def recall(out):
+        got = set(
+            map(tuple, out.select("query_id", "neighbor_id").collect())
+        )
+        return len(exact & got) / len(exact)
+
+    r_opq = recall(
+        pq_topk(df, queries, dim=64, k=5, m=16, ksub=16, rerank=32, rotation=rot)
+    )
+    r_pq = recall(pq_topk(df, queries, dim=64, k=5, m=16, ksub=16, rerank=32))
+    assert r_opq >= r_pq - 1e-9, (r_opq, r_pq)
