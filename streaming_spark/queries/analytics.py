@@ -530,3 +530,40 @@ def q_market_share(spark, sf_dir):
             6,
         ).alias("mkt_share")
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(quantile_disc(n, 0.50) AS BIGINT) AS p50_rows,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_rows,
+           round(max(n) * 1.0 / avg(n), 4) AS skew_factor
+    FROM per_key
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics: per-key row counts of the fact table
+    collapsed to the distribution numbers an operator needs BEFORE
+    picking a join/agg strategy — max, p50, p99, and max/mean skew
+    factor.  This is the profiling pass behind the engine's salting and
+    AQE-skew defaults (q_salted_agg): run it on the join key, and a
+    skew_factor near 1 means plain hash exchange; large means salt or
+    rely on AQE skew-join splitting.
+
+    Plan: one map-side-combined count per key, then a single collapsing
+    aggregate over the (distinct-key)-sized frame — exact percentiles
+    via sort-based percentile_approx at accuracy=max (the frame is
+    already small); nothing data-sized crosses a second exchange."""
+    li = T(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.percentile_approx("n", 0.5, 2147483647).alias("p50_rows"),
+        F.percentile_approx("n", 0.99, 2147483647).alias("p99_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+    )

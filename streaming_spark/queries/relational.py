@@ -368,3 +368,31 @@ def q_input_jsonl(spark, sf_dir):
         F.sum(F.length("text")).alias("sum_chars"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "q_input_orc",
+    oracle="""
+    SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+           count(DISTINCT l_returnflag) AS n_flags
+    FROM lineitem
+    """,
+)
+def q_input_orc(spark, sf_dir):
+    """ORC ingestion round-trip — the other columnar warehouse format
+    the engine reads natively (predicate pushdown + column pruning work
+    the same as parquet: ORC carries stripe-level min/max stats).  The
+    lineitem slice is written to ORC once and read back; the oracle
+    aggregates the parquet originals, so the round-trip must preserve
+    every value exactly."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="spark_graft_orc_"), "li_orc")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+    )
