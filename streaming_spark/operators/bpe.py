@@ -41,6 +41,15 @@ from streaming_spark.operators.text import tokens_col
 END = "</w>"
 
 
+def _to_bytes_repr(word: str) -> str:
+    """UTF-8 byte-level representation: one latin-1 character per byte,
+    so the char-level merge/encode machinery works unchanged on bytes
+    (the GPT-2 trick, with latin-1 as the byte<->char bijection).
+    Invertible: ``repr.encode("latin-1").decode("utf-8")`` restores the
+    word."""
+    return word.encode("utf-8").decode("latin-1")
+
+
 def bpe_word_freqs(
     docs: DataFrame,
     text_col: str = "text",
@@ -63,14 +72,19 @@ def bpe_word_freqs(
 
 
 def learn_bpe_merges(
-    word_freqs: list[tuple[str, int]], n_merges: int
+    word_freqs: list[tuple[str, int]], n_merges: int, byte_level: bool = False
 ) -> list[tuple[str, str]]:
     """Driver-side merge learning over a word-frequency table (exact
     for the corpus those counts summarize — see module docstring).
     Returns merges in rank order; deterministic (count desc, then
-    lexicographically largest pair)."""
+    lexicographically largest pair).  ``byte_level`` learns over UTF-8
+    bytes (latin-1 repr) instead of Unicode chars — the production
+    tokenizer alphabet: 256 base symbols, no out-of-alphabet char can
+    ever appear at apply time."""
     vocab: dict[tuple[str, ...], int] = {}
     for word, f in word_freqs:
+        if byte_level:
+            word = _to_bytes_repr(word)
         key = tuple(word) + (END,)
         vocab[key] = vocab.get(key, 0) + int(f)
     merges: list[tuple[str, str]] = []
@@ -106,6 +120,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 200,
     max_words: int = 50_000,
+    byte_level: bool = False,
 ) -> tuple[list[tuple[str, str]], float]:
     """Train a BPE merge list on a corpus: distributed word count →
     bounded driver-side merge learning.  Returns (merges, coverage)
@@ -121,7 +136,9 @@ def bpe_train(
     rows = kept.collect()  # bounded by max_words — the driver contract
     kept_mass = sum(r["freq"] for r in rows)
     coverage = (kept_mass / total) if total else 1.0
-    merges = learn_bpe_merges([(r["word"], r["freq"]) for r in rows], n_merges)
+    merges = learn_bpe_merges(
+        [(r["word"], r["freq"]) for r in rows], n_merges, byte_level=byte_level
+    )
     return merges, coverage
 
 
@@ -145,6 +162,7 @@ def bpe_encode_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Per-doc token statistics under a learned merge list: real BPE
     token count, distinct pieces, chars-per-token compression.  Merge
@@ -154,7 +172,7 @@ def bpe_encode_counts(
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        rk = side
+        rk, as_bytes = side
         if len(pdf) == 0:
             return None
         cache: dict[str, list[str]] = {}
@@ -165,7 +183,9 @@ def bpe_encode_counts(
             for w in words:
                 enc = cache.get(w)
                 if enc is None:
-                    enc = _encode_word(w, rk)
+                    enc = _encode_word(
+                        _to_bytes_repr(w) if as_bytes else w, rk
+                    )
                     cache[w] = enc
                 total += len(enc)
                 pieces.update(enc)
@@ -186,5 +206,5 @@ def bpe_encode_counts(
         encode,
         f"{id_col} BIGINT, n_bpe_tokens BIGINT, n_distinct_pieces BIGINT,"
         " n_word_chars BIGINT",
-        side_input=ranks,
+        side_input=(ranks, byte_level),
     )

@@ -798,3 +798,46 @@ def test_opq_beats_pq_on_anisotropic_corpus(spark):
     )
     r_pq = recall(pq_topk(df, queries, dim=64, k=5, m=16, ksub=16, rerank=32))
     assert r_opq >= r_pq - 1e-9, (r_opq, r_pq)
+
+
+def test_bpe_byte_level_mode(spark):
+    """Byte-level BPE: multibyte UTF-8 words split into BYTES at zero
+    merges (tokens = utf8 bytes + end marker, not chars), the latin-1
+    byte repr round-trips losslessly, and on a pure-ASCII corpus
+    byte-level and char-level training learn identical merges (ASCII
+    utf-8 is one byte per char)."""
+    from streaming_spark.operators.bpe import (
+        _encode_word,
+        _to_bytes_repr,
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    # multibyte: é = 2 bytes, 日 = 3 bytes
+    docs = spark.createDataFrame(
+        [(0, "café café"), (1, "日本 café")], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_encode_counts(docs, [], byte_level=True).collect()
+    }
+    # café = 5 bytes + END = 6; 日本 = 6 bytes + END = 7
+    assert got == {0: 12, 1: 13}, got
+    char_got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_encode_counts(docs, [], byte_level=False).collect()
+    }
+    assert char_got == {0: 10, 1: 8}, char_got
+
+    # lossless byte repr
+    for w in ("café", "日本", "plain"):
+        br = _to_bytes_repr(w)
+        assert br.encode("latin-1").decode("utf-8") == w
+        pieces = _encode_word(br, {})
+        assert "".join(pieces) == br + "</w>"
+
+    # ASCII corpus: both alphabets learn the same merges
+    ascii_docs = _bpe_docs(spark)
+    m_char, _ = bpe_train(ascii_docs, n_merges=10, max_words=100)
+    m_byte, _ = bpe_train(ascii_docs, n_merges=10, max_words=100, byte_level=True)
+    assert m_char == m_byte
