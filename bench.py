@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",  # LSH-blocked semantic near-dup (scale path)
     "text_quality",           # codegen'd text featurization
     "multimodal_blob_features",  # binary column plumbing
+    # round-5 additions (headline total not comparable to BENCH_r04's
+    # 21-query set; compare per-query shapes)
+    "ann_topk_ivfpq",         # composed IVF-PQ: cells + residual ADC + rerank
+    "q_fuzzy_name_pairs",     # symmetric-deletion-blocked Levenshtein join
+    "text_bpe_encode_stats",  # BPE train (driver) + distributed encode
 ]
 
 
