@@ -76,9 +76,14 @@ def fuzzy_self_pairs(
     Default None = exact (the oracle-checked configuration); set it
     when deploying against short/low-entropy string columns."""
     base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__s"))
+    # shuffle 64-bit variant HASHES, not variant strings: the blocking
+    # key only has to collide when variants are equal — a spurious hash
+    # collision merely adds a candidate pair that exact verification
+    # kills, so soundness is unaffected and the candidate shuffle drops
+    # from O(len) to 8 bytes per variant
     variants = base.select(
-        "__id", F.explode(deletion_variants("__s", max_dist)).alias("__v")
-    )
+        "__id", F.explode(deletion_variants("__s", max_dist)).alias("__vs")
+    ).select("__id", F.xxhash64("__vs").alias("__v"))
     if max_bucket is not None:
         sizes = variants.groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
         variants = (
