@@ -354,3 +354,32 @@ def test_registry_has_no_unbounded_global_window(spark):
                 offenders.append(name)
                 break
     assert not offenders, f"unbounded global windows in: {offenders}"
+
+
+def test_fuzzy_join_plan_has_no_nested_loop(spark):
+    """The fuzzy join must stay a hash-keyed candidate join + exact
+    verify — never a nested-loop over all pairs (the O(n²) formulation
+    the blocking exists to avoid)."""
+    plan = plan_of(spark, "q_fuzzy_name_pairs")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_single_data_sized_exchange(spark):
+    """q_skew_report may shuffle the fact once (per-key partial-agg
+    counts); the percentile pass runs over the already-collapsed keyed
+    frame — no second data-sized exchange, no window at all."""
+    plan = plan_of(spark, "q_skew_report")
+    assert "Window" not in plan
+    # partial aggregation must reach the scan side (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scd2_window_is_keyed(spark):
+    """SCD2 and the anomaly scorer must plan keyed windows (hash
+    exchange on user_id), never an empty partitionSpec."""
+    for name in ("q_scd2_intervals", "q_anomaly_zscore"):
+        df = REGISTRY[name](spark, SF_SMOKE)
+        for node in _walk_physical(df._jdf.queryExecution().sparkPlan()):
+            if node.nodeName() == "Window":
+                assert not node.partitionSpec().isEmpty(), name
