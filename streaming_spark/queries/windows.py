@@ -1481,3 +1481,41 @@ def q_streaming_ann_index(spark, sf_dir):
         .crossJoin(batch.agg(F.count(F.lit(1)).alias("n_batch")))
         .crossJoin(disagree.agg(F.count(F.lit(1)).alias("n_mismatch")))
     )
+
+
+@query(
+    "q_streaming_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_hist >= 5 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+    """,
+)
+def q_streaming_anomaly(spark, sf_dir):
+    """Per-key anomaly detection as a REAL streaming run: trailing-20
+    history carried across micro-batches by ``stateful_anomaly_zscore``
+    (applyInPandasWithState, bounded state: 20 floats/key), each
+    arriving event scored against its own history and emitted only when
+    |z| > 2.5 — and the union over batches EXACTLY matches the batch
+    keyed-window formulation (same oracle as q_anomaly_zscore).  The
+    live-alerting upgrade of the batch scorer: per-event latency is one
+    micro-batch, state never grows, and the same code runs unbounded.
+    Order contract: per-key in-order arrival (ts-sorted file stage),
+    as for q_streaming_rolling_mean."""
+    from streaming_spark.streaming import read_events_stream
+    from streaming_spark.streaming.core import stateful_anomaly_zscore
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    out = stateful_anomaly_zscore(ev)
+    return _run_to_memory_sink(out, "q_streaming_anomaly_sink", "append")

@@ -155,6 +155,79 @@ def stateful_rolling_mean(
     )
 
 
+def stateful_anomaly_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    width: int = 20,
+    min_hist: int = 5,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming twin of q_anomaly_zscore: each key carries its trailing
+    ``width`` values across micro-batches (bounded state) and every
+    arriving event is scored against its OWN history (current row
+    excluded), emitted only when |z| > ``threshold`` with at least
+    ``min_hist`` history rows.  Sample standard deviation, matching the
+    batch window formulation exactly under per-key in-order arrival —
+    so the streaming run is oracle-checkable against the same SQL."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+    state_schema = "tail STRING"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import json
+        import math
+
+        tail: list[float] = json.loads(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out_ids, out_vals, out_z = [], [], []
+            for eid, v in zip(pdf["event_id"], pdf[value_col]):
+                v = float(v)
+                n = len(tail)
+                if n >= min_hist:
+                    mu = sum(tail) / n
+                    var = sum((x - mu) ** 2 for x in tail) / (n - 1)
+                    sigma = math.sqrt(var)
+                    if sigma > 0 and abs((v - mu) / sigma) > threshold:
+                        out_ids.append(int(eid))
+                        out_vals.append(round(v, 4))
+                        out_z.append(round((v - mu) / sigma, 4))
+                tail.append(v)
+                if len(tail) > width:
+                    tail.pop(0)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "event_id": out_ids,
+                        "value": out_vals,
+                        "zscore": out_z,
+                    }
+                )
+        state.update((json.dumps(tail[-width:]),))
+
+    return (
+        events.select(key_col, "event_id", "ts", value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_funnel_stages(
     events: DataFrame,
     key_col: str = "user_id",
