@@ -94,3 +94,52 @@ def test_rserial_property_roundtrip(rows):
     for col in ("i", "d", "s"):
         a, b = back[col].dropna().tolist(), pdf[col].dropna().tolist()
         assert a == b
+
+
+# --- BPE invariants over arbitrary corpora (driver-side, no Spark) ---
+
+words_strategy = st.lists(
+    st.tuples(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters=" \t\n\r"
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(words_strategy, st.integers(min_value=0, max_value=15))
+@settings(max_examples=50, deadline=None)
+def test_bpe_learn_encode_invariants(word_freqs, n_merges):
+    """For ANY corpus and merge budget: training is deterministic,
+    every merge pair consists of symbols constructible from the
+    alphabet, and encoding ANY word (seen or unseen) with the learned
+    ranks concatenates back losslessly — in both char- and byte-level
+    modes."""
+    from streaming_spark.operators.bpe import (
+        _encode_word,
+        _to_bytes_repr,
+        learn_bpe_merges,
+    )
+
+    for byte_level in (False, True):
+        m1 = learn_bpe_merges(word_freqs, n_merges, byte_level=byte_level)
+        m2 = learn_bpe_merges(word_freqs, n_merges, byte_level=byte_level)
+        assert m1 == m2
+        assert len(m1) <= n_merges
+        ranks = {p: i for i, p in enumerate(m1)}
+        probe_words = [w for w, _ in word_freqs[:5]] + ["unseen", "héllo"]
+        for w in probe_words:
+            rep = _to_bytes_repr(w) if byte_level else w
+            pieces = _encode_word(rep, ranks)
+            assert "".join(pieces) == rep + "</w>", (w, pieces)
+            if byte_level:
+                # byte repr stays invertible through encoding
+                joined = "".join(pieces)[: -len("</w>")]
+                assert joined.encode("latin-1").decode("utf-8") == w
