@@ -445,3 +445,44 @@ def running_totals_tws(
             timeMode="None",
         )
     )
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka twin of :func:`read_events_stream`: the same unbounded
+    events frame (event_id, user_id, event_type, value, ts) from a
+    Kafka topic carrying JSON payloads — every downstream operator
+    (windows, joins, stateful ops) is source-agnostic, so swapping the
+    file source for Kafka is THIS function and nothing else.
+
+    Requires the spark-sql-kafka connector on the classpath (a JAR
+    deployment choice, not a code change); absent here, the reader
+    raises a clear error at stream start.  Value parsing is a typed
+    ``from_json`` with the events schema — bad records become nulls to
+    filter/dead-letter, never job failures."""
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, ts TIMESTAMP"
+    )
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - env dependent
+        raise NotImplementedError(
+            "read_events_kafka requires the spark-sql-kafka connector on "
+            "the classpath (deploy with --packages org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:<spark-version>); not installed in "
+            "this environment — use read_events_stream (file source) here"
+        ) from exc
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e")
+    ).select("e.*")

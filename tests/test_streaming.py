@@ -359,3 +359,13 @@ def test_streaming_ann_index_equals_batch(spark):
     r = REGISTRY["q_streaming_ann_index"](spark, SF_SMOKE).collect()[0]
     assert r.n_streamed == r.n_batch > 0, r
     assert r.n_mismatch == 0, r
+
+
+def test_kafka_source_gated_without_connector(spark):
+    """The Kafka twin of read_events_stream must fail with a clear
+    error naming the missing connector (a deployment JAR, not a code
+    change) — the file-source path stays the tested one here."""
+    from streaming_spark.streaming.core import read_events_kafka
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        read_events_kafka(spark, "localhost:9092", "events")
