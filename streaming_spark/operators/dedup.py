@@ -365,3 +365,43 @@ def dedup_keep_one(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_central(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 6
+) -> DataFrame:
+    """Keep the most CENTRAL member of every near-dup cluster — the
+    member with the highest PageRank in the similarity graph (ties
+    broken by min id) — instead of ``dedup_keep_one``'s arbitrary
+    min-id.  Centrality picks the copy most similar to the rest of its
+    cluster: for training corpora that is usually the canonical
+    version, with truncated/mangled variants scoring lower because they
+    match fewer siblings.
+
+    Plan: PageRank's per-round edge shuffle (operators/graph.py) +
+    component labels + one window over cluster members — cluster-sized,
+    never corpus-sized; untouched rows never join anything."""
+    from pyspark.sql.window import Window
+
+    from streaming_spark.operators.graph import pagerank
+
+    # near-dup clusters are shallow (diameter 1-2): rank ORDER inside a
+    # cluster stabilizes within a few rounds, so the default iteration
+    # budget is small
+    comp = connected_components(pairs)
+    ranks = pagerank(pairs, max_iter=max_iter)
+    member = comp.join(ranks, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("rank").desc(), F.col("id")
+    )
+    keepers = (
+        member.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias(id_col))
+    )
+    drop = comp.join(
+        keepers.withColumnRenamed(id_col, "id").withColumn("keep", F.lit(True)),
+        "id",
+        "left",
+    ).filter(F.col("keep").isNull()).select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

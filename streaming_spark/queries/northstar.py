@@ -1144,3 +1144,22 @@ def ann_topk_opq(spark, sf_dir):
     return pq_topk(
         emb, queries, dim=64, k=5, m=16, ksub=16, rerank=64, rotation=rot
     )
+
+
+@query("dedup_keep_central_count")  # rows-only: kept set depends on LSH
+# pairs + PageRank centrality; hub-keeping is pinned in
+# tests/test_operators.py::test_dedup_keep_central_planted
+def dedup_keep_central_count(spark, sf_dir):
+    """Quality-aware dedup materialization: like dedup_keep_one_count
+    but each cluster keeps its most CENTRAL member — highest PageRank
+    in the similarity graph (operators/graph.py), i.e. the copy most
+    similar to the rest of its cluster — rather than the arbitrary
+    min id.  Kept COUNT equals keep-one's exactly (one survivor per
+    component either way); what changes is WHICH copy survives, the
+    part that matters when variants are truncated or mangled."""
+    from streaming_spark.operators.dedup import dedup_keep_central
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.9)
+    kept = dedup_keep_central(docs, pairs, "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_docs"))

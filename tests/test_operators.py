@@ -841,3 +841,38 @@ def test_bpe_byte_level_mode(spark):
     m_char, _ = bpe_train(ascii_docs, n_merges=10, max_words=100)
     m_byte, _ = bpe_train(ascii_docs, n_merges=10, max_words=100, byte_level=True)
     assert m_char == m_byte
+
+
+def test_pagerank_known_graphs(spark):
+    """PageRank sanity on hand-checkable graphs: a star's center
+    outranks every leaf, leaves tie exactly, ranks sum to ~1, and the
+    fixed-iteration run is deterministic."""
+    from streaming_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a BIGINT, id_b BIGINT"
+    )
+    r = {row.id: row.rank for row in pagerank(star).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert all(r[0] > r[i] for i in range(1, 6))
+    leaf_ranks = {round(r[i], 10) for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # symmetry
+    r2 = {row.id: row.rank for row in pagerank(star).collect()}
+    assert r == r2
+
+
+def test_dedup_keep_central_planted(spark):
+    """Cluster-central keeper policy: in a star-shaped near-dup cluster
+    the hub (most similar to everyone) is kept, not the min id."""
+    from streaming_spark.operators.dedup import dedup_keep_central
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)] + [(10, "solo")],
+        "doc_id BIGINT, text STRING",
+    )
+    # 3 is the hub: every other cluster member pairs only with it
+    pairs = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 3), (3, 4), (3, 5)], "id_a BIGINT, id_b BIGINT"
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_central(docs, pairs, "doc_id").collect())
+    assert kept == [3, 10]
