@@ -831,3 +831,38 @@ def q_snapshot_diff(spark, sf_dir):
         )
         .filter(F.col("change_type") != "unchanged")
     )
+
+
+@query("q_sketch_countmin")  # rows-only: sketch cells are engine-internal;
+# the one-sided-error contract (estimate >= exact, bounded overshoot) is
+# asserted in tests/test_operators.py::test_countmin_one_sided_error
+def q_sketch_countmin(spark, sf_dir):
+    """Count-Min frequency sketch vs exact counts for every event type —
+    the point-frequency estimation contract surfaced as a query
+    (operators/sketch.py).  The sketch is LINEAR: per-partition matrices
+    merge by elementwise sum in one narrow pass — no key shuffle at all,
+    vs the exact path's groupBy exchange; estimates are one-sided
+    (never undercount).  At 100 TB this answers "how often does item X
+    appear" for arbitrary X in fixed memory."""
+    import pandas as pd
+
+    from streaming_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from streaming_spark.queries.registry import events_table
+
+    ev = events_table(spark, sf_dir)
+    sk = countmin_sketch(ev, "event_type", depth=4, width=256)
+    exact = ev.groupBy("event_type").count().orderBy("event_type").collect()
+    types = [r["event_type"] for r in exact]
+    est = countmin_estimate(sk, types)
+    pdf = pd.DataFrame(
+        {
+            "event_type": types,
+            "exact_n": [r["count"] for r in exact],
+            "estimate_n": est,
+        }
+    )
+    pdf["overshoot"] = pdf["estimate_n"] - pdf["exact_n"]
+    return spark.createDataFrame(pdf)

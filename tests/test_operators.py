@@ -876,3 +876,30 @@ def test_dedup_keep_central_planted(spark):
     )
     kept = sorted(r.doc_id for r in dedup_keep_central(docs, pairs, "doc_id").collect())
     assert kept == [3, 10]
+
+
+def test_countmin_one_sided_error(spark):
+    """Count-Min contract: estimates NEVER undercount; with width 256
+    over 5 event types the overshoot is 0 on the fixture (no collisions
+    at that load factor); and a deliberately tiny sketch still never
+    undercounts while visibly overcounting (the collision regime)."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_sketch_countmin"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r.estimate_n >= r.exact_n for r in rows)
+    assert all(r.overshoot == 0 for r in rows)  # 5 keys vs 256 cells
+
+    from streaming_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from streaming_spark.queries.registry import events_table
+
+    ev = events_table(spark, SF_SMOKE)
+    tiny = countmin_sketch(ev, "event_type", depth=2, width=2)
+    exact = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    est = countmin_estimate(tiny, list(exact))
+    assert all(e >= exact[t] for t, e in zip(exact, est))
+    assert sum(est) > sum(exact.values())  # collisions overcount
