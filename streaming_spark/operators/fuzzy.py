@@ -109,3 +109,58 @@ def fuzzy_self_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-RELATION fuzzy match: all (left_id, right_id, dist) pairs
+    with ``levenshtein(left_col, right_col) <= max_dist`` — the
+    record-linkage join (dirty batch against a clean master).  Same
+    symmetric-deletion blocking + exact verify as
+    :func:`fuzzy_self_pairs`, with both sides expanding to hashed
+    deletion variants and candidates coming from ONE variant-keyed
+    shuffle; at deployment the master side's variant index is the thing
+    you persist and reuse per batch."""
+
+    def variant_frame(df, col, id_col, out_id):
+        base = df.select(F.col(id_col).alias(out_id), F.col(col).alias("__s"))
+        v = base.select(
+            out_id, F.explode(deletion_variants("__s", max_dist)).alias("__vs")
+        ).select(out_id, F.xxhash64("__vs").alias("__v"))
+        return base, v
+
+    lbase, lv = variant_frame(left, left_col, left_id, "__lid")
+    rbase, rv = variant_frame(right, right_col, right_id, "__rid")
+    if max_bucket is not None:
+        # the cap applies to the JOINT bucket (left + right occupancy)
+        sizes = (
+            lv.select("__v").union(rv.select("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("__v")
+        )
+        lv = lv.join(sizes, "__v")
+        rv = rv.join(sizes, "__v")
+    cand = lv.join(rv, "__v").select("__lid", "__rid").distinct()
+    ls = lbase.select("__lid", F.col("__s").alias("__ls"))
+    rs = rbase.select("__rid", F.col("__s").alias("__rs"))
+    return (
+        cand.join(ls, "__lid")
+        .join(rs, "__rid")
+        .withColumn("dist", F.levenshtein("__ls", "__rs"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "dist",
+        )
+    )

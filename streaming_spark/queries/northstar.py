@@ -1182,3 +1182,53 @@ def dedup_keep_central_count(spark, sf_dir):
     pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.9)
     kept = dedup_keep_central(docs, pairs, "doc_id")
     return kept.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q_fuzzy_link_dirty",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             CASE WHEN c_custkey % 3 = 0 THEN
+               substring(c_name, 1, CAST(c_custkey % 8 + 10 AS INT))
+               || 'x'
+               || substring(c_name, CAST(c_custkey % 8 + 12 AS INT))
+             ELSE c_name END AS dirty_name
+      FROM customer)
+    SELECT d.dirty_id, m.c_custkey AS master_id,
+           levenshtein(d.dirty_name, m.c_name) AS dist
+    FROM dirty d JOIN customer m
+      ON levenshtein(d.dirty_name, m.c_name) <= 1
+    """,
+)
+def q_fuzzy_link_dirty(spark, sf_dir):
+    """Record linkage: a DIRTY registration batch (every third customer
+    name gets a deterministic single-character typo — same rule in both
+    engines, so the oracle is exact) matched against the clean customer
+    master at Levenshtein distance ≤ 1.  Each dirty record recovers its
+    own master (the typo is one substitution) plus any true near
+    neighbors; the oracle is the exact O(n·m) cross join, the engine is
+    the variant-keyed symmetric-deletion join (operators/fuzzy.py
+    fuzzy_join) — at deployment the master's variant index persists and
+    each incoming batch probes it."""
+    from streaming_spark.operators.fuzzy import fuzzy_join
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = (F.col("c_custkey") % 8 + 10).cast("int")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substr(F.col("c_name"), F.lit(1), pos),
+                F.lit("x"),
+                F.substr(F.col("c_name"), pos + 2, F.length("c_name")),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("dirty_name"),
+    )
+    return fuzzy_join(
+        dirty, cust, "dirty_name", "c_name", "dirty_id", "c_custkey",
+        max_dist=1,
+    ).withColumnRenamed("c_custkey", "master_id")

@@ -903,3 +903,26 @@ def test_countmin_one_sided_error(spark):
     est = countmin_estimate(tiny, list(exact))
     assert all(e >= exact[t] for t, e in zip(exact, est))
     assert sum(est) > sum(exact.values())  # collisions overcount
+
+
+def test_fuzzy_join_cross_relation(spark):
+    """Cross-relation fuzzy join finds exactly the Levenshtein-<=1
+    (dirty, master) links on hand-checked strings — including a dirty
+    record with no master within distance."""
+    from streaming_spark.operators.fuzzy import fuzzy_join
+
+    master = spark.createDataFrame(
+        [(1, "kitten"), (2, "mitten"), (3, "banana")],
+        "mid BIGINT, name STRING",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "kitte"), (11, "mittens"), (12, "orange")],
+        "did BIGINT, name STRING",
+    )
+    got = {
+        (r.did, r.mid): r.dist
+        for r in fuzzy_join(
+            dirty, master, "name", "name", "did", "mid", max_dist=1
+        ).collect()
+    }
+    assert got == {(10, 1): 1, (11, 2): 1}, got
