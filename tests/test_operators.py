@@ -926,3 +926,31 @@ def test_fuzzy_join_cross_relation(spark):
         ).collect()
     }
     assert got == {(10, 1): 1, (11, 2): 1}, got
+
+
+def test_damerau_distance_and_pairs(spark):
+    """True-DL verify: the Lowrance-Wagner function reproduces the
+    textbook distinguishing cases, and the DL pair set on known strings
+    adds exactly the transposition pairs plain Levenshtein misses."""
+    from streaming_spark.operators.fuzzy import (
+        damerau_levenshtein,
+        fuzzy_self_pairs,
+        fuzzy_self_pairs_damerau,
+    )
+
+    assert damerau_levenshtein("ca", "abc") == 2  # true DL, not OSA's 3
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("kitten", "sitting") == 3
+    assert damerau_levenshtein("", "abc") == 3
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abdc"), (3, "abcde"), (4, "zzzz")],
+        "id BIGINT, name STRING",
+    )
+    lev = {(r.id_a, r.id_b) for r in fuzzy_self_pairs(df, "name", "id", 1).collect()}
+    dl = {(r.id_a, r.id_b): r.dist
+          for r in fuzzy_self_pairs_damerau(df, "name", "id").collect()}
+    assert (1, 2) not in lev          # transposition is 2 plain edits
+    assert dl[(1, 2)] == 1            # ...but ONE Damerau edit
+    assert (1, 3) in lev and dl[(1, 3)] == 1  # insert matches in both
+    assert all(4 not in p for p in dl)
