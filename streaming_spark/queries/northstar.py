@@ -1257,3 +1257,113 @@ def q_fuzzy_name_pairs_damerau(spark, sf_dir):
 
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return fuzzy_self_pairs_damerau(cust, "c_name", "c_custkey")
+
+
+@query(
+    "q_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                 AS pos) t
+      WHERE length(trim(text)) > 0),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dlen AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dlen) AS avg_dl),
+    df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qfirst AS (
+      SELECT doc_id AS query_id, tok, min(pos) AS first_pos
+      FROM toks WHERE doc_id IN (0, 37, 74) GROUP BY doc_id, tok),
+    qterms AS (
+      SELECT query_id, tok FROM (
+        SELECT query_id, tok,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY first_pos) AS rnk
+        FROM qfirst) z
+      WHERE rnk <= 4),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avg_dl)))
+               AS score
+      FROM qterms qt
+      JOIN tf ON tf.tok = qt.tok
+      JOIN dlen ON dlen.doc_id = tf.doc_id
+      CROSS JOIN stats
+      JOIN df ON df.tok = qt.tok
+      GROUP BY qt.query_id, tf.doc_id)
+    SELECT query_id, doc_id, round(score, 4) AS score, rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: BM25 top-10 documents for three queries (each
+    query = the first four distinct tokens of a probe document, by
+    explicit token position — no reliance on row order) — the sparse
+    complement to the dense ANN surface; together they are the standard
+    hybrid-search pair.  Okapi BM25 with k1=1.2, b=0.75; idf =
+    ln((N-df+0.5)/(df+0.5)+1); checked row-for-row against the
+    identical formula in DuckDB.
+
+    Scale shape: the postings build (posexplode -> per-(term,doc) tf)
+    is the one fact-sized shuffle and IS the index - at deployment it
+    persists and queries only probe it; document frequencies are a
+    term-keyed aggregate of the postings (index-sized); the query-term
+    set is tiny and BROADCAST into the postings scan, so per-query cost
+    is O(postings of its terms); top-k is a per-query window over
+    scored docs.  All JVM expressions - no Python anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avg_dl = dlen.agg(F.avg("dl")).collect()[0][0]
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    qfirst = (
+        toks.filter(F.col("doc_id").isin(0, 37, 74))
+        .groupBy(F.col("doc_id").alias("query_id"), "tok")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("first_pos")
+    qterms = (
+        qfirst.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 4)
+        .select("query_id", "tok")
+    )
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(float(avg_dl)))
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "tok")
+        .join(dlen, "doc_id")
+        .join(F.broadcast(dfreq.join(qterms.select("tok").distinct(), "tok")), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * F.col("tf") * 2.2 / denom).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", F.round("score", 4).alias("score"), "rank")
+    )
