@@ -1367,3 +1367,126 @@ def q_bm25_topk(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("query_id", "doc_id", F.round("score", 4).alias("score"), "rank")
     )
+
+
+@query(
+    "q_hybrid_search_rrf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                 AS pos) t
+      WHERE length(trim(text)) > 0),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dlen AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dlen) AS avg_dl),
+    dfr AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qfirst AS (
+      SELECT doc_id AS query_id, tok, min(pos) AS first_pos
+      FROM toks WHERE doc_id IN (0, 37, 74) GROUP BY doc_id, tok),
+    qterms AS (
+      SELECT query_id, tok FROM (
+        SELECT query_id, tok,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY first_pos) AS rnk
+        FROM qfirst) z
+      WHERE rnk <= 4),
+    bm_scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(ln((stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avg_dl)))
+               AS score
+      FROM qterms qt
+      JOIN tf ON tf.tok = qt.tok
+      JOIN dlen ON dlen.doc_id = tf.doc_id
+      CROSS JOIN stats
+      JOIN dfr ON dfr.tok = qt.tok
+      GROUP BY qt.query_id, tf.doc_id),
+    sparse AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM bm_scored) t
+      WHERE rank <= 10 AND doc_id <> query_id),
+    dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[]))
+                          DESC, e.vec_id) AS rank
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id IN (0, 37, 74) AND e.vec_id != q.vec_id) t
+      WHERE rank <= 10),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + s.rank), 0)
+                   + COALESCE(1.0 / (60 + d.rank), 0), 6) AS rrf_score
+      FROM sparse s FULL JOIN dense d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+    SELECT query_id, doc_id, rrf_score, fused_rank FROM (
+      SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id)
+               AS fused_rank
+      FROM fused) t
+    WHERE fused_rank <= 10
+    """,
+)
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    lexical top-10 (q_bm25_topk, query doc itself removed) and the
+    exact dense cosine top-10 over the aligned embeddings — the
+    standard two-retriever fusion, rrf = Σ 1/(60 + rank) over the lists
+    a document appears in.  RRF is rank-based, so the whole pipeline —
+    both retrievers AND the fusion — is oracle-checkable exactly, which
+    score-interpolation hybrids are not (they need score calibration).
+
+    Scale: both retrievers keep their own plans (postings probe; blocked
+    matmul — swap in ivfpq_topk for the billion-scale dense side, same
+    fusion); fusion itself is a join of two O(Q·k) lists — negligible."""
+    from pyspark.sql.window import Window
+
+    sparse = (
+        q_bm25_topk(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.col("rank").alias("s_rank"))
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 37, 74))
+    dense = cosine_topk(emb, queries, k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("d_rank"),
+    )
+    fused = (
+        sparse.join(dense, ["query_id", "doc_id"], "full")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("s_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("d_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 10)
+        .select("query_id", "doc_id", "rrf_score", "fused_rank")
+    )
