@@ -1519,3 +1519,59 @@ def q_streaming_anomaly(spark, sf_dir):
     )
     out = stateful_anomaly_zscore(ev)
     return _run_to_memory_sink(out, "q_streaming_anomaly_sink", "append")
+
+
+@query("q_streaming_progress")  # rows-only: wall-time metrics are
+# engine-internal; the row-accounting contract (processed == fixture
+# rows, batches == staged files) is asserted in
+# tests/test_streaming.py::test_streaming_progress_accounting
+def q_streaming_progress(spark, sf_dir):
+    """Streaming observability surface: run a real windowed-aggregate
+    stream to completion and report the engine's own progress metrics —
+    micro-batch count, total input rows, peak state rows, and end-to-end
+    input coverage.  This is the monitoring contract an operator reads
+    in production (rows/sec trends, state growth, watermark lag all come
+    from the same recentProgress feed); surfacing it as a query makes
+    the accounting auditable: processed rows must equal the fixture
+    exactly (nothing dropped, nothing double-counted across batch
+    replays)."""
+    import tempfile
+
+    from streaming_spark.streaming import read_events_stream
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    agg = (
+        ev.withWatermark("ts", "31 days")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_streaming_progress_sink")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_progress did not finish within 300s")
+    progress = [p for p in q.recentProgress if p is not None]
+    n_batches = sum(1 for p in progress if p.get("numInputRows", 0) > 0)
+    input_rows = sum(p.get("numInputRows", 0) for p in progress)
+    state_rows = max(
+        (
+            op.get("numRowsTotal", 0)
+            for p in progress
+            for op in p.get("stateOperators", [])
+        ),
+        default=0,
+    )
+    return spark.createDataFrame(
+        [(n_batches, input_rows, state_rows)],
+        "n_data_batches BIGINT, input_rows BIGINT, peak_state_rows BIGINT",
+    )

@@ -369,3 +369,18 @@ def test_kafka_source_gated_without_connector(spark):
 
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         read_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_streaming_progress_accounting(spark):
+    """The progress metrics must account for every fixture row exactly
+    (input_rows == events count), one data batch per staged file, and
+    nonzero windowed state."""
+    from streaming_spark.io import load_table
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    r = REGISTRY["q_streaming_progress"](spark, SF_SMOKE).collect()[0]
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert r.input_rows == total, r
+    assert r.n_data_batches == 4  # _stage_stream_dir default n_files
+    assert r.peak_state_rows > 0
