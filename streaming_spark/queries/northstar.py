@@ -1490,3 +1490,85 @@ def q_hybrid_search_rrf(spark, sf_dir):
         .filter(F.col("fused_rank") <= 10)
         .select("query_id", "doc_id", "rrf_score", "fused_rank")
     )
+
+
+@query(
+    "q_qgram_cosine_pairs",
+    oracle="""
+    WITH docs5 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 = 0 AND length(text) >= 3),
+    grams AS (
+      SELECT doc_id, substring(text, g.i, 3) AS gram
+      FROM docs5,
+      LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) g),
+    tf AS (
+      SELECT doc_id, gram, count(*) AS tf FROM grams GROUP BY doc_id, gram),
+    norms AS (
+      SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(a.tf * b.tf) AS dot
+      FROM tf a JOIN tf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d.id_a, d.id_b,
+           round(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.id_a
+    JOIN norms nb ON nb.doc_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
+    """,
+)
+def q_qgram_cosine_pairs(spark, sf_dir):
+    """Character-trigram COSINE similarity self-join (tf-weighted) over
+    a 1-in-5 document sample — the sparse-vector text-similarity
+    workhorse, softer than edit distance (tolerant of reordering and
+    length drift) and finer than word-level Jaccard
+    (dedup_ngram_jaccard's oracle family).
+
+    EXACT without any all-pairs stage: the sparse formulation pairs
+    documents only through grams they SHARE — one gram-keyed shuffle of
+    (doc, gram, tf) produces per-pair dot-product contributions, a
+    (pair)-keyed aggregate sums them, and norms join back — so the cost
+    tracks co-occurrence, not corpus².  At 100 TB the one hot-gram
+    hazard is ultra-common trigrams (stop-phrases): cap or drop grams
+    above a document-frequency ceiling exactly like the LSH band /
+    fuzzy-variant caps, paying an observable similarity underestimate
+    for a hard fan-out bound."""
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 3)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.substr(F.col("text"), i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    tf = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("id_a"), "gram", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("id_b"), "gram", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    sim = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(sim >= 0.5)
+        .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
+    )
