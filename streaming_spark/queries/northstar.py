@@ -1572,3 +1572,76 @@ def q_qgram_cosine_pairs(spark, sf_dir):
         .filter(sim >= 0.5)
         .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
     )
+
+
+@query(
+    "q_phrase_match",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                 AS pos) t
+      WHERE length(trim(text)) > 0),
+    probe AS (
+      SELECT doc_id AS query_id, tok, pos FROM toks
+      WHERE doc_id IN (0, 37, 74) AND pos <= 2),
+    bigram AS (
+      SELECT p1.query_id,
+             max(CASE WHEN p1.pos = 1 THEN p1.tok END) AS w1,
+             max(CASE WHEN p1.pos = 2 THEN p1.tok END) AS w2
+      FROM probe p1 GROUP BY p1.query_id),
+    hits AS (
+      SELECT b.query_id, a.doc_id, count(*) AS n_occurrences
+      FROM bigram b
+      JOIN toks a ON a.tok = b.w1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+                  AND c.tok = b.w2
+      GROUP BY b.query_id, a.doc_id)
+    SELECT query_id, doc_id, n_occurrences
+    FROM hits WHERE doc_id <> query_id
+    """,
+)
+def q_phrase_match(spark, sf_dir):
+    """Exact-PHRASE retrieval over positional postings: for each probe
+    query (the first two tokens of documents 0/37/74 as a bigram
+    phrase), every other document containing that exact adjacent
+    sequence, with occurrence counts — the positional-index capability
+    bag-of-words BM25 cannot express (terms present ≠ phrase present).
+
+    Plan: the positional postings (doc, token, pos) are the same
+    fact-sized build as q_bm25_topk's index plus one INT column; a
+    phrase probes it with a self-join keyed (doc, pos+1) — adjacency
+    becomes an equi-join condition, so Catalyst plans hash joins, never
+    a positions-crossproduct; the tiny phrase table broadcasts.
+    N-word phrases chain n-1 such joins."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos") + 1)
+    probe = toks.filter(F.col("doc_id").isin(0, 37, 74) & (F.col("pos") <= 2))
+    bigram = probe.groupBy(F.col("doc_id").alias("query_id")).agg(
+        F.max(F.when(F.col("pos") == 1, F.col("tok"))).alias("w1"),
+        F.max(F.when(F.col("pos") == 2, F.col("tok"))).alias("w2"),
+    )
+    a = toks.select("doc_id", F.col("tok").alias("t1"), "pos")
+    c = toks.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("tok").alias("t2"),
+        (F.col("pos") - 1).alias("pos_prev"),
+    )
+    return (
+        F.broadcast(bigram)
+        .join(a, F.col("t1") == F.col("w1"))
+        .join(
+            c,
+            (F.col("doc_id2") == F.col("doc_id"))
+            & (F.col("pos_prev") == F.col("pos"))
+            & (F.col("t2") == F.col("w2")),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
