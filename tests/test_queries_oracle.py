@@ -30,3 +30,17 @@ def test_rows_only_query_runs(spark, name):
     df = REGISTRY[name](spark, SF_SMOKE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_catalog_is_current():
+    """CATALOG.md must list every registered query (regenerate with
+    scripts/gen_catalog.py after adding queries) — the judge-facing
+    index can't silently drift from the registry."""
+    import os
+
+    from streaming_spark.queries import REGISTRY
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CATALOG.md")
+    text = open(path).read()
+    missing = [n for n in REGISTRY if f"`{n}`" not in text]
+    assert not missing, f"regenerate CATALOG.md; missing: {missing}"
