@@ -880,3 +880,63 @@ def pipeline_tokenizer_pack(spark, sf_dir):
         token_counter=lambda _: F.col("n_bpe_tokens"),
     )
     return pack_stats(packed).orderBy("source", "pack_no")
+
+
+@query(
+    "q_token_budget_plan",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(sum({_TOKS_SQL}) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    wts AS (
+      SELECT source, total_tokens,
+             pow(total_tokens, 0.7)
+               / sum(pow(total_tokens, 0.7)) OVER () AS weight
+      FROM src)
+    SELECT source, total_tokens,
+           round(weight, 6) AS weight,
+           CAST(round(weight * 100000) AS BIGINT) AS target_tokens,
+           round(weight * 100000 / total_tokens, 6) AS epochs,
+           round(least(weight * 100000 / total_tokens, 1.0), 6)
+             AS sample_rate
+    FROM wts
+    """,
+)
+def q_token_budget_plan(spark, sf_dir):
+    """Training-data recipe planning: given per-source token mass and a
+    temperature-flattened target mixture (weight ∝ tokens^0.7, the
+    standard upsampling of small high-quality sources), allocate a
+    100k-token budget — per source: target tokens, EPOCHS (passes over
+    the source; >1 means repetition, the quantity every data-recipe
+    review reads first), and the sampling rate a single-pass loader
+    would use.  The planning twin of sample_temperature_mix: that query
+    draws the documents, this one produces the budget sheet the draw is
+    justified by.
+
+    Plan: one partial-agg'd shuffle to per-source token mass (sources
+    are few), then the normalizer joins back as a broadcast ONE-ROW
+    global aggregate (not a global window — the registry plan gate
+    rejects unpartitioned windows over data-derived frames, and the
+    single-row cross join is the better plan anyway)."""
+    from streaming_spark.operators.text import token_count
+
+    docs = T(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("total_tokens")
+    )
+    total = src.agg(
+        F.sum(F.pow("total_tokens", 0.7)).alias("__z")
+    )
+    src = src.crossJoin(F.broadcast(total))
+    weight = F.pow("total_tokens", 0.7) / F.col("__z")
+    budget = 100_000
+    return src.select(
+        "source",
+        "total_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * budget).cast("bigint").alias("target_tokens"),
+        F.round(weight * budget / F.col("total_tokens"), 6).alias("epochs"),
+        F.round(
+            F.least(weight * budget / F.col("total_tokens"), F.lit(1.0)), 6
+        ).alias("sample_rate"),
+    ).drop("__z")
