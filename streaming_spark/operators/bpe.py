@@ -208,3 +208,70 @@ def bpe_encode_counts(
         " n_word_chars BIGINT",
         side_input=(ranks, byte_level),
     )
+
+
+def bpe_encode_counts_special(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    special_tokens: tuple[str, ...] = ("<|endoftext|>", "<|pad|>"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    byte_level: bool = False,
+) -> DataFrame:
+    """Per-doc token statistics with SPECIAL-TOKEN handling: reserved
+    control strings (document separators, padding markers) are matched
+    before word splitting and always count as exactly ONE token —
+    never split into pieces, never merged into neighbors — the contract
+    every deployed tokenizer has for its control vocabulary.  A doc's
+    text is segmented around special-token occurrences; each ordinary
+    segment encodes through the standard merge loop.
+
+    Same shuffle-free broadcast-rank plan as ``bpe_encode_counts``;
+    the special list rides in the same side input."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pattern = "|".join(re.escape(t) for t in special_tokens)
+
+    def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        rk, as_bytes, pat = side
+        if len(pdf) == 0:
+            return None
+        splitter = re.compile(f"({pat})") if pat else None
+        cache: dict[str, list[str]] = {}
+        n_tokens, n_special = [], []
+        for text in pdf[text_col]:
+            text = text or ""
+            segments = splitter.split(text) if splitter else [text]
+            total = special = 0
+            for seg in segments:
+                if not seg:
+                    continue
+                if splitter and splitter.fullmatch(seg):
+                    total += 1
+                    special += 1
+                    continue
+                for w in seg.split():
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(
+                            _to_bytes_repr(w) if as_bytes else w, rk
+                        )
+                        cache[w] = enc
+                    total += len(enc)
+            n_tokens.append(total)
+            n_special.append(special)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "n_bpe_tokens": n_tokens,
+                "n_special_tokens": n_special,
+            }
+        )
+
+    return stream(
+        docs.select(id_col, text_col),
+        encode,
+        f"{id_col} BIGINT, n_bpe_tokens BIGINT, n_special_tokens BIGINT",
+        side_input=(ranks, byte_level, pattern),
+    )

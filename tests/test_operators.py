@@ -954,3 +954,41 @@ def test_damerau_distance_and_pairs(spark):
     assert dl[(1, 2)] == 1            # ...but ONE Damerau edit
     assert (1, 3) in lev and dl[(1, 3)] == 1  # insert matches in both
     assert all(4 not in p for p in dl)
+
+
+def test_bpe_special_tokens_atomic(spark):
+    """Reserved control tokens count as exactly one token wherever they
+    appear — mid-text, adjacent to words, or repeated — and ordinary
+    text around them encodes unchanged (equal counts with and without
+    the special path when no specials are present)."""
+    from streaming_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_encode_counts_special,
+        bpe_train,
+    )
+
+    plain = _bpe_docs(spark)
+    merges, _ = bpe_train(plain, n_merges=10, max_words=100)
+    base = {r.doc_id: r.n_bpe_tokens
+            for r in bpe_encode_counts(plain, merges).collect()}
+    with_path = {r.doc_id: r.n_bpe_tokens
+                 for r in bpe_encode_counts_special(plain, merges).collect()}
+    assert base == with_path  # no specials present -> identical counts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low<|endoftext|>new"),
+            (1, "<|endoftext|><|endoftext|>"),
+            (2, "low new<|pad|>"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.n_bpe_tokens, r.n_special_tokens)
+           for r in bpe_encode_counts_special(docs, merges).collect()}
+    # doc 0: encode("low") + 1 + encode("new")
+    single = {r.doc_id: r.n_bpe_tokens for r in bpe_encode_counts(
+        spark.createDataFrame([(0, "low"), (1, "new")],
+                              "doc_id BIGINT, text STRING"), merges).collect()}
+    assert got[0] == (single[0] + 1 + single[1], 1)
+    assert got[1] == (2, 2)
+    assert got[2][1] == 1
