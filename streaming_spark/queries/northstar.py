@@ -1645,3 +1645,54 @@ def q_phrase_match(spark, sf_dir):
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+@query("q_hybrid_fusion_sweep")  # rows-only: 5 weighted-RRF variants in
+# one artifact — the endpoint/midpoint ordering contracts are asserted
+# in tests/test_operators.py::test_hybrid_fusion_sweep_endpoints
+def q_hybrid_fusion_sweep(spark, sf_dir):
+    """Fusion-weight tuning artifact: weighted RRF
+    score = α/(60+sparse_rank) + (1-α)/(60+dense_rank) swept over
+    α ∈ {0, 0.25, 0.5, 0.75, 1}, top-5 per (α, query) — the knob sheet
+    a hybrid-search deployment reads to set its lexical/semantic
+    balance (the ann_tradeoff_curve analog for retrieval).  Endpoints
+    are pure single-retriever rankings by construction; α=0.5 orders
+    identically to q_hybrid_search_rrf's unweighted fusion — both
+    pinned in the contract test."""
+    from pyspark.sql.window import Window
+
+    sparse = (
+        q_bm25_topk(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.col("rank").alias("s_rank"))
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 37, 74))
+    dense = cosine_topk(emb, queries, k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("d_rank"),
+    )
+    lists = sparse.join(dense, ["query_id", "doc_id"], "full")
+    out = None
+    for alpha in (0.0, 0.25, 0.5, 0.75, 1.0):
+        score = F.coalesce(
+            F.lit(alpha) / (60 + F.col("s_rank")), F.lit(0.0)
+        ) + F.coalesce(F.lit(1.0 - alpha) / (60 + F.col("d_rank")), F.lit(0.0))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), "doc_id"
+        )
+        ranked = (
+            lists.withColumn("__score", score)
+            .filter(F.col("__score") > 0)
+            .withColumn("fused_rank", F.row_number().over(w))
+            .filter(F.col("fused_rank") <= 5)
+            .select(
+                F.lit(alpha).alias("alpha"),
+                "query_id",
+                "doc_id",
+                "fused_rank",
+            )
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out

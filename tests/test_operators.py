@@ -992,3 +992,53 @@ def test_bpe_special_tokens_atomic(spark):
     assert got[0] == (single[0] + 1 + single[1], 1)
     assert got[1] == (2, 2)
     assert got[2][1] == 1
+
+
+def test_hybrid_fusion_sweep_endpoints(spark):
+    """Weighted-RRF contracts: alpha=0 reproduces the pure dense
+    ordering, alpha=1 the pure sparse ordering, and alpha=0.5 orders
+    identically to the unweighted q_hybrid_search_rrf fusion."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_hybrid_fusion_sweep"](spark, SF_SMOKE).collect()
+    by_alpha = {}
+    for r in rows:
+        by_alpha.setdefault(r.alpha, {}).setdefault(r.query_id, []).append(
+            (r.fused_rank, r.doc_id)
+        )
+
+    from streaming_spark.io import load_table
+    from streaming_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dense = cosine_topk(
+        emb, emb.filter(F2.col("vec_id").isin(0, 37, 74)), k=5
+    ).collect()
+    want_dense = {}
+    for r in dense:
+        want_dense.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q, lst in want_dense.items():
+        assert sorted(lst) == sorted(by_alpha[0.0][q]), (q, lst)
+
+    sparse = {
+        (r.query_id, r.doc_id): r.rank
+        for r in REGISTRY["q_bm25_topk"](spark, SF_SMOKE).collect()
+        if r.doc_id != r.query_id
+    }
+    for q, lst in by_alpha[1.0].items():
+        got_docs = [d for _, d in sorted(lst)]
+        want = [d for (qq, d), rk in sorted(sparse.items(), key=lambda kv: kv[1])
+                if qq == q][: len(got_docs)]
+        assert got_docs == want, (q, got_docs, want)
+
+    fused = REGISTRY["q_hybrid_search_rrf"](spark, SF_SMOKE).collect()
+    want_mid = {}
+    for r in fused:
+        if r.fused_rank <= 5:
+            want_mid.setdefault(r.query_id, []).append(
+                (r.fused_rank, r.doc_id)
+            )
+    for q, lst in want_mid.items():
+        assert sorted(lst) == sorted(by_alpha[0.5][q]), (q, lst)
