@@ -275,3 +275,49 @@ def bpe_encode_counts_special(
         f"{id_col} BIGINT, n_bpe_tokens BIGINT, n_special_tokens BIGINT",
         side_input=(ranks, byte_level, pattern),
     )
+
+
+def bpe_save(
+    path: str,
+    merges: list[tuple[str, str]],
+    coverage: float = 1.0,
+    byte_level: bool = False,
+    special_tokens: tuple[str, ...] = (),
+) -> None:
+    """Persist a trained merge list as a versioned JSON artifact — the
+    tokenizer file a deployment ships alongside its corpus (the
+    session-level memo in queries/northstar.py covers one driver; this
+    covers the pipeline boundary: train once, encode from any later job).
+    ``ensure_ascii`` keeps byte-level latin-1 symbols print-safe; merge
+    ORDER is the rank table, so it round-trips as an ordered list."""
+    import json
+
+    artifact = {
+        "format": "streaming-spark-bpe",
+        "version": 1,
+        "byte_level": byte_level,
+        "coverage": coverage,
+        "special_tokens": list(special_tokens),
+        "merges": [[a, b] for a, b in merges],
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(artifact, f, ensure_ascii=True)
+
+
+def bpe_load(path: str) -> dict:
+    """Load a :func:`bpe_save` artifact.  Returns a dict with ``merges``
+    restored to rank-ordered (str, str) tuples plus the saved
+    ``byte_level`` / ``coverage`` / ``special_tokens`` metadata; raises
+    ``ValueError`` on an unrecognized format or version so a corrupt or
+    foreign file fails loudly instead of encoding garbage."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        artifact = json.load(f)
+    if artifact.get("format") != "streaming-spark-bpe":
+        raise ValueError(f"not a streaming-spark BPE artifact: {path}")
+    if artifact.get("version") != 1:
+        raise ValueError(f"unsupported BPE artifact version: {artifact.get('version')}")
+    artifact["merges"] = [tuple(p) for p in artifact["merges"]]
+    artifact["special_tokens"] = tuple(artifact.get("special_tokens", ()))
+    return artifact

@@ -158,6 +158,114 @@ def lsh_bucket_topk(
     return _topk_on_candidates(cand, queries, vectors, k, vec_col)
 
 
+def multiprobe_query_buckets(
+    queries: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 1,
+    n_probes: int = 8,
+    seed: int = 42,
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Query-directed multi-probe bucket generation (Lv et al. 2007,
+    "Multi-Probe LSH", VLDB): besides its home bucket, each query probes
+    the buckets reached by flipping the sign bits whose projections lie
+    CLOSEST to their hyperplane — the buckets most likely to hold
+    near-neighbors that landed just across a boundary.  Perturbation
+    sets (single flips and pairs among the 8 smallest margins) are
+    ranked by total flipped margin; the ``n_probes - 1`` cheapest join
+    the home bucket.
+
+    The same planes as :func:`hyperplane_buckets` at the same seed, so
+    probe buckets address the SAME stored index — multi-probe buys the
+    recall of many tables for the index cost of one (the index is built
+    and stored once; only the query side fans out).  Queries are small
+    by contract, so the per-row perturbation loop is driver-negligible
+    and runs in one narrow Arrow map."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+
+    def probe(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        pl, nprobe = side
+        if len(pdf) == 0:
+            return None
+        mat = _matrix(pdf[vec_col])
+        ids = pdf["vec_id"].to_numpy()
+        nb = pl.shape[1]
+        m_sub = min(nb, 8)
+        out_id, out_t, out_b = [], [], []
+        for t in range(pl.shape[0]):
+            proj = mat @ pl[t].T  # (rows, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            home = np.zeros(len(mat), dtype=np.int64)
+            for bit in range(nb):
+                home |= bits[:, bit] << bit
+            margins = np.abs(proj)
+            for r in range(len(mat)):
+                order = np.argsort(margins[r], kind="stable")[:m_sub]
+                cands: list[tuple[float, int]] = []
+                for i in range(len(order)):
+                    bi = int(order[i])
+                    cands.append((float(margins[r, bi]), 1 << bi))
+                    for j in range(i + 1, len(order)):
+                        bj = int(order[j])
+                        cands.append(
+                            (
+                                float(margins[r, bi] + margins[r, bj]),
+                                (1 << bi) | (1 << bj),
+                            )
+                        )
+                cands.sort()
+                masks = [0] + [m for _, m in cands[: max(0, nprobe - 1)]]
+                for msk in masks:
+                    out_id.append(ids[r])
+                    out_t.append(t)
+                    out_b.append(int(home[r]) ^ msk)
+        return pd.DataFrame({id_col: out_id, "table_id": out_t, "bucket": out_b})
+
+    return stream(
+        queries.select("vec_id", vec_col),
+        probe,
+        f"{id_col} BIGINT, table_id INT, bucket BIGINT",
+        side_input=(planes, n_probes),
+    )
+
+
+def lsh_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 10,
+    n_tables: int = 1,
+    n_probes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-probe LSH: the index is ONE (or few)
+    hyperplane tables; each query probes its ``n_probes`` most promising
+    buckets (query-directed perturbation, :func:`multiprobe_query_buckets`).
+
+    The scale trade vs :func:`lsh_bucket_topk`: single-probe buys recall
+    with ``n_tables``, multiplying the stored index and the index-side
+    shuffle by T; multi-probe buys it with ``n_probes``, multiplying only
+    the QUERY-side bucket keys — at 100 TB the index is the cost that
+    matters (built once, T× storage and write amplification), so
+    multi-probe is the standard deployment.  Candidate scoring and the
+    exact verify tail are shared (:func:`_topk_on_candidates`)."""
+    vb = hyperplane_buckets(vectors, vec_col, dim, n_bits, n_tables)
+    qb = multiprobe_query_buckets(
+        queries, vec_col, dim, n_bits, n_tables, n_probes
+    )
+    cand = (
+        qb.join(vb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    return _topk_on_candidates(cand, queries, vectors, k, vec_col)
+
+
 def _topk_on_candidates(
     cand: DataFrame, queries: DataFrame, vectors: DataFrame, k: int, vec_col: str
 ) -> DataFrame:
@@ -615,6 +723,7 @@ def ivfpq_residual_codebooks(
     n_iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """PQ codebooks trained on RESIDUALS (vector minus its nearest IVF
     centroid) — the billion-scale composition: residuals are far more
@@ -622,6 +731,9 @@ def ivfpq_residual_codebooks(
     its codes on a much smaller region and quantization error drops.
     Same bounded deterministic md5-ordered driver-side sample as
     ``ivf_centroids`` / ``pq_codebooks``; only encode/score distribute.
+
+    ``rotation`` (orthogonal, see :func:`opq_train_residual`) trains the
+    codebooks in the rotated residual space — the OPQ composition.
 
     Returns (m, ksub, dsub) float64."""
     assert dim % m == 0, "dim must split evenly into m subspaces"
@@ -635,6 +747,8 @@ def ivfpq_residual_codebooks(
     mat = _norm_rows(_matrix([r[1] for r in rows]))
     assign = np.argmax(mat @ centroids.T, axis=1)
     resid = mat - centroids[assign]
+    if rotation is not None:
+        resid = resid @ rotation
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         sub = resid[:, j * dsub : (j + 1) * dsub]
@@ -656,19 +770,25 @@ def ivfpq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ index rows: each vector's coarse cell plus the PQ codes of
     its residual — ONE narrow Arrow-batch map (centroids + codebooks
-    broadcast), no shuffle.  Index cost: 4 + m bytes/vector."""
+    broadcast), no shuffle.  Index cost: 4 + m bytes/vector.  With
+    ``rotation`` the residual is rotated before encoding (OPQ): inner
+    products are rotation-invariant, so scoring only has to rotate the
+    query side to match."""
     m, ksub, dsub = codebooks.shape
 
     def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        cent, books = side
+        cent, books, rot = side
         if len(pdf) == 0:
             return None
         mat = _norm_rows(_matrix(pdf[vec_col]))
         cells = np.argmax(mat @ cent.T, axis=1)
         resid = mat - cent[cells]
+        if rot is not None:
+            resid = resid @ rot
         codes = np.empty((len(pdf), m), dtype=np.int32)
         for j in range(m):
             sub = resid[:, j * dsub : (j + 1) * dsub]
@@ -686,7 +806,7 @@ def ivfpq_encode(
         df.select(id_col, vec_col),
         encode,
         f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
-        side_input=(centroids, codebooks),
+        side_input=(centroids, codebooks, rotation),
     )
 
 
@@ -702,6 +822,7 @@ def ivfpq_topk(
     rerank: int = 32,
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via the composed IVF-PQ index — the standard
     billion-scale ANN deployment: a coarse quantizer prunes the search
@@ -723,14 +844,21 @@ def ivfpq_topk(
     layout_zorder_write); the only shuffles are the O(Q·rerank·
     partitions) candidate window and the exact-rerank join.  Queries
     collect driver-side under the same bounded-queries contract as
-    cosine_topk/pq_topk."""
+    cosine_topk/pq_topk.
+
+    ``rotation`` (see :func:`opq_train_residual`) composes OPQ into the
+    index: residuals are rotated before quantization, and by q·r =
+    (Rq)·(Rr) only the residual LUT switches to the rotated query —
+    the q·c_cell coarse term and everything downstream are untouched."""
     cent = (
         centroids
         if centroids is not None
         else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
     )
-    books = ivfpq_residual_codebooks(vectors, cent, dim, m, ksub, vec_col=vec_col)
-    enc = ivfpq_encode(vectors, cent, books, vec_col=vec_col)
+    books = ivfpq_residual_codebooks(
+        vectors, cent, dim, m, ksub, vec_col=vec_col, rotation=rotation
+    )
+    enc = ivfpq_encode(vectors, cent, books, vec_col=vec_col, rotation=rotation)
 
     q_rows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
@@ -739,7 +867,8 @@ def ivfpq_topk(
     qc = q_mat @ cent.T  # (Q, n_cells): the q·c_cell scalar terms
     p = min(nprobe, cent.shape[0])
     probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]  # (Q, p)
-    luts = np.einsum("qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), books)
+    q_lut = q_mat if rotation is None else q_mat @ rotation
+    luts = np.einsum("qjd,jkd->qjk", q_lut.reshape(len(q_ids), m, dsub), books)
 
     def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:
         qids, qc_terms, probe_sets, tables, topr = side
@@ -841,3 +970,260 @@ def opq_train(
         u, _, vt = np.linalg.svd(mat.T @ recon)
         rot = u @ vt
     return rot, books
+
+
+def opq_train_residual(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_opq_iters: int = 8,
+    sample_limit: int = 2048,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ composed with IVF: learn the orthogonal rotation on the
+    RESIDUAL distribution (vector minus its coarse centroid) instead of
+    the raw vectors — the space PQ actually has to quantize inside an
+    IVF index.  Same alternation as :func:`opq_train` (train+encode PQ
+    in the rotated space, then solve the Procrustes problem), run over
+    residuals of the bounded md5-ordered sample.
+
+    Returns (R, codebooks); pass both to :func:`ivfpq_topk` /
+    :func:`ivfpq_encode`.  The coarse assignment stays in the UNROTATED
+    space (cells are found before residuals exist), so the q·c_cell
+    term of the scoring identity is untouched and only the residual LUT
+    rotates the query."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_limit)
+        .collect()
+    )
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+    assign = np.argmax(mat @ centroids.T, axis=1)
+    resid = mat - centroids[assign]
+    rot = np.eye(dim)
+    books = None
+    for _ in range(n_opq_iters):
+        y = resid @ rot
+        books = np.empty((m, ksub, dsub))
+        recon = np.empty_like(y)
+        for j in range(m):
+            sub = y[:, j * dsub : (j + 1) * dsub]
+            cent = sub[:ksub].copy()
+            for _ in range(n_iters):
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                for c in range(ksub):
+                    members = sub[a == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[j] = cent
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            recon[:, j * dsub : (j + 1) * dsub] = cent[np.argmin(d2, axis=1)]
+        u, _, vt = np.linalg.svd(resid.T @ recon)
+        rot = u @ vt
+    return rot, books
+
+
+def ivfpq_local_codebooks(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    sample_limit: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """PER-CELL residual codebooks: every IVF cell trains its OWN
+    (m, ksub) product quantizer over the residuals of its members —
+    the refinement over shared residual codebooks when cells have
+    different local geometry (shape, spread, orientation), which one
+    global codebook set must average over.  Memory cost is n_cells× the
+    codebook table (still tiny — codebooks never touch the data path),
+    accuracy is bounded below by the shared variant because each cell's
+    training set is a subset with its own dedicated budget.
+
+    Cells with fewer sample members than ``ksub`` fall back to
+    codebooks trained on the POOLED residuals (exactly
+    :func:`ivfpq_residual_codebooks`'s output for that budget), so thin
+    cells degrade to the shared behavior instead of degenerate
+    centroids.  Same bounded md5-ordered driver-side sample contract as
+    every quantizer here (a larger default ``sample_limit`` because the
+    sample divides across cells).
+
+    Returns (n_cells, m, ksub, dsub) float64."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    n_cells = centroids.shape[0]
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_limit)
+        .collect()
+    )
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+    assign = np.argmax(mat @ centroids.T, axis=1)
+    resid = mat - centroids[assign]
+
+    def train_books(data: np.ndarray) -> np.ndarray:
+        books = np.empty((m, ksub, dsub))
+        for j in range(m):
+            sub = data[:, j * dsub : (j + 1) * dsub]
+            cent = sub[:ksub].copy()
+            for _ in range(n_iters):
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                for c in range(ksub):
+                    members = sub[a == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[j] = cent
+        return books
+
+    pooled = train_books(resid)
+    local = np.empty((n_cells, m, ksub, dsub))
+    for cell in range(n_cells):
+        members = resid[assign == cell]
+        local[cell] = train_books(members) if len(members) >= ksub else pooled
+    return local
+
+
+def ivfpq_encode_local(
+    df: DataFrame,
+    centroids: np.ndarray,
+    local_books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index rows under per-cell codebooks: each vector's codes
+    are computed against ITS cell's codebooks.  Same shuffle-free
+    Arrow-map plan and 4 + m bytes/vector index as the shared-codebook
+    :func:`ivfpq_encode`; the broadcast side is n_cells× larger but
+    still centroid-table-sized."""
+    n_cells, m, ksub, dsub = local_books.shape
+
+    def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        cent, books = side
+        if len(pdf) == 0:
+            return None
+        mat = _norm_rows(_matrix(pdf[vec_col]))
+        cells = np.argmax(mat @ cent.T, axis=1)
+        resid = mat - cent[cells]
+        codes = np.empty((len(pdf), m), dtype=np.int32)
+        for cell in np.unique(cells):
+            sel = cells == cell
+            for j in range(m):
+                sub = resid[sel, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[cell][j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[sel, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cells.astype(np.int32),
+                "codes": list(codes),
+            }
+        )
+
+    return stream(
+        df.select(id_col, vec_col),
+        encode,
+        f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
+        side_input=(centroids, local_books),
+    )
+
+
+def ivfpq_topk_local(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k with PER-CELL residual codebooks
+    (:func:`ivfpq_local_codebooks`).  The scoring identity is unchanged
+    — q·v = q·c_cell + q·r̂_v — but the residual LUT becomes
+    per-(query, cell): a (Q, n_cells, m, ksub) table, built driver-side
+    (still tiny: codebook-scale, not data-scale) and applied by indexing
+    each candidate's LUT slice by its cell.  Everything else — the
+    shuffle-free encode map, the probed-cell mask, the bounded candidate
+    window, the exact rerank — is the shared-codebook plan verbatim."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
+    )
+    books = ivfpq_local_codebooks(vectors, cent, dim, m, ksub, vec_col=vec_col)
+    enc = ivfpq_encode_local(vectors, cent, books, vec_col=vec_col)
+
+    q_rows = queries.select("vec_id", vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
+    dsub = dim // m
+    qc = q_mat @ cent.T  # (Q, n_cells)
+    p = min(nprobe, cent.shape[0])
+    probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]
+    # per-(query, cell) LUTs: (Q, n_cells, m, ksub)
+    luts = np.einsum(
+        "qjd,cjkd->qcjk", q_mat.reshape(len(q_ids), m, dsub), books
+    )
+
+    def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        qids, qc_terms, probe_sets, tables, topr = side
+        if len(pdf) == 0:
+            return None
+        codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
+        cells = pdf["cell"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        cols = np.arange(codes.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cells, probe_sets[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            cells_m = cells[mask]
+            codes_m = codes[mask]
+            sims = (
+                tables[qi][cells_m[:, None], cols[None, :], codes_m].sum(axis=1)
+                + qc_terms[qi][cells_m]
+            )
+            ids_m = ids[mask]
+            r = min(topr, len(ids_m))
+            top = np.argpartition(-sims, r - 1)[:r]
+            out_q.extend([qid] * r)
+            out_v.extend(ids_m[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
+        )
+
+    partial = stream(
+        ensure_parallelism(enc),
+        adc_score,
+        "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE",
+        side_input=(q_ids, qc, probed, luts, rerank),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("vec_id")
+    )
+    cand = (
+        partial.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    return _topk_on_candidates(cand, queries, vectors, k, vec_col)

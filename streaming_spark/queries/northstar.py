@@ -1696,3 +1696,241 @@ def q_hybrid_fusion_sweep(spark, sf_dir):
         )
         out = ranked if out is None else out.unionByName(ranked)
     return out
+
+
+@query("ann_topk_lsh_multiprobe")  # rows-only: approximate by
+# construction (probed hyperplane buckets are engine-internal); the
+# recall floor vs single-probe at EQUAL index size is asserted in
+# tests/test_operators.py::test_ann_multiprobe_beats_single_probe
+def ann_topk_lsh_multiprobe(spark, sf_dir):
+    """Approximate top-5 via query-directed multi-probe LSH (Lv et al.
+    2007): TWO stored hyperplane tables, 8 probes each — each query
+    additionally probes the buckets across its smallest-margin
+    hyperplanes, where just-missed neighbors live.
+
+    The 100 TB rationale: single-probe LSH buys recall with n_tables,
+    which multiplies the STORED index and its build shuffle T-fold;
+    multi-probe buys the same recall by fanning out only the query-side
+    bucket keys (queries are the small side by contract).  ann_topk_lsh
+    needs 12 tables for its recall at these bit widths; this reaches the
+    same neighborhood coverage from 2."""
+    from streaming_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_multiprobe_topk(
+        emb, queries, dim=64, k=5, n_bits=4, n_tables=2, n_probes=8
+    )
+
+
+@query("ann_recall_lsh_multiprobe")  # rows-only: same contract style as
+# ann_recall_at_k — the externally visible approximation measurement
+def ann_recall_lsh_multiprobe(spark, sf_dir):
+    """Recall@5 of the multi-probe LSH path vs exact brute force, per
+    query — read next to ann_recall_at_k (12 single-probe tables) to see
+    the index-size-vs-probe-count trade at equal recall."""
+    from streaming_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        lsh_multiprobe_topk(
+            emb, queries, dim=64, k=5, n_bits=4, n_tables=2, n_probes=8
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
+            ).alias("recall_at_5")
+        )
+        .orderBy("query_id")
+    )
+
+
+@query("ann_topk_ivfopq")  # rows-only: rotation, cells and codebooks
+# are engine-internal; the rotated-residual advantage and the recall
+# floor are pinned in tests/test_operators.py::
+# test_ivfopq_rotation_beats_plain_residual
+def ann_topk_ivfopq(spark, sf_dir):
+    """Approximate top-5 via IVF + OPQ — the full billion-scale
+    composition: coarse cells prune the scan (IVF), a Procrustes-learned
+    orthogonal rotation re-balances residual energy across subspaces
+    (OPQ), and residual PQ codes give O(m)-lookup ADC scores.  The
+    scoring identity q·v = q·c_cell + (Rq)·(Rr_v) means only the
+    residual LUT sees the rotation; the coarse term and the exact-rerank
+    tail are byte-identical to plain IVF-PQ (operators/similarity.py
+    opq_train_residual / ivfpq_topk).
+
+    Fixture honesty: these embeddings are near-uniform AND isotropic,
+    so neither residual concentration (ann_topk_ivfpq's caveat) nor
+    rotation has signal to exploit here — the operating point matches
+    plain IVF-PQ's; the advantage is pinned on an anisotropic clustered
+    corpus in the contract test."""
+    from streaming_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        opq_train_residual,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = ivf_centroids(emb, 64, n_cells=8)
+    rot, _ = opq_train_residual(emb, cent, 64, m=16, ksub=16, n_opq_iters=4)
+    return ivfpq_topk(
+        emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
+        rerank=128, centroids=cent, rotation=rot,
+    )
+
+
+@query("ann_topk_ivfpq_local")  # rows-only: cells and per-cell
+# codebooks are engine-internal; the local-vs-shared advantage and the
+# recall floor are pinned in tests/test_operators.py::
+# test_ivfpq_local_codebooks_beat_shared
+def ann_topk_ivfpq_local(spark, sf_dir):
+    """Approximate top-5 via IVF-PQ with PER-CELL residual codebooks:
+    each coarse cell trains its own product quantizer, so cells with
+    different local geometry stop sharing one averaged codebook set.
+    The LUT generalizes to per-(query, cell) — still codebook-scale,
+    built driver-side — and the physical plan (shuffle-free encode map,
+    probed-cell mask, bounded candidate window, exact rerank) is the
+    shared-codebook plan verbatim (operators/similarity.py
+    ivfpq_topk_local).
+
+    Fixture honesty: near-uniform spherical embeddings give every cell
+    the same local geometry, so local codebooks match (not beat) the
+    shared variant here; the advantage is pinned on a
+    heterogeneous-cluster corpus in the contract test."""
+    from streaming_spark.operators.similarity import ivfpq_topk_local
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_topk_local(
+        emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
+        rerank=128,
+    )
+
+
+@query(
+    "q_qgram_cosine_prefix",
+    oracle="""
+    WITH docs5 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 = 0 AND length(text) >= 3),
+    grams AS (
+      SELECT DISTINCT doc_id, substring(text, g.i, 3) AS gram
+      FROM docs5,
+      LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) g),
+    sizes AS (
+      SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ov
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT o.id_a, o.id_b,
+           round(o.ov / sqrt(sa.sz * sb.sz), 4) AS cos_sim
+    FROM ov o
+    JOIN sizes sa ON sa.doc_id = o.id_a
+    JOIN sizes sb ON sb.doc_id = o.id_b
+    WHERE o.ov / sqrt(sa.sz * sb.sz) >= 0.5
+    """,
+)
+def q_qgram_cosine_prefix(spark, sf_dir):
+    """Character-trigram SET-cosine self-join via PREFIX FILTERING
+    (Chaudhuri et al. 2006; Bayardo et al. 2007, "Scaling Up All
+    Pairs") — EXACT, with candidate generation restricted to each
+    document's RAREST grams: order every doc's distinct grams by
+    corpus document-frequency (rarest first), keep only the first
+    s − ⌈t²·s⌉ + 1 as its prefix, and generate candidates by joining
+    prefix grams against all grams.  The theorem: if cos(A,B) =
+    |A∩B|/√(|A||B|) ≥ t and no shared gram were in either prefix, all
+    overlap would sit in suffixes of size ⌈t²s⌉−1 < t²·s ≤ t·√(|A||B|)
+    (size filter |B| ≥ t²|A|) — contradiction, so zero false
+    negatives; the verify stage (array_intersect on per-doc gram sets)
+    removes false positives exactly.
+
+    The 100 TB contrast with q_qgram_cosine_pairs: there the join keys
+    on EVERY gram and cost tracks total co-occurrence, hot common
+    trigrams included; here only prefix (rare, by construction
+    low-fan-out) grams generate pairs — the hot-gram hazard is excluded
+    by the algorithm rather than capped by policy, at zero recall
+    cost.  Shuffles: gram-df aggregate, per-doc gram-list aggregate,
+    the candidate join, the verify join — all keyed, no all-pairs."""
+    t2 = 0.25  # threshold 0.5, squared
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 3)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.substr(F.col("text"), i, F.lit(3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "gram"))
+            ).alias("ranked")
+        )
+        .withColumn("sz", F.size("ranked"))
+        .withColumn(
+            "prefix_len",
+            F.col("sz") - F.ceil(F.lit(t2) * F.col("sz")) + 1,
+        )
+    )
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ranked", F.lit(1), F.col("prefix_len")),
+                lambda s: s.getField("gram"),
+            )
+        ).alias("gram"),
+    )
+    cand = (
+        prefix.withColumnRenamed("doc_id", "p_id")
+        .join(grams.withColumnRenamed("doc_id", "g_id"), "gram")
+        .filter(F.col("p_id") != F.col("g_id"))
+        .select(
+            F.least("p_id", "g_id").alias("id_a"),
+            F.greatest("p_id", "g_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = ordered.select(
+        "doc_id",
+        F.transform("ranked", lambda s: s.getField("gram")).alias("gset"),
+        "sz",
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("gset").alias("ga"),
+        F.col("sz").alias("sa"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("gset").alias("gb"),
+        F.col("sz").alias("sb"),
+    )
+    sim = F.size(F.array_intersect("ga", "gb")) / F.sqrt(
+        F.col("sa") * F.col("sb")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(sim >= 0.5)
+        .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
+    )
