@@ -51,6 +51,13 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",         # composed IVF-PQ: cells + residual ADC + rerank
     "q_fuzzy_name_pairs",     # symmetric-deletion-blocked Levenshtein join
     "text_bpe_encode_stats",  # BPE train (driver) + distributed encode
+    # round-5 late additions.  q_qgram_cosine_prefix is deliberately NOT
+    # benched: the fixture's 377-trigram alphabet (100-word pool) is
+    # prefix filtering's worst case — no gram is rare, so candidates
+    # degenerate to near-all-pairs (measured 18 s at sf0.1); on natural
+    # text the prefix join keys on rare grams.  The gate still verifies
+    # it exactly at sf0.01.
+    "ann_topk_lsh_multiprobe",  # query-directed probing, 2-table index
 ]
 
 

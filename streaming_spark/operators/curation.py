@@ -420,3 +420,68 @@ def compact_files(
         "files_before BIGINT, files_after BIGINT, bytes_before BIGINT,"
         " bytes_after BIGINT, mean_file_bytes BIGINT",
     )
+
+
+def quota_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    key: Column | None = None,
+) -> DataFrame:
+    """Deterministic per-group quota sample: the ``quota`` rows of each
+    group with the smallest ``key`` (default md5-of-id — the stable
+    shuffle-proof order every deterministic sampler here uses; pass
+    e.g. a negated quality score to keep each group's BEST rows
+    instead of a uniform draw).  Ties always break on the id, so any
+    key yields one answer.
+
+    Physical plan — two-phase bounded top-k, NOT a per-group window:
+    a window partitioned by group must buffer-and-sort each group's
+    ENTIRE row set in one task, which breaks exactly when groups are
+    few and large (k-means cells, coarse domains) — the 100 TB case.
+    Instead (1) a narrow per-partition map keeps each partition's local
+    quota per group (state ≤ groups·quota rows per task), then (2) one
+    groupBy folds the ≤ partitions·quota survivors per group and slices
+    the global quota via sort_array — an aggregation whose input is
+    already quota-bounded, never data-sized.  Output: (group, id)."""
+    import pandas as pd
+
+    from streaming_spark.operators.stream import stream
+
+    key_expr = (
+        key if key is not None else F.md5(F.col(id_col).cast("string"))
+    )
+    keyed = df.select(
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        key_expr.alias("__key"),  # native type: numeric keys sort numerically
+    )
+
+    def local_topk(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        q = side
+        if len(pdf) == 0:
+            return None
+        return (
+            pdf.sort_values(["__grp", "__key", "__id"])
+            .groupby("__grp", sort=False)
+            .head(q)
+        )
+
+    partial = stream(keyed, local_topk, keyed.schema, side_input=quota)
+    return (
+        partial.groupBy("__grp")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("__key", "__id"))),
+                1,
+                quota,
+            ).alias("__top")
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            F.explode(F.transform("__top", lambda s: s.getField("__id"))).alias(
+                id_col
+            ),
+        )
+    )

@@ -1227,3 +1227,95 @@ def ivfpq_topk_local(
         .select("query_id", "vec_id")
     )
     return _topk_on_candidates(cand, queries, vectors, k, vec_col)
+
+
+def spherical_kmeans_full(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_sample: int = 2048,
+) -> tuple[np.ndarray, DataFrame]:
+    """FULL-CORPUS spherical k-means: Lloyd iterations where every
+    vector votes, not just a driver-side sample — the cluster-based
+    curation primitive (domain discovery, cluster-balanced sampling,
+    semantic bucketing of a training corpus).
+
+    Distributed the way Lloyd distributes at any scale: per iteration,
+    ONE shuffle-free Arrow map computes per-partition partial sums
+    (cell, count, Σvec) against broadcast centroids — the map-side
+    combine — and the driver folds the ≤ partitions · k partial rows
+    (centroid-table-sized, NOT data-sized) into new centroids.  k
+    iterations cost k narrow scans; nothing data-sized ever moves.
+
+    Initialization is deterministic FARTHEST-POINT (greedy max-min
+    cosine) over the md5-ordered bounded sample — the k-means++ idea
+    without randomness — which avoids seeding two centroids inside one
+    tight cluster (a local optimum Lloyd cannot escape); a few
+    driver-side Lloyd passes on the sample then warm-start the
+    distributed refinement.  Rerun-stable end to end.
+    Returns (centroids, assignment DataFrame (id, cell))."""
+    rows0 = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(init_sample)
+        .collect()
+    )
+    smat = _norm_rows(_matrix([r[1] for r in rows0]))
+    chosen = [0]
+    best_sim = smat @ smat[0]  # max cos to the chosen set, per sample row
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, smat @ smat[nxt])
+    cent = smat[chosen].copy()
+    for _ in range(5):  # sample-side Lloyd warm-up
+        a = np.argmax(smat @ cent.T, axis=1)
+        for c in range(k):
+            members = smat[a == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    base = vectors.select(id_col, vec_col)
+
+    def partials(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        c = side
+        if len(pdf) == 0:
+            return None
+        mat = _norm_rows(_matrix(pdf[vec_col]))
+        a = np.argmax(mat @ c.T, axis=1)
+        out_cell, out_n, out_sum = [], [], []
+        for cell in np.unique(a):
+            sel = a == cell
+            out_cell.append(int(cell))
+            out_n.append(int(sel.sum()))
+            out_sum.append(mat[sel].sum(axis=0).tolist())
+        return pd.DataFrame({"cell": out_cell, "n": out_n, "vsum": out_sum})
+
+    for _ in range(n_iters):
+        rows = stream(
+            base,
+            partials,
+            "cell INT, n BIGINT, vsum ARRAY<DOUBLE>",
+            side_input=cent,
+        ).collect()  # bounded: <= partitions * k centroid-sized rows
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            counts[r["cell"]] += r["n"]
+        new = cent.copy()
+        for cell in range(k):
+            if counts[cell]:
+                norm = np.linalg.norm(sums[cell])
+                if norm > 0:
+                    new[cell] = sums[cell] / norm
+        cent = new
+    assign = ivf_assign(
+        vectors, cent, id_col=id_col, vec_col=vec_col, nprobe=1, out_id=id_col
+    )
+    return cent, assign

@@ -940,3 +940,52 @@ def q_token_budget_plan(spark, sf_dir):
             F.least(weight * budget / F.col("total_tokens"), F.lit(1.0)), 6
         ).alias("sample_rate"),
     ).drop("__z")
+
+
+@query("pipeline_cluster_pack")  # rows-only: the k-means cells inside
+# are the fixed point of a distributed iteration (no SQL form); the
+# end-to-end contracts (per-cluster quota, pack fill bounds,
+# determinism) are pinned in tests/test_curation.py::
+# test_pipeline_cluster_pack_contract
+def pipeline_cluster_pack(spark, sf_dir):
+    """Composed pipeline #4 — SEMANTIC curation: full-corpus spherical
+    k-means over the embedding table → cluster-balanced quota sample
+    (≤20 docs per cell, md5 order) → real-BPE token recount of the
+    sampled documents → pack into 512-token context windows PER CLUSTER
+    → per-(cell, pack) fill stats.  The cluster-aware counterpart of
+    pipeline_tokenizer_pack: instead of deduping then packing the whole
+    corpus, it builds a semantically BALANCED training slice (no domain
+    dominates) and packs within each semantic bucket, so a training
+    batch drawn from one pack stays topically coherent.
+
+    Scale: k-means passes are shuffle-free partial-sum maps; the quota
+    is quota_sample_per_group's two-phase bounded top-k (not a per-cell
+    window); the BPE recount is a shuffle-free broadcast-rank encode
+    (merges reuse the session-memoized tokenizer); packing windows only
+    the ≤ 20-doc per-cell sample; stats are one partial-agg shuffle."""
+    from streaming_spark.operators.bpe import bpe_encode_counts
+    from streaming_spark.operators.curation import (
+        pack_sequences,
+        pack_stats,
+        quota_sample_per_group,
+    )
+    from streaming_spark.operators.similarity import spherical_kmeans_full
+    from streaming_spark.queries.northstar import _trained_bpe
+
+    emb = T(spark, sf_dir, "embeddings")
+    _, assign = spherical_kmeans_full(emb, dim=64, k=8, n_iters=2)
+    sampled = quota_sample_per_group(assign, "cell", "vec_id", quota=20).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    picked = docs.join(sampled, "doc_id")
+    merges, _ = _trained_bpe(spark, sf_dir)
+    counts = bpe_encode_counts(picked, merges).select("doc_id", "n_bpe_tokens")
+    with_counts = picked.join(counts, "doc_id")
+    packed = pack_sequences(
+        with_counts,
+        group_col="cell",
+        max_tokens=512,
+        token_counter=lambda _: F.col("n_bpe_tokens"),
+    )
+    return pack_stats(packed, group_col="cell").orderBy("cell", "pack_no")

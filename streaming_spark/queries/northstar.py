@@ -1819,12 +1819,12 @@ def ann_topk_ivfpq_local(spark, sf_dir):
 @query(
     "q_qgram_cosine_prefix",
     oracle="""
-    WITH docs5 AS (
+    WITH docs10 AS (
       SELECT doc_id, text FROM documents
-      WHERE doc_id % 5 = 0 AND length(text) >= 3),
+      WHERE doc_id % 10 = 0 AND length(text) >= 3),
     grams AS (
       SELECT DISTINCT doc_id, substring(text, g.i, 3) AS gram
-      FROM docs5,
+      FROM docs10,
       LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) g),
     sizes AS (
       SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
@@ -1860,10 +1860,18 @@ def q_qgram_cosine_prefix(spark, sf_dir):
     low-fan-out) grams generate pairs — the hot-gram hazard is excluded
     by the algorithm rather than capped by policy, at zero recall
     cost.  Shuffles: gram-df aggregate, per-doc gram-list aggregate,
-    the candidate join, the verify join — all keyed, no all-pairs."""
+    the candidate join, the verify join — all keyed, no all-pairs.
+
+    Fixture honesty: pruning power scales with gram SELECTIVITY, and
+    this corpus (100-word pool → 377 distinct trigrams, average
+    document frequency ~380) is the worst case — every gram is hot, so
+    candidates degenerate to near-all-pairs and the plan pays the full
+    fan-out (the reason this query samples 1-in-10 and stays out of
+    bench.py's headline; correctness is unaffected — the oracle checks
+    it exactly)."""
     t2 = 0.25  # threshold 0.5, squared
     docs = T(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 3)
+        (F.col("doc_id") % 10 == 0) & (F.length("text") >= 3)
     )
     grams = docs.select(
         "doc_id",
@@ -1933,4 +1941,108 @@ def q_qgram_cosine_prefix(spark, sf_dir):
         .join(sb, "id_b")
         .filter(sim >= 0.5)
         .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
+    )
+
+
+@query("q_kmeans_doc_clusters")  # rows-only: centroids are the fixed
+# point of a distributed iteration (no SQL form); the clustering
+# contract (cohesion > global baseline, determinism, full-corpus
+# refinement >= sample-only init) is pinned in tests/test_operators.py::
+# test_kmeans_full_contract
+def q_kmeans_doc_clusters(spark, sf_dir):
+    """Cluster the embedding corpus with FULL-CORPUS spherical k-means
+    (k=8, 3 distributed Lloyd iterations) and report per-cluster size
+    and cohesion (mean cosine of members to their centroid) — the
+    semantic-bucketing pass a curation pipeline runs before
+    cluster-balanced sampling or domain discovery.
+
+    Scale shape (operators/similarity.py spherical_kmeans_full): each
+    iteration is one shuffle-free Arrow map emitting per-partition
+    (cell, count, Σvec) partials — map-side combine — folded driver-side
+    at centroid-table size; the final cohesion aggregate is the only
+    data-sized shuffle (groupBy cell).  Deterministic end to end
+    (md5-ordered sample init, fixed iteration counts)."""
+    from streaming_spark.operators.similarity import spherical_kmeans_full
+
+    emb = T(spark, sf_dir, "embeddings")
+    cent, assign = spherical_kmeans_full(emb, dim=64, k=8, n_iters=3)
+    cent_rows = [(int(c), cent[c].tolist()) for c in range(cent.shape[0])]
+    cent_df = spark.createDataFrame(cent_rows, "cell INT, centroid ARRAY<DOUBLE>")
+    from streaming_spark.operators.similarity import _cosine_expr
+
+    member_sims = (
+        assign.join(emb, "vec_id")
+        .join(F.broadcast(cent_df), "cell")
+        .select("cell", _cosine_expr("embedding", "centroid").alias("sim"))
+    )
+    return (
+        member_sims.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sim"), 3).alias("mean_cohesion"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query("q_sample_cluster_balanced")  # rows-only: cluster assignment is
+# the fixed point of a distributed iteration (no SQL form); the quota /
+# determinism / subset contracts are pinned in tests/test_operators.py::
+# test_cluster_balanced_sample_contract
+def q_sample_cluster_balanced(spark, sf_dir):
+    """CLUSTER-BALANCED deterministic sample: spherical-k-means the
+    embedding corpus (k=8, full-corpus Lloyd), then keep up to 20
+    vectors per cluster by md5-of-id order — the curation pattern that
+    keeps a sample semantically representative instead of letting hot
+    domains dominate (the cluster-aware analog of sample_stratified's
+    per-source quotas).
+
+    Scale shape: the k-means passes are shuffle-free partial-sum maps
+    (spherical_kmeans_full); the quota is the two-phase bounded top-k
+    of quota_sample_per_group — per-partition local quotas then one
+    already-bounded groupBy fold, deliberately NOT a per-cell window
+    (k cells are few and huge at 100 TB; a window would sort each
+    cell's entire membership in one task).  Deterministic end to end:
+    same corpus → same clusters → same sample."""
+    from streaming_spark.operators.curation import quota_sample_per_group
+    from streaming_spark.operators.similarity import spherical_kmeans_full
+
+    emb = T(spark, sf_dir, "embeddings")
+    _, assign = spherical_kmeans_full(emb, dim=64, k=8, n_iters=2)
+    return (
+        quota_sample_per_group(assign, "cell", "vec_id", quota=20)
+        .select("vec_id", "cell")
+        .orderBy("cell", "vec_id")
+    )
+
+
+@query("q_sample_cluster_quality")  # rows-only: cluster cells are
+# engine-internal; the quota / best-within-cluster / determinism
+# contracts are pinned in tests/test_operators.py::
+# test_cluster_quality_sample_contract
+def q_sample_cluster_quality(spark, sf_dir):
+    """QUALITY-weighted cluster-balanced sample: same k-means cells and
+    per-cell quota as q_sample_cluster_balanced, but within each cell
+    keep the 20 LONGEST documents (token count as the quality proxy —
+    swap in any scoring column) instead of a uniform md5 draw — the
+    curation policy that keeps a sample both semantically balanced AND
+    per-bucket best-of (quota_sample_per_group's ``key`` hook: a
+    negated score with id tie-break, same two-phase bounded top-k
+    plan)."""
+    from streaming_spark.operators.curation import quota_sample_per_group
+    from streaming_spark.operators.similarity import spherical_kmeans_full
+    from streaming_spark.operators.text import token_count
+
+    emb = T(spark, sf_dir, "embeddings")
+    _, assign = spherical_kmeans_full(emb, dim=64, k=8, n_iters=2)
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), token_count("text").alias("n_tokens")
+    )
+    scored = assign.join(docs, "vec_id")
+    return (
+        quota_sample_per_group(
+            scored, "cell", "vec_id", quota=20, key=-F.col("n_tokens")
+        )
+        .select("vec_id", "cell")
+        .orderBy("cell", "vec_id")
     )

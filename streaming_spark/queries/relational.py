@@ -396,3 +396,47 @@ def q_input_orc(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count_distinct("l_returnflag").alias("n_flags"),
     )
+
+
+@query(
+    "q_upsert_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM updates
+    UNION ALL
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderkey % 7 <> 0
+    """,
+)
+def q_upsert_merge(spark, sf_dir):
+    """MERGE / upsert semantics — apply an updates relation to a base
+    table by key, updated rows replacing their base versions and the
+    rest of the base passing through (the warehouse MERGE INTO ...
+    WHEN MATCHED THEN UPDATE shape, here with a deterministic updates
+    set derived from the fixture: every 7th order re-priced +1.0 —
+    an exact IEEE op, per the no-row-wise-rounding rule — and flagged
+    'U').
+
+    Physical plan — the scale-right formulation: LEFT ANTI join (base
+    minus updated keys) + union, both sides shuffled ONCE on the key,
+    no window, no row_number; at 100 TB the anti join broadcasts
+    whenever the updates batch is small (the common case), making the
+    merge a single narrow pass over the base."""
+    orders = T(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return base.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(updates)

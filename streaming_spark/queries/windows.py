@@ -1575,3 +1575,142 @@ def q_streaming_progress(spark, sf_dir):
         [(n_batches, input_rows, state_rows)],
         "n_data_batches BIGINT, input_rows BIGINT, peak_state_rows BIGINT",
     )
+
+
+@query("q_streaming_kmeans_update")  # rows-only: the centroid state is
+# the fold of a distributed iteration (no SQL form); streamed-vs-batch
+# agreement is returned IN the result row and floor-asserted in
+# tests/test_streaming.py::test_streaming_kmeans_matches_batch
+def q_streaming_kmeans_update(spark, sf_dir):
+    """Streaming k-means maintenance: embeddings arrive as an ingest
+    stream and each micro-batch contributes per-cell sufficient
+    statistics (count, Σvec) against FROZEN current centroids; the
+    accumulated statistics fold into one Lloyd centroid update — the
+    mini-batch refresh a deployment runs on a cadence as a corpus
+    grows, without rescanning history (the clustering analog of
+    q_streaming_ann_index's frozen-quantizer encode).
+
+    It works because Lloyd's update is a pure fold over (cell, n, Σvec)
+    partials — associative and batch-boundary-independent — so the
+    streamed update must agree with a batch update of the same corpus
+    to float tolerance, and the ASSIGNMENT under both updated centroid
+    sets must be identical.  Both agreements are returned in the result
+    row (max |Δcentroid|, mismatched assignments) rather than asserted
+    silently.  Scale shape: per batch ONE shuffle-free Arrow map
+    emitting ≤ k centroid-sized rows; state is the parquet partial log
+    (O(batches·k)), never vectors."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from streaming_spark.operators.similarity import (
+        _matrix,
+        _norm_rows,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from streaming_spark.operators.stream import stream
+
+    k, dim = 8, 64
+    emb_static = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent0 = ivf_centroids(emb_static, dim=dim, n_cells=k)
+
+    def partials(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        c = side
+        if len(pdf) == 0:
+            return None
+        mat = _norm_rows(_matrix(pdf["embedding"]))
+        a = np.argmax(mat @ c.T, axis=1)
+        cells, ns, sums = [], [], []
+        for cell in np.unique(a):
+            sel = a == cell
+            cells.append(int(cell))
+            ns.append(int(sel.sum()))
+            sums.append(mat[sel].sum(axis=0).tolist())
+        return pd.DataFrame({"cell": cells, "n": ns, "vsum": sums})
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_kmstream_") + "/t"
+    stream_emb = (
+        spark.readStream.schema(emb_static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir, table_name="embeddings"))
+    )
+
+    def accumulate(batch_df, batch_id):
+        (
+            stream(
+                batch_df.select("vec_id", "embedding"),
+                partials,
+                "cell INT, n BIGINT, vsum ARRAY<DOUBLE>",
+                side_input=cent0,
+            )
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_emb.writeStream.foreachBatch(accumulate)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_kmeans_update did not finish in 300s")
+
+    def fold_update(rows):
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["cell"], r["n"])):
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            counts[r["cell"]] += r["n"]
+        new = cent0.copy()
+        for cell in range(k):
+            if counts[cell]:
+                nrm = np.linalg.norm(sums[cell])
+                if nrm > 0:
+                    new[cell] = sums[cell] / nrm
+        return new, int(counts.sum())
+
+    streamed_rows = spark.read.parquet(sink_dir).select(
+        "cell", "n", "vsum"
+    ).collect()  # bounded: batches * k centroid-sized rows
+    cent_stream, n_stream = fold_update(streamed_rows)
+
+    batch_rows = stream(
+        emb_static,
+        partials,
+        "cell INT, n BIGINT, vsum ARRAY<DOUBLE>",
+        side_input=cent0,
+    ).collect()  # bounded: partitions * k
+    cent_batch, n_batch = fold_update(batch_rows)
+
+    max_diff = float(np.abs(cent_stream - cent_batch).max())
+    a_s = ivf_assign(emb_static, cent_stream).withColumnRenamed("cell", "c_s")
+    a_b = ivf_assign(emb_static, cent_batch).withColumnRenamed("cell", "c_b")
+    return (
+        a_s.join(a_b, "vec_id", "full")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                (
+                    F.col("c_s").isNull()
+                    | F.col("c_b").isNull()
+                    | (F.col("c_s") != F.col("c_b"))
+                ).cast("bigint")
+            ).alias("n_assign_mismatch"),
+        )
+        .select(
+            "n_vectors",
+            F.lit(n_stream).alias("n_streamed_vectors"),
+            F.lit(n_batch).alias("n_batch_vectors"),
+            F.lit(round(max_diff, 12)).alias("max_centroid_diff"),
+            "n_assign_mismatch",
+        )
+    )

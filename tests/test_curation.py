@@ -224,3 +224,36 @@ def test_pipeline_tokenizer_pack_contracts(spark):
         nums = sorted(r.pack_no for r in rows)
         assert nums == list(range(len(nums))), (src, nums)
         assert all(r.pack_tokens > 0 for r in rows)
+
+
+def test_pipeline_cluster_pack_contract(spark):
+    """The semantic-curation pipeline must (1) be deterministic, (2)
+    emit packs for every cluster cell, (3) respect the per-cluster
+    quota — each cell's packs hold at most 20 documents total — and
+    (4) satisfy the packing invariant: pack numbering is contiguous
+    from 0 within a cell and a new pack only opens once the cumulative
+    token total has crossed its 512 boundary (a boundary-straddling
+    document overflows the pack it crosses out of, per the documented
+    pack_sequences rule)."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows1 = REGISTRY["pipeline_cluster_pack"](spark, SF_SMOKE).collect()
+    rows2 = REGISTRY["pipeline_cluster_pack"](spark, SF_SMOKE).collect()
+    as_tuples = lambda rows: [(r.cell, r.pack_no, r.n_docs, r.pack_tokens) for r in rows]
+    assert as_tuples(rows1) == as_tuples(rows2)
+    from collections import defaultdict
+
+    by_cell = defaultdict(list)
+    for r in rows1:
+        by_cell[r.cell].append(r)
+    assert len(by_cell) == 8
+    for cell, packs in by_cell.items():
+        packs.sort(key=lambda r: r.pack_no)
+        assert [r.pack_no for r in packs] == list(range(len(packs)))
+        assert sum(r.n_docs for r in packs) <= 20, (cell, packs)
+        cum = 0
+        for i, r in enumerate(packs):
+            cum += r.pack_tokens
+            if i < len(packs) - 1:  # a later pack exists -> boundary crossed
+                assert cum >= (r.pack_no + 1) * 512, (cell, r.pack_no, cum)

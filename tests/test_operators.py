@@ -1277,3 +1277,125 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     bad.write_text('{"format": "other"}')
     with _pytest.raises(ValueError):
         bpe_load(str(bad))
+
+
+def test_kmeans_full_contract(spark):
+    """Full-corpus spherical k-means: on a corpus of 6 planted clusters,
+    (1) the assignment must be deterministic across runs, (2) every
+    planted cluster must land in one k-means cell (members agree), and
+    (3) the distributed Lloyd refinement must not lose objective vs the
+    sample-only init it starts from (mean member-to-centroid cosine)."""
+    from streaming_spark.operators.similarity import (
+        _matrix,
+        _norm_rows,
+        ivf_assign,
+        ivf_centroids,
+        spherical_kmeans_full,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = _norm_rows(rng.standard_normal((6, 32)))
+    rows = []
+    for i in range(300):
+        v = centers[i % 6] + 0.1 * rng.standard_normal(32)
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(4)
+
+    cent1, assign1 = spherical_kmeans_full(df, dim=32, k=6, n_iters=3)
+    cent2, assign2 = spherical_kmeans_full(df, dim=32, k=6, n_iters=3)
+    a1 = {r.vec_id: r.cell for r in assign1.collect()}
+    a2 = {r.vec_id: r.cell for r in assign2.collect()}
+    assert a1 == a2  # deterministic
+    assert len(a1) == 300
+
+    # planted purity: all members of a planted cluster share one cell
+    for c in range(6):
+        cells = {a1[i] for i in range(300) if i % 6 == c}
+        assert len(cells) == 1, f"planted cluster {c} split across {cells}"
+
+    # full-corpus refinement matches-or-beats the sample-only quantizer
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+
+    def objective(cent):
+        return (mat @ cent.T).max(axis=1).mean()
+
+    sample_only = ivf_centroids(df, 32, n_cells=6)
+    assert objective(cent1) >= objective(sample_only) - 1e-9
+
+
+def test_cluster_balanced_sample_contract(spark):
+    """The cluster-balanced sample must satisfy its quota exactly
+    (min(20, cluster size) per cell), be a subset of the corpus ids,
+    and be deterministic across runs."""
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    out1 = REGISTRY["q_sample_cluster_balanced"](spark, SF_SMOKE).collect()
+    out2 = REGISTRY["q_sample_cluster_balanced"](spark, SF_SMOKE).collect()
+    assert [(r.vec_id, r.cell) for r in out1] == [
+        (r.vec_id, r.cell) for r in out2
+    ]
+    corpus_ids = {
+        r.vec_id for r in T(spark, SF_SMOKE, "embeddings").select("vec_id").collect()
+    }
+    sample_ids = [r.vec_id for r in out1]
+    assert len(sample_ids) == len(set(sample_ids))  # no duplicates
+    assert set(sample_ids) <= corpus_ids
+    from collections import Counter
+
+    per_cell = Counter(r.cell for r in out1)
+    assert max(per_cell.values()) <= 20
+    # every nonempty cluster contributes; fixture has 500 vectors in 8
+    # clusters, so each cluster holds >= 20 and the quota binds exactly
+    assert all(n == 20 for n in per_cell.values()), per_cell
+
+
+def test_cluster_quality_sample_contract(spark):
+    """The quality-weighted cluster sample must keep, per cell, exactly
+    the quota of HIGHEST-token-count documents: every kept doc's token
+    count >= every dropped doc's in the same cell (ties broken by id),
+    quota respected, deterministic across runs."""
+    from streaming_spark.operators.similarity import spherical_kmeans_full
+    from streaming_spark.operators.text import token_count
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    out1 = REGISTRY["q_sample_cluster_quality"](spark, SF_SMOKE).collect()
+    out2 = REGISTRY["q_sample_cluster_quality"](spark, SF_SMOKE).collect()
+    assert [(r.vec_id, r.cell) for r in out1] == [
+        (r.vec_id, r.cell) for r in out2
+    ]
+    emb = T(spark, SF_SMOKE, "embeddings")
+    _, assign = spherical_kmeans_full(emb, dim=64, k=8, n_iters=2)
+    docs = T(spark, SF_SMOKE, "documents").select(
+        F.col("doc_id").alias("vec_id"), token_count("text").alias("n_tokens")
+    )
+    full = {
+        r.vec_id: (r.cell, r.n_tokens)
+        for r in assign.join(docs, "vec_id").collect()
+    }
+    kept = {r.vec_id for r in out1}
+    from collections import Counter
+
+    per_cell = Counter(full[v][0] for v in kept)
+    assert all(n == 20 for n in per_cell.values()), per_cell
+    for cell in per_cell:
+        kept_scores = sorted(
+            (full[v][1], v) for v in kept if full[v][0] == cell
+        )
+        dropped_scores = [
+            (full[v][1], v)
+            for v in full
+            if full[v][0] == cell and v not in kept
+        ]
+        if dropped_scores:
+            # the worst kept (score, then id as tie-break in the
+            # sampler's ascending -score order = descending score,
+            # ascending id) must dominate the best dropped
+            worst_kept = kept_scores[0]
+            best_dropped = max(dropped_scores)
+            assert worst_kept[0] >= best_dropped[0], (
+                cell, worst_kept, best_dropped,
+            )

@@ -384,3 +384,19 @@ def test_streaming_progress_accounting(spark):
     assert r.input_rows == total, r
     assert r.n_data_batches == 4  # _stage_stream_dir default n_files
     assert r.peak_state_rows > 0
+
+
+def test_streaming_kmeans_matches_batch(spark):
+    """The streamed Lloyd update must agree with the batch update of
+    the same corpus: centroid fold within float tolerance (the fold is
+    associative; only summation grouping differs) and IDENTICAL
+    assignments under both updated centroid sets."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    row = REGISTRY["q_streaming_kmeans_update"](spark, SF_SMOKE).collect()[0]
+    assert row.n_vectors == 500
+    assert row.n_streamed_vectors == 500
+    assert row.n_batch_vectors == 500
+    assert row.max_centroid_diff < 1e-9, row.max_centroid_diff
+    assert row.n_assign_mismatch == 0
