@@ -456,7 +456,12 @@ def quota_sample_per_group(
         F.col(group_col).alias("__grp"),
         F.col(id_col).alias("__id"),
         key_expr.alias("__key"),  # native type: numeric keys sort numerically
-    )
+    ).filter(F.col("__key").isNotNull())
+    # NULL keys are excluded up front: pandas sorts NaN last while
+    # sort_array sorts null FIRST, so a null-keyed row could lose the
+    # partition phase yet win the global slice — dropping them keeps
+    # the two phases ordering-consistent (and a null score has no
+    # defensible rank anyway)
 
     def local_topk(pdf: pd.DataFrame, side) -> pd.DataFrame:
         q = side

@@ -183,6 +183,7 @@ def multiprobe_query_buckets(
     and stored once; only the query side fans out).  Queries are small
     by contract, so the per-row perturbation loop is driver-negligible
     and runs in one narrow Arrow map."""
+    assert n_bits <= 63, "bucket packs into a signed long: n_bits <= 63"
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_bits, dim))
 
@@ -1264,6 +1265,11 @@ def spherical_kmeans_full(
         .collect()
     )
     smat = _norm_rows(_matrix([r[1] for r in rows0]))
+    if len(smat) < k:
+        raise ValueError(
+            f"spherical_kmeans_full: k={k} exceeds the {len(smat)}-row "
+            "init sample — farthest-point init would duplicate centroids"
+        )
     chosen = [0]
     best_sim = smat @ smat[0]  # max cos to the chosen set, per sample row
     for _ in range(1, k):

@@ -1399,3 +1399,35 @@ def test_cluster_quality_sample_contract(spark):
             assert worst_kept[0] >= best_dropped[0], (
                 cell, worst_kept, best_dropped,
             )
+
+
+def test_quota_sampler_guards(spark):
+    """Hardening contracts: (1) null scoring keys are excluded up front
+    (pandas NaN-last vs sort_array null-first would make the two top-k
+    phases disagree), (2) multiprobe bucket packing rejects n_bits >
+    63, (3) k-means refuses k larger than its init sample instead of
+    silently duplicating centroids."""
+    import pytest as _pytest
+
+    from streaming_spark.operators.curation import quota_sample_per_group
+    from streaming_spark.operators.similarity import (
+        multiprobe_query_buckets,
+        spherical_kmeans_full,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, None), (0, 3, 1.0), (1, 4, None), (1, 5, 2.0)],
+        "grp INT, id BIGINT, score DOUBLE",
+    )
+    out = quota_sample_per_group(df, "grp", "id", quota=2, key=-F.col("score"))
+    got = {(r.grp, r.id) for r in out.collect()}
+    assert got == {(0, 1), (0, 3), (1, 5)}  # null-score rows never sampled
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(AssertionError):
+        multiprobe_query_buckets(vecs, "embedding", dim=2, n_bits=64)
+
+    with _pytest.raises(ValueError, match="exceeds the"):
+        spherical_kmeans_full(vecs, dim=2, k=5)
