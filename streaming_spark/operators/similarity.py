@@ -1042,6 +1042,7 @@ def ivfpq_local_codebooks(
     n_iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """PER-CELL residual codebooks: every IVF cell trains its OWN
     (m, ksub) product quantizer over the residuals of its members —
@@ -1073,6 +1074,8 @@ def ivfpq_local_codebooks(
     mat = _norm_rows(_matrix([r[1] for r in rows]))
     assign = np.argmax(mat @ centroids.T, axis=1)
     resid = mat - centroids[assign]
+    if rotation is not None:  # OPQ composition: books live in R-space
+        resid = resid @ rotation
 
     def train_books(data: np.ndarray) -> np.ndarray:
         books = np.empty((m, ksub, dsub))
@@ -1103,6 +1106,7 @@ def ivfpq_encode_local(
     local_books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ index rows under per-cell codebooks: each vector's codes
     are computed against ITS cell's codebooks.  Same shuffle-free
@@ -1112,12 +1116,14 @@ def ivfpq_encode_local(
     n_cells, m, ksub, dsub = local_books.shape
 
     def encode(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        cent, books = side
+        cent, books, rot = side
         if len(pdf) == 0:
             return None
         mat = _norm_rows(_matrix(pdf[vec_col]))
         cells = np.argmax(mat @ cent.T, axis=1)
         resid = mat - cent[cells]
+        if rot is not None:
+            resid = resid @ rot
         codes = np.empty((len(pdf), m), dtype=np.int32)
         for cell in np.unique(cells):
             sel = cells == cell
@@ -1139,7 +1145,7 @@ def ivfpq_encode_local(
         df.select(id_col, vec_col),
         encode,
         f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
-        side_input=(centroids, local_books),
+        side_input=(centroids, local_books, rotation),
     )
 
 
@@ -1155,6 +1161,7 @@ def ivfpq_topk_local(
     rerank: int = 32,
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k with PER-CELL residual codebooks
     (:func:`ivfpq_local_codebooks`).  The scoring identity is unchanged
@@ -1163,14 +1170,25 @@ def ivfpq_topk_local(
     (still tiny: codebook-scale, not data-scale) and applied by indexing
     each candidate's LUT slice by its cell.  Everything else — the
     shuffle-free encode map, the probed-cell mask, the bounded candidate
-    window, the exact rerank — is the shared-codebook plan verbatim."""
+    window, the exact rerank — is the shared-codebook plan verbatim.
+
+    ``rotation`` composes OPQ in: one GLOBAL orthogonal rotation
+    (:func:`opq_train_residual`) re-balances residual energy across
+    subspace boundaries for every cell at once, and per-cell codebooks
+    then adapt to each cell's rotated local geometry — rotation fixes
+    the subspace SPLIT, local books fix the cell SHAPE; the two
+    refinements are orthogonal and multiply."""
     cent = (
         centroids
         if centroids is not None
         else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
     )
-    books = ivfpq_local_codebooks(vectors, cent, dim, m, ksub, vec_col=vec_col)
-    enc = ivfpq_encode_local(vectors, cent, books, vec_col=vec_col)
+    books = ivfpq_local_codebooks(
+        vectors, cent, dim, m, ksub, vec_col=vec_col, rotation=rotation
+    )
+    enc = ivfpq_encode_local(
+        vectors, cent, books, vec_col=vec_col, rotation=rotation
+    )
 
     q_rows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
@@ -1179,9 +1197,11 @@ def ivfpq_topk_local(
     qc = q_mat @ cent.T  # (Q, n_cells)
     p = min(nprobe, cent.shape[0])
     probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]
-    # per-(query, cell) LUTs: (Q, n_cells, m, ksub)
+    # per-(query, cell) LUTs: (Q, n_cells, m, ksub); with OPQ the LUT
+    # side rotates the query (q.r = (Rq).(Rr)), the coarse term doesn't
+    q_lut = q_mat if rotation is None else q_mat @ rotation
     luts = np.einsum(
-        "qjd,cjkd->qcjk", q_mat.reshape(len(q_ids), m, dsub), books
+        "qjd,cjkd->qcjk", q_lut.reshape(len(q_ids), m, dsub), books
     )
 
     def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:

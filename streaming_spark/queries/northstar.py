@@ -2046,3 +2046,31 @@ def q_sample_cluster_quality(spark, sf_dir):
         .select("vec_id", "cell")
         .orderBy("cell", "vec_id")
     )
+
+
+@query("ann_topk_ivfopq_local")  # rows-only: rotation, cells and
+# per-cell codebooks are engine-internal; the composition's advantage
+# is pinned in tests/test_operators.py::test_ivfpq_local_opq_composition
+def ann_topk_ivfopq_local(spark, sf_dir):
+    """Approximate top-5 via the FULL ANN composition: IVF coarse cells
+    + a residual-trained OPQ rotation + PER-CELL residual codebooks —
+    rotation fixes the subspace split (one global orthogonal map,
+    shared by every cell), local codebooks fix each cell's shape; the
+    two refinements are orthogonal and multiply (contract test pins
+    the composed win on a shared-anisotropy clustered corpus).  Plan
+    identical to ann_topk_ivfpq_local; only the LUT side rotates the
+    query (q·r = (Rq)·(Rr))."""
+    from streaming_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_topk_local,
+        opq_train_residual,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = ivf_centroids(emb, 64, n_cells=8)
+    rot, _ = opq_train_residual(emb, cent, 64, m=16, ksub=16, n_opq_iters=4)
+    return ivfpq_topk_local(
+        emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
+        rerank=128, centroids=cent, rotation=rot,
+    )

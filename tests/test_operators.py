@@ -1431,3 +1431,103 @@ def test_quota_sampler_guards(spark):
 
     with _pytest.raises(ValueError, match="exceeds the"):
         spherical_kmeans_full(vecs, dim=2, k=5)
+
+
+def test_ivfpq_local_opq_composition(spark):
+    """Rotation and per-cell codebooks fix DIFFERENT defects — the
+    subspace split vs the cell shape — so composed they must beat
+    local-only codebooks when every cell shares one anisotropic noise
+    orientation (a global rotation aligns energy with the subspace
+    boundaries for all cells at once): lower rotated-residual
+    reconstruction error at the same budget, and end-to-end recall
+    match-or-beat with a hard floor."""
+    from streaming_spark.operators.similarity import (
+        _matrix,
+        _norm_rows,
+        cosine_topk,
+        ivf_centroids,
+        ivfpq_local_codebooks,
+        ivfpq_topk_local,
+        opq_train_residual,
+    )
+
+    rng = np.random.default_rng(41)
+    centers = _norm_rows(rng.standard_normal((8, 64)))
+    scales = np.linspace(1.0, 0.02, 64)
+    q_rand, _ = np.linalg.qr(rng.standard_normal((64, 64)))  # shared by all cells
+    rows = []
+    for i in range(400):
+        noise = (rng.standard_normal(64) * scales) @ q_rand.T
+        rows.append((i, (centers[i % 8] + 0.15 * noise).tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(4)
+    queries = df.filter(F.col("vec_id") < 8)
+
+    cent = ivf_centroids(df, 64, 8)
+    rot, _ = opq_train_residual(df, cent, 64, m=16, ksub=16)
+    plain_local = ivfpq_local_codebooks(df, cent, 64, m=16, ksub=16)
+    rot_local = ivfpq_local_codebooks(df, cent, 64, m=16, ksub=16, rotation=rot)
+    mat = _norm_rows(_matrix([r[1] for r in rows]))
+    cells = np.argmax(mat @ cent.T, axis=1)
+    resid = mat - cent[cells]
+
+    def recon_err(books_by_cell, data):
+        m, ksub, dsub = books_by_cell.shape[1:]
+        err = 0.0
+        for i in range(len(data)):
+            books = books_by_cell[cells[i]]
+            out = np.empty(64)
+            for j in range(m):
+                sub = data[i, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[None, :] - books[j]) ** 2).sum(axis=1)
+                out[j * dsub : (j + 1) * dsub] = books[j][np.argmin(d2)]
+            err += np.linalg.norm(out - data[i])
+        return err / len(data)
+
+    err_composed = recon_err(rot_local, resid @ rot)
+    err_local = recon_err(plain_local, resid)
+    assert err_composed < err_local, (err_composed, err_local)
+
+    exact = set(
+        map(
+            tuple,
+            cosine_topk(df, queries, k=5)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+
+    def recall(out):
+        got = set(map(tuple, out.select("query_id", "neighbor_id").collect()))
+        return len(exact & got) / len(exact)
+
+    kw = dict(
+        dim=64, k=5, n_cells=8, nprobe=2, m=16, ksub=16, rerank=64,
+        centroids=cent,
+    )
+    r_composed = recall(ivfpq_topk_local(df, queries, rotation=rot, **kw))
+    r_local = recall(ivfpq_topk_local(df, queries, **kw))
+    assert r_composed >= r_local - 1e-9, (r_composed, r_local)
+    assert r_composed >= 0.9, r_composed
+
+
+def test_quota_sampler_partition_invariant(spark):
+    """The quota sample must be IDENTICAL at any physical partitioning
+    — the 100 TB claim behind the two-phase plan: phase 1 keeps a
+    superset of the global winners in every layout, phase 2's bounded
+    fold resolves the same final set regardless of how rows were
+    distributed."""
+    from streaming_spark.operators.curation import quota_sample_per_group
+
+    rows = [(i % 5, i, float((i * 37) % 101)) for i in range(500)]
+    base = spark.createDataFrame(rows, "grp INT, id BIGINT, score DOUBLE")
+    results = []
+    for n_parts in (1, 4, 32):
+        out = quota_sample_per_group(
+            base.repartition(n_parts), "grp", "id", quota=7,
+            key=-F.col("score"),
+        )
+        results.append(sorted((r.grp, r.id) for r in out.collect()))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 35  # 5 groups x quota 7

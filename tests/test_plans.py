@@ -383,3 +383,22 @@ def test_scd2_window_is_keyed(spark):
         for node in _walk_physical(df._jdf.queryExecution().sparkPlan()):
             if node.nodeName() == "Window":
                 assert not node.partitionSpec().isEmpty(), name
+
+
+def test_cluster_samplers_plan_no_window(spark):
+    """The cluster quota samplers must plan the two-phase bounded top-k
+    — per-partition local quota + already-bounded groupBy fold — and
+    NEVER a per-cell Window (few huge groups would serialize into
+    single sorting tasks at scale; the docstring's core claim)."""
+    for name in ("q_sample_cluster_balanced", "q_sample_cluster_quality"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+
+
+def test_upsert_merge_plan_broadcast_anti(spark):
+    """MERGE must plan a broadcast LEFT ANTI join (updates are the
+    small side by construction) with the keys-only update scan pruned
+    to one column — never a sort-merge over the base table."""
+    plan = plan_of(spark, "q_upsert_merge")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
