@@ -1345,3 +1345,61 @@ def spherical_kmeans_full(
         vectors, cent, id_col=id_col, vec_col=vec_col, nprobe=1, out_id=id_col
     )
     return cent, assign
+
+
+def ann_index_save(
+    path: str,
+    *,
+    dim: int,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
+    params: dict | None = None,
+) -> None:
+    """Persist trained ANN index parameters (coarse centroids, PQ
+    codebooks, OPQ rotation) as a versioned JSON artifact — the
+    deployment boundary a billion-scale index actually has: quantizers
+    are trained ONCE on a bounded sample (ivf_centroids /
+    pq_codebooks / opq_train_residual), then shipped to every encode and
+    every query job; retraining per job would silently re-key the stored
+    codes.  Mirrors bpe_save's artifact contract (operators/bpe.py):
+    explicit format tag + version, loud failure on anything else.
+
+    Arrays are stored as nested lists of float64 — exact for the
+    round-trip (Python floats are IEEE doubles and json round-trips
+    them via repr), so a loaded index reproduces bit-identical
+    assignments, codes and ADC scores."""
+    import json
+
+    artifact = {
+        "format": "streaming-spark-ann",
+        "version": 1,
+        "dim": dim,
+        "params": params or {},
+        "centroids": None if centroids is None else centroids.tolist(),
+        "codebooks": None if codebooks is None else codebooks.tolist(),
+        "rotation": None if rotation is None else rotation.tolist(),
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(artifact, f)
+
+
+def ann_index_load(path: str) -> dict:
+    """Load an :func:`ann_index_save` artifact; numpy arrays restored as
+    float64 with their saved shapes.  Raises ``ValueError`` on an
+    unrecognized format or version — a corrupt or foreign file must fail
+    loudly, not decode garbage codes against the wrong codebooks."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        artifact = json.load(f)
+    if artifact.get("format") != "streaming-spark-ann":
+        raise ValueError(f"not a streaming-spark ANN artifact: {path}")
+    if artifact.get("version") != 1:
+        raise ValueError(
+            f"unsupported ANN artifact version: {artifact.get('version')}"
+        )
+    for key in ("centroids", "codebooks", "rotation"):
+        if artifact.get(key) is not None:
+            artifact[key] = np.asarray(artifact[key], dtype=np.float64)
+    return artifact

@@ -142,6 +142,65 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, width: int = 64) -> D
     )
 
 
+def window_hashes(
+    df: DataFrame, text_col: str, id_col: str, width: int = 40
+) -> DataFrame:
+    """Rolling hash of EVERY ``width``-char window of each document —
+    the candidate-generation pass of exact-substring duplicate-span
+    detection (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": duplicated training spans, not just whole
+    duplicated documents, measurably hurt models).
+
+    Emits one (doc_id, pos, h) row per window position (1-based, to
+    match SQL ``substring``).  The hash is the same polynomial family as
+    ``fingerprint`` (base 1000003, mod 2^61−1) but ROLLED: each next
+    window updates in O(1) by subtracting the outgoing char's top-power
+    term, so a document costs O(len), not O(len·width).  Arrow-batch
+    map, zero shuffle — at 100 TB the wide span strings never leave
+    their scan task; only 16-byte (id, pos, hash) triples flow into the
+    downstream groupBy, and hash-equal candidates are re-verified on the
+    exact text afterwards so a hash collision can't fabricate a dup."""
+    mod = (1 << 61) - 1
+    base = 1000003
+    top = pow(base, width - 1, mod)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, hs = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+            s = text or ""
+            n = len(s)
+            if n < width:
+                continue
+            acc = 0
+            for ch in s[:width]:
+                acc = (acc * base + ord(ch)) % mod
+            ids.append(doc_id)
+            poss.append(1)
+            hs.append(acc)
+            for i in range(1, n - width + 1):
+                acc = (
+                    (acc - ord(s[i - 1]) * top) * base + ord(s[i + width - 1])
+                ) % mod
+                ids.append(doc_id)
+                poss.append(i + 1)
+                hs.append(acc)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int32"),
+                "h": pd.Series(hs, dtype="int64"),
+            }
+        )
+
+    return stream(
+        ensure_parallelism(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+        ),
+        compute,
+        "doc_id BIGINT, pos INT, h BIGINT",
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style within-document repetition signals, zero-shuffle.
 

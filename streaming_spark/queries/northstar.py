@@ -2074,3 +2074,372 @@ def ann_topk_ivfopq_local(spark, sf_dir):
         emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
         rerank=128, centroids=cent, rotation=rot,
     )
+
+
+@query(
+    "q_qgram_cosine_weighted",
+    oracle="""
+    WITH docs10 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 = 0 AND length(text) >= 3),
+    grams AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(g.i AS INT), 3) AS gram
+      FROM docs10,
+      LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) g),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM grams),
+    idf AS (
+      SELECT gram, ln(1 + (SELECT n_docs FROM n) / count(*)) AS idf
+      FROM grams GROUP BY gram),
+    w AS (
+      SELECT g.doc_id, g.gram, i.idf AS wt
+      FROM grams g JOIN idf i USING (gram)),
+    norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+    nw AS (
+      SELECT w.doc_id, w.gram, w.wt / norms.nrm AS wt
+      FROM w JOIN norms USING (doc_id)),
+    ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS cos_sim
+      FROM nw a JOIN nw b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
+    FROM ov WHERE cos_sim >= 0.5
+    """,
+)
+def q_qgram_cosine_weighted(spark, sf_dir):
+    """IDF-WEIGHTED trigram cosine self-join via weighted prefix
+    filtering (Bayardo et al. 2007, "Scaling Up All Pairs", §4's
+    weighted extension) — EXACT.  Each document is a unit L2 vector of
+    its distinct trigrams weighted ln(1 + N/df); rare grams carry the
+    signal, boilerplate grams are damped — the similarity a curation
+    pipeline actually wants (q_qgram_cosine_prefix's unweighted variant
+    scores two docs sharing only ultra-common trigrams the same as two
+    sharing rare ones).
+
+    The weighted prefix bound is Cauchy-Schwarz instead of counting:
+    sort each doc's grams rarest-first and keep the minimal prefix whose
+    REMAINING suffix has L2 norm < t.  If cos(a,b) >= t but no shared
+    gram were in a's prefix, all overlap sits in a's suffix, so
+    cos(a,b) <= ||a_suffix|| * ||b|| = ||a_suffix|| < t — contradiction;
+    one-sided prefix-vs-all-grams candidate generation has zero false
+    negatives, and the verify join re-scores candidates exactly.  The
+    prefix length falls out of one reverse-fold over the squared-weight
+    array (cheap arithmetic in a HOF lambda — the measured-fine kind).
+
+    The 100 TB shape matches q_qgram_cosine_prefix (gram-df aggregate,
+    per-doc ranked-gram aggregate, candidate join keyed on prefix grams,
+    verify join keyed on (doc, gram)) with one improvement: under IDF
+    ordering the prefix is BIASED toward low-document-frequency grams,
+    so candidate fan-out concentrates on exactly the keys with the
+    smallest posting lists — the hot-gram hazard is excluded by the
+    weighting itself."""
+    t = 0.5
+    t2 = t * t
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") >= 3)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.substr(F.col("text"), i, F.lit(3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    n_docs = grams.agg(F.countDistinct("doc_id").alias("n_docs"))
+    gram_idf = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.log(F.lit(1.0) + F.col("n_docs") / F.col("df")))
+        .select("gram", "df", "idf")
+    )
+    ranked = (
+        grams.join(gram_idf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "gram", "idf"))
+            ).alias("ranked")
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    "ranked",
+                    F.lit(0.0),
+                    lambda a, s: a + s.getField("idf") * s.getField("idf"),
+                )
+            ),
+        )
+        .withColumn(
+            "w2",
+            F.transform(
+                "ranked",
+                lambda s: (s.getField("idf") / F.col("nrm"))
+                * (s.getField("idf") / F.col("nrm")),
+            ),
+        )
+        .withColumn(
+            "prefix_len",
+            F.aggregate(
+                F.reverse("w2"),
+                F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("cnt")),
+                lambda acc, x: F.struct(
+                    (acc.getField("s") + x).alias("s"),
+                    (
+                        acc.getField("cnt")
+                        + F.when(
+                            acc.getField("s") + x >= F.lit(t2), 1
+                        ).otherwise(0)
+                    ).alias("cnt"),
+                ),
+                lambda acc: acc.getField("cnt"),
+            ),
+        )
+    )
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ranked", F.lit(1), F.col("prefix_len")),
+                lambda s: s.getField("gram"),
+            )
+        ).alias("gram"),
+    )
+    nw = (
+        grams.join(gram_idf, "gram")
+        .join(ranked.select("doc_id", "nrm"), "doc_id")
+        .select("doc_id", "gram", (F.col("idf") / F.col("nrm")).alias("wt"))
+    )
+    cand = (
+        prefix.withColumnRenamed("doc_id", "p_id")
+        .join(grams.withColumnRenamed("doc_id", "g_id"), "gram")
+        .filter(F.col("p_id") != F.col("g_id"))
+        .select(
+            F.least("p_id", "g_id").alias("id_a"),
+            F.greatest("p_id", "g_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = nw.select(
+        F.col("doc_id").alias("id_a"), "gram", F.col("wt").alias("wa")
+    )
+    b = nw.select(
+        F.col("doc_id").alias("id_b"), "gram", F.col("wt").alias("wb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= t)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_dup_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    w AS (
+      SELECT doc_id, substring(text, CAST(i.i AS INT), 40) AS span
+      FROM d,
+      LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) i),
+    dup AS (
+      SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+    counts AS (
+      SELECT doc_id, count(*) AS n_dup_windows
+      FROM w JOIN dup USING (span) GROUP BY doc_id)
+    SELECT c.doc_id, length(d.text) - 39 AS n_windows, c.n_dup_windows
+    FROM counts c JOIN d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dup_spans(spark, sf_dir):
+    """EXACT duplicate-SPAN detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    count the 40-char window positions whose exact span also occurs in
+    at least one OTHER document — the sub-document granularity that
+    whole-doc dedup (dedup_exact) and near-dup (dedup_minhash_lsh) both
+    miss: a unique page quoting a duplicated paragraph passes both, yet
+    the paragraph still over-trains.
+
+    Three keyed stages, no all-pairs: (1) operators/text.py
+    window_hashes rolls a polynomial hash across every window in O(len)
+    per doc (Arrow map, zero shuffle — span TEXT never shuffles, only
+    16-byte (id, pos, hash) triples); (2) one groupBy(hash) keeps hashes
+    spanning >1 distinct doc; (3) candidates join back to their
+    documents and the actual spans are re-extracted (codegen'd
+    row-level substring, no HOF) and re-grouped EXACTLY — a hash
+    collision generates a candidate, never a false dup.  At 100 TB the
+    hash groupBy dominates and is the same shape as dedup_exact's
+    digest groupBy, at windows-per-doc fan-in; the verify join touches
+    only candidate positions.
+
+    Fixture honesty: the ~100-word generator pool repeats 6-7-word
+    phrases across documents, so ~9% of docs carry cross-doc spans —
+    plenty of signal for the oracle."""
+    width = 40
+    docs = T(spark, sf_dir, "documents").filter(F.length("text") >= width)
+    return (
+        _dup_window_positions(docs, width)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .join(
+            docs.select(
+                "doc_id", (F.length("text") - width + 1).alias("n_windows")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "n_windows", "n_dup_windows")
+        .orderBy("doc_id")
+    )
+
+
+def _dup_window_positions(docs, width):
+    """Shared candidate pipeline for the duplicate-span family: verified
+    (doc_id, pos) of every ``width``-char window whose EXACT span occurs
+    in >1 distinct document.  Rolling-hash candidates (operators/text.py
+    window_hashes, zero shuffle) → hash groupBy keeps cross-doc hashes →
+    candidates re-verify on the actual substring so collisions cannot
+    fabricate a dup."""
+    from streaming_spark.operators.text import window_hashes
+
+    spans = window_hashes(docs, text_col="text", id_col="doc_id", width=width)
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    exact = (
+        spans.join(hot, "h")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"substring(text, pos, {width})").alias("span"),
+        )
+    )
+    dup = (
+        exact.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("span")
+    )
+    return exact.join(dup, "span").select("doc_id", "pos")
+
+
+@query(
+    "q_dup_span_ranges",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    w AS (
+      SELECT doc_id, CAST(i.i AS INT) AS pos,
+             substring(text, CAST(i.i AS INT), 40) AS span
+      FROM d,
+      LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) i),
+    dup AS (
+      SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+    hits AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM w JOIN dup USING (span))
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
+           max(pos) + 39 - min(pos) + 1 AS span_len
+    FROM hits GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def q_dup_span_ranges(spark, sf_dir):
+    """MERGED duplicate-span character ranges — the actionable output of
+    exact-substring dedup: q_dup_spans counts duplicated window
+    positions; this query coalesces runs of consecutive duplicated
+    positions into maximal [span_start, span_end] char ranges per
+    document (a duplicated 100-char paragraph is 61 overlapping 40-char
+    windows but ONE cuttable range).  Gaps-and-islands over positions:
+    pos − row_number() per doc is constant exactly on consecutive runs —
+    the window is PARTITIONED by doc_id and each doc holds at most
+    len(text) positions, so the sort is per-doc bounded (no global
+    window; the registry plan gate stays satisfied).
+
+    Same three keyed stages as q_dup_spans (_dup_window_positions) plus
+    one per-doc window — at 100 TB the range merge adds a single
+    doc-keyed shuffle over candidate positions only, which the span
+    filter has already reduced to the duplicated tail of the corpus."""
+    from pyspark.sql import Window
+
+    width = 40
+    docs = T(spark, sf_dir, "documents").filter(F.length("text") >= width)
+    hits = _dup_window_positions(docs, width).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    return (
+        hits.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + width - 1).alias("span_end"),
+            (F.max("pos") + width - 1 - F.min("pos") + 1).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query("q_ann_index_artifact")  # rows-only: the top-k is approximate by
+# construction; the save→load→query == in-memory bit-identity and the
+# loud-failure contracts are pinned in tests/test_operators.py::
+# test_ann_index_artifact_roundtrip
+def q_ann_index_artifact(spark, sf_dir):
+    """IVF-OPQ top-5 served FROM A PERSISTED INDEX ARTIFACT: train the
+    coarse centroids and residual OPQ rotation, ann_index_save them to a
+    versioned JSON artifact, ann_index_load in (what would be) the query
+    job, and answer from the loaded parameters — the train-once /
+    query-many deployment boundary every billion-scale ANN index
+    actually has.  Retraining quantizers per job would silently re-key
+    stored codes; the artifact pins them (same rationale as the BPE
+    artifact, operators/bpe.py bpe_save).  Float64 arrays round-trip
+    json exactly, so the served top-k is bit-identical to the in-memory
+    index — asserted row-for-row in the contract test."""
+    import os
+    import tempfile
+
+    from streaming_spark.operators.similarity import (
+        ann_index_load,
+        ann_index_save,
+        ivf_centroids,
+        ivfpq_topk,
+        opq_train_residual,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = ivf_centroids(emb, 64, n_cells=8)
+    rot, _ = opq_train_residual(emb, cent, 64, m=16, ksub=16, n_opq_iters=4)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_ann_"), "index.json"
+    )
+    ann_index_save(
+        path,
+        dim=64,
+        centroids=cent,
+        rotation=rot,
+        params={"n_cells": 8, "m": 16, "ksub": 16},
+    )
+    art = ann_index_load(path)
+    return ivfpq_topk(
+        emb, queries, dim=art["dim"], k=5,
+        n_cells=art["params"]["n_cells"], nprobe=4,
+        m=art["params"]["m"], ksub=art["params"]["ksub"], rerank=128,
+        centroids=art["centroids"], rotation=art["rotation"],
+    )

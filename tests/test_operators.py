@@ -1531,3 +1531,107 @@ def test_quota_sampler_partition_invariant(spark):
         results.append(sorted((r.grp, r.id) for r in out.collect()))
     assert results[0] == results[1] == results[2]
     assert len(results[0]) == 35  # 5 groups x quota 7
+
+
+def test_window_hashes_rolling_matches_direct(spark):
+    """The O(1) rolling update must produce the SAME hash as hashing
+    each window from scratch (the rolling subtraction is the only
+    nontrivial arithmetic — pin it), and a planted cross-doc span must
+    surface as hash-equal rows in both documents."""
+    from streaming_spark.operators.text import window_hashes
+
+    shared = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    rows = [
+        (1, "AAAA" + shared + "BBBB"),
+        (2, "xyzw" + shared + "qrst"),
+        (3, "completely unrelated text with no shared span here at all."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = window_hashes(df, text_col="text", id_col="doc_id", width=40)
+    got = {(r.doc_id, r.pos): r.h for r in out.collect()}
+
+    mod, base = (1 << 61) - 1, 1000003
+
+    def direct(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * base + ord(ch)) % mod
+        return acc
+
+    for doc_id, text in rows:
+        n_windows = len(text) - 40 + 1
+        assert {p for (d, p) in got if d == doc_id} == set(
+            range(1, n_windows + 1)
+        )
+        for pos in range(1, n_windows + 1):
+            assert got[(doc_id, pos)] == direct(text[pos - 1 : pos + 39]), (
+                doc_id,
+                pos,
+            )
+
+    # the planted span: identical 40-char windows inside docs 1 and 2
+    # hash identically at the aligned positions (both prefixes are 4
+    # chars, so window i of the shared region aligns at pos 4 + i)
+    for i in range(1, 6):  # shared is 44 chars -> 5 full windows inside
+        assert got[(1, 4 + i)] == got[(2, 4 + i)]
+    # and doc 3 shares no hash with doc 1
+    h1 = {h for (d, _), h in got.items() if d == 1}
+    h3 = {h for (d, _), h in got.items() if d == 3}
+    assert not (h1 & h3)
+
+
+def test_ann_index_artifact_roundtrip(spark, tmp_path):
+    """ann_index_save → ann_index_load must reproduce the arrays
+    bit-exactly AND an IVF-OPQ query served from the loaded artifact
+    must match the in-memory index row-for-row; foreign/corrupt
+    artifacts must fail loudly."""
+    import numpy as np
+    import pytest
+
+    from streaming_spark.operators.similarity import (
+        ann_index_load,
+        ann_index_save,
+        ivf_centroids,
+        ivfpq_topk,
+        opq_train_residual,
+    )
+    from streaming_spark.queries.registry import T
+
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    cent = ivf_centroids(emb, 64, n_cells=4)
+    rot, _ = opq_train_residual(emb, cent, 64, m=8, ksub=8, n_opq_iters=2)
+
+    path = str(tmp_path / "index.json")
+    ann_index_save(
+        path, dim=64, centroids=cent, rotation=rot,
+        params={"n_cells": 4, "m": 8, "ksub": 8},
+    )
+    art = ann_index_load(path)
+    assert art["dim"] == 64 and art["params"]["n_cells"] == 4
+    assert np.array_equal(art["centroids"], cent)  # bit-exact round-trip
+    assert np.array_equal(art["rotation"], rot)
+    assert art["codebooks"] is None
+
+    kw = dict(dim=64, k=3, n_cells=4, nprobe=2, m=8, ksub=8, rerank=32)
+    mem = ivfpq_topk(emb, queries, centroids=cent, rotation=rot, **kw)
+    loaded = ivfpq_topk(
+        emb, queries, centroids=art["centroids"], rotation=art["rotation"],
+        **kw,
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, loaded.collect())
+    )
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write('{"format": "something-else", "version": 1}')
+    with pytest.raises(ValueError, match="not a streaming-spark ANN"):
+        ann_index_load(bad)
+    v2 = str(tmp_path / "v2.json")
+    with open(v2, "w") as f:
+        f.write('{"format": "streaming-spark-ann", "version": 99}')
+    with pytest.raises(ValueError, match="unsupported ANN artifact"):
+        ann_index_load(v2)
