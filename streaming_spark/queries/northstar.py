@@ -2443,3 +2443,100 @@ def q_ann_index_artifact(spark, sf_dir):
         m=art["params"]["m"], ksub=art["params"]["ksub"], rerank=128,
         centroids=art["centroids"], rotation=art["rotation"],
     )
+
+
+_UNIGRAM_CACHE: dict = {}
+
+
+def _trained_unigram(spark, sf_dir, vocab_size=256, max_words=50_000):
+    """Memoized whole-corpus unigram-LM training (same rationale and
+    cache key scheme as _trained_bpe: the piece table is a deterministic
+    pure function of the immutable fixture, and several queries consume
+    the same tokenizer)."""
+    from streaming_spark.operators.unigram import unigram_train
+
+    key = (sf_dir, vocab_size, max_words)
+    if key not in _UNIGRAM_CACHE:
+        docs = T(spark, sf_dir, "documents")
+        _UNIGRAM_CACHE[key] = unigram_train(
+            docs, vocab_size=vocab_size, max_words=max_words
+        )
+    return _UNIGRAM_CACHE[key]
+
+
+@query("text_unigram_train")  # rows-only: the piece table is the fixed
+# point of an EM + prune iteration — not SQL-expressible; the
+# normalization / determinism / coverage / compression contracts are in
+# tests/test_operators.py::test_unigram_full_contract
+def text_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018 — SentencePiece's
+    default family) over the corpus: the 30 most probable learned
+    pieces with their log-probabilities, plus the word-mass coverage of
+    the driver-side cap.  Completes the production tokenizer surface
+    next to BPE (text_bpe_train): BPE grows a vocabulary bottom-up by
+    greedy merges; unigram starts from a large seed inventory and
+    prunes it top-down under a probabilistic model — the two families
+    segment differently and real pipelines choose per corpus.
+
+    Scale shape (operators/unigram.py): segmentation never crosses word
+    boundaries, so the word-frequency table is the SAME sufficient
+    statistic BPE trains from — one distributed word-count shuffle,
+    then bounded driver-side EM; the `max_words` cap's dropped token
+    mass is reported as coverage, never silent."""
+    pieces, coverage = _trained_unigram(spark, sf_dir)
+    top = sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    rows = [
+        (i, p, round(lp, 6), len(p), round(coverage, 4))
+        for i, (p, lp) in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank BIGINT, piece STRING, log_prob DOUBLE, piece_len INT,"
+        " train_coverage DOUBLE",
+    )
+
+
+@query("text_unigram_encode_stats")  # rows-only: token counts depend on
+# the learned piece table (same iterative closure as text_unigram_train)
+def text_unigram_encode_stats(spark, sf_dir):
+    """Per-document Viterbi token counts under the trained unigram piece
+    table — the piece table ships as a broadcast side input and each
+    Arrow batch segments with a per-distinct-word memo; shuffle-free
+    narrow map (operators/unigram.py unigram_encode_counts)."""
+    from streaming_spark.operators.unigram import unigram_encode_counts
+
+    docs = T(spark, sf_dir, "documents")
+    pieces, _ = _trained_unigram(spark, sf_dir)
+    return unigram_encode_counts(docs, pieces)
+
+
+@query("text_tokenizer_compare")  # rows-only: both token counts depend
+# on learned tokenizers; the per-family contracts live with their
+# trainers (test_bpe_*, test_unigram_full_contract)
+def text_tokenizer_compare(spark, sf_dir):
+    """BPE vs unigram-LM segmentation of the SAME corpus at comparable
+    vocabulary budgets — the comparison a pipeline runs before fixing
+    its tokenizer: per document, both real token counts and their
+    ratio.  One zero-shuffle Arrow map per family, joined on doc_id
+    (both encoders emit narrow (id, count) rows; text is scanned twice
+    but never shuffled)."""
+    from streaming_spark.operators.bpe import bpe_encode_counts
+    from streaming_spark.operators.unigram import unigram_encode_counts
+
+    docs = T(spark, sf_dir, "documents")
+    merges, _ = _trained_bpe(spark, sf_dir)
+    pieces, _ = _trained_unigram(spark, sf_dir)
+    bpe = bpe_encode_counts(docs, merges).select("doc_id", "n_bpe_tokens")
+    uni = unigram_encode_counts(docs, pieces)
+    return (
+        bpe.join(uni, "doc_id")
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            "n_unigram_tokens",
+            F.round(
+                F.col("n_unigram_tokens") / F.col("n_bpe_tokens"), 4
+            ).alias("unigram_over_bpe"),
+        )
+        .orderBy("doc_id")
+    )

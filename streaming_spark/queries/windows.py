@@ -1714,3 +1714,118 @@ def q_streaming_kmeans_update(spark, sf_dir):
             "n_assign_mismatch",
         )
     )
+
+
+@query(
+    "q_streaming_dup_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    w AS (
+      SELECT doc_id, substring(text, CAST(i.i AS INT), 40) AS span
+      FROM d,
+      LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) i),
+    dup AS (
+      SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+    counts AS (
+      SELECT doc_id, count(*) AS n_dup_windows
+      FROM w JOIN dup USING (span) GROUP BY doc_id)
+    SELECT c.doc_id, length(d.text) - 39 AS n_windows, c.n_dup_windows
+    FROM counts c JOIN d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_streaming_dup_spans(spark, sf_dir):
+    """INCREMENTAL exact duplicate-span index: documents arrive as an
+    ingest stream (one micro-batch per staged file); each batch rolls
+    its window hashes ONCE at ingest (operators/text.py window_hashes)
+    and lands the (doc_id, pos, h) triples in a batch-keyed parquet sink
+    — the materialized span-hash index a continuous-ingest pipeline
+    maintains.  Because the triples are a mergeable sufficient statistic
+    (the dup decision is a pure function of their union), the final
+    cross-doc aggregation + exact-substring verification over the
+    accumulated index equals the whole-corpus q_dup_spans EXACTLY —
+    same DuckDB oracle.
+
+    The incremental win at 100 TB: each document's TEXT is scanned and
+    hashed exactly once, in the batch that ingested it; what accumulates
+    is 16-byte triples, and re-answering "what is duplicated now?" after
+    every ingest reads only the index, never the corpus.  The
+    batch-keyed sink is idempotent under retries (dynamic partition
+    overwrite, same pattern as q_streaming_incremental_rollup); the
+    exact verify touches only candidate positions' documents."""
+    import tempfile
+
+    from streaming_spark.operators.text import window_hashes
+
+    width = 40
+    docs_static = T(spark, sf_dir, "documents").select("doc_id", "text")
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_spanidx_") + "/t"
+    stream_docs = (
+        spark.readStream.schema(T(spark, sf_dir, "documents").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir))
+    )
+
+    def land_hashes(batch_df, batch_id):
+        batch = batch_df.filter(F.length("text") >= width)
+        (
+            window_hashes(batch, text_col="text", id_col="doc_id", width=width)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(land_hashes)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_dup_spans did not finish within 300s")
+
+    spans = spark.read.parquet(sink_dir).select("doc_id", "pos", "h")
+    docs = docs_static.filter(F.length("text") >= width)
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    exact = (
+        spans.join(hot, "h")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"substring(text, pos, {width})").alias("span"),
+        )
+    )
+    dup = (
+        exact.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("span")
+    )
+    # (candidate pipeline deliberately inlined rather than reusing
+    # northstar._dup_window_positions: the hash stage here must read the
+    # accumulated SINK — the point of the query — not rehash the corpus)
+    return (
+        exact.join(dup, "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .join(
+            docs.select(
+                "doc_id", (F.length("text") - width + 1).alias("n_windows")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "n_windows", "n_dup_windows")
+        .orderBy("doc_id")
+    )

@@ -1635,3 +1635,59 @@ def test_ann_index_artifact_roundtrip(spark, tmp_path):
         f.write('{"format": "streaming-spark-ann", "version": 99}')
     with pytest.raises(ValueError, match="unsupported ANN artifact"):
         ann_index_load(v2)
+
+
+def test_unigram_full_contract(spark, tmp_path):
+    """Unigram-LM trainer contracts: probabilities normalize, training
+    is deterministic, the dominant repeated subword survives pruning
+    and drives Viterbi, every word (even with unseen chars) stays
+    segmentable, Viterbi never exceeds char-level segmentation, and the
+    artifact round-trips with loud failure on foreign files."""
+    import math
+
+    import pytest
+
+    from streaming_spark.operators.unigram import (
+        _viterbi,
+        learn_unigram,
+        unigram_encode_counts,
+        unigram_load,
+        unigram_save,
+    )
+
+    wf = [("abab", 50), ("ab", 30), ("cd", 10), ("abcd", 5), ("zzz", 2)]
+    pieces = learn_unigram(wf, vocab_size=8, seed_size=50, max_piece_len=4)
+    assert math.isclose(
+        math.fsum(math.exp(lp) for lp in pieces.values()), 1.0, rel_tol=1e-9
+    )
+    assert pieces == learn_unigram(
+        wf, vocab_size=8, seed_size=50, max_piece_len=4
+    )
+    assert "ab" in pieces  # the dominant subword survives pruning
+    ml = max(len(p) for p in pieces)
+    assert _viterbi("abab", pieces, ml) == ["ab", "ab"]
+    assert _viterbi("abcd", pieces, ml) == ["ab", "cd"]
+    assert _viterbi("qq", pieces, ml) == ["q", "q"]  # unseen chars
+    for word in ("abab", "abcd", "zzz", "cdcd"):
+        assert len(_viterbi(word, pieces, ml)) <= len(word)
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab abab"), (2, "cd zzz"), (3, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r.doc_id: r.n_unigram_tokens
+        for r in unigram_encode_counts(docs, pieces).collect()
+    }
+    assert out == {1: 5, 2: 2, 3: 0}  # ab|ab, ab, ab|ab ; cd, zzz ; —
+
+    path = str(tmp_path / "unigram.json")
+    unigram_save(path, pieces, coverage=0.97)
+    art = unigram_load(path)
+    assert art["coverage"] == 0.97
+    assert art["pieces"] == pieces  # float64 json round-trip is exact
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write('{"format": "streaming-spark-bpe", "version": 1}')
+    with pytest.raises(ValueError, match="not a streaming-spark unigram"):
+        unigram_load(bad)
