@@ -989,3 +989,60 @@ def pipeline_cluster_pack(spark, sf_dir):
         token_counter=lambda _: F.col("n_bpe_tokens"),
     )
     return pack_stats(packed, group_col="cell").orderBy("cell", "pack_no")
+
+
+@query("pipeline_span_clean_pack")  # rows-only: dup-span filtering uses
+# engine-internal rolling hashes for candidates and the pack budgets
+# come from the learned unigram tokenizer (iterative fixed point); the
+# filter-exactness / conservation / determinism contracts are in
+# tests/test_curation.py::test_pipeline_span_clean_pack_contracts
+def pipeline_span_clean_pack(spark, sf_dir):
+    """Composed pipeline #5 — span-level curation: measure each
+    document's duplicated-span fraction (exact cross-doc 40-char spans,
+    northstar._dup_window_positions) → DROP documents that are mostly
+    duplicated material (dup fraction > 0.5 — boilerplate/mirror pages,
+    the Lee et al. 2022 failure class whole-doc dedup misses) → train
+    the unigram-LM tokenizer on the SURVIVORS → re-count in real
+    subword tokens → pack into 512-token windows.  Training the
+    tokenizer after span cleaning matters: duplicated boilerplate
+    otherwise dominates the word-frequency statistic and buys vocabulary
+    space for text the filter was about to remove.
+
+    Scale: the span pass is the q_dup_spans plan (rolling hashes, one
+    hash groupBy, candidate-only exact verify); the filter is a
+    broadcast-size join of flagged doc_ids against the corpus; unigram
+    training is one word-count shuffle + bounded driver EM; encode is
+    shuffle-free; packing is one bounded per-source window."""
+    from streaming_spark.operators.curation import pack_sequences, pack_stats
+    from streaming_spark.operators.unigram import (
+        unigram_encode_counts,
+        unigram_train,
+    )
+    from streaming_spark.queries.northstar import _dup_window_positions
+
+    width = 40
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    measurable = docs.filter(F.length("text") >= width)
+    dup_counts = (
+        _dup_window_positions(measurable.select("doc_id", "text"), width)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    flagged = (
+        measurable.join(dup_counts, "doc_id")
+        .filter(
+            F.col("n_dup")
+            > 0.5 * (F.length("text") - width + 1)
+        )
+        .select("doc_id")
+    )
+    kept = docs.join(flagged, "doc_id", "left_anti")
+    pieces, _ = unigram_train(kept, vocab_size=256)
+    counts = unigram_encode_counts(kept, pieces)
+    with_counts = kept.join(counts, "doc_id")
+    packed = pack_sequences(
+        with_counts,
+        max_tokens=512,
+        token_counter=lambda _: F.col("n_unigram_tokens"),
+    )
+    return pack_stats(packed).orderBy("source", "pack_no")

@@ -257,3 +257,56 @@ def test_pipeline_cluster_pack_contract(spark):
             cum += r.pack_tokens
             if i < len(packs) - 1:  # a later pack exists -> boundary crossed
                 assert cum >= (r.pack_no + 1) * 512, (cell, r.pack_no, cum)
+
+
+def test_pipeline_span_clean_pack_contracts(spark):
+    """Span-level curation pipeline: the span filter drops exactly the
+    docs whose duplicated-window fraction exceeds 0.5 (cross-checked
+    against an independent brute-force span count), surviving token
+    mass is conserved across packs with contiguous numbering, and the
+    whole pipeline is deterministic."""
+    from collections import Counter
+
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    a = REGISTRY["pipeline_span_clean_pack"](spark, SF_SMOKE).collect()
+    b = REGISTRY["pipeline_span_clean_pack"](spark, SF_SMOKE).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) > 1
+    by_source = {}
+    for r in a:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rows in by_source.items():
+        nums = sorted(r.pack_no for r in rows)
+        assert nums == list(range(len(nums))), (src, nums)
+        assert all(r.pack_tokens > 0 for r in rows)
+
+    # independent brute-force dup-fraction check: total docs packed ==
+    # corpus minus the docs whose exact 40-char dup-window share > 0.5
+    docs = {
+        r.doc_id: r.text
+        for r in T(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    span_docs = Counter()
+    owners = {}
+    for doc_id, text in docs.items():
+        for i in range(len(text) - 39):
+            s = text[i : i + 40]
+            if s not in owners:
+                owners[s] = doc_id
+                span_docs[s] = 1
+            elif owners[s] != doc_id:
+                owners[s] = -1  # seen in >1 distinct doc
+    dup_spans = {s for s, o in owners.items() if o == -1}
+    expected_drop = 0
+    for doc_id, text in docs.items():
+        n_win = len(text) - 39
+        if n_win <= 0:
+            continue
+        n_dup = sum(
+            1 for i in range(n_win) if text[i : i + 40] in dup_spans
+        )
+        if n_dup > 0.5 * n_win:
+            expected_drop += 1
+    assert sum(r.n_docs for r in a) == len(docs) - expected_drop
