@@ -300,3 +300,135 @@ def unigram_load(path: str) -> dict:
             f"unsupported unigram artifact version: {artifact.get('version')}"
         )
     return artifact
+
+
+def _sample_segmentation(
+    word: str,
+    logp: dict[str, float],
+    max_len: int,
+    alpha: float,
+    seed: int,
+) -> list[str]:
+    """Sample ONE segmentation of ``word`` ∝ P(segmentation)^alpha via
+    forward-filtering / backward-sampling over the segmentation lattice
+    (exact, not n-best-truncated).  ``alpha`` is the smoothing exponent
+    of Kudo 2018 §3.4: alpha→∞ recovers Viterbi, smaller alpha samples
+    more diverse segmentations.  Deterministic for a given seed — the
+    per-position draw comes from a splitmix64-style counter hash, so
+    retries replay the identical choice sequence."""
+    n = len(word)
+    # forward pass at temperature alpha
+    alpha_f = [0.0] + [_NEG_INF] * n
+    for j in range(1, n + 1):
+        acc = _NEG_INF
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None or alpha_f[i] == _NEG_INF:
+                continue
+            s = alpha_f[i] + alpha * lp
+            acc = s if acc == _NEG_INF else (
+                max(acc, s) + math.log1p(math.exp(-abs(acc - s)))
+            )
+        alpha_f[j] = acc
+    if alpha_f[n] == _NEG_INF:
+        return list(word)
+
+    def unit_draw(counter: int) -> float:
+        x = (seed + counter * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        return (x >> 11) / float(1 << 53)
+
+    out = []
+    j = n
+    step = 0
+    while j > 0:
+        opts, weights = [], []
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None or alpha_f[i] == _NEG_INF:
+                continue
+            opts.append(i)
+            weights.append(alpha_f[i] + alpha * lp)
+        m = max(weights)
+        probs = [math.exp(w - m) for w in weights]
+        total = math.fsum(probs)
+        r = unit_draw(step) * total
+        step += 1
+        pick = opts[-1]
+        for i, p in zip(opts, probs):
+            r -= p
+            if r <= 0:
+                pick = i
+                break
+        out.append(word[pick:j])
+        j = pick
+    return out[::-1]
+
+
+def unigram_sample_counts(
+    docs: DataFrame,
+    pieces: dict[str, float],
+    alpha: float = 0.2,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document SAMPLED token counts under subword regularization
+    (Kudo 2018 §3.4: training on sampled segmentations instead of the
+    single Viterbi one measurably improves MT/LM robustness) next to the
+    deterministic Viterbi counts — the pair a training loader needs to
+    budget context windows when segmentations are resampled per epoch.
+
+    The per-word sample seed is xxhash-style mixed from (seed, word), so
+    the map stays deterministic and retry-stable WITHOUT any state:
+    identical words segment identically within one epoch seed, and a new
+    epoch seed redraws the whole corpus.  Same shuffle-free broadcast
+    Arrow-map shape as unigram_encode_counts."""
+    max_len = max((len(p) for p in pieces), default=1)
+
+    def compute(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        logp, max_len, alpha, seed = side
+        if len(pdf) == 0:
+            return None
+        memo_v: dict[str, int] = {}
+        memo_s: dict[str, int] = {}
+        ids, v_counts, s_counts = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+            nv = ns = 0
+            for word in (text or "").split():
+                cv = memo_v.get(word)
+                if cv is None:
+                    cv = len(_viterbi(word, logp, max_len))
+                    memo_v[word] = cv
+                cs = memo_s.get(word)
+                if cs is None:
+                    wseed = seed
+                    for ch in word:
+                        wseed = (
+                            (wseed ^ ord(ch)) * 0x100000001B3
+                        ) & 0xFFFFFFFFFFFFFFFF
+                    cs = len(
+                        _sample_segmentation(word, logp, max_len, alpha, wseed)
+                    )
+                    memo_s[word] = cs
+                nv += cv
+                ns += cs
+            ids.append(doc_id)
+            v_counts.append(nv)
+            s_counts.append(ns)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_viterbi_tokens": pd.Series(v_counts, dtype="int64"),
+                "n_sampled_tokens": pd.Series(s_counts, dtype="int64"),
+            }
+        )
+
+    return stream(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)),
+        compute,
+        "doc_id BIGINT, n_viterbi_tokens BIGINT, n_sampled_tokens BIGINT",
+        side_input=(pieces, max_len, alpha, seed),
+    )

@@ -2546,3 +2546,27 @@ def text_tokenizer_compare(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query("text_unigram_sample_stats")  # rows-only: sampled counts depend
+# on the learned piece table and the engine's deterministic sampler;
+# the validity / determinism / alpha-limit / diversity contracts are in
+# tests/test_operators.py::test_unigram_subword_sampling
+def text_unigram_sample_stats(spark, sf_dir):
+    """Subword-regularization encoding (Kudo 2018 §3.4 — the point of
+    the unigram model): per document, the deterministic Viterbi token
+    count NEXT TO a count under one sampled segmentation drawn
+    ∝ P(seg)^alpha by exact forward-filtering / backward-sampling over
+    the lattice.  Training loaders resample segmentations per epoch for
+    robustness; this pair is what they need to budget context windows
+    under resampling.  The per-word draw is seeded from (epoch_seed,
+    word) — deterministic and retry-stable with NO state, and a new
+    epoch seed redraws the corpus.  Same shuffle-free broadcast
+    Arrow-map shape as the Viterbi encoder."""
+    from streaming_spark.operators.unigram import unigram_sample_counts
+
+    docs = T(spark, sf_dir, "documents")
+    pieces, _ = _trained_unigram(spark, sf_dir)
+    return unigram_sample_counts(docs, pieces, alpha=0.2, seed=7).orderBy(
+        "doc_id"
+    )

@@ -1691,3 +1691,75 @@ def test_unigram_full_contract(spark, tmp_path):
         f.write('{"format": "streaming-spark-bpe", "version": 1}')
     with pytest.raises(ValueError, match="not a streaming-spark unigram"):
         unigram_load(bad)
+
+
+def test_unigram_subword_sampling(spark):
+    """Subword-regularization sampler contracts: every sampled
+    segmentation is VALID (concatenates back to the word), sampling is
+    deterministic per (seed, word), a large alpha recovers the Viterbi
+    segmentation (the distribution concentrates on the argmax), a small
+    alpha actually diversifies (different words/seeds yield non-Viterbi
+    segmentations somewhere), and the distributed counter matches a
+    driver-side replay."""
+    from streaming_spark.operators.unigram import (
+        _sample_segmentation,
+        _viterbi,
+        learn_unigram,
+        unigram_sample_counts,
+    )
+
+    wf = [("abab", 50), ("ab", 30), ("cd", 10), ("abcd", 5), ("zzz", 2)]
+    pieces = learn_unigram(wf, vocab_size=8, seed_size=50, max_piece_len=4)
+    ml = max(len(p) for p in pieces)
+
+    words = ["abab", "abcd", "zzz", "cdcd", "ababab"]
+    for w in words:
+        for seed in (0, 1, 7, 12345):
+            seg = _sample_segmentation(w, pieces, ml, alpha=0.2, seed=seed)
+            assert "".join(seg) == w, (w, seed, seg)
+            assert seg == _sample_segmentation(
+                w, pieces, ml, alpha=0.2, seed=seed
+            )
+        # alpha -> large concentrates on the Viterbi argmax
+        assert _sample_segmentation(
+            w, pieces, ml, alpha=200.0, seed=3
+        ) == _viterbi(w, pieces, ml), w
+
+    # small alpha must produce a non-Viterbi segmentation for SOME
+    # (word, seed) — otherwise the sampler isn't sampling
+    diverse = any(
+        _sample_segmentation(w, pieces, ml, alpha=0.05, seed=s)
+        != _viterbi(w, pieces, ml)
+        for w in words
+        for s in range(20)
+    )
+    assert diverse
+
+    docs = spark.createDataFrame(
+        [(1, "abab abcd"), (2, "zzz"), (3, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r.doc_id: (r.n_viterbi_tokens, r.n_sampled_tokens)
+        for r in unigram_sample_counts(
+            docs, pieces, alpha=0.2, seed=7
+        ).collect()
+    }
+
+    def replay(text, seed):
+        nv = ns = 0
+        for word in text.split():
+            wseed = seed
+            for ch in word:
+                wseed = ((wseed ^ ord(ch)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            nv += len(_viterbi(word, pieces, ml))
+            ns += len(
+                _sample_segmentation(word, pieces, ml, alpha=0.2, seed=wseed)
+            )
+        return nv, ns
+
+    assert out == {
+        1: replay("abab abcd", 7),
+        2: replay("zzz", 7),
+        3: (0, 0),
+    }
