@@ -2148,12 +2148,16 @@ def q_qgram_cosine_weighted(spark, sf_dir):
             )
         ).alias("gram"),
     )
-    n_docs = grams.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # one bounded stats row (the overlap.py auto-tune pattern): collected
+    # once so the 5 plan branches that consume idf don't each replay the
+    # corpus-wide distinct-count through a replicated cross join
+    n_docs = grams.agg(F.countDistinct("doc_id")).collect()[0][0]
     gram_idf = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("idf", F.log(F.lit(1.0) + F.col("n_docs") / F.col("df")))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+        )
         .select("gram", "df", "idf")
     )
     ranked = (
@@ -2308,36 +2312,56 @@ def q_dup_spans(spark, sf_dir):
 
 def _dup_window_positions(docs, width):
     """Shared candidate pipeline for the duplicate-span family: verified
-    (doc_id, pos) of every ``width``-char window whose EXACT span occurs
-    in >1 distinct document.  Rolling-hash candidates (operators/text.py
-    window_hashes, zero shuffle) → hash groupBy keeps cross-doc hashes →
-    candidates re-verify on the actual substring so collisions cannot
-    fabricate a dup."""
+    (doc_id, pos, span) of every ``width``-char window whose EXACT span
+    occurs in >1 distinct document.  Rolling-hash candidates
+    (operators/text.py window_hashes, zero shuffle) → hash groupBy keeps
+    cross-doc hashes → candidates re-verify on the actual substring so
+    collisions cannot fabricate a dup.  (Consumers that ignore ``span``
+    lose nothing — Catalyst prunes the column.)
+
+    ``spans`` and ``exact`` each feed TWO plan branches (the aggregate
+    that selects survivors and the join that applies the selection), so
+    without caching the rolling-hash Python map would run up to 4× per
+    action — the minhash bounded-cache pattern applies verbatim:
+    persist the shared subtrees, eagerly localCheckpoint the verified
+    result (no cache-manager entry left behind), unpersist."""
     from streaming_spark.operators.text import window_hashes
 
-    spans = window_hashes(docs, text_col="text", id_col="doc_id", width=width)
-    hot = (
-        spans.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-    )
-    exact = (
-        spans.join(hot, "h")
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            "pos",
-            F.expr(f"substring(text, pos, {width})").alias("span"),
+    spans = window_hashes(
+        docs, text_col="text", id_col="doc_id", width=width
+    ).persist()
+    try:
+        hot = (
+            spans.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("h")
         )
-    )
-    dup = (
-        exact.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("span")
-    )
-    return exact.join(dup, "span").select("doc_id", "pos")
+        exact = (
+            spans.join(hot, "h")
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .select(
+                "doc_id",
+                "pos",
+                F.expr(f"substring(text, pos, {width})").alias("span"),
+            )
+        ).persist()
+        try:
+            dup = (
+                exact.groupBy("span")
+                .agg(F.countDistinct("doc_id").alias("nd"))
+                .filter(F.col("nd") > 1)
+                .select("span")
+            )
+            return (
+                exact.join(dup, "span")
+                .select("doc_id", "pos", "span")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            exact.unpersist()
+    finally:
+        spans.unpersist()
 
 
 @query(
@@ -2569,4 +2593,137 @@ def text_unigram_sample_stats(spark, sf_dir):
     pieces, _ = _trained_unigram(spark, sf_dir)
     return unigram_sample_counts(docs, pieces, alpha=0.2, seed=7).orderBy(
         "doc_id"
+    )
+
+
+@query(
+    "q_dup_span_removal",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    w AS (
+      SELECT doc_id, CAST(i.i AS INT) AS pos,
+             substring(text, CAST(i.i AS INT), 40) AS span
+      FROM d,
+      LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) i),
+    dup AS (
+      SELECT span, min(doc_id) AS owner FROM w GROUP BY span
+      HAVING count(DISTINCT doc_id) > 1),
+    cut AS (
+      SELECT w.doc_id, w.pos FROM w JOIN dup USING (span)
+      WHERE w.doc_id <> dup.owner),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM cut),
+    rng AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e
+      FROM isl GROUP BY doc_id, grp),
+    seg AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+               AS prev_e
+      FROM rng),
+    pieces AS (
+      SELECT seg.doc_id,
+             string_agg(substring(d.text, prev_e + 1, s - prev_e - 1),
+                        '' ORDER BY s) AS head,
+             max(e) AS last_e
+      FROM seg JOIN d USING (doc_id) GROUP BY seg.doc_id),
+    cleaned AS (
+      SELECT d.doc_id, d.text,
+             CASE WHEN p.doc_id IS NULL THEN d.text
+                  ELSE coalesce(p.head, '')
+                       || substring(d.text, p.last_e + 1,
+                                    greatest(length(d.text) - p.last_e, 0))
+             END AS cleaned
+      FROM d LEFT JOIN pieces p USING (doc_id))
+    SELECT doc_id, length(cleaned) AS cleaned_len,
+           length(text) - length(cleaned) AS n_removed_chars,
+           md5(cleaned) AS cleaned_md5
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q_dup_span_removal(spark, sf_dir):
+    """The full Lee et al. 2022 exact-substring DEDUP, not just the
+    report: every cross-doc duplicated 40-char span keeps exactly ONE
+    canonical occurrence (in the lowest-doc_id document containing it)
+    and every other document has its covering window runs CUT OUT of
+    the text.  Emits per document the cleaned length, removed-char
+    count, and an md5 of the cleaned text (the oracle compares the
+    surgery itself, not just counts; a fully-duplicated non-canonical
+    doc cleans to the empty string).
+
+    Plan: the shared candidate pipeline (_dup_window_positions — rolling
+    hashes, hash groupBy, exact verify), an owner aggregate per span
+    (min doc_id), per-doc gaps-and-islands to merge non-owned positions
+    into maximal ranges, then one fold over each doc's sorted cut list
+    rebuilds the kept text — a HOF lambda over a FEW ranges per doc
+    (the measured-fine cheap-per-element kind), never per character.
+    Everything is keyed (span, then doc); text crosses one shuffle only
+    at the final per-doc rebuild join."""
+    from pyspark.sql import Window
+
+    width = 40
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= width
+    )
+    hits = _dup_window_positions(docs, width)
+    owners = hits.groupBy("span").agg(F.min("doc_id").alias("owner"))
+    cut = (
+        hits.join(owners, "span")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    rng = (
+        cut.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + width - 1).alias("e"),
+        )
+    )
+    cuts = rng.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("cuts")
+    )
+    rebuilt = F.aggregate(
+        "cuts",
+        F.struct(F.lit("").alias("t"), F.lit(0).alias("p")),
+        lambda acc, c: F.struct(
+            F.concat(
+                acc["t"],
+                F.substr(
+                    F.col("text"),
+                    acc["p"] + 1,
+                    F.greatest(F.lit(0), c["s"] - acc["p"] - 1),
+                ),
+            ).alias("t"),
+            c["e"].alias("p"),
+        ),
+        lambda acc: F.concat(
+            acc["t"],
+            F.substr(
+                F.col("text"),
+                acc["p"] + 1,
+                F.greatest(F.lit(0), F.length("text") - acc["p"]),
+            ),
+        ),
+    )
+    return (
+        docs.join(cuts, "doc_id", "left")
+        .withColumn(
+            "cleaned",
+            F.when(F.col("cuts").isNull(), F.col("text")).otherwise(rebuilt),
+        )
+        .select(
+            "doc_id",
+            F.length("cleaned").alias("cleaned_len"),
+            (F.length("text") - F.length("cleaned")).alias(
+                "n_removed_chars"
+            ),
+            F.md5("cleaned").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
     )
