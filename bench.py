@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     # text the prefix join keys on rare grams.  The gate still verifies
     # it exactly at sf0.01.
     "ann_topk_lsh_multiprobe",  # query-directed probing, 2-table index
+    # unigram-LM tokenizer: driver EM train (memoized once per session)
+    # + broadcast Viterbi encode over the corpus.  q_dup_spans stays out
+    # for the same fixture-degeneracy reason as q_qgram_cosine_prefix
+    # (~58k hot hashes over 1.29M windows → near-total candidates).
+    "text_unigram_encode_stats",
 ]
 
 

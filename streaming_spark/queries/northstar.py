@@ -2647,10 +2647,11 @@ def text_unigram_sample_stats(spark, sf_dir):
 )
 def q_dup_span_removal(spark, sf_dir):
     """The full Lee et al. 2022 exact-substring DEDUP, not just the
-    report: every cross-doc duplicated 40-char span keeps exactly ONE
-    canonical occurrence (in the lowest-doc_id document containing it)
-    and every other document has its covering window runs CUT OUT of
-    the text.  Emits per document the cleaned length, removed-char
+    report: every cross-doc duplicated 40-char span survives ONLY in
+    its canonical document (the lowest doc_id containing it — all of
+    that document's occurrences stay, including within-doc repeats) and
+    every other document has its covering window runs CUT OUT of the
+    text.  Emits per document the cleaned length, removed-char
     count, and an md5 of the cleaned text (the oracle compares the
     surgery itself, not just counts; a fully-duplicated non-canonical
     doc cleans to the empty string).
