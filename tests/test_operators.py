@@ -1534,10 +1534,12 @@ def test_quota_sampler_partition_invariant(spark):
 
 
 def test_window_hashes_rolling_matches_direct(spark):
-    """The O(1) rolling update must produce the SAME hash as hashing
-    each window from scratch (the rolling subtraction is the only
-    nontrivial arithmetic — pin it), and a planted cross-doc span must
-    surface as hash-equal rows in both documents."""
+    """The vectorized closed-form hash (prefix sums × inverse powers,
+    uint64 wraparound) must produce the SAME value as hashing each
+    window from scratch with the plain polynomial recurrence — the
+    modular-inverse trick is the only nontrivial arithmetic, pin it —
+    and a planted cross-doc span must surface as hash-equal rows in
+    both documents."""
     from streaming_spark.operators.text import window_hashes
 
     shared = "the quick brown fox jumps over the lazy dog!"  # 44 chars
@@ -1550,13 +1552,13 @@ def test_window_hashes_rolling_matches_direct(spark):
     out = window_hashes(df, text_col="text", id_col="doc_id", width=40)
     got = {(r.doc_id, r.pos): r.h for r in out.collect()}
 
-    mod, base = (1 << 61) - 1, 1000003
+    mod, base = 1 << 64, 1000003
 
     def direct(s):
         acc = 0
         for ch in s:
             acc = (acc * base + ord(ch)) % mod
-        return acc
+        return acc - mod if acc >= (1 << 63) else acc  # int64 view
 
     for doc_id, text in rows:
         n_windows = len(text) - 40 + 1
