@@ -1829,3 +1829,59 @@ def q_streaming_dup_spans(spark, sf_dir):
         .select("doc_id", "n_windows", "n_dup_windows")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS j
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, value, j,
+             sum(value * pow(0.9, -j)) OVER w AS num,
+             sum(pow(0.9, -j)) OVER w AS den
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round(num / den, 4) AS ewma
+    FROM s
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's value
+    stream (decay 0.9, adjusted form — the pandas ``ewm(adjust=True)``
+    semantics): the smoothing primitive behind monitoring baselines and
+    trend features.  The recurrence y_i = a·x_i + (1−a)·y_{i−1} looks
+    sequential, but the adjusted form factors into TWO running sums —
+    y_i = Σ_j r^{i−j} x_j / Σ_j r^{i−j} = running(x_j·r^{−j}) /
+    running(r^{−j}), the r^i scaling cancelling in the ratio — so it
+    runs as ordinary cumulative window aggregates: ONE keyed shuffle,
+    per-key sort, no UDF, no iteration.  (The r^{−j} growth bounds
+    per-key sequence length to ~6000 at r = 0.9 before double overflow;
+    terms older than that carry weight < 1e−270 — numerically decayed
+    to irrelevance long before the bound bites.)"""
+    r = 0.9
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_j = events_table(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(ordered).alias("j"),
+    )
+    num = F.sum(F.col("value") * F.pow(F.lit(r), -F.col("j"))).over(running)
+    den = F.sum(F.pow(F.lit(r), -F.col("j"))).over(running)
+    return with_j.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(num / den, 4).alias("ewma"),
+    )
