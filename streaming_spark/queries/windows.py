@@ -1885,3 +1885,56 @@ def q_ewma(spark, sf_dir):
         F.round("value", 4).alias("value"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions,
+           round(count(*) * 1.0 / sum(count(*)) OVER
+                   (PARTITION BY event_type), 4) AS p_next
+    FROM t WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: for every (from_type → to_type) adjacency in time order,
+    the corpus-wide count and the conditional probability
+    P(next | current) — the sequence-mining primitive behind funnel
+    discovery and next-action models (q_event_funnel checks ONE known
+    path; this surfaces all of them with their weights).
+
+    Scale: one keyed shuffle (hash user_id) + per-key sort for the
+    lead(), then a transition-keyed aggregate whose cardinality is
+    |event_types|² — the output is model-sized, not data-sized, and the
+    normalizing window runs over that tiny aggregate, never the
+    corpus."""
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_from = Window.partitionBy("from_type")
+    return (
+        events_table(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(ordered).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .withColumn(
+            "p_next",
+            F.round(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(per_from),
+                4,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
