@@ -567,3 +567,153 @@ def q_skew_report(spark, sf_dir):
         F.percentile_approx("n", 0.99, 2147483647).alias("p99_rows"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
     )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    SELECT 'quantity_price' AS pair,
+           round(corr(l_quantity, l_extendedprice), 4) AS pearson_r,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_discount',
+           round(corr(l_quantity, l_discount), 4),
+           round(covar_samp(l_quantity, l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_discount',
+           round(corr(l_extendedprice, l_discount), 4),
+           round(covar_samp(l_extendedprice, l_discount), 4)
+    FROM lineitem
+    ORDER BY pair
+    """,
+)
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation + sample covariance over the fact
+    table's numeric columns — the feature-screening pass before any
+    modeling.  All three pairs compute in ONE scan / one aggregate
+    (corr and covar are algebraic: each is a handful of running sums
+    that combine map-side), then unpivot to the (pair, r, cov) shape —
+    three full scans in the oracle's UNION ALL become one here."""
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "c_qp"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("r_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("c_qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("r_pd"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+            "c_pd"
+        ),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("price_discount").alias("pair"),
+                    F.col("r_pd").alias("pearson_r"),
+                    F.col("c_pd").alias("cov"),
+                ),
+                F.struct(
+                    F.lit("quantity_discount").alias("pair"),
+                    F.col("r_qd").alias("pearson_r"),
+                    F.col("c_qd").alias("cov"),
+                ),
+                F.struct(
+                    F.lit("quantity_price").alias("pair"),
+                    F.col("r_qp").alias("pearson_r"),
+                    F.col("c_qp").alias("cov"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.pair", "s.pearson_r", "s.cov")
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           CAST(floor(value / 50) * 50 AS DOUBLE) AS bucket_lo,
+           count(*) AS n,
+           round(avg(value), 4) AS mean_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY bucket
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of the event value distribution (width 50)
+    — the profiling primitive behind dashboards and drift checks.  One
+    map-side-combining aggregate keyed by the bucket expression; output
+    is histogram-sized, never data-sized."""
+    from streaming_spark.queries.registry import events_table
+
+    return (
+        events_table(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("value") / 50).cast("bigint").alias("bucket"),
+            (F.floor(F.col("value") / 50) * 50)
+            .cast("double")
+            .alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_quantile_bins",
+    oracle="""
+    WITH b AS (
+      SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+             round(quantile_cont(l_extendedprice, 0.50), 6) AS q2,
+             round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+      FROM lineitem)
+    SELECT CASE WHEN l_extendedprice <= b.q1 THEN 0
+                WHEN l_extendedprice <= b.q2 THEN 1
+                WHEN l_extendedprice <= b.q3 THEN 2
+                ELSE 3 END AS bin,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS price_mass
+    FROM lineitem, b
+    GROUP BY 1 ORDER BY bin
+    """,
+)
+def q_quantile_bins(spark, sf_dir):
+    """Equi-depth (quartile) binning of the price column — the
+    discretization pass behind stratified analyses and monotone feature
+    encoding.  Two stages, both bounded: ONE exact-percentile aggregate
+    produces the three boundaries (exact `percentile`, linear
+    interpolation — the same definition as the oracle's quantile_cont;
+    boundaries are rounded to 6 dp on BOTH sides so engine-internal
+    last-ulp interpolation differences cannot flip a row at a bin
+    edge), then one map-side-combining aggregate buckets the corpus by
+    broadcast comparison.  A global sort/ntile formulation would give
+    the same answer with a full-corpus range shuffle — this shape
+    scans, never sorts."""
+    li = T(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("q1"),
+        F.round(F.percentile("l_extendedprice", 0.50), 6).alias("q2"),
+        F.round(F.percentile("l_extendedprice", 0.75), 6).alias("q3"),
+    )
+    joined = li.select("l_extendedprice").crossJoin(F.broadcast(b))
+    bin_col = (
+        F.when(F.col("l_extendedprice") <= F.col("q1"), 0)
+        .when(F.col("l_extendedprice") <= F.col("q2"), 1)
+        .when(F.col("l_extendedprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        joined.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_mass"),
+        )
+        .orderBy("bin")
+    )
