@@ -1046,3 +1046,62 @@ def pipeline_span_clean_pack(spark, sf_dir):
         token_counter=lambda _: F.col("n_unigram_tokens"),
     )
     return pack_stats(packed).orderBy("source", "pack_no")
+
+
+@query(
+    "q_group_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       <= 'cccccccb'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events),
+    per_split AS (
+      SELECT split, count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+      FROM tagged GROUP BY split),
+    leak AS (
+      SELECT count(*) AS n_leaked_users FROM (
+        SELECT user_id FROM tagged
+        GROUP BY user_id HAVING count(DISTINCT split) > 1))
+    SELECT p.split, p.n_users, p.n_events, l.n_leaked_users
+    FROM per_split p, leak l
+    ORDER BY split
+    """,
+)
+def q_group_split(spark, sf_dir):
+    """GROUP-aware train/test split: every event of a user lands in the
+    same split (~80/20 by md5-of-user threshold) — the leakage-safe
+    version of q_train_test_split's row split (row-level splitting puts
+    one user's history on both sides, letting a model memorize users
+    instead of generalizing).  The split is a pure hash of the GROUP
+    key: shuffle-free, RNG-free, cluster-size independent, and stable
+    as new events for a known user arrive (an ingest can't migrate a
+    user between splits).  The output carries its own audit:
+    n_leaked_users counts users seen in both splits and is ZERO by
+    construction — checked row-for-row by the oracle."""
+    from streaming_spark.queries.registry import events_table
+
+    tagged = events_table(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8)
+            <= "cccccccb",
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked_users"))
+    )
+    return per_split.crossJoin(F.broadcast(leak)).orderBy("split")
