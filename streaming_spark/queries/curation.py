@@ -1105,3 +1105,54 @@ def q_group_split(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_leaked_users"))
     )
     return per_split.crossJoin(F.broadcast(leak)).orderBy("split")
+
+
+@query("layout_partitioned_pruning")  # rows-only: file/directory
+# placement is engine-internal; the pruning contract (filtered read
+# touches ONLY the matching partition directory, plan shows the
+# partition filter) is asserted in tests/test_curation.py::
+# test_partitioned_layout_prunes_directories
+def layout_partitioned_pruning(spark, sf_dir):
+    """Directory (Hive-style) partitioning — the FIRST layout tool at
+    100 TB, before z-order or file sorting: events are written
+    partitioned by event_type, then one type is read back filtered.
+    Partition pruning happens at PLANNING time from directory names —
+    the non-matching directories are never listed into the scan, so
+    the saving is IO-proportional and needs no file statistics at all
+    (z-order/sorted layouts then prune WITHIN what directory
+    partitioning left).  Emits, per layout, the files actually touched
+    by the filtered read and the matched rows: the unpartitioned
+    baseline reads every file; the partitioned read touches only the
+    one directory.  Row counts must be identical — layout never
+    changes semantics."""
+    import tempfile
+
+    from streaming_spark.queries.registry import events_table
+
+    ev = events_table(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_hivepart_")
+    flat_dir, part_dir = base + "/flat", base + "/by_type"
+    ev.repartition(8).write.mode("overwrite").parquet(flat_dir)
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(part_dir)
+    )
+    target = ev.groupBy("event_type").count().orderBy("event_type").first()[0]
+
+    def probe(path, layout):
+        hits = (
+            spark.read.parquet(path)
+            .filter(F.col("event_type") == target)
+            .select(F.input_file_name().alias("f"))
+        )
+        return hits.agg(
+            F.lit(layout).alias("layout"),
+            F.countDistinct("f").alias("files_read"),
+            F.count(F.lit(1)).alias("rows_matched"),
+        )
+
+    return probe(flat_dir, "flat").unionByName(probe(part_dir, "partitioned"))

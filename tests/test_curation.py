@@ -310,3 +310,21 @@ def test_pipeline_span_clean_pack_contracts(spark):
         if n_dup > 0.5 * n_win:
             expected_drop += 1
     assert sum(r.n_docs for r in a) == len(docs) - expected_drop
+
+
+def test_partitioned_layout_prunes_directories(spark):
+    """Directory partitioning must return identical matched rows while
+    restricting the filtered read to strictly fewer files than the
+    flat layout — the observable effect of planning-time partition
+    pruning (input_file_name counts the files actually scanned)."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.layout: r
+        for r in REGISTRY["layout_partitioned_pruning"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert rows["flat"].rows_matched == rows["partitioned"].rows_matched > 0
+    assert rows["partitioned"].files_read < rows["flat"].files_read
