@@ -143,3 +143,85 @@ def test_bpe_learn_encode_invariants(word_freqs, n_merges):
                 # byte repr stays invertible through encoding
                 joined = "".join(pieces)[: -len("</w>")]
                 assert joined.encode("latin-1").decode("utf-8") == w
+
+
+# -- pure-math properties of the new text/tokenizer kernels (no Spark) --
+
+_hash_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                           blacklist_categories=("Cs",)),
+    min_size=0,
+    max_size=120,
+)
+
+
+@given(_hash_text, st.integers(min_value=2, max_value=12))
+@settings(max_examples=200, deadline=None)
+def test_window_hash_closed_form_matches_recurrence(s, width):
+    """The vectorized closed form (prefix sums × inverse powers mod
+    2^64) must equal the plain polynomial recurrence for EVERY window
+    of arbitrary unicode text — including astral-plane code points
+    (the utf-32 decode path) and texts shorter than the window."""
+    import numpy as np
+
+    base, mask = 1000003, (1 << 64) - 1
+    ibase = pow(base, -1, 1 << 64)
+    n = len(s)
+    # reference: direct per-window polynomial, arbitrary-precision ints
+    want = []
+    for i in range(max(0, n - width + 1)):
+        acc = 0
+        for ch in s[i : i + width]:
+            acc = (acc * base + ord(ch)) & mask
+        want.append(acc)
+    # closed form, numpy uint64 wraparound
+    got = []
+    if n >= width:
+        pows_l, ipows_l = [1], [1]
+        for _ in range(n):
+            pows_l.append((pows_l[-1] * base) & mask)
+            ipows_l.append((ipows_l[-1] * ibase) & mask)
+        pows = np.array(pows_l, dtype=np.uint64)
+        ipows = np.array(ipows_l, dtype=np.uint64)
+        ords = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        terms = ords * pows[n - 1 :: -1][:n]
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(terms, out=prefix[1:])
+        diffs = prefix[width:] - prefix[: n - width + 1]
+        got = list(diffs * ipows[n - width :: -1][: n - width + 1])
+    assert [int(h) for h in got] == want
+
+
+_word = st.text(
+    alphabet=st.sampled_from("abcdefg"), min_size=1, max_size=12
+)
+
+
+@given(st.lists(st.tuples(_word, st.integers(1, 50)), min_size=1, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_unigram_segmentation_properties(word_freqs):
+    """For ANY word-frequency table: training normalizes to a proper
+    distribution, and for any trained table Viterbi and the lattice
+    sampler both emit VALID segmentations (concatenate back to the
+    word) whose pieces all belong to the vocabulary."""
+    from streaming_spark.operators.unigram import (
+        _sample_segmentation,
+        _viterbi,
+        learn_unigram,
+    )
+
+    pieces = learn_unigram(
+        word_freqs, vocab_size=16, seed_size=40, max_piece_len=4
+    )
+    total = math.fsum(math.exp(lp) for lp in pieces.values())
+    assert abs(total - 1.0) < 1e-9
+    ml = max(len(p) for p in pieces)
+    for word, _ in word_freqs:
+        v = _viterbi(word, pieces, ml)
+        assert "".join(v) == word
+        assert all(p in pieces for p in v)
+        s = _sample_segmentation(word, pieces, ml, alpha=0.3, seed=11)
+        assert "".join(s) == word
+        assert all(p in pieces for p in s)
