@@ -1938,3 +1938,50 @@ def q_event_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "q_streaming_ewma",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS j
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, value, j,
+             sum(value * pow(0.9, -j)) OVER w AS num,
+             sum(pow(0.9, -j)) OVER w AS den
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round(num / den, 4) AS ewma
+    FROM s
+    """,
+)
+def q_streaming_ewma(spark, sf_dir):
+    """q_ewma's streaming twin, executed as a REAL run: per-user EWMA
+    state (just num and den — two floats per key, streaming/core.py
+    stateful_ewma) carried across mtime-ordered file micro-batches via
+    applyInPandasWithState.  Same DuckDB oracle as the batch query: the
+    O(1) recurrence and the batch closed form compute the same ratio,
+    and ordered replay (staged files in event-time order, per-batch
+    sort, keyed carry) makes the streaming output row-for-row equal.
+    The scale contrast with q_streaming_rolling_mean: window-of-width-w
+    state grows with w; EWMA's infinite-horizon memory costs TWO floats
+    regardless of history length — the state-bounded smoothing a
+    monitoring pipeline runs unbounded."""
+    from streaming_spark.streaming.core import read_events_stream, stateful_ewma
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    out = stateful_ewma(ev, decay=0.9)
+    result = _run_to_memory_sink(out, "ewma_sink", "append")
+    return result.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round("ewma", 4).alias("ewma"),
+    )

@@ -486,3 +486,64 @@ def read_events_kafka(
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("e")
     ).select("e.*")
+
+
+def stateful_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    decay: float = 0.9,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average as a stateful
+    streaming operator: the adjusted-EWMA ratio y_i = num_i / den_i
+    obeys the O(1) recurrences num_i = r·num_{i−1} + x_i and
+    den_i = r·den_{i−1} + 1, so the carried keyed state is exactly TWO
+    floats — the minimal-state counterpart of the batch closed form
+    (queries/windows.py q_ewma factors the same ratio into cumulative
+    window sums).  Deterministic under ordered replay: micro-batches
+    sort within themselves and state carries the (num, den) pair across
+    batch boundaries."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = "num DOUBLE, den DOUBLE"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        num, den = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out_ids, out_vals, out_ewma = [], [], []
+            for eid, v in zip(pdf["event_id"], pdf[value_col]):
+                num = decay * num + float(v)
+                den = decay * den + 1.0
+                out_ids.append(int(eid))
+                out_vals.append(float(v))
+                out_ewma.append(num / den)
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "event_id": out_ids,
+                    "value": out_vals,
+                    "ewma": out_ewma,
+                }
+            )
+        state.update((num, den))
+
+    return (
+        events.select(key_col, "event_id", "ts", value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
