@@ -75,3 +75,24 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def load_table_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro twin of the parquet loaders (the warehouse interchange
+    format Kafka-ecosystem pipelines hand off): same frame out, so every
+    downstream operator is source-agnostic and swapping formats is THIS
+    function and nothing else.  Spark ships Avro as an EXTERNAL module
+    (a JAR deployment choice, not a code change — same contract as
+    streaming/core.py read_events_kafka); absent here, this raises a
+    clear error instead of Spark's generic source-not-found."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:
+        if "avro" not in str(exc).lower():
+            raise
+        raise NotImplementedError(
+            "load_table_avro requires the spark-avro module on the "
+            "classpath (deploy with --packages org.apache.spark:"
+            "spark-avro_2.13:<spark-version>); not installed in this "
+            "environment — use the parquet/csv/jsonl/orc loaders here"
+        ) from exc

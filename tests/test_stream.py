@@ -182,3 +182,16 @@ def test_max_output_rows_guard(spark):
     )
     with _pytest.raises(Exception, match="max_output_rows|exceeds"):
         big.collect()
+
+
+def test_avro_source_gated_without_module(spark, tmp_path):
+    """Avro is an external Spark module (JAR deployment choice); absent
+    on this box, the loader must fail with the clear deploy-hint error,
+    not Spark's generic source-not-found (same contract as the Kafka
+    source gate)."""
+    import pytest
+
+    from streaming_spark.io import load_table_avro
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        load_table_avro(spark, str(tmp_path / "x"))
