@@ -2728,3 +2728,71 @@ def q_dup_span_removal(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_dup_span_components",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    w AS (
+      SELECT doc_id, substring(text, CAST(i.i AS INT), 40) AS span
+      FROM d,
+      LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) i),
+    ds AS (SELECT DISTINCT doc_id, span FROM w),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM ds a JOIN ds b ON a.span = b.span AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach AS (
+      SELECT n AS node, n AS r FROM nodes
+      UNION
+      SELECT reach.node, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+    SELECT rep, count(*) AS n_members FROM comp GROUP BY rep ORDER BY rep
+    """,
+)
+def q_dup_span_components(spark, sf_dir):
+    """BOILERPLATE-FAMILY detection: connected components over the
+    shared-duplicated-content graph (edge between two docs whenever
+    they share an exact 40-char span) — mirror families, template
+    variants, and chained paraphrases surface as components even when
+    no single pair is a whole-document duplicate.  Per component: the
+    min-id representative and the member count.
+
+    This is the repo's first FULLY oracle-checked components run: the
+    iterative min-label propagation (operators/dedup.py
+    connected_components — one edge-keyed shuffle per round,
+    localCheckpoint lineage truncation) is compared row-for-row against
+    a DuckDB RECURSIVE-CTE transitive closure of the same graph — the
+    fixpoint two very different engines must agree on exactly
+    (dedup_clusters' MinHash graph can't have this: its edges depend on
+    engine-internal hashes; this graph is pure data).
+
+    Scale shape: pair generation is keyed by span (the dup-span
+    candidate pipeline bounds it to verified duplicated content — NOT
+    all-pairs); component rounds cost O(diameter) shuffles and
+    boilerplate families are shallow."""
+    width = 40
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= width
+    )
+    hits = _dup_window_positions(docs, width).select("doc_id", "span").distinct()
+    a = hits.select(F.col("doc_id").alias("id_a"), "span")
+    b = hits.select(F.col("doc_id").alias("id_b"), "span")
+    pairs = (
+        a.join(b, "span")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    from streaming_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").alias("rep"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("rep")
+    )
