@@ -2796,3 +2796,81 @@ def q_dup_span_components(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("rep")
     )
+
+
+@query(
+    "q_entity_resolve",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             CASE WHEN c_custkey % 3 = 0 THEN
+               substring(c_name, 1, CAST(c_custkey % 8 + 10 AS INT))
+               || 'x'
+               || substring(c_name, CAST(c_custkey % 8 + 12 AS INT))
+             ELSE c_name END AS dirty_name
+      FROM customer),
+    links AS (
+      SELECT d.dirty_id, m.c_custkey AS master_id,
+             levenshtein(d.dirty_name, m.c_name) AS dist
+      FROM dirty d JOIN customer m
+        ON levenshtein(d.dirty_name, m.c_name) <= 1),
+    best AS (
+      SELECT dirty_id, master_id, dist,
+             row_number() OVER (PARTITION BY dirty_id
+                                ORDER BY dist, master_id) AS rk
+      FROM links)
+    SELECT dirty_id, master_id, dist,
+           (dirty_id = master_id) AS resolved_self
+    FROM best WHERE rk = 1 ORDER BY dirty_id
+    """,
+)
+def q_entity_resolve(spark, sf_dir):
+    """Entity RESOLUTION, not just candidate linkage: each dirty record
+    (q_fuzzy_link_dirty's deterministic typo batch) is assigned its ONE
+    best master — minimum edit distance, ties broken on master id — the
+    decision step a linkage pipeline actually ships (the candidate join
+    answers "who might this be", this answers "who IS this"), plus a
+    per-row audit flag for whether the record recovered its own master.
+
+    Plan: the variant-keyed symmetric-deletion join generates only
+    candidates (operators/fuzzy.py fuzzy_join — no all-pairs stage),
+    then the argmin is a per-dirty-record window over each record's ≤
+    handful of candidates — keyed, bounded, no global sort.  The oracle
+    is the exact O(n·m) cross join with the same argmin."""
+    from pyspark.sql import Window
+
+    from streaming_spark.operators.fuzzy import fuzzy_join
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = (F.col("c_custkey") % 8 + 10).cast("int")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substr(F.col("c_name"), F.lit(1), pos),
+                F.lit("x"),
+                F.substr(F.col("c_name"), pos + 2, F.length("c_name")),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("dirty_name"),
+    )
+    links = fuzzy_join(
+        dirty, cust, "dirty_name", "c_name", "dirty_id", "c_custkey",
+        max_dist=1,
+    ).withColumnRenamed("c_custkey", "master_id")
+    rk = F.row_number().over(
+        Window.partitionBy("dirty_id").orderBy("dist", "master_id")
+    )
+    return (
+        links.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "dirty_id",
+            "master_id",
+            "dist",
+            (F.col("dirty_id") == F.col("master_id")).alias("resolved_self"),
+        )
+        .orderBy("dirty_id")
+    )

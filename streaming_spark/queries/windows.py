@@ -1985,3 +1985,56 @@ def q_streaming_ewma(spark, sf_dir):
         F.round("value", 4).alias("value"),
         F.round("ewma", 4).alias("ewma"),
     )
+
+
+@query(
+    "q_streaming_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions,
+           round(count(*) * 1.0 / sum(count(*)) OVER
+                   (PARTITION BY event_type), 4) AS p_next
+    FROM t WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+)
+def q_streaming_transitions(spark, sf_dir):
+    """q_event_transitions' streaming twin, executed as a REAL run: the
+    Markov adjacency extraction carries ONE string per user (the last
+    seen event type, streaming/core.py stateful_transitions) across
+    mtime-ordered micro-batches — the state that captures transitions
+    straddling batch boundaries, which a per-batch-rollup formulation
+    would silently drop (one lost adjacency per user per batch edge).
+    Emitted (from, to) rows aggregate to the transition matrix with
+    conditional probabilities — same DuckDB oracle as the batch query,
+    row-for-row."""
+    from streaming_spark.streaming.core import (
+        read_events_stream,
+        stateful_transitions,
+    )
+
+    ev = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    out = stateful_transitions(ev)
+    result = _run_to_memory_sink(out, "transitions_sink", "append")
+    per_from = Window.partitionBy("from_type")
+    return (
+        result.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .withColumn(
+            "p_next",
+            F.round(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(per_from),
+                4,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -538,6 +539,54 @@ def stateful_ewma(
 
     return (
         events.select(key_col, "event_id", "ts", value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stateful_transitions(
+    events: DataFrame, key_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """Per-key event-type ADJACENCY extraction as a stateful streaming
+    operator: emits one (from_type, to_type) row per consecutive event
+    pair in each user's time-ordered stream.  The carried state is ONE
+    string per key — the user's last seen type — which is exactly what
+    a per-batch window cannot provide: the adjacency that straddles a
+    micro-batch boundary (last event of batch N → first of batch N+1)
+    exists only through state, so a foreachBatch partial-rollup
+    formulation would silently drop one transition per user per batch
+    edge."""
+    out_schema = StructType(
+        [
+            StructField("from_type", StringType()),
+            StructField("to_type", StringType()),
+        ]
+    )
+    state_schema = "last_type STRING"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            froms, tos = [], []
+            for t in pdf[type_col]:
+                if last is not None:
+                    froms.append(last)
+                    tos.append(str(t))
+                last = str(t)
+            yield pd.DataFrame({"from_type": froms, "to_type": tos})
+        state.update((last,))
+
+    return (
+        events.select(key_col, "event_id", "ts", type_col)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
