@@ -2286,13 +2286,14 @@ def q_dup_spans(spark, sf_dir):
 
     Fixture honesty: the ~100-word generator pool repeats 6-7-word
     phrases across documents, so ~9% of docs carry cross-doc spans —
-    plenty of signal for the oracle.  The same degeneracy makes the
-    verify stage unrepresentatively expensive here (at sf0.1 the pool
-    yields ~58k hot hashes over 1.29M windows, so candidates are a
-    large fraction of all positions — measured 2.6 s hashing / ~9 s
-    verify); on a real corpus candidates track the duplicated TAIL, not
-    the whole table, which is why this stays out of bench.py's
-    headline (the q_qgram_cosine_prefix precedent)."""
+    plenty of signal for the oracle.  The same degeneracy inflates the
+    verify stage here (at sf0.1 the pool yields ~58k hot hashes over
+    1.29M windows, so candidates are a large fraction of all
+    positions); warm steady-state is still ~3.8 s at sf0.1 vs 3.2 s at
+    sf0.01 — near-flat for 10× docs — but on a real corpus candidates
+    track the duplicated TAIL, not the whole table, which is why this
+    stays out of bench.py's headline (the q_qgram_cosine_prefix
+    precedent)."""
     width = 40
     docs = T(spark, sf_dir, "documents").filter(F.length("text") >= width)
     return (
