@@ -1156,3 +1156,59 @@ def layout_partitioned_pruning(spark, sf_dir):
         )
 
     return probe(flat_dir, "flat").unionByName(probe(part_dir, "partitioned"))
+
+
+@query(
+    "q_negative_pairs",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 25 = 0),
+    cand AS (
+      SELECT anchor_id, CAST(j.j AS INT) AS j,
+             (anchor_id * 2654435761 + j.j * 40503)
+               % (SELECT n_docs FROM n) AS neg_id
+      FROM anchors, (SELECT unnest(range(0, 3)) AS j) j)
+    SELECT anchor_id, j, neg_id
+    FROM cand JOIN documents d ON d.doc_id = cand.neg_id
+    WHERE neg_id <> anchor_id
+    ORDER BY anchor_id, j
+    """,
+)
+def q_negative_pairs(spark, sf_dir):
+    """Deterministic NEGATIVE sampling for contrastive training: each
+    anchor document draws k=3 pseudo-random partners by multiplicative
+    hashing into the document-ID domain — no RNG state, retry-stable,
+    and reproducible across engines (the oracle computes the identical
+    arithmetic).  Self-collisions are filtered (observable as a
+    slightly short pair list for ~1/n of draws — the engine-wide
+    observable-loss rule, never silent resampling that would need
+    coordination).
+
+    Scale shape: negatives are drawn INTO the key domain and realized
+    by one keyed equi-join against the corpus — no per-anchor scan, no
+    broadcast of the corpus, skew-free (hash targets are uniform).  On
+    a sparse/non-dense ID space the same plan runs against the
+    dense_index mapping (operators/stream.py) instead of raw ids."""
+    docs = T(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar (one count job)
+    anchors = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    cand = anchors.select(
+        "anchor_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    ).select(
+        "anchor_id",
+        "j",
+        (
+            (F.col("anchor_id") * F.lit(2654435761) + F.col("j") * F.lit(40503))
+            % F.lit(n_docs)
+        ).alias("neg_id"),
+    )
+    return (
+        cand.join(docs.select(F.col("doc_id").alias("neg_id")), "neg_id")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "neg_id")
+        .orderBy("anchor_id", "j")
+    )

@@ -440,3 +440,69 @@ def q_upsert_merge(spark, sf_dir):
     return base.join(
         updates.select("o_orderkey"), "o_orderkey", "left_anti"
     ).unionByName(updates)
+
+
+@query("q_input_jsonl_dirty")  # rows-only: the corrupt-line layout is
+# staged by the query itself (driver-written fixture); the exact
+# good/bad accounting is pinned in tests/test_operators.py::
+# test_jsonl_dirty_ingest_accounting
+def q_input_jsonl_dirty(spark, sf_dir):
+    """JSONL ingestion that SURVIVES corruption — the production
+    contract q_input_jsonl's clean round-trip doesn't exercise: a
+    staged shard set where every 10th line is malformed (truncated
+    JSON, bare text, wrong-type field) is read PERMISSIVE with a
+    declared schema + _corrupt_record column, so bad lines become
+    quarantine rows instead of job failures.  Emits the ingest
+    accounting a 100 TB loader alarms on: rows parsed, rows
+    quarantined, and the parsed payload checksum — corruption is
+    OBSERVABLE and bounded, never silent (the PERMISSIVE analog of the
+    engine-wide observable-loss rule for caps).
+
+    Scale: identical to the clean reader — newline-splittable shards,
+    one parse pass, schema declared up front; the corrupt-record column
+    costs nothing on clean lines."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_dirtyjsonl_")
+    rows = docs.collect()  # bounded staging set (limit 200)
+    path = os.path.join(out_dir, "shard-0.jsonl")
+    import json as _json
+
+    with open(path, "w", encoding="utf-8") as f:
+        for i, r in enumerate(rows):
+            if i % 10 == 3:
+                f.write('{"doc_id": ' + str(r.doc_id) + ', "source": "tru\n')
+            elif i % 10 == 7:
+                f.write("not json at all\n")
+            else:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "source": r.source, "text": r.text}
+                    )
+                    + "\n"
+                )
+    schema = (
+        "doc_id BIGINT, source STRING, text STRING, _corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out_dir)
+    ).cache()  # SPARK-21610: corrupt-record queries need the full scan
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias(
+            "n_parsed"
+        ),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.length("text"))
+        ).alias("parsed_chars"),
+    )

@@ -1765,3 +1765,31 @@ def test_unigram_subword_sampling(spark):
         2: replay("zzz", 7),
         3: (0, 0),
     }
+
+
+def test_jsonl_dirty_ingest_accounting(spark):
+    """PERMISSIVE JSONL ingest must quarantine EXACTLY the malformed
+    lines (every 10th line at offsets 3 and 7 of the staged shard) and
+    parse the rest: counts reconcile (parsed + quarantined = lines) and
+    the parsed char mass equals the clean lines' text lengths."""
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    row = REGISTRY["q_input_jsonl_dirty"](spark, SF_SMOKE).collect()[0]
+    docs = (
+        T(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(200)
+        .collect()
+    )
+    n = len(docs)
+    bad = sum(1 for i in range(n) if i % 10 in (3, 7))
+    good_chars = sum(
+        len(d.text) for i, d in enumerate(docs) if i % 10 not in (3, 7)
+    )
+    assert row.n_lines == n
+    assert row.n_quarantined == bad
+    assert row.n_parsed == n - bad
+    assert row.n_parsed + row.n_quarantined == row.n_lines
+    assert row.parsed_chars == good_chars
