@@ -2875,3 +2875,84 @@ def q_entity_resolve(spark, sf_dir):
         )
         .orderBy("dirty_id")
     )
+
+
+@query("q_hard_negatives")  # rows-only: neighbor ranks come from the
+# engine's ANN stack; the hard>random margin and determinism contracts
+# are pinned in tests/test_operators.py::test_hard_negatives_margin
+def q_hard_negatives(spark, sf_dir):
+    """HARD-negative mining — the contrastive-training counterpart of
+    q_negative_pairs' uniform draws: for each anchor embedding, the
+    nearest non-identical neighbors (exact cosine top-k, self excluded)
+    become the negatives that actually teach a model its decision
+    boundary; uniform negatives are mostly trivially far.  Emits per
+    (anchor, rank): the hard negative's id and cosine, NEXT TO the
+    cosine of the same anchor's uniform draw at that rank — the margin
+    between the columns is the point, and it is pinned ≥ 0 on average
+    in the contract test.
+
+    Plan: anchors are the bounded broadcast side of cosine_topk (the
+    blocked-matmul scan, O(Q·k·partitions) shuffle); the uniform
+    comparison reuses q_negative_pairs' hash-into-domain join.  At
+    billion scale the exact top-k swaps for ann_topk_ivfpq under the
+    same contract — the mining loop is index-agnostic."""
+    from streaming_spark.operators.similarity import cosine_topk, _cosine_expr
+
+    emb = T(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()  # bounded scalar
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    k = 3
+    hard = (
+        cosine_topk(emb, anchors, k=k + 1)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("hard_neg_id"),
+            F.col("sim").alias("hard_cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("anchor_id").orderBy(
+            F.col("hard_cos").desc(), "hard_neg_id"
+        )
+    )
+    hard = hard.withColumn("rank", rk).filter(F.col("rank") <= k)
+    rand = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("rank"),
+    ).select(
+        "anchor_id",
+        "rank",
+        (
+            (F.col("anchor_id") * F.lit(2654435761) + F.col("rank") * F.lit(40503))
+            % F.lit(n_vecs)
+        ).alias("rand_neg_id"),
+    )
+    a_emb = emb.select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec")
+    )
+    r_emb = emb.select(
+        F.col("vec_id").alias("rand_neg_id"),
+        F.col("embedding").alias("r_vec"),
+    )
+    rand_cos = (
+        rand.join(a_emb, "anchor_id")
+        .join(r_emb, "rand_neg_id")
+        .filter(F.col("rand_neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "rank",
+            "rand_neg_id",
+            F.round(_cosine_expr("a_vec", "r_vec"), 6).alias("rand_cos"),
+        )
+    )
+    return (
+        hard.select(
+            "anchor_id", "rank", "hard_neg_id",
+            F.round("hard_cos", 6).alias("hard_cos"),
+        )
+        .join(rand_cos, ["anchor_id", "rank"], "left")
+        .orderBy("anchor_id", "rank")
+    )

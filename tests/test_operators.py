@@ -1793,3 +1793,32 @@ def test_jsonl_dirty_ingest_accounting(spark):
     assert row.n_parsed == n - bad
     assert row.n_parsed + row.n_quarantined == row.n_lines
     assert row.parsed_chars == good_chars
+
+
+def test_hard_negatives_margin(spark):
+    """Hard-negative mining contracts: every anchor yields exactly k=3
+    hard negatives in descending cosine order, none equal to the
+    anchor, the mined negatives are on average STRICTLY closer than the
+    uniform draws at the same ranks (the reason mining exists), and the
+    whole query is deterministic."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_hard_negatives"](spark, SF_SMOKE).collect()
+    again = REGISTRY["q_hard_negatives"](spark, SF_SMOKE).collect()
+    assert [r.asDict() for r in rows] == [r.asDict() for r in again]
+
+    by_anchor = {}
+    for r in rows:
+        assert r.hard_neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for anchor, rs in by_anchor.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3], anchor
+        cos = [r.hard_cos for r in rs]
+        assert cos == sorted(cos, reverse=True), anchor
+
+    hard_mean = sum(r.hard_cos for r in rows) / len(rows)
+    rand = [r.rand_cos for r in rows if r.rand_cos is not None]
+    rand_mean = sum(rand) / len(rand)
+    assert hard_mean > rand_mean, (hard_mean, rand_mean)
