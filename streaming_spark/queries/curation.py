@@ -1212,3 +1212,132 @@ def q_negative_pairs(spark, sf_dir):
         .select("anchor_id", "j", "neg_id")
         .orderBy("anchor_id", "j")
     )
+
+
+@query("pipeline_contrastive_dataset")  # rows-only: hard negatives come
+# from the ANN stack (engine-internal ranks); the per-type counts /
+# disjointness / margin-ordering contracts are in
+# tests/test_curation.py::test_pipeline_contrastive_dataset_contract
+def pipeline_contrastive_dataset(spark, sf_dir):
+    """Composed pipeline #6 — the training-PAIRS dataset a contrastive
+    embedding run consumes, built from three primitives this engine
+    already verifies separately: POSITIVES are semantic near-duplicates
+    (cosine_pairs ≥ 0.35, the oracle-checked dedup primitive, re-keyed
+    so each anchor keeps its partners), HARD negatives are the
+    anchor's nearest non-positive neighbors (q_hard_negatives' mining
+    loop), and RANDOM negatives are q_negative_pairs' hash-into-domain
+    draws — one output relation, (anchor_id, partner_id, pair_type,
+    cos_sim), types disjoint per anchor by construction.
+
+    The contract the composition must keep (pinned in its test):
+    positives score above hard negatives BY CONSTRUCTION (every pair
+    at or above the positive threshold IS a positive, so the anti-joined
+    hard negatives sit strictly below it), hard negatives above random,
+    per anchor type-sets never overlap, and the whole build is
+    deterministic.  Scale: each leg keeps its own bounded plan (LSH or
+    broadcast pair join; bounded-anchor top-k scan; keyed domain join)
+    — composition adds unions, not new shuffles over the corpus."""
+    from streaming_spark.operators.similarity import (
+        _cosine_expr,
+        cosine_pairs,
+        cosine_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()  # bounded scalar
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    k = 3
+    # positives: near-duplicate partners of each anchor (both orders)
+    pairs = cosine_pairs(emb, threshold=0.35)
+    pos = (
+        pairs.select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("partner_id"),
+            "cos_sim",
+        )
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("anchor_id"),
+                F.col("id_a").alias("partner_id"),
+                "cos_sim",
+            )
+        )
+        .join(anchors.select(F.col("vec_id").alias("anchor_id")), "anchor_id")
+        .withColumn("pair_type", F.lit("positive"))
+    )
+    # hard negatives: nearest neighbors that are NOT positives
+    hard = (
+        cosine_topk(emb, anchors, k=k + 8)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("partner_id"),
+            F.col("sim").alias("cos_sim"),
+        )
+        .join(
+            pos.select("anchor_id", "partner_id"),
+            ["anchor_id", "partner_id"],
+            "left_anti",
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("anchor_id").orderBy(
+            F.col("cos_sim").desc(), "partner_id"
+        )
+    )
+    hard = (
+        hard.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+        .withColumn("pair_type", F.lit("hard_negative"))
+    )
+    # random negatives: deterministic hash-into-domain draws, minus any
+    # id already used as a positive or hard negative for that anchor
+    rand = (
+        anchors.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            (
+                (
+                    F.col("anchor_id") * F.lit(2654435761)
+                    + F.col("j") * F.lit(40503)
+                )
+                % F.lit(n_vecs)
+            ).alias("partner_id"),
+        )
+        .filter(F.col("partner_id") != F.col("anchor_id"))
+        .join(
+            pos.select("anchor_id", "partner_id")
+            .unionByName(hard.select("anchor_id", "partner_id")),
+            ["anchor_id", "partner_id"],
+            "left_anti",
+        )
+        .distinct()
+    )
+    a_emb = emb.select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec")
+    )
+    p_emb = emb.select(
+        F.col("vec_id").alias("partner_id"), F.col("embedding").alias("p_vec")
+    )
+    rand = (
+        rand.join(a_emb, "anchor_id")
+        .join(p_emb, "partner_id")
+        .select(
+            "anchor_id",
+            "partner_id",
+            F.round(_cosine_expr("a_vec", "p_vec"), 4).alias("cos_sim"),
+            F.lit("random_negative").alias("pair_type"),
+        )
+    )
+    return (
+        pos.select("anchor_id", "partner_id", "pair_type", "cos_sim")
+        .unionByName(hard.select("anchor_id", "partner_id", "pair_type", "cos_sim"))
+        .unionByName(rand.select("anchor_id", "partner_id", "pair_type", "cos_sim"))
+        .orderBy("anchor_id", "pair_type", "partner_id")
+    )

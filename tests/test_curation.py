@@ -328,3 +328,36 @@ def test_partitioned_layout_prunes_directories(spark):
     }
     assert rows["flat"].rows_matched == rows["partitioned"].rows_matched > 0
     assert rows["partitioned"].files_read < rows["flat"].files_read
+
+
+def test_pipeline_contrastive_dataset_contract(spark):
+    """Contrastive-pairs composition: per-anchor type sets are disjoint,
+    hard negatives come exactly k=3 per anchor, the score ordering holds
+    on average (positive > hard_negative > random_negative), and the
+    build is deterministic."""
+    from collections import defaultdict
+
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["pipeline_contrastive_dataset"](spark, SF_SMOKE).collect()
+    again = REGISTRY["pipeline_contrastive_dataset"](spark, SF_SMOKE).collect()
+    assert [r.asDict() for r in rows] == [r.asDict() for r in again]
+
+    by_type = defaultdict(list)
+    per_anchor = defaultdict(lambda: defaultdict(set))
+    for r in rows:
+        assert r.partner_id != r.anchor_id
+        by_type[r.pair_type].append(r.cos_sim)
+        per_anchor[r.anchor_id][r.pair_type].add(r.partner_id)
+    assert set(by_type) == {"positive", "hard_negative", "random_negative"}
+    for anchor, types in per_anchor.items():
+        sets = list(types.values())
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                assert not (sets[i] & sets[j]), anchor
+        assert len(types.get("hard_negative", set())) == 3, anchor
+
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean(by_type["positive"]) > mean(by_type["hard_negative"])
+    assert mean(by_type["hard_negative"]) > mean(by_type["random_negative"])
