@@ -1341,3 +1341,36 @@ def pipeline_contrastive_dataset(spark, sf_dir):
         .unionByName(rand.select("anchor_id", "partner_id", "pair_type", "cos_sim"))
         .orderBy("anchor_id", "pair_type", "partner_id")
     )
+
+
+@query(
+    "sample_exact_k",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 40
+    """,
+)
+def sample_exact_k(spark, sf_dir):
+    """EXACTLY-k deterministic uniform sample — the fixed-budget
+    companion of sample_uniform_hash's fixed-RATE filter: order by
+    md5-of-id, keep the first k.  Same guarantees (no RNG state,
+    retry-stable, engine-independent — the oracle sorts the identical
+    hashes), plus the property budget-driven pipelines need: the output
+    size is exact, not binomial.
+
+    Scale shape: ORDER BY + LIMIT plans as TakeOrderedAndProject — each
+    partition keeps its local top-k (bounded heap, no sort of the
+    corpus) and only k·partitions rows reach the driver-side merge; the
+    registry plan gate classifies this bounded-by-construction.  A new
+    corpus snapshot changes the sample smoothly: ranks are stable, so
+    adding documents can only displace the k-th tail, never reshuffle
+    the whole sample (the md5-order determinism rule every sampler here
+    follows)."""
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(40)
+    )
