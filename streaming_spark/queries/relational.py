@@ -494,15 +494,26 @@ def q_input_jsonl_dirty(spark, sf_dir):
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out_dir)
     ).cache()  # SPARK-21610: corrupt-record queries need the full scan
-    return back.agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias(
-            "n_parsed"
-        ),
-        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias(
-            "n_quarantined"
-        ),
-        F.sum(
-            F.when(F.col("_corrupt_record").isNull(), F.length("text"))
-        ).alias("parsed_chars"),
+    try:
+        # evaluate eagerly so the cache's lifetime is bounded to this
+        # call (a lingering cache degrades later queries — CLAUDE.md);
+        # the result is one accounting row, re-wrapped as a DataFrame
+        row = back.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias(
+                "n_parsed"
+            ),
+            F.sum(
+                F.col("_corrupt_record").isNotNull().cast("bigint")
+            ).alias("n_quarantined"),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.length("text"))
+            ).alias("parsed_chars"),
+        ).collect()[0]
+    finally:
+        back.unpersist()
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_lines BIGINT, n_parsed BIGINT, n_quarantined BIGINT,"
+        " parsed_chars BIGINT",
     )
