@@ -2956,3 +2956,176 @@ def q_hard_negatives(spark, sf_dir):
         .join(rand_cos, ["anchor_id", "rank"], "left")
         .orderBy("anchor_id", "rank")
     )
+
+
+@query(
+    "q_span_graph_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+    w AS (
+      SELECT doc_id, substring(text, CAST(i.i AS INT), 40) AS span
+      FROM d,
+      LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i) i),
+    ds AS (SELECT DISTINCT doc_id, span FROM w),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM ds a JOIN ds b ON a.span = b.span AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY node),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wedges AS (
+      SELECT CAST(sum(degree * (degree - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           tri.n_triangles, wedges.n_wedges,
+           round(CASE WHEN wedges.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * tri.n_triangles / wedges.n_wedges END,
+                 4) AS clustering_coeff
+    FROM tri, wedges
+    """,
+)
+def q_span_graph_stats(spark, sf_dir):
+    """Structure of the shared-duplicated-content graph: node/edge
+    counts, EXACT triangle count, wedge count and the global clustering
+    coefficient — the health numbers that distinguish boilerplate
+    CLIQUES (templates shared by many docs: triangle-dense) from
+    dup CHAINS (A shares with B shares with C: triangle-free), which
+    need different cleanup policies (drop-the-template vs break-the-
+    chain).  Triangles via the canonical distributed edge-join (u<v
+    ordering makes each triangle count exactly once: e1=(a,b), e2=(b,c),
+    e3=(a,c)); wedges from one degree aggregate.  Same pure-data graph
+    as q_dup_span_components, so the whole query is oracle-exact.
+
+    Scale: the triangle join is edge-keyed (two keyed shuffles over the
+    edge list, never the corpus); real span graphs are sparse — cost
+    tracks Σ deg², the standard triangle-count bound."""
+    width = 40
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") >= width
+    )
+    hits = _dup_window_positions(docs, width).select("doc_id", "span").distinct()
+    a = hits.select(F.col("doc_id").alias("id_a"), "span")
+    b = hits.select(F.col("doc_id").alias("id_b"), "span")
+    pairs = (
+        a.join(b, "span")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = pairs.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("degree") * (F.col("degree") - 1) / 2))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(edges)
+        .crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@query(
+    "q_mutual_nn_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 10 = 0),
+    sims AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cs
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    best AS (
+      SELECT qa, qb, cs,
+             row_number() OVER (PARTITION BY qa ORDER BY cs DESC, qb)
+               AS rk
+      FROM sims)
+    SELECT x.qa AS id_a, x.qb AS id_b, round(x.cs, 4) AS cos_sim
+    FROM best x JOIN best y
+      ON y.qa = x.qb AND y.qb = x.qa AND y.rk = 1
+    WHERE x.rk = 1 AND x.qa < x.qb
+    ORDER BY id_a
+    """,
+)
+def q_mutual_nn_pairs(spark, sf_dir):
+    """MUTUAL nearest neighbors over an embedding subset — the
+    bitext/alignment mining primitive (Artetxe & Schwenk 2019's margin
+    criterion starts from exactly this): a pair qualifies only when
+    EACH vector is the other's top-1, which suppresses hub vectors
+    that are "everyone's neighbor" but reciprocate nothing.  Output is
+    the qualified pairs with their cosine.
+
+    Computed EXACTLY on a 1-in-10 deterministic subset (the bounded
+    contract that keeps the O(S²) scoring honest — and lets the oracle
+    replay it verbatim; cosines stay UNROUNDED until after the argmax
+    so both engines break ties identically).  At corpus scale the same
+    reciprocity test runs over the ANN stack's candidate lists
+    (ann_topk_ivfpq top-k in both directions) — the criterion is
+    index-agnostic; only the neighbor generator changes."""
+    from pyspark.sql import Window
+
+    from streaming_spark.operators.similarity import _cosine_expr
+
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("qa") != F.col("qb"))
+        .select("qa", "qb", _cosine_expr("va", "vb").alias("cs"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qa").orderBy(F.col("cs").desc(), "qb")
+    )
+    best = sims.withColumn("rk", rk).filter(F.col("rk") == 1).select(
+        "qa", "qb", "cs"
+    )
+    other = best.select(
+        F.col("qa").alias("qb"), F.col("qb").alias("qa")
+    ).withColumn("mutual", F.lit(1))
+    return (
+        best.join(other, ["qa", "qb"])
+        .filter(F.col("qa") < F.col("qb"))
+        .select(
+            F.col("qa").alias("id_a"),
+            F.col("qb").alias("id_b"),
+            F.round("cs", 4).alias("cos_sim"),
+        )
+        .orderBy("id_a")
+    )
