@@ -2038,3 +2038,87 @@ def q_streaming_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query("q_streaming_countmin")  # rows-only: sketch cells depend on
+# engine-internal hashing; the bit-identity-to-batch and one-sided
+# error contracts are returned IN-ROW (n_cell_mismatch, min overshoot)
+def q_streaming_countmin(spark, sf_dir):
+    """Incrementally-maintained Count-Min sketch: each micro-batch
+    builds its OWN sketch matrix in one narrow Arrow pass and lands the
+    flattened cells in a batch-keyed parquet sink (idempotent dynamic
+    overwrite); reading the sink and summing cells IS the merged sketch
+    — Count-Min is linear, so the streamed sum is BIT-IDENTICAL to the
+    batch-built matrix over the whole corpus, which this query asserts
+    in-row (n_cell_mismatch must be 0) next to the estimates-vs-exact
+    accounting and the one-sided-error witness (min_overshoot ≥ 0).
+
+    This is the materialized-view pattern applied to a SKETCH: sink
+    growth is O(depth·width) per batch regardless of event volume,
+    re-answering point-frequency queries reads only cell partials, and
+    a retried batch replaces its own partition — exactly-once without a
+    transaction log (same spine as q_streaming_incremental_rollup)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from streaming_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from streaming_spark.streaming import read_events_stream
+
+    depth, width = 4, 256
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_cmsink_") + "/t"
+    ev_stream = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+
+    def land_sketch(batch_df, batch_id):
+        mat = countmin_sketch(batch_df, "event_type", depth, width)
+        (
+            spark.createDataFrame(
+                [(mat.reshape(-1).tolist(),)], "cells ARRAY<BIGINT>"
+            )
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        ev_stream.writeStream.foreachBatch(land_sketch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_countmin did not finish within 300s")
+
+    merged = np.zeros(depth * width, dtype=np.int64)
+    for r in spark.read.parquet(sink_dir).collect():
+        merged += np.array(r["cells"], dtype=np.int64)
+    merged = merged.reshape(depth, width)
+
+    ev = events_table(spark, sf_dir)
+    batch_mat = countmin_sketch(ev, "event_type", depth, width)
+    n_mismatch = int((merged != batch_mat).sum())
+
+    exact = ev.groupBy("event_type").count().orderBy("event_type").collect()
+    types = [r["event_type"] for r in exact]
+    est = countmin_estimate(merged, types)
+    pdf = pd.DataFrame(
+        {
+            "event_type": types,
+            "exact_n": [r["count"] for r in exact],
+            "estimate_n": est,
+        }
+    )
+    pdf["overshoot"] = pdf["estimate_n"] - pdf["exact_n"]
+    pdf["n_cell_mismatch"] = n_mismatch
+    return spark.createDataFrame(pdf)

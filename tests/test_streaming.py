@@ -400,3 +400,18 @@ def test_streaming_kmeans_matches_batch(spark):
     assert row.n_batch_vectors == 500
     assert row.max_centroid_diff < 1e-9, row.max_centroid_diff
     assert row.n_assign_mismatch == 0
+
+
+def test_streaming_countmin_merges_bit_identical(spark):
+    """The streamed Count-Min sink, summed, must equal the batch-built
+    sketch cell-for-cell (linearity is exact, not approximate), with
+    the one-sided error witness non-negative for every event type."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_streaming_countmin"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_cell_mismatch == 0
+        assert r.overshoot >= 0
+        assert r.estimate_n >= r.exact_n
