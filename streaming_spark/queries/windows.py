@@ -2122,3 +2122,78 @@ def q_streaming_countmin(spark, sf_dir):
     pdf["overshoot"] = pdf["estimate_n"] - pdf["exact_n"]
     pdf["n_cell_mismatch"] = n_mismatch
     return spark.createDataFrame(pdf)
+
+
+@query("q_streaming_hll_distinct")  # rows-only: sketch registers are
+# engine-internal; the streamed-union == single-pass estimate identity
+# and the error floor are pinned in tests/test_streaming.py::
+# test_streaming_hll_union_matches_batch
+def q_streaming_hll_distinct(spark, sf_dir):
+    """Incrementally-maintained distinct-count: each micro-batch lands
+    its OWN HyperLogLog sketch (Spark's Datasketches hll_sketch_agg —
+    one binary blob per batch) in a batch-keyed sink; the final answer
+    is hll_union_agg over the landed blobs.  HLL registers are maxes,
+    so union of per-batch sketches reproduces the single-pass corpus
+    sketch REGISTER-FOR-REGISTER — the streamed estimate equals the
+    batch estimate exactly, not approximately (asserted in-row:
+    est_streamed == est_batch), while both carry the usual HLL error
+    vs the exact count (also in-row).
+
+    The scale story is the sketch version of the incremental rollup:
+    sink growth is one KB-scale blob per batch regardless of event
+    volume, and "how many distinct users so far" is answered by
+    unioning blobs, never re-scanning events."""
+    import tempfile
+
+    from streaming_spark.streaming import read_events_stream
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_hllsink_") + "/t"
+    ev_stream = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+
+    def land_sketch(batch_df, batch_id):
+        (
+            batch_df.agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        ev_stream.writeStream.foreachBatch(land_sketch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_hll_distinct did not finish within 300s"
+        )
+
+    streamed = spark.read.parquet(sink_dir).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_streamed")
+    )
+    ev = events_table(spark, sf_dir)
+    batch = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_batch"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return streamed.crossJoin(batch).select(
+        "est_streamed",
+        "est_batch",
+        "exact_distinct",
+        (F.col("est_streamed") == F.col("est_batch")).alias(
+            "union_exactly_matches_batch"
+        ),
+        F.round(
+            F.abs(F.col("est_streamed") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -415,3 +415,18 @@ def test_streaming_countmin_merges_bit_identical(spark):
         assert r.n_cell_mismatch == 0
         assert r.overshoot >= 0
         assert r.estimate_n >= r.exact_n
+
+
+def test_streaming_hll_union_matches_batch(spark):
+    """The union of per-batch HLL sketches must estimate EXACTLY what
+    the single-pass corpus sketch estimates (registers are maxes —
+    merge order cannot matter), within the usual HLL error of the true
+    distinct count."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    row = REGISTRY["q_streaming_hll_distinct"](spark, SF_SMOKE).collect()[0]
+    assert row.union_exactly_matches_batch
+    assert row.est_streamed == row.est_batch
+    assert row.exact_distinct > 0
+    assert row.rel_error <= 0.05
