@@ -2197,3 +2197,74 @@ def q_streaming_hll_distinct(spark, sf_dir):
             4,
         ).alias("rel_error"),
     )
+
+
+@query("q_streaming_minhash_index")  # rows-only: signatures/bands are
+# engine-internal; the streamed-index == batch-pipeline pair-set
+# identity is pinned in tests/test_streaming.py::
+# test_streaming_minhash_index_matches_batch
+def q_streaming_minhash_index(spark, sf_dir):
+    """Incrementally-maintained MinHash near-dup INDEX: each ingest
+    micro-batch computes its documents' signatures + shingle sets ONCE
+    (the O(len·num_perm) Arrow map runs at ingest, where the text is
+    already in memory) and lands them in a batch-keyed sink; banding
+    and exact-Jaccard verification then run over the ACCUMULATED
+    signature index.  Signatures are a pure per-document function
+    (seeded permutations), so the index's union is independent of how
+    documents were batched — the final verified pair set is IDENTICAL
+    to the batch pipeline's (dedup_minhash_lsh), row for row.
+
+    This is the streaming answer to "near-dup check on every ingest"
+    at 100 TB: per batch, new text is hashed once and the banded join
+    runs index-vs-index on narrow signature rows; raw text never
+    re-scans and never shuffles (the same division of labor as
+    q_streaming_dup_spans, at MinHash granularity)."""
+    import tempfile
+
+    from streaming_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_mhsink_") + "/t"
+    docs_schema = T(spark, sf_dir, "documents").schema
+    stream_docs = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir))
+    )
+
+    def land_signatures(batch_df, batch_id):
+        (
+            minhash_signatures(batch_df, "text", "doc_id")
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(land_signatures)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_minhash_index did not finish within 300s"
+        )
+
+    sigs = spark.read.parquet(sink_dir).select("id", "shingles", "sig").persist()
+    try:
+        pairs = lsh_candidate_pairs(sigs, bands=16)
+        verified = verify_jaccard(pairs, sigs, threshold=0.5).localCheckpoint(
+            eager=True
+        )
+    finally:
+        sigs.unpersist()
+    return verified.orderBy("id_a", "id_b")

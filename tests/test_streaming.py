@@ -430,3 +430,29 @@ def test_streaming_hll_union_matches_batch(spark):
     assert row.est_streamed == row.est_batch
     assert row.exact_distinct > 0
     assert row.rel_error <= 0.05
+
+
+def test_streaming_minhash_index_matches_batch(spark):
+    """The verified near-dup pairs computed over the streamed signature
+    index must equal the batch pipeline's pairs row-for-row: signatures
+    are a pure per-document function, so batching cannot change the
+    index union or anything downstream of it."""
+    from streaming_spark.operators.dedup import minhash_dedup_pairs
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    streamed = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["q_streaming_minhash_index"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    docs = T(spark, SF_SMOKE, "documents")
+    batch = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed  # non-vacuous: the fixture plants near-dups
