@@ -2431,3 +2431,115 @@ def q_streaming_bm25_index(spark, sf_dir):
             "query_id", "doc_id", F.round("score", 4).alias("score"), "rank"
         )
     )
+
+
+@query(
+    "q_streaming_entity_resolve",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             CASE WHEN c_custkey % 3 = 0 THEN
+               substring(c_name, 1, CAST(c_custkey % 8 + 10 AS INT))
+               || 'x'
+               || substring(c_name, CAST(c_custkey % 8 + 12 AS INT))
+             ELSE c_name END AS dirty_name
+      FROM customer),
+    links AS (
+      SELECT d.dirty_id, m.c_custkey AS master_id,
+             levenshtein(d.dirty_name, m.c_name) AS dist
+      FROM dirty d JOIN customer m
+        ON levenshtein(d.dirty_name, m.c_name) <= 1),
+    best AS (
+      SELECT dirty_id, master_id, dist,
+             row_number() OVER (PARTITION BY dirty_id
+                                ORDER BY dist, master_id) AS rk
+      FROM links)
+    SELECT dirty_id, master_id, dist,
+           (dirty_id = master_id) AS resolved_self
+    FROM best WHERE rk = 1 ORDER BY dirty_id
+    """,
+)
+def q_streaming_entity_resolve(spark, sf_dir):
+    """q_entity_resolve as the deployment its docstring describes: the
+    MASTER's deletion-variant index is built ONCE (and persisted for
+    the life of the stream — it is master-sized, not stream-sized);
+    each ingest micro-batch of dirty registrations expands only ITS OWN
+    variants, probes the static index, verifies with exact Levenshtein,
+    and lands its per-record best-match resolutions in a batch-keyed
+    sink.  Resolution is a pure per-record function of (record, master),
+    so the union over batches equals the batch query EXACTLY — same
+    oracle, row for row.
+
+    Per batch the cost is O(batch · len) variant expansion + one probe
+    join against the broadcast-scale index; the master is never
+    re-scanned.  (Master UPDATES would re-land its variants — the
+    MERGE/SCD2 surface covers that axis.)"""
+    import tempfile
+
+    from streaming_spark.operators.fuzzy import fuzzy_join
+
+    cust_static = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_ersink_") + "/t"
+    cust_schema = T(spark, sf_dir, "customer").schema
+    stream_cust = (
+        spark.readStream.schema(cust_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir, table_name="customer"))
+    )
+
+    def resolve_batch(batch_df, batch_id):
+        pos = (F.col("c_custkey") % 8 + 10).cast("int")
+        dirty = batch_df.select(
+            F.col("c_custkey").alias("dirty_id"),
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.concat(
+                    F.substr(F.col("c_name"), F.lit(1), pos),
+                    F.lit("x"),
+                    F.substr(F.col("c_name"), pos + 2, F.length("c_name")),
+                ),
+            )
+            .otherwise(F.col("c_name"))
+            .alias("dirty_name"),
+        )
+        links = fuzzy_join(
+            dirty, cust_static, "dirty_name", "c_name", "dirty_id",
+            "c_custkey", max_dist=1,
+        ).withColumnRenamed("c_custkey", "master_id")
+        rk = F.row_number().over(
+            Window.partitionBy("dirty_id").orderBy("dist", "master_id")
+        )
+        (
+            links.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .select("dirty_id", "master_id", "dist")
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_cust.writeStream.foreachBatch(resolve_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_entity_resolve did not finish within 300s"
+        )
+    return (
+        spark.read.parquet(sink_dir)
+        .select(
+            "dirty_id",
+            "master_id",
+            "dist",
+            (F.col("dirty_id") == F.col("master_id")).alias("resolved_self"),
+        )
+        .orderBy("dirty_id")
+    )
