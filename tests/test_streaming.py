@@ -456,3 +456,34 @@ def test_streaming_minhash_index_matches_batch(spark):
     }
     assert streamed == batch
     assert streamed  # non-vacuous: the fixture plants near-dups
+
+
+def test_batch_keyed_sink_is_retry_idempotent(spark, tmp_path):
+    """The exactly-once claim every incremental-index query makes rests
+    on one mechanism: a batch-keyed partition with dynamic partition
+    overwrite, where a RETRIED batch replaces its own partition instead
+    of appending a duplicate.  Pin the mechanism itself: writing the
+    same batch id twice (second write with different content, as a
+    recomputed retry would produce) leaves exactly the second write's
+    rows; other batches' partitions are untouched."""
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path / "sink")
+
+    def land(batch_id, values):
+        (
+            spark.createDataFrame([(v,) for v in values], "v BIGINT")
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink)
+        )
+
+    land(0, [1, 2, 3])
+    land(1, [10, 20])
+    land(1, [10, 20, 30])  # the "retry" recomputes batch 1
+    rows = {
+        (r["__batch"], r["v"]) for r in spark.read.parquet(sink).collect()
+    }
+    assert rows == {(0, 1), (0, 2), (0, 3), (1, 10), (1, 20), (1, 30)}
