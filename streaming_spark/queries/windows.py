@@ -2543,3 +2543,111 @@ def q_streaming_entity_resolve(spark, sf_dir):
         )
         .orderBy("dirty_id")
     )
+
+
+@query(
+    "q_streaming_phrase_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                 AS pos) t
+      WHERE length(trim(text)) > 0),
+    probe AS (
+      SELECT doc_id AS query_id, tok, pos FROM toks
+      WHERE doc_id IN (0, 37, 74) AND pos <= 2),
+    bigram AS (
+      SELECT p1.query_id,
+             max(CASE WHEN p1.pos = 1 THEN p1.tok END) AS w1,
+             max(CASE WHEN p1.pos = 2 THEN p1.tok END) AS w2
+      FROM probe p1 GROUP BY p1.query_id),
+    hits AS (
+      SELECT b.query_id, a.doc_id, count(*) AS n_occurrences
+      FROM bigram b
+      JOIN toks a ON a.tok = b.w1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+                  AND c.tok = b.w2
+      GROUP BY b.query_id, a.doc_id)
+    SELECT query_id, doc_id, n_occurrences
+    FROM hits WHERE doc_id <> query_id
+    """,
+)
+def q_streaming_phrase_index(spark, sf_dir):
+    """Positional postings as an INCREMENTAL index: each ingest
+    micro-batch lands its documents' full (doc, token, position) rows
+    in a batch-keyed sink — positions are per-document facts, so the
+    accumulated index is the corpus positional index verbatim and the
+    bigram-phrase probe over it (adjacency as a (doc, pos+1) equi-join)
+    answers EXACTLY like the batch q_phrase_match — same oracle.
+    Together with q_streaming_bm25_index this completes the streamed
+    retrieval pair: one sink with a position column serves both the
+    ranked bag-of-words query and the exact-phrase query; the ingest
+    path tokenizes once for both."""
+    import tempfile
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_phrasepost_") + "/t"
+    docs_schema = T(spark, sf_dir, "documents").schema
+    stream_docs = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir))
+    )
+
+    def land_postings(batch_df, batch_id):
+        (
+            batch_df.filter(F.length(F.trim("text")) > 0)
+            .select(
+                "doc_id",
+                F.posexplode(F.split(F.trim("text"), r"\s+")).alias(
+                    "pos", "tok"
+                ),
+            )
+            .withColumn("pos", F.col("pos") + 1)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(land_postings)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_phrase_index did not finish within 300s"
+        )
+
+    toks = spark.read.parquet(sink_dir).select("doc_id", "tok", "pos")
+    probe = toks.filter(F.col("doc_id").isin(0, 37, 74) & (F.col("pos") <= 2))
+    bigram = probe.groupBy(F.col("doc_id").alias("query_id")).agg(
+        F.max(F.when(F.col("pos") == 1, F.col("tok"))).alias("w1"),
+        F.max(F.when(F.col("pos") == 2, F.col("tok"))).alias("w2"),
+    )
+    a = toks.select("doc_id", F.col("tok").alias("t1"), "pos")
+    c = toks.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("tok").alias("t2"),
+        (F.col("pos") - 1).alias("pos_prev"),
+    )
+    return (
+        F.broadcast(bigram)
+        .join(a, F.col("t1") == F.col("w1"))
+        .join(
+            c,
+            (F.col("doc_id2") == F.col("doc_id"))
+            & (F.col("pos_prev") == F.col("pos"))
+            & (F.col("t2") == F.col("w2")),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
