@@ -2651,3 +2651,130 @@ def q_streaming_phrase_index(spark, sf_dir):
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+@query(
+    "q_streaming_curate_corpus",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, source, text, len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) AS hits_en,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS hits_de,
+             len(list_filter(toks, t -> t IN ('le','la','et','les','des','un'))) AS hits_fr,
+             len(list_filter(toks, t -> t IN ('el','los','y','una','este','por'))) AS hits_es
+      FROM t),
+    lang AS (
+      SELECT doc_id, source, text, n_tokens,
+             CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'unknown'
+                  WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                  WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                  WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM h),
+    filtered AS (
+      SELECT doc_id, source, text FROM lang
+      WHERE pred_lang = 'en' AND n_tokens >= 20),
+    deduped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered)
+      WHERE rn = 1),
+    chunks AS (
+      SELECT doc_id, source,
+             substring(text, gs.start, 200) AS chunk
+      FROM deduped,
+      LATERAL (SELECT unnest(generate_series(
+                 1, greatest(length(text) - 40, 1), 160)) AS start) gs
+      WHERE length(text) > 0)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_kept,
+           count(*) AS n_chunks,
+           CAST(sum(length(chunk)) AS BIGINT) AS sum_chunk_chars
+    FROM chunks GROUP BY source
+    """,
+)
+def q_streaming_curate_corpus(spark, sf_dir):
+    """Composed pipeline #1 as CONTINUOUS INGEST — end-to-end streaming
+    curation under the batch pipeline's own oracle.  The per-document
+    stages (language-ID vote, ≥20-token quality gate, content digest)
+    run AT INGEST inside each micro-batch, and only the survivors land
+    — the sink IS the curated corpus, already filtered, carrying the
+    digest so the cross-document stage downstream never rehashes text.
+    The global stages (exact-dedup keep-one, 200/40 chunking, per-source
+    rollup) run over the accumulated survivors: keep-one needs ALL
+    batches' digests, which is exactly why it cannot run per-batch and
+    why the sink stores the digest column.
+
+    The division of labor at 100 TB: the raw corpus is scanned once, at
+    ingest, and the expensive per-doc featurization never re-runs; the
+    one keyed shuffle (digest) downstream runs over the curated SUBSET.
+    Union-over-batches equals the batch pipeline exactly because the
+    landed stages are per-doc pure and the global stages see the same
+    survivor set — same DuckDB oracle, row for row."""
+    import tempfile
+
+    from streaming_spark.operators import curation
+    from streaming_spark.operators.text import token_count, with_lang_scores
+
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_curated_") + "/t"
+    docs_schema = T(spark, sf_dir, "documents").schema
+    stream_docs = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir))
+    )
+
+    def land_survivors(batch_df, batch_id):
+        (
+            with_lang_scores(
+                batch_df.select("doc_id", "source", "text"), "text"
+            )
+            .filter(F.col("pred_lang") == "en")
+            .filter(token_count("text") >= 20)
+            .select(
+                "doc_id", "source", "text", F.md5("text").alias("digest")
+            )
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(land_survivors)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_curate_corpus did not finish within 300s"
+        )
+
+    survivors = spark.read.parquet(sink_dir).select(
+        "doc_id", "source", "text", "digest"
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    deduped = (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    chunks = curation.chunk_documents(
+        deduped, chunk_chars=200, overlap=40, carry_cols=("source",)
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("docs_kept"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("sum_chunk_chars"),
+    )
