@@ -260,6 +260,12 @@ def layout_file_stats(spark, path: str, range_col: str) -> DataFrame:
         F.max(range_col).alias("hi"),
         F.count(F.lit(1)).alias("rows"),
     )
+    # GLOBAL (unpartitioned) window — bounded by construction: the input
+    # is the per-FILE aggregate (one row per parquet part file, ≤ the
+    # layout's n_files), never data-sized.  This is one of the known
+    # WindowExec-warning sites the plan gate admits
+    # (test_plans.py::test_registry_has_no_unbounded_global_window,
+    # KNOWN_BOUNDED_GLOBAL_WINDOWS) — reached via layout_sorted_write.
     w = Window.orderBy("lo")
     return per_file.withColumn(
         "disjoint", F.coalesce(F.col("lo") > F.lag("hi").over(w), F.lit(True))

@@ -298,7 +298,13 @@ def dense_index(
     ).otherwise(F.col("_n"))
     # inclusive running sum minus own count (not an exclusive frame):
     # every partition's checked_n enters the sum, so the overflow check
-    # fires even for the last pid
+    # fires even for the last pid.
+    # GLOBAL (unpartitioned) window — bounded by construction: its input
+    # is the per-PARTITION count aggregate (one row per shuffle
+    # partition, metadata-sized), never data rows.  A known
+    # WindowExec-warning site the plan gate admits
+    # (test_plans.py::test_registry_has_no_unbounded_global_window,
+    # KNOWN_BOUNDED_GLOBAL_WINDOWS) — reached via q_unpack.
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -442,10 +442,33 @@ def q_upsert_merge(spark, sf_dir):
     ).unionByName(updates)
 
 
-@query("q_input_jsonl_dirty")  # rows-only: the corrupt-line layout is
-# staged by the query itself (driver-written fixture); the exact
-# good/bad accounting is pinned in tests/test_operators.py::
-# test_jsonl_dirty_ingest_accounting
+@query(
+    "q_input_jsonl_dirty",
+    # The staged dirty file itself is invisible to DuckDB, but its
+    # corruption rule is position-based and deterministic (every
+    # i%10==3 / i%10==7 line over the first 200 docs by doc_id), so the
+    # oracle recomputes the expected ingest accounting straight from
+    # ``documents`` — the PERMISSIVE reader must agree exactly
+    # (VERDICT r5 item 2).
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY doc_id) - 1 AS i
+        FROM documents
+        ORDER BY doc_id
+        LIMIT 200
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN i % 10 IN (3, 7) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN i % 10 IN (3, 7) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN i % 10 IN (3, 7) THEN NULL
+                         ELSE length(text) END)
+                AS BIGINT) AS parsed_chars
+    FROM d
+    """,
+)
 def q_input_jsonl_dirty(spark, sf_dir):
     """JSONL ingestion that SURVIVES corruption — the production
     contract q_input_jsonl's clean round-trip doesn't exercise: a

@@ -945,6 +945,42 @@ def test_countmin_one_sided_error(spark):
     assert sum(est) > sum(exact.values())  # collisions overcount
 
 
+def test_python_xxh64_matches_spark(spark):
+    """The driver-side XXH64 (countmin_estimate's base hash) must be
+    bit-identical to the JVM xxhash64 the corpus pass uses — checked on
+    strings covering every tail-length branch (0-7 trailing bytes, the
+    4-byte word path, and the >=32-byte vectorized path) plus ints."""
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.sketch import xxh64
+
+    samples = [
+        "",
+        "a",
+        "ab",
+        "abc",
+        "abcd",
+        "abcde",
+        "click",
+        "purchase",
+        "x" * 31,
+        "y" * 32,
+        "z" * 67,
+        "naïve-ütf8-日本語",
+        "12345",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "v STRING")
+    jvm = [
+        r.h
+        for r in df.select(
+            F.xxhash64(F.col("v").cast("string")).alias("h")
+        ).collect()
+    ]
+    py = [xxh64(s.encode("utf-8")) for s in samples]
+    # Spark returns signed int64; normalize to the same domain.
+    assert [h & ((1 << 64) - 1) for h in jvm] == py
+
+
 def test_fuzzy_join_cross_relation(spark):
     """Cross-relation fuzzy join finds exactly the Levenshtein-<=1
     (dirty, master) links on hand-checked strings — including a dirty

@@ -340,6 +340,7 @@ def test_registry_has_no_unbounded_global_window(spark):
     from streaming_spark.queries import REGISTRY as REG
 
     offenders = []
+    bounded_global = set()
     for name in sorted(REG):
         if name.startswith("q_streaming_"):
             continue
@@ -353,7 +354,34 @@ def test_registry_has_no_unbounded_global_window(spark):
             if not _is_bounded(node.children().apply(0)):
                 offenders.append(name)
                 break
+            bounded_global.add(name)
     assert not offenders, f"unbounded global windows in: {offenders}"
+    # Exhaustive list of ADMITTED global-window sites (VERDICT r5 item
+    # 5): each plans an unpartitioned WindowExec over a
+    # bounded-by-construction input, and each site carries a comment
+    # naming why.  Any NEW empty-partitionSpec window — even one
+    # _is_bounded admits — must be registered here so the gate's
+    # "No Partition Defined for Window" warnings stay auditable without
+    # re-derivation.
+    assert bounded_global == KNOWN_BOUNDED_GLOBAL_WINDOWS, (
+        f"global-window sites changed: now {sorted(bounded_global)}, "
+        f"registered {sorted(KNOWN_BOUNDED_GLOBAL_WINDOWS)} — audit the "
+        "new site's boundedness, comment it, and update this list"
+    )
+
+
+# The three admitted sites and why each is bounded:
+# - layout_sorted_write: lag-over-per-FILE-stats (operators/curation.py
+#   layout_file_stats — one row per part file, <= n_files).
+# - q_unpack: running-sum over per-PARTITION counts (operators/stream.py
+#   dense_index — one row per shuffle partition, metadata-sized).
+# - q_user_activity_topk: row_number over a dominating limit(20)
+#   (queries/windows.py — TakeOrderedAndProject feeds the window).
+KNOWN_BOUNDED_GLOBAL_WINDOWS = {
+    "layout_sorted_write",
+    "q_unpack",
+    "q_user_activity_topk",
+}
 
 
 def test_fuzzy_join_plan_has_no_nested_loop(spark):

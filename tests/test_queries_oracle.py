@@ -44,3 +44,31 @@ def test_catalog_is_current():
     text = open(path).read()
     missing = [n for n in REGISTRY if f"`{n}`" not in text]
     assert not missing, f"regenerate CATALOG.md; missing: {missing}"
+
+
+def test_readme_counts_are_current():
+    """README's prose query/oracle/rows-only tallies must track the
+    registry (VERDICT r5 item 3 — the CATALOG guard didn't cover README
+    prose and the counts drifted twice)."""
+    import os
+    import re
+
+    from streaming_spark.queries import ORACLES, REGISTRY
+
+    path = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    text = open(path).read()
+    m = re.search(r"\((\d+) of (\d+)\) carry a DuckDB oracle", text)
+    assert m, "README oracle-count sentence not found"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(ORACLES),
+        len(REGISTRY),
+    ), (
+        f"README says {m.group(1)}/{m.group(2)} oracles; registry has "
+        f"{len(ORACLES)}/{len(REGISTRY)} — update README.md"
+    )
+    m = re.search(r"The\s+(\d+) rows-only entries", text)
+    assert m, "README rows-only sentence not found"
+    assert int(m.group(1)) == len(REGISTRY) - len(ORACLES), (
+        f"README says {m.group(1)} rows-only; registry has "
+        f"{len(REGISTRY) - len(ORACLES)} — update README.md"
+    )
