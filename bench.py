@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     # for the same fixture-degeneracy reason as q_qgram_cosine_prefix
     # (~58k hot hashes over 1.29M windows → near-total candidates).
     "text_unigram_encode_stats",
+    # round-6 additions: data-selection scorers (one fact shuffle each,
+    # model-sized broadcast stats)
+    "q_dsir_weights",         # DSIR hashed-feature importance weights
+    "q_lm_perplexity",        # CCNet-style unigram-LM cross-entropy
 ]
 
 

@@ -88,7 +88,18 @@ def load_table_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:
-        if "avro" not in str(exc).lower():
+        # Only the MODULE-ABSENT failure is reclassified; with
+        # spark-avro installed, a corrupt/unreadable file (whose error
+        # text typically also mentions 'avro') must surface as-is
+        # (ADVICE r5).  Spark raises error class DATA_SOURCE_NOT_FOUND
+        # ("Failed to find the data source: avro") when the module is
+        # missing.
+        msg = str(exc)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source" in msg
+            or "Failed to find data source" in msg
+        ):
             raise
         raise NotImplementedError(
             "load_table_avro requires the spark-avro module on the "

@@ -112,15 +112,43 @@ def fuzzy_self_pairs(
     )
 
 
+def fuzzy_index(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The master side of :func:`fuzzy_join`, precomputed: ``(base,
+    variants)`` where ``base`` holds ``(__rid, __s)`` and ``variants``
+    holds ``(__rid, __v)`` hashed deletion variants.  Build ONCE for a
+    static master and pass as ``right_index=`` so per-batch probes skip
+    the master-sized variant expansion (ADVICE r5).  With
+    ``persist=True`` both frames are cached AND materialized eagerly;
+    the caller owns the lifetime (unpersist when the stream ends —
+    a lingering cache degrades later queries, CLAUDE.md)."""
+    base = df.select(F.col(id_col).alias("__rid"), F.col(col).alias("__s"))
+    v = base.select(
+        "__rid", F.explode(deletion_variants("__s", max_dist)).alias("__vs")
+    ).select("__rid", F.xxhash64("__vs").alias("__v"))
+    if persist:
+        base = base.persist()
+        v = v.persist()
+        base.count()
+        v.count()
+    return base, v
+
+
 def fuzzy_join(
     left: DataFrame,
-    right: DataFrame,
+    right: DataFrame | None,
     left_col: str,
-    right_col: str,
+    right_col: str | None,
     left_id: str,
     right_id: str,
     max_dist: int = 1,
     max_bucket: int | None = None,
+    right_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Cross-RELATION fuzzy match: all (left_id, right_id, dist) pairs
     with ``levenshtein(left_col, right_col) <= max_dist`` — the
@@ -129,7 +157,9 @@ def fuzzy_join(
     :func:`fuzzy_self_pairs`, with both sides expanding to hashed
     deletion variants and candidates coming from ONE variant-keyed
     shuffle; at deployment the master side's variant index is the thing
-    you persist and reuse per batch."""
+    you persist and reuse per batch — build it with :func:`fuzzy_index`
+    and pass it as ``right_index`` (then ``right``/``right_col`` may be
+    None)."""
 
     def variant_frame(df, col, id_col, out_id):
         base = df.select(F.col(id_col).alias(out_id), F.col(col).alias("__s"))
@@ -139,7 +169,10 @@ def fuzzy_join(
         return base, v
 
     lbase, lv = variant_frame(left, left_col, left_id, "__lid")
-    rbase, rv = variant_frame(right, right_col, right_id, "__rid")
+    if right_index is not None:
+        rbase, rv = right_index
+    else:
+        rbase, rv = variant_frame(right, right_col, right_id, "__rid")
     if max_bucket is not None:
         # the cap applies to the JOINT bucket (left + right occupancy)
         sizes = (

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streaming_spark.scratch import scratch_dir
 from streaming_spark.operators import curation
 from streaming_spark.queries.registry import T, query
 
@@ -209,12 +210,11 @@ def layout_sorted_write(spark, sf_dir):
     footer min/max stats skip whole files on selective range scans).
     The disjointness proof is computed Spark-side over the per-file
     min/max; the oracle pins file count and row conservation."""
-    import tempfile
 
     from streaming_spark.operators import curation
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    out_dir = tempfile.mkdtemp(prefix="spark_graft_layout_") + "/t"
+    out_dir = scratch_dir("layout") + "/t"
     curation.write_sorted_layout(li, out_dir, "l_orderkey", n_files=8)
     stats = curation.layout_file_stats(spark, out_dir, "l_orderkey")
     return stats.agg(
@@ -342,14 +342,13 @@ def layout_zorder_pruning(spark, sf_dir):
     file-statistics pruning (parquet footer min/max, or a lakehouse
     manifest) can skip most of the data.  Matched-row counts must be
     identical — layout never changes semantics."""
-    import tempfile
 
     from streaming_spark.operators import curation
 
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
-    base = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    base = scratch_dir("zorder")
     lin_dir, z_dir = base + "/linear", base + "/zorder"
     curation.write_sorted_layout(li, lin_dir, "l_partkey", n_files=16)
     curation.write_zorder_layout(
@@ -827,11 +826,10 @@ def layout_compact(spark, sf_dir):
     observability a table-maintenance job emits.  coalesce path (no
     exchange); see operators/curation.py compact_files for the
     shuffle=True variant and the per-partition deployment note."""
-    import tempfile
 
     from streaming_spark.operators.curation import compact_files
 
-    base = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    base = scratch_dir("compact")
     src, dst = base + "/small", base + "/compacted"
     T(spark, sf_dir, "documents").repartition(24).write.mode(
         "overwrite"
@@ -1125,14 +1123,13 @@ def layout_partitioned_pruning(spark, sf_dir):
     baseline reads every file; the partitioned read touches only the
     one directory.  Row counts must be identical — layout never
     changes semantics."""
-    import tempfile
 
     from streaming_spark.queries.registry import events_table
 
     ev = events_table(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
-    base = tempfile.mkdtemp(prefix="spark_graft_hivepart_")
+    base = scratch_dir("hivepart")
     flat_dir, part_dir = base + "/flat", base + "/by_type"
     ev.repartition(8).write.mode("overwrite").parquet(flat_dir)
     (
@@ -1234,9 +1231,18 @@ def pipeline_contrastive_dataset(spark, sf_dir):
     at or above the positive threshold IS a positive, so the anti-joined
     hard negatives sit strictly below it), hard negatives above random,
     per anchor type-sets never overlap, and the whole build is
-    deterministic.  Scale: each leg keeps its own bounded plan (LSH or
-    broadcast pair join; bounded-anchor top-k scan; keyed domain join)
-    — composition adds unions, not new shuffles over the corpus."""
+    deterministic.  The BY-CONSTRUCTION margin requires the positive
+    leg to be EXACT, so cosine_pairs runs mode='broadcast' explicitly
+    (ADVICE r5 — auto mode silently switches to LSH above 100k vectors,
+    where a missed true positive could land in the hard-negative set
+    and break both the margin and the disjointness contract).  That
+    bounds this pipeline to broadcast-sized corpora; at larger N swap
+    the positive leg to LSH and DEMOTE the margin/disjointness
+    contracts to recall-qualified ones — the silent-contract-break
+    middle ground is the one configuration this function refuses.
+    Scale: each leg keeps its own bounded plan (broadcast pair join;
+    bounded-anchor top-k scan; keyed domain join) — composition adds
+    unions, not new shuffles over the corpus."""
     from streaming_spark.operators.similarity import (
         _cosine_expr,
         cosine_pairs,
@@ -1247,8 +1253,9 @@ def pipeline_contrastive_dataset(spark, sf_dir):
     n_vecs = emb.count()  # bounded scalar
     anchors = emb.filter(F.col("vec_id") % 25 == 0)
     k = 3
-    # positives: near-duplicate partners of each anchor (both orders)
-    pairs = cosine_pairs(emb, threshold=0.35)
+    # positives: near-duplicate partners of each anchor (both orders).
+    # mode='broadcast' is REQUIRED, not an optimization — see docstring.
+    pairs = cosine_pairs(emb, threshold=0.35, mode="broadcast")
     pos = (
         pairs.select(
             F.col("id_a").alias("anchor_id"),
@@ -1373,4 +1380,455 @@ def sample_exact_k(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(40)
+    )
+
+
+@query(
+    "q_aligned_chunk_pairs",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             CAST((gs.start - 1) / 160 AS INT) AS chunk_no,
+             substring(text, gs.start, 200) AS anchor_chunk
+      FROM documents,
+      LATERAL (SELECT unnest(generate_series(
+                 1, greatest(length(text) - 40, 1), 160)) AS start) gs
+      WHERE length(text) > 0)
+    SELECT doc_id, chunk_no, anchor_chunk,
+           trim(regexp_replace(
+                regexp_replace(lower(anchor_chunk),
+                               '[\\x00-\\x1f\\x7f]', '', 'g'),
+                '\\s+', ' ', 'g')) AS positive_chunk,
+           trim(regexp_replace(
+                regexp_replace(lower(anchor_chunk),
+                               '[\\x00-\\x1f\\x7f]', '', 'g'),
+                '\\s+', ' ', 'g')) <> anchor_chunk AS changed
+    FROM ch
+    """,
+)
+def q_aligned_chunk_pairs(spark, sf_dir):
+    """ALIGNED-VIEW contrastive positives (VERDICT r5 item 7): every
+    200-char chunk is paired with a deterministic augmented view of the
+    SAME underlying span — its canonical normalization (lowercase,
+    control-strip, whitespace-collapse).  Alignment is exact BY
+    CONSTRUCTION: both sides of a pair cover identical characters, the
+    property parallel-corpus positives (translation pairs, OCR
+    re-renders, format variants) provide and that sampled near-dup
+    positives only approximate.  The fixtures carry no true parallel
+    text (ROADMAP item 10), so the augmentation view is the honest
+    stand-in: with a real aligned corpus the identical plan keys the
+    positive side on the translation's (doc_id, chunk_no) instead of
+    computing it — the join shape and contracts don't change.
+
+    ``changed`` marks the NONTRIVIAL pairs (view differs from anchor)
+    — a trainer filters on it so identity pairs don't dilute the loss.
+
+    Scale: chunking is a JVM sequence-explode (no shuffle), the view is
+    codegen'd string builtins on the already-exploded rows — the whole
+    pair relation is one narrow map over the corpus, zero shuffles."""
+    from streaming_spark.operators.text import normalize_text_col
+
+    docs = T(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunks = curation.chunk_documents(
+        docs, chunk_chars=200, overlap=40
+    ).withColumnRenamed("chunk", "anchor_chunk")
+    pos = normalize_text_col("anchor_chunk")
+    return chunks.select(
+        "doc_id",
+        "chunk_no",
+        "anchor_chunk",
+        pos.alias("positive_chunk"),
+        (pos != F.col("anchor_chunk")).alias("changed"),
+    )
+
+
+@query(
+    "pipeline_contrastive_aligned",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             CAST((gs.start - 1) / 160 AS INT) AS chunk_no,
+             substring(text, gs.start, 200) AS chunk
+      FROM documents,
+      LATERAL (SELECT unnest(generate_series(
+                 1, greatest(length(text) - 40, 1), 160)) AS start) gs
+      WHERE length(text) > 0),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    pos AS (
+      SELECT doc_id AS anchor_id, chunk_no, 'positive' AS pair_type,
+             CAST(0 AS BIGINT) AS j, doc_id AS partner_doc_id,
+             trim(regexp_replace(
+                  regexp_replace(lower(chunk), '[\\x00-\\x1f\\x7f]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS partner_text
+      FROM ch),
+    draws AS (
+      SELECT c.doc_id AS anchor_id, c.chunk_no, t.j,
+             (c.doc_id * 2654435761 + c.chunk_no * 40503 + t.j * 97)
+               % (SELECT n_docs FROM nd) AS neg_doc_id
+      FROM ch c, (SELECT unnest(generate_series(0, 1)) AS j) t),
+    neg AS (
+      SELECT d.anchor_id, d.chunk_no, 'negative' AS pair_type,
+             CAST(d.j AS BIGINT) AS j, c0.doc_id AS partner_doc_id,
+             c0.chunk AS partner_text
+      FROM draws d JOIN ch c0
+        ON c0.doc_id = d.neg_doc_id AND c0.chunk_no = 0
+      WHERE d.neg_doc_id <> d.anchor_id)
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
+)
+def pipeline_contrastive_aligned(spark, sf_dir):
+    """Composed pipeline #7 — the CHUNK-level contrastive dataset built
+    from exact aligned positives: each anchor chunk gets (a) its
+    aligned augmented view (q_aligned_chunk_pairs' normalization — the
+    parallel-text stand-in, alignment exact by construction) and (b)
+    k=2 deterministic random negatives: chunk 0 of other documents
+    drawn by multiplicative hashing into the doc-id domain (the
+    q_negative_pairs scheme at chunk granularity).  Unlike pipeline #6
+    (embedding-space positives, rows-only hard negatives), every leg
+    here is closed-form — the WHOLE composed relation is oracle-checked
+    row for row.
+
+    Contract (pinned in tests/test_curation.py): positives cover the
+    anchor's own span (partner_doc_id = anchor_id), negatives never do,
+    draws are deterministic, and lowercase-token Jaccard of positives
+    (= 1.0 by construction) dominates negatives.  Self-collisions drop
+    via the <> filter and out-of-domain draws via the inner join —
+    observable loss, never silent resampling.
+
+    Scale: positives ride the chunk explode (zero shuffle); negatives
+    are ONE keyed equi-join of hash draws against the chunk-0 slice —
+    no per-anchor scan, no corpus broadcast, uniform keys (skew-free).
+    """
+    from streaming_spark.operators.text import normalize_text_col
+
+    docs = T(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar (one count job)
+    chunks = curation.chunk_documents(
+        docs.filter(F.length("text") > 0), chunk_chars=200, overlap=40
+    )
+    pos = chunks.select(
+        F.col("doc_id").alias("anchor_id"),
+        "chunk_no",
+        F.lit("positive").alias("pair_type"),
+        F.lit(0).cast("bigint").alias("j"),
+        F.col("doc_id").alias("partner_doc_id"),
+        normalize_text_col("chunk").alias("partner_text"),
+    )
+    draws = chunks.select(
+        F.col("doc_id").alias("anchor_id"),
+        "chunk_no",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("j"),
+    ).select(
+        "anchor_id",
+        "chunk_no",
+        "j",
+        (
+            (
+                F.col("anchor_id") * F.lit(2654435761)
+                + F.col("chunk_no") * F.lit(40503)
+                + F.col("j") * F.lit(97)
+            )
+            % F.lit(n_docs)
+        ).alias("neg_doc_id"),
+    )
+    chunk0 = chunks.filter(F.col("chunk_no") == 0).select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("chunk").alias("partner_text"),
+    )
+    neg = (
+        draws.join(chunk0, "neg_doc_id")
+        .filter(F.col("neg_doc_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "chunk_no",
+            F.lit("negative").alias("pair_type"),
+            F.col("j").cast("bigint").alias("j"),
+            F.col("neg_doc_id").alias("partner_doc_id"),
+            "partner_text",
+        )
+    )
+    return pos.unionByName(neg)
+
+
+# shared by the DSIR queries and their streaming twin: hashed-unigram
+# feature bucket (first 4 hex chars of md5 → 65536 buckets, the
+# cross-engine hash idiom) and the Laplace-smoothed log-ratio
+_DSIR_BUCKETS = 65536
+
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, substring(md5(t.tok), 1, 4) AS bucket
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
+      WHERE length(trim(text)) > 0),
+    tgt_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    tstats AS (
+      SELECT count(*) AS n_t FROM toks JOIN tgt_ids USING (doc_id)),
+    rstats AS (SELECT count(*) AS n_r FROM toks),
+    tcnt AS (
+      SELECT bucket, count(*) AS c_t
+      FROM toks JOIN tgt_ids USING (doc_id) GROUP BY bucket),
+    rcnt AS (
+      SELECT bucket, count(*) AS c_r FROM toks GROUP BY bucket),
+    ratio AS (
+      SELECT r.bucket,
+             ln((coalesce(t.c_t, 0) + 1.0)
+                / ((SELECT n_t FROM tstats) + {_DSIR_BUCKETS}))
+             - ln((r.c_r + 1.0)
+                  / ((SELECT n_r FROM rstats) + {_DSIR_BUCKETS})) AS lr
+      FROM rcnt r LEFT JOIN tcnt t USING (bucket)),
+    dtf AS (
+      SELECT doc_id, bucket, count(*) AS tf FROM toks
+      GROUP BY doc_id, bucket)
+    SELECT d.doc_id, CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+           round(sum(d.tf * ratio.lr), 4) AS dsir_weight,
+           round(sum(d.tf * ratio.lr) / sum(d.tf), 4) AS dsir_per_token
+    FROM dtf d JOIN ratio USING (bucket)
+    GROUP BY d.doc_id
+"""
+
+
+@query("q_dsir_weights", oracle=_DSIR_ORACLE)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-unigram feature distribution is —
+    weight(doc) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)],
+    with Laplace-smoothed bucket probabilities over 65536 hashed
+    feature buckets (md5-prefix, the engine's cross-engine hash).  The
+    target here is the source='src0' slice — the "domain of interest" a
+    pretraining mix up-weights; the raw distribution is the corpus.
+    (DSIR uses hashed BIGRAMS; the fixture's ~100-word pool makes
+    bigram buckets degenerate, so unigram features carry the real
+    semantics — the plan is feature-order agnostic.)
+
+    Scale shape: the ONLY fact-sized shuffle is tokens → per-(doc,
+    bucket) tf; both bucket-count tables are ≤65536 rows (model-sized,
+    broadcast into the scoring join), and the totals are scalar
+    aggregates.  Raw text never shuffles; at 100 TB the bucket stats
+    are a reusable artifact — recompute only when the target slice
+    changes."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5("tok"), 1, 4).alias("bucket")
+    )
+    n_r = toks.count()  # bounded scalar
+    n_t = toks.filter(F.col("source") == "src0").count()
+    tcnt = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    rcnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    lr = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+        / F.lit(float(n_t + _DSIR_BUCKETS))
+    ) - F.log((F.col("c_r") + 1.0) / F.lit(float(n_r + _DSIR_BUCKETS)))
+    ratio = rcnt.join(tcnt, "bucket", "left").select(
+        "bucket", lr.alias("lr")
+    )
+    dtf = toks.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        dtf.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lr")), 4).alias(
+                "dsir_weight"
+            ),
+            F.round(
+                F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 4
+            ).alias("dsir_per_token"),
+        )
+    )
+
+
+@query(
+    "pipeline_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, substring(md5(t.tok), 1, 4) AS bucket
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
+      WHERE length(trim(text)) > 0),
+    tgt_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    tstats AS (
+      SELECT count(*) AS n_t FROM toks JOIN tgt_ids USING (doc_id)),
+    rstats AS (SELECT count(*) AS n_r FROM toks),
+    tcnt AS (
+      SELECT bucket, count(*) AS c_t
+      FROM toks JOIN tgt_ids USING (doc_id) GROUP BY bucket),
+    rcnt AS (
+      SELECT bucket, count(*) AS c_r FROM toks GROUP BY bucket),
+    ratio AS (
+      SELECT r.bucket,
+             ln((coalesce(t.c_t, 0) + 1.0)
+                / ((SELECT n_t FROM tstats) + {_DSIR_BUCKETS}))
+             - ln((r.c_r + 1.0)
+                  / ((SELECT n_r FROM rstats) + {_DSIR_BUCKETS})) AS lr
+      FROM rcnt r LEFT JOIN tcnt t USING (bucket)),
+    dtf AS (
+      SELECT doc_id, bucket, count(*) AS tf FROM toks
+      GROUP BY doc_id, bucket),
+    w AS (
+      SELECT d.doc_id,
+             round(sum(d.tf * ratio.lr) / sum(d.tf), 4) AS dsir_per_token
+      FROM dtf d JOIN ratio USING (bucket)
+      GROUP BY d.doc_id)
+    SELECT w.doc_id, docs.source, w.dsir_per_token
+    FROM w JOIN documents docs ON docs.doc_id = w.doc_id
+    ORDER BY w.dsir_per_token DESC, w.doc_id LIMIT 100
+    """,
+)
+def pipeline_dsir_resample(spark, sf_dir):
+    """Composed pipeline #8 — DSIR data SELECTION: rank the corpus by
+    q_dsir_weights' target-likeness and keep the top-100
+    (LENGTH-NORMALIZED weight desc, doc_id tie-break — the raw summed
+    weight confounds length with target-likeness when smoothing makes
+    the average per-token log-ratio negative, measured on the fixture:
+    target docs are longer AND per-token more target-like, and the sum
+    ranks them LOWER; the per-token mean is the clean discriminator).
+    The paper resamples with Gumbel noise; the engine-wide determinism
+    rule (retry-stable, oracle-checkable) substitutes the
+    deterministic top-k — the ranking, the part DSIR actually
+    contributes, is preserved.
+
+    Scale: everything q_dsir_weights does plus ONE TakeOrderedAndProject
+    (per-partition top-100 heaps, no global sort) and a doc-keyed join
+    back for metadata."""
+    w = q_dsir_weights(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        w.join(docs, "doc_id")
+        .orderBy(F.col("dsir_per_token").desc(), "doc_id")
+        .select("doc_id", "source", "dsir_per_token")
+        .limit(100)
+    )
+
+
+@query(
+    "q_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
+      WHERE length(trim(text)) > 0),
+    tgt AS (
+      SELECT tok, count(*) AS c FROM toks
+      JOIN (SELECT doc_id FROM documents WHERE source = 'src0') s
+        USING (doc_id)
+      GROUP BY tok),
+    stats AS (
+      SELECT (SELECT sum(c) FROM tgt) AS n,
+             (SELECT count(*) FROM tgt) AS v),
+    scored AS (
+      SELECT toks.doc_id,
+             -ln((coalesce(tgt.c, 0) + 1.0)
+                 / ((SELECT n FROM stats) + (SELECT v FROM stats) + 1.0))
+               AS nll
+      FROM toks LEFT JOIN tgt USING (tok))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 4) AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train a unigram LM on the high-quality slice (source='src0',
+    add-one smoothing over its vocabulary V with a single OOV bucket:
+    p(tok) = (c(tok)+1)/(N+V+1)), then score every document by its
+    per-token cross-entropy −avg ln p(tok) — low = target-like, high =
+    out-of-domain/noise.  CCNet uses a KenLM 5-gram; the unigram LM is
+    the same statistic family computable as ONE distributed count
+    (exactly the BPE/unigram-tokenizer sufficient-statistic pattern)
+    and keeps the score closed-form for the oracle.
+
+    Scale shape: one tokens → (tok) count over the TARGET slice only
+    (vocabulary-sized result, broadcast), then a broadcast probe of the
+    corpus token stream + per-doc aggregate — the corpus shuffles once,
+    keyed by doc, and the model is a reusable artifact."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    tgt = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = tgt.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(row["n"] + row["v"] + 1)
+    nll = -F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(denom))
+    return (
+        toks.join(F.broadcast(tgt), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("cross_entropy"),
+        )
+    )
+
+
+@query(
+    "pipeline_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
+      WHERE length(trim(text)) > 0),
+    tgt AS (
+      SELECT tok, count(*) AS c FROM toks
+      JOIN (SELECT doc_id FROM documents WHERE source = 'src0') s
+        USING (doc_id)
+      GROUP BY tok),
+    stats AS (
+      SELECT (SELECT sum(c) FROM tgt) AS n,
+             (SELECT count(*) FROM tgt) AS v),
+    ce AS (
+      SELECT toks.doc_id,
+             round(avg(-ln((coalesce(tgt.c, 0) + 1.0)
+                 / ((SELECT n FROM stats) + (SELECT v FROM stats) + 1.0))),
+               4) AS cross_entropy
+      FROM toks LEFT JOIN tgt USING (tok)
+      GROUP BY toks.doc_id),
+    thr AS (SELECT avg(cross_entropy) AS mean_ce FROM ce)
+    SELECT ce.doc_id, d.source, ce.cross_entropy
+    FROM ce JOIN documents d ON d.doc_id = ce.doc_id
+    WHERE ce.cross_entropy < (SELECT mean_ce FROM thr)
+    """,
+)
+def pipeline_perplexity_filter(spark, sf_dir):
+    """Composed pipeline #9 — the CCNet "head" selection: keep the
+    documents whose LM cross-entropy (q_lm_perplexity, already rounded
+    to 4 dp so the threshold compare is engine-stable) is below the
+    corpus mean.  CCNet buckets into head/middle/tail perplexity
+    terciles; the below-mean cut is the same shape with one boundary —
+    q_quantile_bins supplies the general discretizer when terciles are
+    wanted.
+
+    Scale: q_lm_perplexity's plan + one scalar aggregate for the
+    threshold (broadcast into the filter) + a doc-keyed metadata join.
+    Nothing new shuffles."""
+    ce = q_lm_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    thr = float(
+        ce.agg(F.avg("cross_entropy").alias("m")).collect()[0]["m"]
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        ce.filter(F.col("cross_entropy") < F.lit(thr))
+        .join(docs, "doc_id")
+        .select("doc_id", "source", "cross_entropy")
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from streaming_spark.scratch import scratch_dir
 from streaming_spark.operators import multimodal
 from streaming_spark.operators.dedup import minhash_dedup_pairs, simhash_dedup_pairs
 from streaming_spark.operators.similarity import (
@@ -392,7 +393,6 @@ def multimodal_tar_ingest(spark, sf_dir):
     The oracle reads the ORIGINAL table: a full round-trip proof for the
     container path the reference feeds via binary attributes
     (4-machine-learning.py:80-96)."""
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -403,7 +403,7 @@ def multimodal_tar_ingest(spark, sf_dir):
         (str(i), "txt", (t or "").encode("utf-8"))
         for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
     ]
-    out_dir = tempfile.mkdtemp(prefix="spark_graft_tar_")
+    out_dir = scratch_dir("tar")
     multimodal.write_tar_shards(samples, out_dir, n_shards=4)
     members = multimodal.read_tar_members(spark, out_dir)
     return members.select(
@@ -2443,7 +2443,6 @@ def q_ann_index_artifact(spark, sf_dir):
     json exactly, so the served top-k is bit-identical to the in-memory
     index — asserted row-for-row in the contract test."""
     import os
-    import tempfile
 
     from streaming_spark.operators.similarity import (
         ann_index_load,
@@ -2458,7 +2457,7 @@ def q_ann_index_artifact(spark, sf_dir):
     cent = ivf_centroids(emb, 64, n_cells=8)
     rot, _ = opq_train_residual(emb, cent, 64, m=16, ksub=16, n_opq_iters=4)
     path = os.path.join(
-        tempfile.mkdtemp(prefix="spark_graft_ann_"), "index.json"
+        scratch_dir("ann"), "index.json"
     )
     ann_index_save(
         path,

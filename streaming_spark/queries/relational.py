@@ -11,11 +11,11 @@ pushdown/pruning/codegen; every one has a DuckDB oracle.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streaming_spark.scratch import scratch_dir
 from streaming_spark.queries.registry import T, query
 
 
@@ -260,7 +260,7 @@ def q_aio_input(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
     out = os.path.join(
-        tempfile.mkdtemp(prefix="spark_graft_csv_"), "lineitem_csv"
+        scratch_dir("csv"), "lineitem_csv"
     )
     li.write.mode("overwrite").option("header", True).option("delimiter", "|").csv(out)
     back = (
@@ -291,7 +291,7 @@ def q_input_csv(spark, sf_dir):
     orders = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="spark_graft_csv2_"), "orders_csv")
+    out = os.path.join(scratch_dir("csv2"), "orders_csv")
     orders.write.mode("overwrite").option("header", False).csv(out)
     back = spark.read.schema(
         "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
@@ -360,7 +360,7 @@ def q_input_jsonl(spark, sf_dir):
     a 100 TB corpus parallelizes exactly like CSV; columns still prune
     (Spark's JSON reader projects during parse)."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    out = os.path.join(tempfile.mkdtemp(prefix="spark_graft_jsonl_"), "docs_jsonl")
+    out = os.path.join(scratch_dir("jsonl"), "docs_jsonl")
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema("doc_id BIGINT, source STRING, text STRING").json(out)
     return back.agg(
@@ -388,7 +388,7 @@ def q_input_orc(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="spark_graft_orc_"), "li_orc")
+    out = os.path.join(scratch_dir("orc"), "li_orc")
     li.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.agg(
@@ -490,7 +490,7 @@ def q_input_jsonl_dirty(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
-    out_dir = tempfile.mkdtemp(prefix="spark_graft_dirtyjsonl_")
+    out_dir = scratch_dir("dirtyjsonl")
     rows = docs.collect()  # bounded staging set (limit 200)
     path = os.path.join(out_dir, "shard-0.jsonl")
     import json as _json

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streaming_spark.scratch import scratch_dir
 from streaming_spark.queries.registry import T, events_table, query
 
 
@@ -219,7 +220,6 @@ def _stage_stream_dir(
     everything real (Spark's no-data micro-batch then flushes state);
     queries filter user_id < 0 back out."""
     import os
-    import tempfile
     import time as _time
 
     import pyarrow as pa
@@ -228,7 +228,7 @@ def _stage_stream_dir(
 
     from streaming_spark.io import table_path
 
-    stream_dir = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    stream_dir = scratch_dir("stream")
     table = pq.read_table(table_path(sf_dir, "events"))
     max_ts = pc.max(table["ts"]).as_py()
     if event_type is not None:
@@ -267,14 +267,13 @@ def _stage_docs_stream_dir(
     files — the finite stand-in for an ingest stream (same mechanism as
     :func:`_stage_stream_dir` for events)."""
     import os
-    import tempfile
     import time as _time
 
     import pyarrow.parquet as pq
 
     from streaming_spark.io import table_path
 
-    stream_dir = tempfile.mkdtemp(prefix="spark_graft_docstream_")
+    stream_dir = scratch_dir("docstream")
     table = pq.read_table(table_path(sf_dir, table_name))
     step = (table.num_rows + n_files - 1) // n_files
     base = int(_time.time()) - 1000
@@ -300,14 +299,13 @@ def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300
     committed batch reports a watermark past everything real, which
     proves the flush batch has already run with it."""
     import datetime as _dt
-    import tempfile
     import time as _time
 
     q = (
         df.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(processingTime="500 milliseconds")
         .start()
     )
@@ -347,13 +345,12 @@ def _max_event_ts(sf_dir: str):
 def _run_to_memory_sink(df, sink_name: str, output_mode: str):
     """Execute a finite streaming query to a memory sink (availableNow)
     and return the final result table."""
-    import tempfile
 
     q = (
         df.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -547,11 +544,10 @@ def q_streaming_sink_parquet(spark, sf_dir):
     duplicates it); the sink directory is then read back and aggregated.
     This is the streaming→lakehouse write path; with a transactional
     table format the same foreachBatch body becomes a MERGE."""
-    import tempfile
 
     from streaming_spark.streaming import read_events_stream
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_sink_") + "/t"
+    sink_dir = scratch_dir("sink") + "/t"
     ev = read_events_stream(
         spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
     )
@@ -571,7 +567,7 @@ def q_streaming_sink_parquet(spark, sf_dir):
         ev.writeStream.foreachBatch(land)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="spark_graft_ckpt_"),
+            scratch_dir("ckpt"),
         )
         .trigger(availableNow=True)
         .start()
@@ -1024,11 +1020,10 @@ def q_streaming_incremental_rollup(spark, sf_dir):
     partials, so exactly-once holds without a transaction log.  The
     shuffle per batch is the one minute-grain aggregate any rollup
     pays."""
-    import tempfile
 
     from streaming_spark.streaming import read_events_stream
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_mv_") + "/t"
+    sink_dir = scratch_dir("mv") + "/t"
     ev = read_events_stream(
         spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
     )
@@ -1053,7 +1048,7 @@ def q_streaming_incremental_rollup(spark, sf_dir):
         ev.writeStream.foreachBatch(land_partials)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="spark_graft_ckpt_"),
+            scratch_dir("ckpt"),
         )
         .trigger(availableNow=True)
         .start()
@@ -1115,7 +1110,6 @@ def q_streaming_decontaminate(spark, sf_dir):
     generation + broadcast probe + per-doc aggregate; raw text never
     shuffles and never accumulates in state — sink growth is O(docs
     flagged per batch)."""
-    import tempfile
 
     from streaming_spark.queries.curation import (
         benchmark_grams,
@@ -1128,7 +1122,7 @@ def q_streaming_decontaminate(spark, sf_dir):
     ).persist()
     bench.count()  # materialize once; every micro-batch reuses it
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_decon_") + "/t"
+    sink_dir = scratch_dir("decon") + "/t"
     stream_docs = (
         spark.readStream.schema(docs_static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1149,7 +1143,7 @@ def q_streaming_decontaminate(spark, sf_dir):
     q = (
         stream_docs.writeStream.foreachBatch(flag_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1304,14 +1298,13 @@ def q_streaming_static_join(spark, sf_dir):
     stream-side shuffle for the join, no join state at all — unlike a
     stream-stream join there is nothing to evict); the only exchange is
     the per-batch segment aggregate, O(segments) rows."""
-    import tempfile
 
     from streaming_spark.streaming import read_events_stream
 
     cust = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_ssj_") + "/t"
+    sink_dir = scratch_dir("ssj") + "/t"
     ev = read_events_stream(
         spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
     )
@@ -1333,7 +1326,7 @@ def q_streaming_static_join(spark, sf_dir):
     q = (
         enriched.writeStream.foreachBatch(land)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1426,7 +1419,6 @@ def q_streaming_ann_index(spark, sf_dir):
     and a batch encode of the same corpus.  At deployment the quantizer
     refreshes on a slow cadence (retrain → re-encode) while ingest
     stays on this fast path."""
-    import tempfile
 
     from streaming_spark.operators.similarity import (
         ivf_centroids,
@@ -1438,7 +1430,7 @@ def q_streaming_ann_index(spark, sf_dir):
     cent = ivf_centroids(emb_static, dim=64, n_cells=8)
     books = ivfpq_residual_codebooks(emb_static, cent, dim=64, m=16, ksub=16)
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_annidx_") + "/t"
+    sink_dir = scratch_dir("annidx") + "/t"
     stream_emb = (
         spark.readStream.schema(emb_static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1458,7 +1450,7 @@ def q_streaming_ann_index(spark, sf_dir):
     q = (
         stream_emb.writeStream.foreachBatch(encode_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1535,7 +1527,6 @@ def q_streaming_progress(spark, sf_dir):
     the accounting auditable: processed rows must equal the fixture
     exactly (nothing dropped, nothing double-counted across batch
     replays)."""
-    import tempfile
 
     from streaming_spark.streaming import read_events_stream
 
@@ -1552,7 +1543,7 @@ def q_streaming_progress(spark, sf_dir):
         .queryName("q_streaming_progress_sink")
         .outputMode("append")
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1599,7 +1590,6 @@ def q_streaming_kmeans_update(spark, sf_dir):
     silently.  Scale shape: per batch ONE shuffle-free Arrow map
     emitting ≤ k centroid-sized rows; state is the parquet partial log
     (O(batches·k)), never vectors."""
-    import tempfile
 
     import numpy as np
     import pandas as pd
@@ -1630,7 +1620,7 @@ def q_streaming_kmeans_update(spark, sf_dir):
             sums.append(mat[sel].sum(axis=0).tolist())
         return pd.DataFrame({"cell": cells, "n": ns, "vsum": sums})
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_kmstream_") + "/t"
+    sink_dir = scratch_dir("kmstream") + "/t"
     stream_emb = (
         spark.readStream.schema(emb_static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1655,7 +1645,7 @@ def q_streaming_kmeans_update(spark, sf_dir):
     q = (
         stream_emb.writeStream.foreachBatch(accumulate)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1754,13 +1744,12 @@ def q_streaming_dup_spans(spark, sf_dir):
     batch-keyed sink is idempotent under retries (dynamic partition
     overwrite, same pattern as q_streaming_incremental_rollup); the
     exact verify touches only candidate positions' documents."""
-    import tempfile
 
     from streaming_spark.operators.text import window_hashes
 
     width = 40
     docs_static = T(spark, sf_dir, "documents").select("doc_id", "text")
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_spanidx_") + "/t"
+    sink_dir = scratch_dir("spanidx") + "/t"
     stream_docs = (
         spark.readStream.schema(T(spark, sf_dir, "documents").schema)
         .option("maxFilesPerTrigger", 1)
@@ -1781,7 +1770,7 @@ def q_streaming_dup_spans(spark, sf_dir):
     q = (
         stream_docs.writeStream.foreachBatch(land_hashes)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1860,11 +1849,17 @@ def q_ewma(spark, sf_dir):
     y_i = Σ_j r^{i−j} x_j / Σ_j r^{i−j} = running(x_j·r^{−j}) /
     running(r^{−j}), the r^i scaling cancelling in the ratio — so it
     runs as ordinary cumulative window aggregates: ONE keyed shuffle,
-    per-key sort, no UDF, no iteration.  (The r^{−j} growth bounds
-    per-key sequence length to ~6000 at r = 0.9 before double overflow;
-    terms older than that carry weight < 1e−270 — numerically decayed
-    to irrelevance long before the bound bites.)"""
+    per-key sort, no UDF, no iteration.
+
+    The r^{−j} growth overflows double at per-key sequence length
+    ~6700 (r = 0.9), which would silently yield NaN ewma — so rows past
+    j = 6000 RAISE instead (observable failure, ADVICE r5; the guard is
+    free: a codegen'd when() on the already-computed row number).  For
+    genuinely unbounded per-key horizons use the streaming twin
+    (q_streaming_ewma's stateful_ewma), whose O(1) recurrence is
+    numerically stable at any length."""
     r = 0.9
+    max_j = 6000  # 0.9^-6000 ≈ 1e274; overflow at ~6700
     ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = (
         Window.partitionBy("user_id")
@@ -1877,8 +1872,20 @@ def q_ewma(spark, sf_dir):
         "value",
         F.row_number().over(ordered).alias("j"),
     )
-    num = F.sum(F.col("value") * F.pow(F.lit(r), -F.col("j"))).over(running)
-    den = F.sum(F.pow(F.lit(r), -F.col("j"))).over(running)
+    guarded_j = F.when(F.col("j") <= max_j, F.col("j")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_ewma: per-key sequence length exceeds "),
+                F.lit(str(max_j)),
+                F.lit(
+                    " (r^-j would overflow double); use the stateful"
+                    " streaming twin for unbounded horizons"
+                ),
+            )
+        ).cast("int")
+    )
+    num = F.sum(F.col("value") * F.pow(F.lit(r), -guarded_j)).over(running)
+    den = F.sum(F.pow(F.lit(r), -guarded_j)).over(running)
     return with_j.select(
         "user_id",
         "event_id",
@@ -2058,7 +2065,6 @@ def q_streaming_countmin(spark, sf_dir):
     re-answering point-frequency queries reads only cell partials, and
     a retried batch replaces its own partition — exactly-once without a
     transaction log (same spine as q_streaming_incremental_rollup)."""
-    import tempfile
 
     import numpy as np
     import pandas as pd
@@ -2070,7 +2076,7 @@ def q_streaming_countmin(spark, sf_dir):
     from streaming_spark.streaming import read_events_stream
 
     depth, width = 4, 256
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_cmsink_") + "/t"
+    sink_dir = scratch_dir("cmsink") + "/t"
     ev_stream = read_events_stream(
         spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
     )
@@ -2091,7 +2097,7 @@ def q_streaming_countmin(spark, sf_dir):
     q = (
         ev_stream.writeStream.foreachBatch(land_sketch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -2143,11 +2149,10 @@ def q_streaming_hll_distinct(spark, sf_dir):
     sink growth is one KB-scale blob per batch regardless of event
     volume, and "how many distinct users so far" is answered by
     unioning blobs, never re-scanning events."""
-    import tempfile
 
     from streaming_spark.streaming import read_events_stream
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_hllsink_") + "/t"
+    sink_dir = scratch_dir("hllsink") + "/t"
     ev_stream = read_events_stream(
         spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
     )
@@ -2165,7 +2170,7 @@ def q_streaming_hll_distinct(spark, sf_dir):
     q = (
         ev_stream.writeStream.foreachBatch(land_sketch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -2219,7 +2224,6 @@ def q_streaming_minhash_index(spark, sf_dir):
     runs index-vs-index on narrow signature rows; raw text never
     re-scans and never shuffles (the same division of labor as
     q_streaming_dup_spans, at MinHash granularity)."""
-    import tempfile
 
     from streaming_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -2227,7 +2231,7 @@ def q_streaming_minhash_index(spark, sf_dir):
         verify_jaccard,
     )
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_mhsink_") + "/t"
+    sink_dir = scratch_dir("mhsink") + "/t"
     docs_schema = T(spark, sf_dir, "documents").schema
     stream_docs = (
         spark.readStream.schema(docs_schema)
@@ -2248,7 +2252,7 @@ def q_streaming_minhash_index(spark, sf_dir):
     q = (
         stream_docs.writeStream.foreachBatch(land_signatures)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -2335,12 +2339,11 @@ def q_streaming_bm25_index(spark, sf_dir):
     the tokenize + postings write per batch; queries only probe the
     accumulated index; and a retried batch replaces its own partition
     (idempotent dynamic overwrite)."""
-    import tempfile
 
     from pyspark.sql.window import Window
 
-    post_dir = tempfile.mkdtemp(prefix="spark_graft_bm25post_") + "/t"
-    cnt_dir = tempfile.mkdtemp(prefix="spark_graft_bm25cnt_") + "/t"
+    post_dir = scratch_dir("bm25post") + "/t"
+    cnt_dir = scratch_dir("bm25cnt") + "/t"
     docs_schema = T(spark, sf_dir, "documents").schema
     stream_docs = (
         spark.readStream.schema(docs_schema)
@@ -2377,7 +2380,7 @@ def q_streaming_bm25_index(spark, sf_dir):
     q = (
         stream_docs.writeStream.foreachBatch(land_postings)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -2474,12 +2477,18 @@ def q_streaming_entity_resolve(spark, sf_dir):
     join against the broadcast-scale index; the master is never
     re-scanned.  (Master UPDATES would re-land its variants — the
     MERGE/SCD2 surface covers that axis.)"""
-    import tempfile
 
-    from streaming_spark.operators.fuzzy import fuzzy_join
+    from streaming_spark.operators.fuzzy import fuzzy_index, fuzzy_join
 
     cust_static = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_ersink_") + "/t"
+    # Build + persist the master's deletion-variant index ONCE, before
+    # the stream starts; every micro-batch probes these cached frames
+    # instead of re-expanding master-sized variants (ADVICE r5).
+    # Lifetime is bounded: unpersisted right after the stream finishes.
+    master_index = fuzzy_index(
+        cust_static, "c_name", "c_custkey", max_dist=1, persist=True
+    )
+    sink_dir = scratch_dir("ersink") + "/t"
     cust_schema = T(spark, sf_dir, "customer").schema
     stream_cust = (
         spark.readStream.schema(cust_schema)
@@ -2503,9 +2512,9 @@ def q_streaming_entity_resolve(spark, sf_dir):
             .alias("dirty_name"),
         )
         links = fuzzy_join(
-            dirty, cust_static, "dirty_name", "c_name", "dirty_id",
-            "c_custkey", max_dist=1,
-        ).withColumnRenamed("c_custkey", "master_id")
+            dirty, None, "dirty_name", None, "dirty_id",
+            "master_id", max_dist=1, right_index=master_index,
+        )
         rk = F.row_number().over(
             Window.partitionBy("dirty_id").orderBy("dist", "master_id")
         )
@@ -2523,16 +2532,20 @@ def q_streaming_entity_resolve(spark, sf_dir):
     q = (
         stream_cust.writeStream.foreachBatch(resolve_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_entity_resolve did not finish within 300s"
-        )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q_streaming_entity_resolve did not finish within 300s"
+            )
+    finally:
+        for frame in master_index:
+            frame.unpersist()
     return (
         spark.read.parquet(sink_dir)
         .select(
@@ -2585,9 +2598,8 @@ def q_streaming_phrase_index(spark, sf_dir):
     retrieval pair: one sink with a position column serves both the
     ranked bag-of-words query and the exact-phrase query; the ingest
     path tokenizes once for both."""
-    import tempfile
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_phrasepost_") + "/t"
+    sink_dir = scratch_dir("phrasepost") + "/t"
     docs_schema = T(spark, sf_dir, "documents").schema
     stream_docs = (
         spark.readStream.schema(docs_schema)
@@ -2615,7 +2627,7 @@ def q_streaming_phrase_index(spark, sf_dir):
     q = (
         stream_docs.writeStream.foreachBatch(land_postings)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -2717,12 +2729,11 @@ def q_streaming_curate_corpus(spark, sf_dir):
     Union-over-batches equals the batch pipeline exactly because the
     landed stages are per-doc pure and the global stages see the same
     survivor set — same DuckDB oracle, row for row."""
-    import tempfile
 
     from streaming_spark.operators import curation
     from streaming_spark.operators.text import token_count, with_lang_scores
 
-    sink_dir = tempfile.mkdtemp(prefix="spark_graft_curated_") + "/t"
+    sink_dir = scratch_dir("curated") + "/t"
     docs_schema = T(spark, sf_dir, "documents").schema
     stream_docs = (
         spark.readStream.schema(docs_schema)
@@ -2750,7 +2761,7 @@ def q_streaming_curate_corpus(spark, sf_dir):
     q = (
         stream_docs.writeStream.foreachBatch(land_survivors)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            "checkpointLocation", scratch_dir("ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -2777,4 +2788,98 @@ def q_streaming_curate_corpus(spark, sf_dir):
         F.countDistinct("doc_id").alias("docs_kept"),
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.length("chunk")).alias("sum_chunk_chars"),
+    )
+
+
+from streaming_spark.queries.curation import _DSIR_ORACLE as _DSIR_SQL
+
+
+@query("q_streaming_dsir_index", oracle=_DSIR_SQL)
+def q_streaming_dsir_index(spark, sf_dir):
+    """Incrementally-maintained DSIR feature index (the streaming twin
+    of q_dsir_weights): each ingest micro-batch tokenizes ITS OWN
+    documents and lands per-(doc, bucket) hashed-feature counts in a
+    batch-keyed parquet sink (idempotent dynamic overwrite) — documents
+    live wholly in their ingest batch, so the landed rows ARE the final
+    feature index.  Target/raw bucket distributions, their totals, and
+    every document's importance weight all FOLD from the accumulated
+    index (counts are linear — the Count-Min/BM25-twin merge property),
+    so the streamed scores equal the batch query's EXACTLY: same DuckDB
+    oracle, row for row.
+
+    Deployment shape: ingest pays tokenize + one index write per batch;
+    re-scoring after a target-slice change is an index-sized job that
+    never touches raw text again."""
+    sink_dir = scratch_dir("dsiridx") + "/t"
+    docs_schema = T(spark, sf_dir, "documents").schema
+    stream_docs = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir))
+    )
+
+    def land_features(batch_df, batch_id):
+        toks = batch_df.filter(F.length(F.trim("text")) > 0).select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        ).select(
+            "doc_id",
+            "source",
+            F.substring(F.md5("tok"), 1, 4).alias("bucket"),
+        )
+        (
+            toks.groupBy("doc_id", "source", "bucket")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(land_features)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_dsir_index did not finish in 300s")
+
+    from streaming_spark.queries.curation import _DSIR_BUCKETS
+
+    index = spark.read.parquet(sink_dir).select(
+        "doc_id", "source", "bucket", "tf"
+    )
+    n_r = index.agg(F.sum("tf")).collect()[0][0]
+    n_t = (
+        index.filter(F.col("source") == "src0").agg(F.sum("tf")).collect()[
+            0
+        ][0]
+    )
+    tcnt = (
+        index.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    rcnt = index.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
+    lr = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+        / F.lit(float(n_t + _DSIR_BUCKETS))
+    ) - F.log((F.col("c_r") + 1.0) / F.lit(float(n_r + _DSIR_BUCKETS)))
+    ratio = rcnt.join(tcnt, "bucket", "left").select("bucket", lr.alias("lr"))
+    return (
+        index.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lr")), 4).alias(
+                "dsir_weight"
+            ),
+            F.round(
+                F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 4
+            ).alias("dsir_per_token"),
+        )
     )

@@ -361,3 +361,97 @@ def test_pipeline_contrastive_dataset_contract(spark):
     mean = lambda xs: sum(xs) / len(xs)
     assert mean(by_type["positive"]) > mean(by_type["hard_negative"])
     assert mean(by_type["hard_negative"]) > mean(by_type["random_negative"])
+
+
+def test_pipeline_contrastive_aligned_contract(spark):
+    """Pipeline #7 contracts: positives cover the anchor's own span and
+    equal the anchor under normalization (alignment exact by
+    construction); negatives never come from the anchor's document; the
+    build is deterministic; and lowercase-token Jaccard of positives
+    (1.0) dominates negatives on average."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["pipeline_contrastive_aligned"](spark, SF_SMOKE).collect()
+    rows2 = REGISTRY["pipeline_contrastive_aligned"](spark, SF_SMOKE).collect()
+    key = lambda r: (r.anchor_id, r.chunk_no, r.pair_type, r.j)
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))  # deterministic
+
+    import re
+
+    def toks(s):
+        return set(re.split(r"\s+", s.strip().lower())) - {""}
+
+    anchors = {}
+    pos_n = neg_n = 0
+    jac = {"positive": [], "negative": []}
+    # anchor text reconstruction: positives are the normalized anchor,
+    # so normalize-idempotence is the alignment witness
+    norm = lambda s: re.sub(r"\s+", " ", re.sub(r"[\x00-\x1f\x7f]", "", s.lower())).strip()
+    anchor_text = {
+        (r.anchor_id, r.chunk_no): r.partner_text
+        for r in rows
+        if r.pair_type == "positive"
+    }  # normalized anchor text per span
+    for r in rows:
+        a = anchor_text[(r.anchor_id, r.chunk_no)]
+        if r.pair_type == "positive":
+            pos_n += 1
+            assert r.partner_doc_id == r.anchor_id
+            assert norm(r.partner_text) == r.partner_text  # idempotent view
+            jac["positive"].append(1.0)
+        else:
+            neg_n += 1
+            assert r.partner_doc_id != r.anchor_id
+            ta, tb = toks(a), toks(r.partner_text)
+            jac["negative"].append(
+                len(ta & tb) / len(ta | tb) if ta | tb else 0.0
+            )
+    assert pos_n > 0 and neg_n > 0
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean(jac["positive"]) > mean(jac["negative"])
+
+
+def test_dsir_and_perplexity_separate_target_domain(spark):
+    """Semantic contracts for the data-selection scorers: DSIR weights
+    must rank the target slice (source='src0') above the rest on
+    average (its token distribution IS the target distribution), and
+    LM cross-entropy must rank it below (the LM was trained on it).
+    Plus plan-shape: both scorers must produce one row per non-empty
+    doc, and the resample pipeline returns exactly 100 deterministic
+    rows."""
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r.doc_id: r.source
+        for r in T(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    w = {
+        r.doc_id: r.dsir_per_token
+        for r in REGISTRY["q_dsir_weights"](spark, SF_SMOKE).collect()
+    }
+    ce = {
+        r.doc_id: r.cross_entropy
+        for r in REGISTRY["q_lm_perplexity"](spark, SF_SMOKE).collect()
+    }
+    assert set(w) == set(ce)  # same non-empty-doc domain
+    mean = lambda xs: sum(xs) / len(xs)
+    w_t = [v for d, v in w.items() if docs[d] == "src0"]
+    w_o = [v for d, v in w.items() if docs[d] != "src0"]
+    ce_t = [v for d, v in ce.items() if docs[d] == "src0"]
+    ce_o = [v for d, v in ce.items() if docs[d] != "src0"]
+    assert w_t and w_o
+    assert mean(w_t) > mean(w_o), (mean(w_t), mean(w_o))
+    assert mean(ce_t) < mean(ce_o), (mean(ce_t), mean(ce_o))
+
+    top = REGISTRY["pipeline_dsir_resample"](spark, SF_SMOKE).collect()
+    top2 = REGISTRY["pipeline_dsir_resample"](spark, SF_SMOKE).collect()
+    assert len(top) == 100
+    assert [r.doc_id for r in top] == [r.doc_id for r in top2]
+    # the resample must actually up-weight the target domain
+    frac_top = mean([1.0 if r.source == "src0" else 0.0 for r in top])
+    frac_all = mean([1.0 if s == "src0" else 0.0 for s in docs.values()])
+    assert frac_top > frac_all, (frac_top, frac_all)
