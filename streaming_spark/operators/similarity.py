@@ -1403,3 +1403,94 @@ def ann_index_load(path: str) -> dict:
         if artifact.get(key) is not None:
             artifact[key] = np.asarray(artifact[key], dtype=np.float64)
     return artifact
+
+
+def semdedup(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 8,
+    threshold: float = 0.3,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    blocking + within-cluster cosine pruning.  Cluster the corpus
+    (spherical_kmeans_full), compare vectors only WITHIN their cluster,
+    and for every pair at or above ``threshold`` drop the member that
+    sits CLOSER to its centroid — the paper's keep-low-centroid-
+    similarity rule, which retains the diverse outskirts of each
+    semantic region and prunes its redundant core.
+
+    Keep-rule as pairwise dominance (no component build needed): v is
+    dropped iff some same-cluster u has cos(u, v) ≥ threshold and
+    (centroid_sim(u), u.id) < (centroid_sim(v), v.id) lexicographically
+    — exactly one survivor per mutually-duplicate set, deterministic.
+
+    Returns (id, cell, centroid_sim, dropped).
+
+    Scale shape: clustering is the shuffle-free Lloyd loop; the pair
+    stage is ONE self-join keyed by cell, so candidates are bounded by
+    cluster populations — the paper's trick is choosing k ∝ N so
+    clusters stay comparison-sized (they use k = 50k for LAION); the
+    centroid table broadcasts everywhere."""
+    cents, assign = spherical_kmeans_full(
+        vectors, dim, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    base = (
+        vectors.select(id_col, vec_col)
+        .join(assign, id_col)  # assign: (id_col, cell) from ivf_assign
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            id_col,
+            "cell",
+            vec_col,
+            _cosine_expr(vec_col, "centroid").alias("centroid_sim"),
+        )
+    )
+    left = base.select(
+        F.col("cell"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("centroid_sim").alias("__csa"),
+    )
+    right = base.select(
+        F.col("cell"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("centroid_sim").alias("__csb"),
+    )
+    # v (= right side) is dominated by u when u is nearer the fringe
+    dominated = (
+        left.join(right, "cell")
+        .filter(
+            (F.col("__ida") != F.col("__idb"))
+            & (
+                (F.col("__csa") < F.col("__csb"))
+                | (
+                    (F.col("__csa") == F.col("__csb"))
+                    & (F.col("__ida") < F.col("__idb"))
+                )
+            )
+        )
+        .filter(_cosine_expr("__va", "__vb") >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        base.select(id_col, "cell", "centroid_sim")
+        .join(
+            dominated.withColumn("__drop", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cell",
+            "centroid_sim",
+            F.coalesce("__drop", F.lit(False)).alias("dropped"),
+        )
+    )

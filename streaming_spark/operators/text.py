@@ -299,3 +299,84 @@ def normalize_text_col(text: str | Column) -> Column:
             F.regexp_replace(F.lower(c), r"[\x00-\x1f\x7f]", ""), r"\s+", " "
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stop: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule metrics (Rae et al. 2021 §A1.1 — the rule
+    set RedPajama/Dolma reimplement): per doc the word count, mean word
+    length, alphabetic-word fraction, symbol-to-word ratio ('#' and
+    '…'-as-'...'), and distinct-stopword presence, plus one boolean per
+    rule and the conjunction ``passes``.  Defaults are the paper's
+    thresholds; they're parameters because synthetic corpora need
+    recalibration (the fixture's 100-word pool has ≤1 stopword per
+    doc).  Line-based rules (bullet/ellipsis line fractions) are
+    omitted: the fixture is single-line; they'd be two more
+    length-diff expressions in this same select.
+
+    Everything is array HOFs + length arithmetic on the split tokens —
+    codegen'd, zero shuffle, one narrow pass (the cheap-per-element
+    kind of HOF lambda, not the string-building kind)."""
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words
+    )
+    sym = (
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit(""))))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ) / n_words
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)), stop_arr
+        )
+    )
+    out = df.filter(F.length(F.trim(c)) > 0).select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        # raw IEEE doubles, deliberately unrounded: each is a division
+        # of exact integers, bit-identical across engines (the
+        # never-round-row-wise rule — rounding would ADD boundary risk)
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        sym.alias("symbol_ratio"),
+        n_stop.cast("bigint").alias("n_stop"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    r_wl = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    r_alpha = F.col("alpha_frac") > min_alpha_frac
+    r_sym = F.col("symbol_ratio") < max_symbol_ratio
+    r_stop = F.col("n_stop") >= min_stop
+    return out.select(
+        "*",
+        r_words.alias("ok_words"),
+        r_wl.alias("ok_word_len"),
+        r_alpha.alias("ok_alpha"),
+        r_sym.alias("ok_symbols"),
+        r_stop.alias("ok_stop"),
+        (r_words & r_wl & r_alpha & r_sym & r_stop).alias("passes"),
+    )

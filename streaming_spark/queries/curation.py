@@ -1832,3 +1832,82 @@ def pipeline_perplexity_filter(spark, sf_dir):
         .join(docs, "doc_id")
         .select("doc_id", "source", "cross_entropy")
     )
+
+
+_GOPHER_METRICS_SQL = """
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_intersect(
+                    list_transform(toks, x -> lower(x)),
+                    ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS n_stop
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           n_stop,
+           (n_words >= 50 AND n_words <= 100000) AS ok_words,
+           (mean_word_len >= 3 AND mean_word_len <= 10) AS ok_word_len,
+           (alpha_frac > 0.8) AS ok_alpha,
+           (symbol_ratio < 0.1) AS ok_symbols,
+           (n_stop >= {min_stop}) AS ok_stop,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3 AND mean_word_len <= 10)
+            AND (alpha_frac > 0.8) AND (symbol_ratio < 0.1)
+            AND (n_stop >= {min_stop})) AS passes
+    FROM m
+"""
+
+
+@query(
+    "text_gopher_quality",
+    oracle=_GOPHER_METRICS_SQL.format(min_stop=2),
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1) at the PAPER's
+    thresholds: per-doc word count, mean word length, alphabetic-word
+    fraction, symbol-to-word ratio, distinct-stopword presence — one
+    boolean per rule plus the conjunction.  On this synthetic fixture
+    the stopword rule fails everywhere (≤1 of the 8 stopwords per doc
+    — a corpus property the metrics make OBSERVABLE, which is the
+    point of reporting per-rule flags instead of a bare filter);
+    pipeline_gopher_filter applies the fixture-calibrated profile.
+
+    Scale: array HOFs + length arithmetic over the split tokens —
+    codegen'd, zero shuffle, one narrow pass over the corpus."""
+    from streaming_spark.operators.text import gopher_quality
+
+    return gopher_quality(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_gopher_filter",
+    oracle="SELECT doc_id, n_words, n_stop FROM ("
+    + _GOPHER_METRICS_SQL.format(min_stop=1)
+    + ") WHERE passes",
+)
+def pipeline_gopher_filter(spark, sf_dir):
+    """Composed pipeline #10 — the Gopher quality GATE with the
+    fixture-calibrated profile (min_stop=1; every other threshold at
+    the paper's default — the synthetic 100-word pool yields at most
+    one distinct stopword per doc, so the paper's ≥2 would pass zero
+    documents and verify nothing).  Survivors are the pretraining-mix
+    candidates downstream dedup/packing consume.
+
+    Scale: identical narrow pass; the filter fuses into the scan."""
+    from streaming_spark.operators.text import gopher_quality
+
+    return (
+        gopher_quality(T(spark, sf_dir, "documents"), min_stop=1)
+        .filter(F.col("passes"))
+        .select("doc_id", "n_words", "n_stop")
+    )

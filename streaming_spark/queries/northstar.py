@@ -3128,3 +3128,122 @@ def q_mutual_nn_pairs(spark, sf_dir):
         )
         .orderBy("id_a")
     )
+
+
+_SEMANTIC_DECON_ORACLE = """
+    WITH bench AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id % 50 = 0),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id % 50 <> 0),
+    hits AS (
+      SELECT c.vec_id,
+             count(*) AS n_hits,
+             max(list_cosine_similarity(c.e, b.e)) AS max_sim
+      FROM corpus c JOIN bench b
+        ON list_cosine_similarity(c.e, b.e) >= 0.25
+      GROUP BY c.vec_id)
+    SELECT c.vec_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.max_sim, -2.0), 4) AS max_sim,
+           (h.vec_id IS NOT NULL) AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (vec_id)
+"""
+
+
+@query("q_semantic_decontaminate", oracle=_SEMANTIC_DECON_ORACLE)
+def q_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of text_decontaminate's exact 5-gram overlap: flag every
+    corpus vector whose cosine similarity to ANY held-out benchmark
+    vector reaches 0.25 (paraphrased or reformatted contamination that
+    shares no n-gram still lands nearby in embedding space — the
+    rephrased-test-set leak n-gram matching provably misses).  Emits
+    the audit columns a decontamination report needs: hit count,
+    max similarity, and the flag (max_sim = -2.0 sentinel for clean
+    docs — below any true cosine).
+
+    Scale shape: the benchmark slice is held-out-eval sized, so it
+    BROADCASTS (same contract as cosine_topk's bounded-queries side);
+    the corpus streams through ONE broadcast nested-loop pass with the
+    cosine as a codegen'd HOF — never shuffles — and only (vec_id,
+    n_hits, max_sim) aggregates come back.  The O(corpus × benchmark)
+    compute is inherent to an exact gate; swap the inner expression
+    for cosine_topk's Arrow blocked matmul if the benchmark grows past
+    a few thousand vectors.
+    The threshold join is exact — no LSH recall qualifier on a
+    correctness-critical gate; at 100 TB the corpus side stays a scan
+    and the benchmark side stays a broadcast, which is the right
+    asymmetry for decontamination (benchmarks are small, corpora are
+    not)."""
+    from streaming_spark.operators.similarity import _cosine_expr
+
+    emb = T(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bench_emb"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    sim = _cosine_expr("embedding", "bench_emb")
+    hits = (
+        corpus.join(F.broadcast(bench))
+        .select("vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.25)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("sim").alias("max_sim"),
+        )
+    )
+    return (
+        corpus.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(F.coalesce("max_sim", F.lit(-2.0)), 4).alias("max_sim"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+@query("q_semdedup")  # rows-only: cluster geometry is engine-internal
+# (k-means cells); the keep-rule / planted-duplicate / determinism
+# contracts are in tests/test_operators.py::test_semdedup_contract
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: k-means
+    blocking (k=8, the fixture-scale analog of the paper's k ∝ N) +
+    within-cluster cosine pruning at 0.30, dropping the member of each
+    duplicate pair that sits CLOSER to its centroid — prune the
+    redundant core of each semantic region, keep its diverse fringe.
+    Reports per-cell accounting: population, drops, survivors, and the
+    mean centroid similarity of each group (dropped rows should skew
+    HIGHER — the keep-rule's signature, asserted in-row via the
+    sim_gap column being >= 0 wherever drops exist).
+
+    Scale shape (operators/similarity.py semdedup): shuffle-free Lloyd
+    clustering + ONE cell-keyed self-join whose candidate volume is
+    bounded by cluster populations (the paper sizes k so clusters stay
+    comparison-sized); centroids broadcast."""
+    from streaming_spark.operators.similarity import semdedup
+
+    emb = T(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    marked = semdedup(emb, dim=dim, k=8, threshold=0.3)
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+            F.sum((~F.col("dropped")).cast("bigint")).alias("n_kept"),
+            F.round(
+                F.avg(F.when(F.col("dropped"), F.col("centroid_sim")))
+                - F.avg(
+                    F.when(~F.col("dropped"), F.col("centroid_sim"))
+                ),
+                4,
+            ).alias("sim_gap"),
+        )
+        .orderBy("cell")
+    )

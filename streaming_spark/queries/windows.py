@@ -2883,3 +2883,83 @@ def q_streaming_dsir_index(spark, sf_dir):
             ).alias("dsir_per_token"),
         )
     )
+
+
+from streaming_spark.queries.northstar import (  # noqa: E402
+    _SEMANTIC_DECON_ORACLE as _SEMDECON_SQL,
+)
+
+
+@query("q_streaming_semantic_decontaminate", oracle=_SEMDECON_SQL)
+def q_streaming_semantic_decontaminate(spark, sf_dir):
+    """q_semantic_decontaminate at INGEST time — the deployment the
+    batch query's asymmetry already implies: the benchmark slice is
+    static (held-out-eval sized, loaded once and broadcast into every
+    micro-batch), each arriving embedding batch probes it exactly, and
+    the per-vector audit rows land in a batch-keyed idempotent sink.
+    Contamination is a pure per-vector function of (vector, benchmark),
+    so the union over batches equals the batch query row for row —
+    same oracle.  No carried state at all: the cheapest twin shape in
+    the twin table (like q_streaming_decontaminate for n-grams)."""
+    from streaming_spark.operators.similarity import _cosine_expr
+
+    emb_static = T(spark, sf_dir, "embeddings")
+    bench = emb_static.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bench_emb"),
+    )
+    sink_dir = scratch_dir("semdecon") + "/t"
+    emb_schema = emb_static.schema
+    stream_emb = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir, table_name="embeddings"))
+    )
+    sim = _cosine_expr("embedding", "bench_emb")
+
+    def probe_batch(batch_df, batch_id):
+        corpus = batch_df.filter(F.col("vec_id") % 50 != 0)
+        hits = (
+            corpus.join(F.broadcast(bench))
+            .select("vec_id", sim.alias("sim"))
+            .filter(F.col("sim") >= 0.25)
+            .groupBy("vec_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.max("sim").alias("max_sim"),
+            )
+        )
+        (
+            corpus.select("vec_id")
+            .join(hits, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce("n_hits", F.lit(0).cast("long")).alias(
+                    "n_hits"
+                ),
+                F.round(F.coalesce("max_sim", F.lit(-2.0)), 4).alias(
+                    "max_sim"
+                ),
+                F.col("n_hits").isNotNull().alias("contaminated"),
+            )
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_emb.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_semantic_decontaminate did not finish in 300s"
+        )
+    return spark.read.parquet(sink_dir).select(
+        "vec_id", "n_hits", "max_sim", "contaminated"
+    )

@@ -1858,3 +1858,87 @@ def test_hard_negatives_margin(spark):
     rand = [r.rand_cos for r in rows if r.rand_cos is not None]
     rand_mean = sum(rand) / len(rand)
     assert hard_mean > rand_mean, (hard_mean, rand_mean)
+
+
+def test_fuzzy_index_reuse_equals_inline(spark):
+    """fuzzy_join with a precomputed (persisted) right index must return
+    exactly the pairs of the inline build — the streaming entity
+    resolver depends on this equivalence (ADVICE r5)."""
+    from streaming_spark.operators.fuzzy import fuzzy_index, fuzzy_join
+
+    master = spark.createDataFrame(
+        [(1, "kitten"), (2, "mitten"), (3, "banana")],
+        "mid BIGINT, name STRING",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "kitte"), (11, "mittens"), (12, "orange"), (13, "banana")],
+        "did BIGINT, name STRING",
+    )
+    inline = {
+        (r.did, r.mid, r.dist)
+        for r in fuzzy_join(
+            dirty, master, "name", "name", "did", "mid", max_dist=1
+        ).collect()
+    }
+    idx = fuzzy_index(master, "name", "mid", max_dist=1, persist=True)
+    try:
+        reused = {
+            (r.did, r.mid, r.dist)
+            for r in fuzzy_join(
+                dirty, None, "name", None, "did", "mid",
+                max_dist=1, right_index=idx,
+            ).collect()
+        }
+    finally:
+        for frame in idx:
+            frame.unpersist()
+    assert inline == reused and inline, (inline, reused)
+
+
+def test_semdedup_contract(spark):
+    """SemDeDup keep-rule contracts on a planted geometry: two
+    near-identical vectors in a tight cluster → the one nearer its
+    centroid drops and the fringe one survives; singletons survive; the
+    run is deterministic; exactly one survivor per duplicate set."""
+    import numpy as np
+
+    from streaming_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    dim = 8
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return (v / np.linalg.norm(v)).tolist()
+
+    a = unit(rng.normal(size=dim))
+    # b = slightly perturbed a (cos ~ 0.999) — a semantic duplicate
+    b = unit(np.asarray(a) + 0.02 * rng.normal(size=dim))
+    far = [unit(rng.normal(size=dim)) for _ in range(6)]
+    rows = [(0, a), (1, b)] + [(i + 2, v) for i, v in enumerate(far)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup(df, dim=dim, k=2, threshold=0.9).collect()
+    }
+    out2 = {
+        r.vec_id: (r.cell, r.dropped)
+        for r in semdedup(df, dim=dim, k=2, threshold=0.9).collect()
+    }
+    assert {i: (r.cell, r.dropped) for i, r in out.items()} == out2
+    assert len(out) == len(rows)
+    # the planted pair: exactly one dropped, and it's the one with the
+    # HIGHER centroid similarity (the keep-low rule)
+    pair = [out[0], out[1]]
+    assert sorted(p.dropped for p in pair) == [False, True]
+    dropped = pair[0] if pair[0].dropped else pair[1]
+    kept = pair[1] if pair[0].dropped else pair[0]
+    assert dropped.centroid_sim >= kept.centroid_sim or (
+        dropped.centroid_sim == kept.centroid_sim
+        and dropped.vec_id > kept.vec_id
+    )
+    # vectors with no >= threshold neighbor in their cell all survive
+    lonely = [r for i, r in out.items() if i >= 2]
+    assert all(not r.dropped for r in lonely)
