@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from streaming_spark.operators.stream import stream
 
@@ -148,6 +149,113 @@ def countmin_sketch(
     for r in parts:
         total += np.array(r["cells"], dtype=np.int64)
     return total.reshape(depth, width)
+
+
+def bloom_build(
+    df: DataFrame, col: str, n_bits: int = 1 << 16, k: int = 4
+) -> np.ndarray:
+    """Build a Bloom-filter membership sketch over ``col``: a packed
+    ``n_bits``-bit bitmap (returned as ``n_bits/64`` uint64 words) where
+    each value sets ``k`` bits chosen by the same xxhash64-base +
+    numpy-seed-mix scheme as Count-Min (:func:`_mix_rows` with
+    depth=k, width=n_bits — one hash family for the whole sketch
+    module).  The merge is BITWISE OR, so per-partition bitmaps built in
+    one narrow Arrow pass combine exactly — linear like Count-Min, no
+    key shuffle.  Guarantees: NO false negatives ever; false-positive
+    rate ≈ (1 - e^{-kn/m})^k, observable and bounded by sizing m.
+
+    This is the reference's membership-gate pattern (a corpus-side
+    digest index probed before expensive work) in fixed memory: at
+    100 TB a 2^30-bit bitmap (128 MB) indexes billions of digests and
+    broadcasts to every executor, so ingest batches classify locally
+    with zero shuffle and only bloom HITS pay the exact verify join."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+
+    def partial(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        kk, m = side
+        if len(pdf) == 0:
+            return None
+        words = np.zeros(m // 64, dtype=np.uint64)
+        base = pdf["__cm_base"].to_numpy(dtype=np.int64).view(np.uint64)
+        pos = _mix_rows(base, kk, m)  # (k, n) bit positions
+        flat = pos.reshape(-1)
+        np.bitwise_or.at(
+            words,
+            (flat >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (flat & np.uint64(63)),
+        )
+        return pd.DataFrame({"words": [words.view(np.int64).tolist()]})
+
+    hashed = df.select(
+        F.xxhash64(F.col(col).cast("string")).alias("__cm_base")
+    )
+    parts = stream(
+        hashed, partial, "words ARRAY<BIGINT>", side_input=(k, n_bits)
+    ).collect()
+    total = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in parts:
+        total |= np.array(r["words"], dtype=np.int64).view(np.uint64)
+    return total
+
+
+def bloom_contains(bloom: np.ndarray, values: list, k: int = 4) -> list[bool]:
+    """Driver-side point membership: True iff ALL k bits are set.  Same
+    str()-UTF-8 xxh64 base as :func:`countmin_estimate` (exact for
+    strings and integers), so build/probe agree bit-for-bit."""
+    n_bits = len(bloom) * 64
+    base = np.array(
+        [xxh64(str(v).encode("utf-8")) for v in values], dtype=np.uint64
+    )
+    pos = _mix_rows(base, k, n_bits)
+    out = []
+    for i in range(len(values)):
+        hit = True
+        for row in range(k):
+            p = int(pos[row, i])
+            if not (int(bloom[p >> 6]) >> (p & 63)) & 1:
+                hit = False
+                break
+        out.append(hit)
+    return out
+
+
+def bloom_probe_col(
+    df: DataFrame, col: str, bloom: np.ndarray, k: int = 4,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Distributed membership probe: adds boolean ``out_col`` = might-
+    be-present.  The base hash (xxhash64 of the value's string form)
+    runs JVM-side; the bitmap rides to executors closed over the Arrow
+    map (at cluster scale: an sc.broadcast) and the k bit tests are
+    vectorized numpy per batch — zero shuffle, zero false negatives."""
+    n_bits = len(bloom) * 64
+
+    def probe(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        kk, m, words = side
+        if len(pdf) == 0:
+            return pdf.assign(**{out_col: pd.Series([], dtype=bool)})
+        base = pdf["__bf_base"].to_numpy(dtype=np.int64).view(np.uint64)
+        pos = _mix_rows(base, kk, m)
+        hit = np.ones(len(pdf), dtype=bool)
+        for row in range(kk):
+            p = pos[row]
+            bits = (
+                words[(p >> np.uint64(6)).astype(np.int64)]
+                >> (p & np.uint64(63))
+            ) & np.uint64(1)
+            hit &= bits.astype(bool)
+        return pdf.assign(**{out_col: hit})
+
+    hashed = df.withColumn(
+        "__bf_base", F.xxhash64(F.col(col).cast("string"))
+    )
+    # fresh StructType: StructType.add mutates in place, and hashed's
+    # cached Python-side schema must keep matching its JVM plan
+    schema = StructType(list(hashed.schema.fields)).add(out_col, "boolean")
+    return stream(
+        hashed, probe, schema, side_input=(k, n_bits, bloom.copy())
+    ).drop("__bf_base")
 
 
 def countmin_estimate(sketch: np.ndarray, values: list) -> list[int]:

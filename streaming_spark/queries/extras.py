@@ -866,3 +866,40 @@ def q_sketch_countmin(spark, sf_dir):
     )
     pdf["overshoot"] = pdf["estimate_n"] - pdf["exact_n"]
     return spark.createDataFrame(pdf)
+
+
+@query("q_sketch_bloom")  # rows-only: bloom bits are engine-internal;
+# the no-false-negative and FP-bound contracts are asserted in
+# tests/test_operators.py::test_bloom_no_false_negatives_and_fp_bound
+def q_sketch_bloom(spark, sf_dir):
+    """Bloom membership sketch vs exact membership, surfaced as a query
+    (operators/sketch.py `bloom_build`): the filter is built over every
+    distinct customer name in one narrow bitwise-OR pass, then probed
+    with those same names (must ALL hit — no false negatives, witnessed
+    in-row by n_false_neg = 0) and with an equal-sized set of synthetic
+    absent names (each hit there is a false positive; the observed rate
+    rides along).  At 100 TB this is the broadcastable membership gate
+    in front of any expensive corpus lookup — fixed memory, one-sided
+    error."""
+    import pandas as pd
+
+    from streaming_spark.operators.sketch import bloom_build, bloom_contains
+
+    cust = T(spark, sf_dir, "customer").select(F.col("c_name").alias("v")).distinct()
+    bloom = bloom_build(cust, "v", n_bits=1 << 16, k=4)
+    present = sorted(r["v"] for r in cust.collect())
+    absent = [f"no-such-customer#{i:06d}" for i in range(len(present))]
+    hits_p = bloom_contains(bloom, present, k=4)
+    hits_a = bloom_contains(bloom, absent, k=4)
+    n_false_neg = sum(1 for h in hits_p if not h)
+    n_false_pos = sum(1 for h in hits_a if h)
+    pdf = pd.DataFrame(
+        {
+            "n_indexed": [len(present)],
+            "n_probed_present": [len(present)],
+            "n_false_neg": [n_false_neg],
+            "n_probed_absent": [len(absent)],
+            "n_false_pos": [n_false_pos],
+        }
+    )
+    return spark.createDataFrame(pdf)

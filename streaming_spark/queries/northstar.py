@@ -790,6 +790,73 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_bloom_ingest",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 350),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 350),
+    batch_min AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
+    SELECT b.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> m.first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b
+    LEFT JOIN corpus c USING (h)
+    JOIN batch_min m USING (h)
+    """,
+)
+def dedup_bloom_ingest(spark, sf_dir):
+    """Bloom-GATED incremental-ingest dedup: same classification truth
+    as `dedup_incremental`, but the corpus side is consulted through a
+    fixed-size membership sketch instead of a digest join.  The corpus
+    digests fold into a bitmap ONCE (one narrow pass, bitwise-OR merge,
+    operators/sketch.py `bloom_build`); the ingest batch probes it
+    locally (`bloom_probe_col` — broadcast bitmap, vectorized k-bit
+    tests, zero shuffle); only the bloom HITS are verified exactly
+    against the corpus digest set, so bloom false positives are removed
+    and the result is EXACT — the sketch changes the cost, never the
+    answer (no false negatives, so a miss is definitely new).
+
+    Scale shape: at 100 TB the corpus digest index is billions of rows;
+    a 2^30-bit bloom (128 MB) summarizes it into an executor-broadcast
+    constant, so a typical ingest batch — mostly new content — resolves
+    almost entirely WITHOUT touching the corpus at all.  The exact
+    verify join is sized by the true-dup rate + epsilon, not the batch.
+    Reference analog: the host DB's digest-index probe before re-ingest
+    (BASELINE.md store/scan round-trip)."""
+    from streaming_spark.operators.sketch import bloom_build, bloom_probe_col
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") < 350)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    bloom = bloom_build(corpus, "h", n_bits=1 << 16, k=4)
+    batch = docs.filter(F.col("doc_id") >= 350).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    probed = bloom_probe_col(batch, "h", bloom, k=4)
+    hits = probed.filter(F.col("bloom_hit")).select("h").distinct()
+    verified = corpus.join(F.broadcast(hits), "h").withColumn(
+        "in_corpus", F.lit(True)
+    )
+    batch_min = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        probed.join(F.broadcast(verified), "h", "left")
+        .join(batch_min, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
+
+
 @query("ann_tradeoff_curve")  # rows-only: IVF cells are engine-internal;
 # the monotone recall-vs-probes contract is asserted in
 # tests/test_operators.py::test_ann_tradeoff_monotone

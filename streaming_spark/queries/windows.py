@@ -2130,6 +2130,83 @@ def q_streaming_countmin(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+@query("q_streaming_bloom_index")  # rows-only: bloom bits depend on
+# engine-internal hashing; the bit-identity-to-batch and
+# no-false-negative contracts are returned IN-ROW
+def q_streaming_bloom_index(spark, sf_dir):
+    """Incrementally-maintained Bloom membership index: each micro-batch
+    builds its OWN bitmap over the user ids it saw (one narrow Arrow
+    pass) and lands the packed words in a batch-keyed parquet sink;
+    reading the sink and OR-ing the words IS the merged filter — Bloom
+    is a bitwise-OR monoid, so the streamed union is BIT-IDENTICAL to
+    the batch-built filter over the whole corpus, asserted in-row
+    (n_word_mismatch must be 0) next to the no-false-negative witness
+    (every ingested user id must probe present, n_false_neg must be 0).
+
+    This is the ingest-time membership gate kept CURRENT: sink growth is
+    O(n_bits/64) per batch regardless of event volume, a retried batch
+    replaces its own partition (idempotent dynamic overwrite), and any
+    consumer — e.g. `dedup_bloom_ingest`'s prefilter — reads one OR of
+    the partials instead of rescanning history (same spine as
+    q_streaming_countmin)."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_spark.operators.sketch import bloom_build, bloom_contains
+    from streaming_spark.streaming import read_events_stream
+
+    n_bits, k = 1 << 16, 4
+    sink_dir = scratch_dir("bloomsink") + "/t"
+    ev_stream = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+
+    def land_bloom(batch_df, batch_id):
+        words = bloom_build(batch_df, "user_id", n_bits=n_bits, k=k)
+        (
+            spark.createDataFrame(
+                [(words.view(np.int64).tolist(),)], "words ARRAY<BIGINT>"
+            )
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        ev_stream.writeStream.foreachBatch(land_bloom)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_bloom_index did not finish within 300s")
+
+    merged = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in spark.read.parquet(sink_dir).collect():
+        merged |= np.array(r["words"], dtype=np.int64).view(np.uint64)
+
+    ev = events_table(spark, sf_dir)
+    batch_words = bloom_build(ev, "user_id", n_bits=n_bits, k=k)
+    n_word_mismatch = int((merged != batch_words).sum())
+
+    users = sorted(
+        r["user_id"] for r in ev.select("user_id").distinct().collect()
+    )
+    hits = bloom_contains(merged, users, k=k)
+    pdf = pd.DataFrame(
+        {
+            "n_users": [len(users)],
+            "n_false_neg": [sum(1 for h in hits if not h)],
+            "n_word_mismatch": [n_word_mismatch],
+            "n_bits_set": [int(sum(bin(int(w)).count("1") for w in merged))],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
 @query("q_streaming_hll_distinct")  # rows-only: sketch registers are
 # engine-internal; the streamed-union == single-pass estimate identity
 # and the error floor are pinned in tests/test_streaming.py::

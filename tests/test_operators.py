@@ -981,6 +981,118 @@ def test_python_xxh64_matches_spark(spark):
     assert [h & ((1 << 64) - 1) for h in jvm] == py
 
 
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Bloom contract: every indexed value probes present (one-sided
+    error — NEVER a false negative), and the observed false-positive
+    rate on definitely-absent probes stays within 3x the analytic
+    (1 - e^{-kn/m})^k bound.  Also runs the registered accounting query
+    end-to-end and asserts its in-row witness."""
+    import math
+
+    from streaming_spark.operators.sketch import bloom_build, bloom_contains
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    vals = [f"key-{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v STRING")
+    n_bits, k = 1 << 16, 4
+    bloom = bloom_build(df, "v", n_bits=n_bits, k=k)
+    assert all(bloom_contains(bloom, vals, k=k))  # no false negatives
+    absent = [f"absent-{i}" for i in range(20000)]
+    fp = sum(bloom_contains(bloom, absent, k=k)) / len(absent)
+    bound = (1 - math.exp(-k * len(vals) / n_bits)) ** k
+    assert fp <= 3 * bound + 1e-4, f"fp {fp} vs analytic {bound}"
+
+    row = REGISTRY["q_sketch_bloom"](spark, SF_SMOKE).collect()[0]
+    assert row.n_false_neg == 0
+    assert row.n_false_pos <= row.n_probed_absent  # sanity; rate observable
+
+
+def test_bloom_linear_merge_and_distributed_probe(spark):
+    """Bitwise-OR linearity: the filter built over the whole corpus is
+    bit-identical to the OR of filters built over disjoint halves (the
+    property the streaming twin relies on).  And the distributed probe
+    column (`bloom_probe_col`) agrees with the driver-side
+    `bloom_contains` on every row — same base hash, same mix."""
+    import numpy as np
+
+    from streaming_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_probe_col,
+    )
+
+    vals = [f"item-{i}" for i in range(1000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id BIGINT, v STRING"
+    )
+    whole = bloom_build(df, "v")
+    lo = bloom_build(df.filter("id < 500"), "v")
+    hi = bloom_build(df.filter("id >= 500"), "v")
+    assert (whole == (lo | hi)).all()
+
+    probes = df.select("id", "v").unionByName(
+        spark.createDataFrame(
+            [(10_000 + i, f"nope-{i}") for i in range(1000)],
+            "id BIGINT, v STRING",
+        )
+    )
+    got = {
+        r.id: r.bloom_hit
+        for r in bloom_probe_col(probes, "v", whole).collect()
+    }
+    rows = sorted(probes.collect(), key=lambda r: r.id)
+    want = bloom_contains(whole, [r.v for r in rows])
+    assert [got[r.id] for r in rows] == want
+    assert all(got[i] for i in range(1000))  # indexed side all present
+
+
+def test_dedup_bloom_ingest_gate_consistency(spark):
+    """The bloom prefilter in dedup_bloom_ingest must never hide a true
+    corpus dup: every batch digest that exists in the corpus slice has
+    bloom_hit True (checked by recomputing the gate), and the query's
+    classification equals dedup_incremental-style exact logic."""
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.sketch import bloom_build, bloom_probe_col
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    docs = T(spark, SF_SMOKE, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") < 350)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    bloom = bloom_build(corpus, "h")
+    batch = docs.filter(F.col("doc_id") >= 350).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    probed = bloom_probe_col(batch, "h", bloom)
+    missed_dups = (
+        probed.filter(~F.col("bloom_hit")).join(corpus, "h").count()
+    )
+    assert missed_dups == 0  # no false negatives at the gate
+
+    got = {
+        r.doc_id: r.status
+        for r in REGISTRY["dedup_bloom_ingest"](spark, SF_SMOKE).collect()
+    }
+    # exact reference classification
+    in_corpus = {r.h for r in corpus.collect()}
+    batch_rows = sorted(batch.collect(), key=lambda r: r.doc_id)
+    first = {}
+    for r in batch_rows:
+        first.setdefault(r.h, r.doc_id)
+    for r in batch_rows:
+        want = (
+            "dup_of_corpus"
+            if r.h in in_corpus
+            else ("dup_in_batch" if first[r.h] != r.doc_id else "new")
+        )
+        assert got[r.doc_id] == want
+
+
 def test_fuzzy_join_cross_relation(spark):
     """Cross-relation fuzzy join finds exactly the Levenshtein-<=1
     (dirty, master) links on hand-checked strings — including a dirty
