@@ -301,6 +301,107 @@ def normalize_text_col(text: str | Column) -> Column:
     )
 
 
+def break_into_lines(text: str | Column, words_per_line: int = 10) -> Column:
+    """Deterministic line derivation for line-granular rules on the
+    single-line fixture docs: normalize whitespace, then insert a
+    newline after every ``words_per_line`` words — one codegen'd
+    regexp_replace, reproducible verbatim in DuckDB (the oracles use
+    the same pattern), so line-level operators stay oracle-checkable.
+    On a real crawl corpus the text already carries newlines and this
+    derivation is skipped — the downstream operators only see a
+    ``line`` column."""
+    c = F.col(text) if isinstance(text, str) else text
+    flat = F.regexp_replace(F.trim(c), r"\s+", " ")
+    pat = r"((\S+ ){%d}\S+) " % (words_per_line - 1)
+    return F.regexp_replace(flat, pat, "$1\n")
+
+
+def derive_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """(id, line_no, line) — one row per derived line, 1-based position.
+    posexplode keeps the within-doc order explicit so downstream
+    keep-first policies are deterministic."""
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.split(break_into_lines(text_col, words_per_line), "\n")
+            ).alias("pos0", "line"),
+        )
+        .select(
+            id_col,
+            (F.col("pos0") + 1).cast("bigint").alias("line_no"),
+            "line",
+        )
+    )
+
+
+def c4_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    words_per_line: int = 10,
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = False,
+) -> DataFrame:
+    """C4 cleaning-rule metrics (Raffel et al. 2020 §2.2 — the rule set
+    behind the C4/mC4 corpora): per doc the derived line count, lines
+    shorter than ``min_line_words`` words, lines mentioning
+    'javascript', lines ending in terminal punctuation, the count of
+    KEPT lines (long enough, no 'javascript', and — when
+    ``require_terminal_punct`` — punctuation-terminated), plus the
+    page-level 'lorem ipsum' and '{' flags and the conjunction
+    ``passes`` (>= ``min_lines`` kept lines, no bad substrings).
+    ``require_terminal_punct`` defaults off because the fixture corpus
+    has no punctuation at all (the flag's count column keeps the rule
+    observable); real-crawl profiles turn it on — it's the paper's
+    first rule.
+
+    Everything is length arithmetic and cheap per-element HOF lambdas
+    over the derived line array — codegen'd, zero shuffle, one narrow
+    pass (the same cost shape as gopher_quality)."""
+    c = F.col(text_col)
+    ls = F.split(break_into_lines(c, words_per_line), "\n")
+
+    def wc(x):  # lines are single-spaced by construction
+        return F.length(x) - F.length(F.replace(x, F.lit(" "), F.lit(""))) + 1
+
+    def is_term(x):
+        return x.rlike(r'[.!?"]$')
+
+    def is_js(x):
+        return F.contains(F.lower(x), F.lit("javascript"))
+
+    def keep(x):
+        k = (wc(x) >= min_line_words) & ~is_js(x)
+        return k & is_term(x) if require_terminal_punct else k
+
+    flat = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    has_lorem = F.contains(flat, F.lit("lorem ipsum"))
+    has_brace = F.contains(c, F.lit("{"))
+    n_kept = F.size(F.filter(ls, keep))
+    ok_min_lines = n_kept >= min_lines
+    return df.filter(F.length(F.trim(c)) > 0).select(
+        "doc_id",
+        F.size(ls).cast("bigint").alias("n_lines"),
+        F.size(F.filter(ls, lambda x: wc(x) < min_line_words))
+        .cast("bigint")
+        .alias("n_short_lines"),
+        F.size(F.filter(ls, is_js)).cast("bigint").alias("n_js_lines"),
+        F.size(F.filter(ls, is_term)).cast("bigint").alias("n_term_lines"),
+        n_kept.cast("bigint").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ok_min_lines.alias("ok_min_lines"),
+        (ok_min_lines & ~has_lorem & ~has_brace).alias("passes"),
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

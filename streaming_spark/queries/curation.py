@@ -1911,3 +1911,258 @@ def pipeline_gopher_filter(spark, sf_dir):
         .filter(F.col("passes"))
         .select("doc_id", "n_words", "n_stop")
     )
+
+
+# DuckDB twin of operators.text.break_into_lines(words_per_line=10):
+# same whitespace normalization, same break-insertion regex, same split —
+# so line-granular queries stay oracle-checked end to end.
+_C4_LINES_SQL = """
+      SELECT doc_id,
+             string_split(
+               regexp_replace(
+                 regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                 '((\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g'),
+               chr(10)) AS ls,
+             text
+      FROM documents WHERE length(trim(text)) > 0
+"""
+
+
+@query(
+    "text_c4_rules",
+    oracle="""
+    WITH t AS ("""
+    + _C4_LINES_SQL
+    + """)
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls, x ->
+                (length(x) - length(replace(x, ' ', '')) + 1) < 5))
+             AS BIGINT) AS n_short_lines,
+           CAST(len(list_filter(ls, x ->
+                contains(lower(x), 'javascript'))) AS BIGINT) AS n_js_lines,
+           CAST(len(list_filter(ls, x ->
+                regexp_matches(x, '[.!?"]$'))) AS BIGINT) AS n_term_lines,
+           CAST(len(list_filter(ls, x ->
+                (length(x) - length(replace(x, ' ', '')) + 1) >= 5
+                AND NOT contains(lower(x), 'javascript')))
+             AS BIGINT) AS n_kept_lines,
+           contains(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                    'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace,
+           (len(list_filter(ls, x ->
+                (length(x) - length(replace(x, ' ', '')) + 1) >= 5
+                AND NOT contains(lower(x), 'javascript'))) >= 3)
+             AS ok_min_lines,
+           ((len(list_filter(ls, x ->
+                 (length(x) - length(replace(x, ' ', '')) + 1) >= 5
+                 AND NOT contains(lower(x), 'javascript'))) >= 3)
+            AND NOT contains(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS passes
+    FROM t
+    """,
+)
+def text_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over derived lines:
+    per-doc line counts (total / too-short / 'javascript' / terminal-
+    punctuation), kept-line count, page-level 'lorem ipsum' and '{'
+    flags, and the conjunction — the OTHER canonical crawl-cleaning
+    rule set next to Gopher's (text_gopher_quality), at line rather
+    than document granularity.  The fixture is single-line prose
+    without punctuation, so lines are derived deterministically
+    (break_into_lines — 10-word lines, identical expression in the
+    oracle) and the terminal-punct rule stays observable-but-off, the
+    same calibration posture as the Gopher stopword rule.
+
+    Scale: length arithmetic + cheap HOF lambdas over the line array —
+    codegen'd, zero shuffle, one narrow pass."""
+    from streaming_spark.operators.text import c4_quality
+
+    return c4_quality(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_line_dedup",
+    oracle="""
+    WITH t AS ("""
+    + _C4_LINES_SQL
+    + """),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS line_no
+      FROM t),
+    r AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_no) AS rk
+      FROM lines)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(
+             string_agg(line, chr(10) ORDER BY line_no)
+               FILTER (WHERE rk = 1), '')) AS cleaned_hash
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """Cross-document LINE dedup (the CCNet/RefinedWeb paragraph-hash
+    pass, Wenzek et al. 2020): every derived line is keyed by its
+    digest; the first occurrence corpus-wide (min doc_id, then line
+    position) keeps the line, later occurrences are cut from their
+    documents.  Returns per-doc line accounting plus the md5 of the
+    CLEANED text, which the oracle recomputes — so the surgery itself
+    is verified byte-for-byte, like q_dup_span_removal one granularity
+    up.  Non-vacuous on the fixture: ~9% of derived lines are
+    cross-doc duplicates at sf0.01.
+
+    Scale shape: the only wide stage is one shuffle of 16-byte line
+    digests for the keep-first window (CCNet shards exactly this way);
+    reassembly is a per-doc groupBy — line text never leaves its doc
+    row except as the digest."""
+    from pyspark.sql import Window
+
+    from streaming_spark.operators.text import derive_lines
+
+    docs = T(spark, sf_dir, "documents")
+    lines = derive_lines(docs, "text").withColumn("h", F.md5("line"))
+    w = Window.partitionBy("h").orderBy("doc_id", "line_no")
+    flagged = lines.withColumn("rk", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rk") == 1, F.struct("line_no", "line")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("rk") > 1).cast("bigint")).alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            )
+        ).alias("cleaned_hash"),
+    )
+
+
+_RECIPE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@query(
+    "pipeline_data_recipe",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(list_sum(list_transform(
+                    string_split_regex(trim(text), '\\s+'),
+                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+               AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')
+        AND length(trim(text)) > 0),
+    w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    tot AS (SELECT source, sum(n_tokens) AS t_d FROM t GROUP BY source),
+    g AS (SELECT CAST(sum(t_d) AS DOUBLE) AS g_tot FROM tot),
+    plan AS (
+      SELECT source, CAST(t_d AS DOUBLE) AS t_d,
+             2.0 * g_tot * wt AS r_d,
+             CAST(ceil(2.0 * g_tot * wt / CAST(t_d AS DOUBLE)) AS BIGINT)
+               AS e_d
+      FROM tot JOIN w USING (source) CROSS JOIN g),
+    full_epochs AS (
+      SELECT doc_id, t.source, n_tokens,
+             unnest(generate_series(1, e_d - 1)) AS epoch
+      FROM t JOIN plan ON t.source = plan.source),
+    last_epoch AS (
+      SELECT doc_id, source, n_tokens, e_d AS epoch
+      FROM (
+        SELECT doc_id, t.source, n_tokens, e_d,
+               sum(n_tokens) OVER (PARTITION BY t.source ORDER BY ord)
+                 AS cum,
+               r_d - (e_d - 1) * t_d AS rem
+        FROM t JOIN plan ON t.source = plan.source)
+      WHERE CAST(cum - n_tokens AS DOUBLE) < rem)
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens
+    FROM full_epochs
+    UNION ALL
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens
+    FROM last_epoch
+    """,
+)
+def pipeline_data_recipe(spark, sf_dir):
+    """Composed pipeline #11 — data-RECIPE materialization: given
+    target mixture weights over domains (50/30/20 across three fixture
+    sources) and a total token budget (2x the chosen slice, computed
+    FROM the data so the recipe scales with sf), emit the epoch plan a
+    pretraining loader consumes: every domain is repeated whole for
+    floor(required/available) epochs (upsampling — the
+    Llama/GPT-3-style 'epochs over Wikipedia' knob) and the final
+    partial epoch is trimmed to the remaining budget in deterministic
+    md5 order.  Output rows are (doc_id, source, epoch, n_tokens) —
+    the training-order manifest, fully oracle-checked including the
+    trim boundary.
+
+    Scale: per-domain totals are one partial-agg'd shuffle; the repeat
+    is explode(sequence(1, epochs-1)) — output-sized, no join
+    amplification beyond the budget itself; the trim is one cumulative
+    window per domain in digest order.  The domain plan (3 rows) rides
+    as a broadcast join."""
+    from streaming_spark.operators.text import bpe_ish_token_count
+
+    docs = T(spark, sf_dir, "documents")
+    t = (
+        docs.filter(F.col("source").isin(*_RECIPE_WEIGHTS))
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            bpe_ish_token_count("text").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        )
+    )
+    w = spark.createDataFrame(
+        list(_RECIPE_WEIGHTS.items()), "source STRING, wt DOUBLE"
+    )
+    tot = t.groupBy("source").agg(F.sum("n_tokens").alias("t_d"))
+    g = tot.agg(F.sum("t_d").cast("double").alias("g_tot"))
+    plan = (
+        tot.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("t_d").cast("double").alias("t_d"),
+            (F.lit(2.0) * F.col("g_tot") * F.col("wt")).alias("r_d"),
+            F.ceil(
+                F.lit(2.0) * F.col("g_tot") * F.col("wt")
+                / F.col("t_d").cast("double")
+            )
+            .cast("bigint")
+            .alias("e_d"),
+        )
+    )
+    joined = t.join(F.broadcast(plan), "source")
+    full_epochs = joined.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("e_d") - 1)).alias(
+            "epoch"
+        ),
+    )
+    from pyspark.sql import Window
+
+    cum_w = Window.partitionBy("source").orderBy("ord")
+    last_epoch = (
+        joined.withColumn("cum", F.sum("n_tokens").over(cum_w))
+        .withColumn("rem", F.col("r_d") - (F.col("e_d") - 1) * F.col("t_d"))
+        .filter((F.col("cum") - F.col("n_tokens")).cast("double") < F.col("rem"))
+        .select("doc_id", "source", "n_tokens", F.col("e_d").alias("epoch"))
+    )
+    return full_epochs.unionByName(last_epoch).select(
+        "doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"),
+        "n_tokens",
+    )

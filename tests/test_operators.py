@@ -1093,6 +1093,150 @@ def test_dedup_bloom_ingest_gate_consistency(spark):
         assert got[r.doc_id] == want
 
 
+def test_c4_quality_planted(spark):
+    """C4 rules on hand-built docs where every rule fires: short lines
+    dropped, javascript lines dropped, terminal punctuation counted,
+    lorem-ipsum and brace pages flagged, min-kept-lines conjunction."""
+    from streaming_spark.operators.text import c4_quality
+
+    good_line = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([good_line] * 3)),  # 3 clean 10-word lines
+            (2, " ".join([good_line] * 2 + ["tiny line"])),  # short tail
+            (3, " ".join([good_line, "uses javascript heavily " * 3,
+                          good_line])),
+            (4, " ".join([good_line] * 3) + " lorem ipsum dolor"),
+            (5, " ".join([good_line] * 3).replace("kappa", "kappa{x}")),
+            (6, "one two three four five six seven eight nine ten."),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    m = {r.doc_id: r for r in c4_quality(docs).collect()}
+    assert m[1].passes and m[1].n_kept_lines == 3 and m[1].n_short_lines == 0
+    assert not m[2].passes and m[2].n_kept_lines == 2  # tail line < 5 words
+    assert m[3].n_js_lines >= 1 and m[3].n_kept_lines < m[3].n_lines
+    assert m[4].has_lorem and not m[4].passes
+    assert m[5].has_brace and not m[5].passes
+    assert m[6].n_term_lines == 1  # ends with '.'
+    # terminal-punct profile: doc 6's one line survives only there
+    strict = {
+        r.doc_id: r
+        for r in c4_quality(docs, require_terminal_punct=True).collect()
+    }
+    assert strict[1].n_kept_lines == 0  # no punctuation anywhere
+    assert strict[6].n_kept_lines == 1
+
+
+def test_line_dedup_surgery(spark):
+    """Keep-first line dedup on planted cross-doc duplicates: the
+    earlier doc keeps the shared line, the later doc loses exactly it,
+    and the cleaned-text hash matches a hand-built expectation."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from streaming_spark.operators.text import derive_lines
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq1 = "one two three four five six seven eight nine ten"
+    uniq2 = "red blue green cyan pink gray black white gold teal"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} {uniq1}"), (2, f"{uniq2} {shared}")],
+        "doc_id BIGINT, text STRING",
+    )
+    lines = derive_lines(docs, "text").withColumn("h", F.md5("line"))
+    w = Window.partitionBy("h").orderBy("doc_id", "line_no")
+    flagged = lines.withColumn("rk", F.row_number().over(w))
+    out = {
+        r.doc_id: r
+        for r in flagged.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("rk") > 1).cast("bigint")).alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rk") == 1,
+                                    F.struct("line_no", "line"),
+                                )
+                            )
+                        ),
+                        lambda x: x["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("cleaned_hash"),
+        )
+        .collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 1  # the shared line, doc 1 got there first
+    want1 = hashlib.md5(f"{shared}\n{uniq1}".encode()).hexdigest()
+    want2 = hashlib.md5(uniq2.encode()).hexdigest()
+    assert out[1].cleaned_hash == want1
+    assert out[2].cleaned_hash == want2
+
+
+def test_data_recipe_contracts(spark):
+    """Recipe invariants: every non-final epoch contains the WHOLE
+    domain (upsampling repeats full passes); materialized per-domain
+    tokens hit the weighted budget within one document's tokens (the
+    trim boundary); epochs start at 1; rerun is row-identical."""
+    from collections import defaultdict
+
+    from streaming_spark.queries.curation import _RECIPE_WEIGHTS
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["pipeline_data_recipe"](spark, SF_SMOKE).collect()
+    assert rows == REGISTRY["pipeline_data_recipe"](spark, SF_SMOKE).collect()
+
+    docs_per_src = defaultdict(set)
+    toks_per_src_epoch = defaultdict(lambda: defaultdict(int))
+    doc_tokens = {}
+    for r in rows:
+        assert r.epoch >= 1
+        docs_per_src[r.source].add(r.doc_id)
+        toks_per_src_epoch[r.source][r.epoch] += r.n_tokens
+        doc_tokens[r.doc_id] = r.n_tokens
+
+    per_src_total = {
+        s: sum(toks_per_src_epoch[s].values()) for s in toks_per_src_epoch
+    }
+    docs = (
+        T(spark, SF_SMOKE, "documents")
+        .filter(F.col("source").isin(*_RECIPE_WEIGHTS))
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    n_docs = {r.source: r["count"] for r in docs}
+    from streaming_spark.operators.text import bpe_ish_token_count
+
+    tok = (
+        T(spark, SF_SMOKE, "documents")
+        .filter(F.col("source").isin(*_RECIPE_WEIGHTS))
+        .select("source", bpe_ish_token_count("text").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    )
+    avail = {r.source: r.t for r in tok}
+    budget = 2.0 * sum(avail.values())
+    max_doc = max(doc_tokens.values())
+    for s, wt in _RECIPE_WEIGHTS.items():
+        want = budget * wt
+        got = per_src_total[s]
+        assert abs(got - want) <= max_doc, (s, got, want)
+        epochs = toks_per_src_epoch[s]
+        last = max(epochs)
+        for e in range(1, last):  # full passes carry the whole domain
+            assert epochs[e] == avail[s], (s, e)
+        assert len(docs_per_src[s]) <= n_docs[s]
+
+
 def test_fuzzy_join_cross_relation(spark):
     """Cross-relation fuzzy join finds exactly the Levenshtein-<=1
     (dirty, master) links on hand-checked strings — including a dirty
