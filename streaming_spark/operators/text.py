@@ -402,6 +402,54 @@ def c4_quality(
     )
 
 
+def line_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """Cross-document keep-first line dedup (CCNet/RefinedWeb paragraph
+    pass): per doc returns ``n_lines``, ``n_removed``, and
+    ``cleaned_hash`` = md5 of the doc with later-occurrence duplicate
+    lines cut.  The line TEXT never shuffles: pass 1 explodes
+    (id, line_no, md5(line)) triples and windows over the 16-byte
+    digests; the dup-sized removal set broadcasts back; pass 2 rebuilds
+    the cleaned text narrowly with a positional filter.  See
+    q_line_dedup for the oracle-checked registration."""
+    from pyspark.sql import Window
+
+    docs = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    ls = F.split(break_into_lines(text_col, words_per_line), "\n")
+    digests = docs.select(
+        id_col, F.posexplode(ls).alias("pos0", "line")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("line_no"),
+        F.md5("line").alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "line_no")
+    removals = (
+        digests.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("line_no").alias("removed"),
+            F.count(F.lit(1)).alias("n_rm"),
+        )
+    )
+    removed = F.coalesce(F.col("removed"), F.array().cast("array<bigint>"))
+    kept = F.filter(
+        ls,
+        lambda x, i: ~F.array_contains(removed, (i + 1).cast("bigint")),
+    )
+    return docs.join(F.broadcast(removals), id_col, "left").select(
+        id_col,
+        F.size(ls).cast("bigint").alias("n_lines"),
+        F.coalesce(F.col("n_rm"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.md5(F.array_join(kept, "\n")).alias("cleaned_hash"),
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -2018,34 +2018,19 @@ def q_line_dedup(spark, sf_dir):
     up.  Non-vacuous on the fixture: ~9% of derived lines are
     cross-doc duplicates at sf0.01.
 
-    Scale shape: the only wide stage is one shuffle of 16-byte line
-    digests for the keep-first window (CCNet shards exactly this way);
-    reassembly is a per-doc groupBy — line text never leaves its doc
-    row except as the digest."""
-    from pyspark.sql import Window
+    Scale shape: the LINE TEXT NEVER SHUFFLES.  Pass 1 explodes
+    (doc_id, line_no, digest) triples — the only wide stage is one
+    shuffle of those 16-byte digests for the keep-first window (CCNet
+    shards exactly this way); the removal set that comes back is
+    dup-sized (doc_id, positions) and rides as a broadcast; pass 2
+    rebuilds the cleaned text per doc row with a positional filter —
+    narrow, codegen'd.  (If the dup rate ever makes removals
+    un-broadcastable, the fallback is one doc-keyed shuffle of the
+    removal set — still never the text; plan pinned in
+    tests/test_plans.py::test_line_dedup_text_never_shuffles.)"""
+    from streaming_spark.operators.text import line_dedup_clean
 
-    from streaming_spark.operators.text import derive_lines
-
-    docs = T(spark, sf_dir, "documents")
-    lines = derive_lines(docs, "text").withColumn("h", F.md5("line"))
-    w = Window.partitionBy("h").orderBy("doc_id", "line_no")
-    flagged = lines.withColumn("rk", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rk") == 1, F.struct("line_no", "line")
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum((F.col("rk") > 1).cast("bigint")).alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda x: x["line"],
-                ),
-                "\n",
-            )
-        ).alias("cleaned_hash"),
-    )
+    return line_dedup_clean(T(spark, sf_dir, "documents"), "text")
 
 
 _RECIPE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}

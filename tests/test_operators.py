@@ -1134,8 +1134,7 @@ def test_line_dedup_surgery(spark):
     and the cleaned-text hash matches a hand-built expectation."""
     import hashlib
 
-    from pyspark.sql import Window
-    from streaming_spark.operators.text import derive_lines
+    from streaming_spark.operators.text import line_dedup_clean
 
     shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     uniq1 = "one two three four five six seven eight nine ten"
@@ -1144,33 +1143,7 @@ def test_line_dedup_surgery(spark):
         [(1, f"{shared} {uniq1}"), (2, f"{uniq2} {shared}")],
         "doc_id BIGINT, text STRING",
     )
-    lines = derive_lines(docs, "text").withColumn("h", F.md5("line"))
-    w = Window.partitionBy("h").orderBy("doc_id", "line_no")
-    flagged = lines.withColumn("rk", F.row_number().over(w))
-    out = {
-        r.doc_id: r
-        for r in flagged.groupBy("doc_id")
-        .agg(
-            F.sum((F.col("rk") > 1).cast("bigint")).alias("n_removed"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("rk") == 1,
-                                    F.struct("line_no", "line"),
-                                )
-                            )
-                        ),
-                        lambda x: x["line"],
-                    ),
-                    "\n",
-                )
-            ).alias("cleaned_hash"),
-        )
-        .collect()
-    }
+    out = {r.doc_id: r for r in line_dedup_clean(docs, "text").collect()}
     assert out[1].n_removed == 0
     assert out[2].n_removed == 1  # the shared line, doc 1 got there first
     want1 = hashlib.md5(f"{shared}\n{uniq1}".encode()).hexdigest()

@@ -423,6 +423,70 @@ def test_cluster_samplers_plan_no_window(spark):
         assert "Window" not in plan, name
 
 
+def test_line_dedup_text_never_shuffles(spark):
+    """q_line_dedup's core scale claim: the only exchanges carry
+    16-byte digests (the keep-first window) and the dup-sized removal
+    aggregate — never a `text` or `line` string column; the removal
+    set comes back as a broadcast and the cleaned text is rebuilt in a
+    narrow per-doc pass."""
+    import re
+
+    df = REGISTRY["q_line_dedup"](spark, SF_SMOKE)
+    plan_str = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan_str  # removal set rides broadcast
+
+    for node in _walk_physical(df._jdf.queryExecution().sparkPlan()):
+        if "Exchange" not in node.nodeName():
+            continue
+        cols = node.output().mkString(", ")
+        assert not re.search(r"\btext#", cols), cols
+        assert not re.search(r"\bline#", cols), cols
+
+
+def test_c4_rules_is_single_narrow_pass(spark):
+    """text_c4_rules must plan zero exchanges and zero Python stages —
+    pure codegen'd length arithmetic over the derived line array."""
+    plan = plan_of(spark, "text_c4_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_data_recipe_plan_broadcasts_domain_plan(spark):
+    """pipeline_data_recipe: the 3-row domain plan (weights × totals ×
+    epochs) must ride as broadcast joins onto the doc slice — never a
+    sort-merge; the trim window must be keyed by source, not global."""
+    df = REGISTRY["pipeline_data_recipe"](spark, SF_SMOKE)
+    plan_str = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan_str
+    assert "SortMergeJoin" not in plan_str
+    for node in _walk_physical(df._jdf.queryExecution().sparkPlan()):
+        if node.nodeName() == "Window":
+            assert not node.partitionSpec().isEmpty()
+
+
+def test_bloom_ingest_verify_joins_broadcast(spark):
+    """dedup_bloom_ingest: after the local bloom probe, the exact
+    verify and first-wins joins must broadcast the small sides — the
+    corpus-sized relation never sort-merges against the batch."""
+    df = REGISTRY["dedup_bloom_ingest"](spark, SF_SMOKE)
+    plan_str = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan_str
+    assert "CartesianProduct" not in plan_str
+    assert "BroadcastNestedLoopJoin" not in plan_str
+
+
 def test_upsert_merge_plan_broadcast_anti(spark):
     """MERGE must plan a broadcast LEFT ANTI join (updates are the
     small side by construction) with the keys-only update scan pruned
