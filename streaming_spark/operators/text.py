@@ -402,41 +402,39 @@ def c4_quality(
     )
 
 
-def line_dedup_clean(
+def line_digests(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     words_per_line: int = 10,
 ) -> DataFrame:
-    """Cross-document keep-first line dedup (CCNet/RefinedWeb paragraph
-    pass): per doc returns ``n_lines``, ``n_removed``, and
-    ``cleaned_hash`` = md5 of the doc with later-occurrence duplicate
-    lines cut.  The line TEXT never shuffles: pass 1 explodes
-    (id, line_no, md5(line)) triples and windows over the 16-byte
-    digests; the dup-sized removal set broadcasts back; pass 2 rebuilds
-    the cleaned text narrowly with a positional filter.  See
-    q_line_dedup for the oracle-checked registration."""
-    from pyspark.sql import Window
-
+    """(id, line_no, h) — one 16-byte digest per derived line.  The
+    narrow first pass of the line-dedup family: the line text is
+    dropped before anything wide happens."""
     docs = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     ls = F.split(break_into_lines(text_col, words_per_line), "\n")
-    digests = docs.select(
+    return docs.select(
         id_col, F.posexplode(ls).alias("pos0", "line")
     ).select(
         id_col,
         (F.col("pos0") + 1).cast("bigint").alias("line_no"),
         F.md5("line").alias("h"),
     )
-    w = Window.partitionBy("h").orderBy(id_col, "line_no")
-    removals = (
-        digests.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") > 1)
-        .groupBy(id_col)
-        .agg(
-            F.collect_list("line_no").alias("removed"),
-            F.count(F.lit(1)).alias("n_rm"),
-        )
-    )
+
+
+def apply_line_removals(
+    df: DataFrame,
+    removals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """Rebuild cleaned text per doc from a removal set — ``removals``
+    is (id, removed ARRAY<BIGINT> of line positions, n_rm).  Narrow
+    codegen'd positional filter; the removal set (dup-sized) rides as
+    a broadcast, so the document text never shuffles."""
+    docs = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    ls = F.split(break_into_lines(text_col, words_per_line), "\n")
     removed = F.coalesce(F.col("removed"), F.array().cast("array<bigint>"))
     kept = F.filter(
         ls,
@@ -448,6 +446,38 @@ def line_dedup_clean(
         F.coalesce(F.col("n_rm"), F.lit(0)).cast("bigint").alias("n_removed"),
         F.md5(F.array_join(kept, "\n")).alias("cleaned_hash"),
     )
+
+
+def line_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """Cross-document keep-first line dedup (CCNet/RefinedWeb paragraph
+    pass): per doc returns ``n_lines``, ``n_removed``, and
+    ``cleaned_hash`` = md5 of the doc with later-occurrence duplicate
+    lines cut.  The line TEXT never shuffles: pass 1
+    (:func:`line_digests`) explodes (id, line_no, md5(line)) triples
+    and windows over the 16-byte digests; pass 2
+    (:func:`apply_line_removals`) rebuilds the cleaned text narrowly.
+    See q_line_dedup for the oracle-checked registration and
+    q_streaming_line_index for the incremental first-occurrence-index
+    twin."""
+    from pyspark.sql import Window
+
+    digests = line_digests(df, text_col, id_col, words_per_line)
+    w = Window.partitionBy("h").orderBy(id_col, "line_no")
+    removals = (
+        digests.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("line_no").alias("removed"),
+            F.count(F.lit(1)).alias("n_rm"),
+        )
+    )
+    return apply_line_removals(df, removals, text_col, id_col, words_per_line)
 
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -1982,9 +1982,10 @@ def text_c4_rules(spark, sf_dir):
     return c4_quality(T(spark, sf_dir, "documents"))
 
 
-@query(
-    "q_line_dedup",
-    oracle="""
+# shared by q_line_dedup and its streaming twin q_streaming_line_index
+# (windows.py) — both must equal the same keep-first surgery exactly.
+_LINE_DEDUP_ORACLE = (
+    """
     WITH t AS ("""
     + _C4_LINES_SQL
     + """),
@@ -2005,8 +2006,11 @@ def text_c4_rules(spark, sf_dir):
              string_agg(line, chr(10) ORDER BY line_no)
                FILTER (WHERE rk = 1), '')) AS cleaned_hash
     FROM r GROUP BY doc_id
-    """,
+    """
 )
+
+
+@query("q_line_dedup", oracle=_LINE_DEDUP_ORACLE)
 def q_line_dedup(spark, sf_dir):
     """Cross-document LINE dedup (the CCNet/RefinedWeb paragraph-hash
     pass, Wenzek et al. 2020): every derived line is keyed by its

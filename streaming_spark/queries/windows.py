@@ -2869,6 +2869,83 @@ def q_streaming_curate_corpus(spark, sf_dir):
 
 
 from streaming_spark.queries.curation import _DSIR_ORACLE as _DSIR_SQL
+from streaming_spark.queries.curation import _LINE_DEDUP_ORACLE
+
+
+@query("q_streaming_line_index", oracle=_LINE_DEDUP_ORACLE)
+def q_streaming_line_index(spark, sf_dir):
+    """Incrementally-maintained FIRST-OCCURRENCE line index — the
+    streaming twin of q_line_dedup, and a new merge shape in the twin
+    family: the carried state is an ARGMIN index (line digest → the
+    (doc_id, line_no) that owns it), and min is associative, so
+    per-batch minima landed in a batch-keyed sink fold to the global
+    first occurrence exactly.  Each micro-batch hashes its OWN
+    documents' lines once at ingest (text never re-scanned, the
+    dup-spans-twin property) and lands one owner candidate per distinct
+    digest it saw; reading the sink and taking the min per digest IS
+    the corpus-wide keep-first decision.  The cleaned-text surgery then
+    reruns q_line_dedup's narrow rebuild against that index — same
+    DuckDB oracle, row for row, byte-for-byte cleaned hashes.
+
+    Sink growth is one (16-byte digest, 16-byte owner) row per distinct
+    line per batch — sublinear in re-ingested duplicates; a retried
+    batch replaces its own partition (idempotent dynamic overwrite)."""
+    from streaming_spark.operators.text import (
+        apply_line_removals,
+        line_digests,
+    )
+
+    sink_dir = scratch_dir("lineidx") + "/t"
+    docs_schema = T(spark, sf_dir, "documents").schema
+    stream_docs = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_docs_stream_dir(sf_dir))
+    )
+
+    def land_owners(batch_df, batch_id):
+        (
+            line_digests(batch_df, "text", "doc_id")
+            .groupBy("h")
+            .agg(F.min(F.struct("doc_id", "line_no")).alias("own"))
+            .select("h", "own.doc_id", "own.line_no")
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(land_owners)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_streaming_line_index did not finish in 300s")
+
+    owners = (
+        spark.read.parquet(sink_dir)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("own"))
+    )
+    docs_static = T(spark, sf_dir, "documents")
+    digests = line_digests(docs_static, "text", "doc_id")
+    removals = (
+        digests.join(owners, "h")
+        .filter(
+            (F.col("doc_id") != F.col("own.doc_id"))
+            | (F.col("line_no") != F.col("own.line_no"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("line_no").alias("removed"),
+            F.count(F.lit(1)).alias("n_rm"),
+        )
+    )
+    return apply_line_removals(docs_static, removals, "text", "doc_id")
 
 
 @query("q_streaming_dsir_index", oracle=_DSIR_SQL)
