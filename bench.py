@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     # model-sized broadcast stats)
     "q_dsir_weights",         # DSIR hashed-feature importance weights
     "q_lm_perplexity",        # CCNet-style unigram-LM cross-entropy
+    "q_line_dedup",           # CCNet line dedup: digest-only shuffle +
+    #                           broadcast removals, text never shuffles
+    "dedup_bloom_ingest",     # bloom-gated ingest dedup: fixed-memory
+    #                           corpus probe, exact verify on hits only
 ]
 
 

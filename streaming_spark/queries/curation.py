@@ -1982,6 +1982,48 @@ def text_c4_rules(spark, sf_dir):
     return c4_quality(T(spark, sf_dir, "documents"))
 
 
+@query(
+    "pipeline_c4_filter",
+    oracle="""
+    WITH t AS ("""
+    + _C4_LINES_SQL
+    + """)
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls, x ->
+                (length(x) - length(replace(x, ' ', '')) + 1) >= 5
+                AND NOT contains(lower(x), 'javascript')))
+             AS BIGINT) AS n_kept_lines
+    FROM t
+    WHERE len(list_filter(ls, x ->
+            (length(x) - length(replace(x, ' ', '')) + 1) >= 5
+            AND NOT contains(lower(x), 'javascript'))) >= 3
+      AND NOT contains(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       'lorem ipsum')
+      AND NOT contains(text, '{')
+    """,
+)
+def pipeline_c4_filter(spark, sf_dir):
+    """Composed pipeline #12 — the C4 cleaning GATE: survivors of the
+    line-level rule set (>= 3 kept lines after the short-line and
+    javascript cuts, no lorem-ipsum, no brace) with their line
+    accounting — 425 of 500 fixture docs at sf0.01, the non-vacuous
+    crawl-side filter that feeds the same downstream dedup/packing as
+    pipeline_gopher_filter feeds from the document side.  The
+    terminal-punctuation rule stays off (fixture has no punctuation;
+    see text_c4_rules).
+
+    Scale: the filter fuses into the same zero-exchange narrow pass as
+    the metrics query."""
+    from streaming_spark.operators.text import c4_quality
+
+    return (
+        c4_quality(T(spark, sf_dir, "documents"))
+        .filter(F.col("passes"))
+        .select("doc_id", "n_lines", "n_kept_lines")
+    )
+
+
 # shared by q_line_dedup and its streaming twin q_streaming_line_index
 # (windows.py) — both must equal the same keep-first surgery exactly.
 _LINE_DEDUP_ORACLE = (
