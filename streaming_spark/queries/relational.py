@@ -399,6 +399,101 @@ def q_input_orc(spark, sf_dir):
 
 
 @query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_lang,
+           count(DISTINCT CASE WHEN doc_id >= 250 THEN lang END) AS n_langs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read: a corpus landed in two generations — v1
+    shards carry (doc_id, text), v2 shards added a ``lang`` column —
+    is read as ONE relation via mergeSchema; v1 rows surface the new
+    column as NULL instead of failing the scan (the additive-column
+    evolution every long-lived 100 TB corpus goes through).  The
+    accounting (total rows, rows carrying lang, distinct langs, total
+    chars) is oracle-checked against the original table with the same
+    doc_id<250 generation split.
+
+    Scale note: mergeSchema reconciles footers at planning time (one
+    footer read per file — cheap next to the scan); per-stripe reads
+    still prune columns, and files missing a column fill NULL without
+    touching data pages."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = scratch_dir("schevo")
+    docs.filter(F.col("doc_id") < 250).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=1"))
+    docs.filter(F.col("doc_id") >= 250).write.mode("overwrite").parquet(
+        os.path.join(base, "gen=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("lang").isNotNull().cast("bigint")).alias("n_with_lang"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
+@query(
+    "q_backfill_partition",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY day, event_type
+    """,
+)
+def q_backfill_partition(spark, sf_dir):
+    """Partition-scoped BACKFILL: a day-partitioned rollup sink is
+    first landed INCOMPLETE (one day's ingest failed — its rows are
+    absent), then repaired by recomputing ONLY the missing day and
+    dynamic-overwriting that single partition; the returned relation is
+    the final sink, which the oracle checks against a straight
+    full-table rollup — so the repair must reconstruct the day exactly
+    and must not have disturbed any other partition.
+
+    This is the lakehouse repair pattern at 100 TB: the backfill job
+    scans one day's slice (partition pruning on the source), writes one
+    directory, and every other partition's files are untouched —
+    exactly-once repair without a transaction log, the same
+    dynamic-overwrite spine as the streaming index sinks."""
+    from streaming_spark.queries.registry import events_table
+
+    missing_day = "2024-01-03"
+    ev = events_table(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    rollup = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    sink = os.path.join(scratch_dir("backfill"), "rollup")
+    # initial landing: the bad day never arrived
+    rollup.filter(F.col("day") != missing_day).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(sink)
+    # repair: recompute ONLY the missing day, overwrite only its dir
+    (
+        rollup.filter(F.col("day") == missing_day)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(sink)
+    )
+    return spark.read.parquet(sink).select(
+        "day", "event_type", "n_events", "n_users"
+    )
+
+
+@query(
     "q_upsert_merge",
     oracle="""
     WITH updates AS (

@@ -112,6 +112,79 @@ def q_session_window(spark, sf_dir):
 
 
 @query(
+    "q_session_transcripts",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marks)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           CAST(sum(length(event_type)) + count(*) - 1 AS BIGINT)
+             AS n_chars,
+           md5(string_agg(event_type, ' ' ORDER BY ts, event_id))
+             AS transcript_hash
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def q_session_transcripts(spark, sf_dir):
+    """Conversation-data assembly: sessionize each user's event stream
+    (10-minute inactivity gap, the q_session_window constant) and
+    render every session as an ORDERED transcript — the step that
+    turns interaction logs into chat-style training sequences.  Output
+    is per (user, session): event count, transcript length, and the
+    md5 of the space-joined event-type sequence in (ts, event_id)
+    order, which the oracle recomputes — so the assembly order itself
+    is verified byte-for-byte, not just the counts.  Gap comparison is
+    microsecond-exact on both sides (unix_micros / epoch_us; whole-
+    second truncation would misplace sub-second boundary events).
+
+    Scale: ONE keyed shuffle (user_id) serves both the gaps-and-islands
+    numbering and the per-session fold — the groupBy reuses the
+    window's partitioning; transcripts are collected per session only
+    (bounded by session length, not user history)."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = (
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) >= 600_000_000)
+    ).cast("bigint")
+    sessions = ev.withColumn(
+        "session_no",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.length("event_type")) + F.count(F.lit(1)) - 1)
+        .cast("bigint")
+        .alias("n_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                " ",
+            )
+        ).alias("transcript_hash"),
+    )
+
+
+@query(
     "q_dedup_events",
     oracle="""
     SELECT user_id, event_type, event_id AS first_event_id FROM (
