@@ -2024,6 +2024,72 @@ def pipeline_c4_filter(spark, sf_dir):
     )
 
 
+@query(
+    "q_contrastive_batch_assign",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.35),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach AS (
+      SELECT n AS node, n AS r FROM nodes
+      UNION
+      SELECT reach.node, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+    assigned AS (
+      SELECT e.vec_id, coalesce(c.rep, e.vec_id) AS component
+      FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id)
+    SELECT vec_id, component,
+           CAST(row_number() OVER (PARTITION BY component ORDER BY vec_id)
+             AS BIGINT) AS batch_no
+    FROM assigned
+    """,
+)
+def q_contrastive_batch_assign(spark, sf_dir):
+    """IN-BATCH-SAFE batch assignment for contrastive training: when a
+    batch's other members serve as implicit negatives (the InfoNCE
+    in-batch trick), two near-duplicate anchors sharing a batch poison
+    the loss — each is the other's false negative.  This query makes
+    that impossible BY CONSTRUCTION: near-dup components (connected
+    components over the exact cosine >= 0.35 pair graph — the same
+    oracle-checked primitive the positives leg uses) are numbered
+    within-component in vec_id order, and that rank IS the batch
+    number, so same-component vectors land in strictly different
+    batches while cross-component co-residents are below threshold by
+    definition.  Fully oracle-checked against a DuckDB recursive-CTE
+    closure + the same rank (the q_dup_span_components pattern on the
+    embedding graph).
+
+    Scale: pair generation is the exact broadcast path here (fixture
+    scale); at corpus scale swap in the LSH-blocked pair primitive —
+    the component/rank spine is unchanged.  Components cost O(diameter)
+    edge-keyed shuffles (near-dup graphs are shallow); the rank is one
+    keyed window over (component)."""
+    from streaming_spark.operators.dedup import connected_components
+    from streaming_spark.operators.similarity import cosine_pairs
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = cosine_pairs(emb, threshold=0.35, mode="broadcast")
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    assigned = (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy("vec_id")
+    return assigned.withColumn(
+        "batch_no", F.row_number().over(w).cast("bigint")
+    )
+
+
 # shared by q_line_dedup and its streaming twin q_streaming_line_index
 # (windows.py) — both must equal the same keep-first surgery exactly.
 _LINE_DEDUP_ORACLE = (

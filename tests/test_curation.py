@@ -361,6 +361,36 @@ def test_pipeline_contrastive_dataset_contract(spark):
     mean = lambda xs: sum(xs) / len(xs)
     assert mean(by_type["positive"]) > mean(by_type["hard_negative"])
     assert mean(by_type["hard_negative"]) > mean(by_type["random_negative"])
+    # the BY-CONSTRUCTION margin, asserted pointwise, not just on
+    # average: NO negative of either type may reach the positive
+    # threshold (a negative at/above it would be a false negative in
+    # training — the exact failure the broadcast-mode requirement and
+    # q_contrastive_batch_assign exist to prevent)
+    assert all(s < 0.35 for s in by_type["hard_negative"])
+    assert all(s < 0.35 for s in by_type["random_negative"])
+
+
+def test_contrastive_batch_assign_no_in_batch_dups(spark):
+    """Batch-assignment contract: no two vectors sharing a batch_no are
+    a near-dup pair (every cosine>=0.35 pair is split across batches),
+    every vector is assigned exactly once, and the build is
+    deterministic."""
+    from streaming_spark.operators.similarity import cosine_pairs
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_contrastive_batch_assign"](spark, SF_SMOKE).collect()
+    again = REGISTRY["q_contrastive_batch_assign"](spark, SF_SMOKE).collect()
+    key = lambda r: r.vec_id
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    batch = {r.vec_id: r.batch_no for r in rows}
+    emb = T(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    assert len(batch) == emb.count()  # total, exactly-once
+    pairs = cosine_pairs(emb, threshold=0.35, mode="broadcast").collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert batch[p.id_a] != batch[p.id_b], (p.id_a, p.id_b)
 
 
 def test_pipeline_contrastive_aligned_contract(spark):
