@@ -2024,6 +2024,75 @@ def pipeline_c4_filter(spark, sf_dir):
     )
 
 
+_ABLATION_FRACS = (0.125, 0.25, 0.5, 1.0)
+_ABLATION_THRESH = {
+    f: format(int(f * 0xFFFFFFFF), "08x") for f in _ABLATION_FRACS
+}
+_ABLATION_TOK_SQL = """CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE list_sum(list_transform(
+                    string_split_regex(trim(text), '\\s+'),
+                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) END"""
+
+
+@query(
+    "q_ablation_subsets",
+    oracle="""
+    WITH t AS (
+      SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS p,
+             CAST("""
+    + _ABLATION_TOK_SQL
+    + """ AS BIGINT) AS n_tokens
+      FROM documents)
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({f} AS DOUBLE) AS fraction,
+           CAST(sum(CASE WHEN p <= '{_ABLATION_THRESH[f]}' THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p <= '{_ABLATION_THRESH[f]}' THEN n_tokens
+                    ELSE 0 END) AS BIGINT) AS n_tokens
+    FROM t"""
+        for f in _ABLATION_FRACS
+    ),
+)
+def q_ablation_subsets(spark, sf_dir):
+    """Scaling-law ABLATION subsets: the nested corpus fractions
+    (12.5% ⊂ 25% ⊂ 50% ⊂ 100%) a scaling-suite trains on, carved by
+    the same md5-threshold rule as sample_uniform_hash — the hash
+    prefix is compared against each fraction's 32-bit threshold, so
+    the subsets are NESTED by construction (a doc under the 12.5%
+    threshold is under every larger one), deterministic across reruns
+    and cluster sizes, and need NO materialization: each training run
+    applies its fraction's filter at scan time.  Returns per-fraction
+    doc and token budgets — the table a scaling-law fit consumes.
+
+    Scale: ONE corpus scan computes all four memberships as
+    conditional aggregates (no per-fraction passes, no shuffle beyond
+    the final 4-row fold)."""
+    from streaming_spark.operators.text import bpe_ish_token_count
+
+    docs = T(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    tok = bpe_ish_token_count("text")
+    aggs = []
+    for i, f in enumerate(_ABLATION_FRACS):
+        cond = prefix <= _ABLATION_THRESH[f]
+        aggs.append(F.sum(cond.cast("bigint")).alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(cond, tok).otherwise(0)).cast("bigint").alias(f"t{i}")
+        )
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({f} AS DOUBLE), n{i}, t{i}"
+        for i, f in enumerate(_ABLATION_FRACS)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_ABLATION_FRACS)}, {stack_args}) "
+            "as (fraction, n_docs, n_tokens)"
+        )
+    )
+
+
 @query(
     "q_contrastive_batch_assign",
     oracle="""

@@ -370,6 +370,47 @@ def test_pipeline_contrastive_dataset_contract(spark):
     assert all(s < 0.35 for s in by_type["random_negative"])
 
 
+def test_ablation_subsets_nested(spark):
+    """Scaling-law subsets: membership recomputed independently in
+    Python (hashlib md5, same prefix-threshold rule) must match the
+    query's per-fraction doc counts, the member sets must be NESTED
+    (12.5% ⊆ 25% ⊆ 50% ⊆ 100%), and the largest fraction is the whole
+    corpus."""
+    import hashlib
+
+    from streaming_spark.queries.curation import (
+        _ABLATION_FRACS,
+        _ABLATION_THRESH,
+    )
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.fraction: r
+        for r in REGISTRY["q_ablation_subsets"](spark, SF_SMOKE).collect()
+    }
+    ids = [
+        r.doc_id
+        for r in T(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    ]
+    members = {
+        f: {
+            i
+            for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[:8]
+            <= _ABLATION_THRESH[f]
+        }
+        for f in _ABLATION_FRACS
+    }
+    for f in _ABLATION_FRACS:
+        assert rows[f].n_docs == len(members[f]), f
+    for lo, hi in zip(_ABLATION_FRACS, _ABLATION_FRACS[1:]):
+        assert members[lo] <= members[hi], (lo, hi)  # nesting
+    assert len(members[1.0]) == len(ids)
+    # fractions actually thin the corpus (not all thresholds vacuous)
+    assert rows[0.125].n_docs < rows[1.0].n_docs
+
+
 def test_contrastive_batch_assign_no_in_batch_dups(spark):
     """Batch-assignment contract: no two vectors sharing a batch_no are
     a near-dup pair (every cosine>=0.35 pair is split across batches),

@@ -225,3 +225,55 @@ def test_unigram_segmentation_properties(word_freqs):
         s = _sample_segmentation(word, pieces, ml, alpha=0.3, seed=11)
         assert "".join(s) == word
         assert all(p in pieces for p in s)
+
+
+# -- line-derivation property: Spark expression vs a pure-Python model --
+
+_line_words = st.lists(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+            blacklist_characters=" \t\n\r",
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=35,
+)
+_seps = st.lists(st.sampled_from([" ", "  ", " \t ", "   "]), min_size=34, max_size=34)
+
+
+@given(_line_words, _seps, st.integers(min_value=2, max_value=12))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_break_into_lines_matches_python_model(spark, words, seps, wpl):
+    """For ANY word sequence, ANY inter-word whitespace runs, and ANY
+    words_per_line: the derived lines (1) rejoin to the normalized
+    text, (2) all carry exactly words_per_line words except a shorter
+    final line, and (3) line numbering is contiguous from 1 — checked
+    against a pure-Python grouping model."""
+    from streaming_spark.operators.text import derive_lines
+
+    text = "".join(
+        w + (seps[i] if i < len(seps) else " ")
+        for i, w in enumerate(words)
+    ).rstrip()
+    df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    got = sorted(
+        ((r.line_no, r.line) for r in
+         derive_lines(df, "text", words_per_line=wpl).collect())
+    )
+    # python model: normalize whitespace, group into wpl-word lines
+    want = [
+        " ".join(words[i : i + wpl]) for i in range(0, len(words), wpl)
+    ]
+    assert [ln for _, ln in got] == want
+    assert [n for n, _ in got] == list(range(1, len(want) + 1))
+    assert " ".join(ln for _, ln in got) == " ".join(words)
+    for _, ln in got[:-1]:
+        assert len(ln.split(" ")) == wpl
+    assert len(got[-1][1].split(" ")) <= wpl
