@@ -2217,9 +2217,7 @@ def q_line_dedup(spark, sf_dir):
 _RECIPE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
-@query(
-    "pipeline_data_recipe",
-    oracle="""
+_RECIPE_ORACLE = """
     WITH t AS (
       SELECT doc_id, source,
              CAST(list_sum(list_transform(
@@ -2257,8 +2255,10 @@ _RECIPE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
     UNION ALL
     SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens
     FROM last_epoch
-    """,
-)
+"""
+
+
+@query("pipeline_data_recipe", oracle=_RECIPE_ORACLE)
 def pipeline_data_recipe(spark, sf_dir):
     """Composed pipeline #11 — data-RECIPE materialization: given
     target mixture weights over domains (50/30/20 across three fixture
@@ -2331,4 +2331,51 @@ def pipeline_data_recipe(spark, sf_dir):
     return full_epochs.unionByName(last_epoch).select(
         "doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"),
         "n_tokens",
+    )
+
+
+@query(
+    "pipeline_training_order",
+    oracle="""
+    WITH recipe AS ("""
+    + _RECIPE_ORACLE
+    + """)
+    SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(epoch AS VARCHAR))) AS BIGINT)
+             AS global_step,
+           doc_id, source, epoch, n_tokens
+    FROM recipe
+    """,
+)
+def pipeline_training_order(spark, sf_dir):
+    """Composed pipeline #13 — the SHUFFLED GLOBAL TRAINING ORDER: the
+    data-recipe manifest (pipeline_data_recipe's epoch plan) is given
+    one deterministic global step number in md5(doc_id:epoch) order —
+    the "shuffle once, read sequentially" layout every pretraining
+    loader wants (hash order interleaves domains and epochs without RNG
+    state, so the order is identical on every rerun and resumable from
+    any step).  Output: (global_step 1..N, doc_id, source, epoch,
+    n_tokens), oracle-checked row for row including the step numbers.
+
+    Scale: the global numbering is dense_index (operators/stream.py) —
+    range-partition + per-partition offsets, NEVER a single-task
+    row_number window; the only data-sized stage is the one range
+    exchange, and the manifest being numbered is budget-sized, not
+    corpus-sized."""
+    from streaming_spark.operators.stream import dense_index
+
+    recipe = pipeline_data_recipe(spark, sf_dir)
+    keyed = recipe.withColumn(
+        "ord",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ),
+    )
+    return dense_index(keyed, ["ord"], index_col="global_step").select(
+        "global_step", "doc_id", "source", "epoch", "n_tokens"
     )
