@@ -83,11 +83,21 @@ def main() -> int:
         seed = int(args[i + 1])
         del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    explicit = [a for a in args if "/" not in a]
     if sample_n is not None:
+        if explicit:
+            # refuse the ambiguous combination rather than silently
+            # dropping the named queries (code review r6)
+            print(
+                "error: --sample cannot be combined with explicit query "
+                f"names ({explicit}); run them separately",
+                file=sys.stderr,
+            )
+            return 2
         names = sample_names(sample_n, seed)
         print(f"sampled {len(names)} of {len(REGISTRY)} (seed={seed})")
     else:
-        names = [a for a in args if "/" not in a] or list(REGISTRY)
+        names = explicit or list(REGISTRY)
     failed = run(names, sf_dir)
     return 1 if failed else 0
 

@@ -1494,3 +1494,36 @@ def semdedup(
             F.coalesce("__drop", F.lit(False)).alias("dropped"),
         )
     )
+
+
+def decontamination_audit(
+    corpus: DataFrame, bench: DataFrame, threshold: float = 0.25
+) -> DataFrame:
+    """Exact embedding-space decontamination audit shared by
+    q_semantic_decontaminate and its ingest-time streaming twin — the
+    threshold, the -2.0 clean sentinel, and the 4-dp rounding live
+    ONCE, so the twin pair cannot drift (code review r6).  ``corpus``
+    is (vec_id, embedding); ``bench`` is the held-out (bench_id,
+    bench_emb) slice, BROADCAST because benchmarks are eval-sized; the
+    corpus streams through one broadcast pass and never shuffles."""
+    sim = _cosine_expr("embedding", "bench_emb")
+    hits = (
+        corpus.join(F.broadcast(bench))
+        .select("vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("sim").alias("max_sim"),
+        )
+    )
+    return (
+        corpus.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(F.coalesce("max_sim", F.lit(-2.0)), 4).alias("max_sim"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+    )

@@ -1556,6 +1556,49 @@ def pipeline_contrastive_aligned(spark, sf_dir):
 _DSIR_BUCKETS = 65536
 
 
+def dsir_scores(tf_index):
+    """Per-doc DSIR weights from the (doc_id, source, bucket, tf)
+    sufficient statistic — the ONE place the Laplace smoothing,
+    left-join coalesce, and 4-dp rounding live, shared by
+    q_dsir_weights (batch tokenize → tf) and q_streaming_dsir_index
+    (tf folded from the accumulated ingest sink); the twin pair stays
+    bit-identical because divergence is structurally impossible (code
+    review r6).  Both totals are bounded scalars; the ≤65536-row ratio
+    table broadcasts into the scoring join."""
+    n_r = tf_index.agg(F.sum("tf")).collect()[0][0]
+    n_t = (
+        tf_index.filter(F.col("source") == "src0")
+        .agg(F.sum("tf"))
+        .collect()[0][0]
+    )
+    tcnt = (
+        tf_index.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    rcnt = tf_index.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
+    lr = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+        / F.lit(float(n_t + _DSIR_BUCKETS))
+    ) - F.log((F.col("c_r") + 1.0) / F.lit(float(n_r + _DSIR_BUCKETS)))
+    ratio = rcnt.join(tcnt, "bucket", "left").select(
+        "bucket", lr.alias("lr")
+    )
+    return (
+        tf_index.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lr")), 4).alias(
+                "dsir_weight"
+            ),
+            F.round(
+                F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 4
+            ).alias("dsir_per_token"),
+        )
+    )
+
+
 _DSIR_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, substring(md5(t.tok), 1, 4) AS bucket
@@ -1617,37 +1660,10 @@ def q_dsir_weights(spark, sf_dir):
     ).select(
         "doc_id", "source", F.substring(F.md5("tok"), 1, 4).alias("bucket")
     )
-    n_r = toks.count()  # bounded scalar
-    n_t = toks.filter(F.col("source") == "src0").count()
-    tcnt = (
-        toks.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    rcnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
-    lr = F.log(
-        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
-        / F.lit(float(n_t + _DSIR_BUCKETS))
-    ) - F.log((F.col("c_r") + 1.0) / F.lit(float(n_r + _DSIR_BUCKETS)))
-    ratio = rcnt.join(tcnt, "bucket", "left").select(
-        "bucket", lr.alias("lr")
-    )
-    dtf = toks.groupBy("doc_id", "bucket").agg(
+    dtf = toks.groupBy("doc_id", "source", "bucket").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    return (
-        dtf.join(F.broadcast(ratio), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("tf") * F.col("lr")), 4).alias(
-                "dsir_weight"
-            ),
-            F.round(
-                F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 4
-            ).alias("dsir_per_token"),
-        )
-    )
+    return dsir_scores(dtf)
 
 
 @query(
@@ -1713,10 +1729,12 @@ def pipeline_dsir_resample(spark, sf_dir):
     )
 
 
-@query(
-    "q_lm_perplexity",
-    oracle="""
-    WITH toks AS (
+# Shared CE scoring CTEs (toks -> tgt -> stats -> per-token nll) — the
+# one definition both q_lm_perplexity and pipeline_perplexity_filter
+# compose, so the smoothing denominator and tokenization cannot drift
+# between the scorer and the filter built on it (code review r6).
+_LM_CE_CTES = """
+    toks AS (
       SELECT doc_id, t.tok
       FROM documents,
       LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
@@ -1729,15 +1747,23 @@ def pipeline_dsir_resample(spark, sf_dir):
     stats AS (
       SELECT (SELECT sum(c) FROM tgt) AS n,
              (SELECT count(*) FROM tgt) AS v),
-    scored AS (
+    nll AS (
       SELECT toks.doc_id,
              -ln((coalesce(tgt.c, 0) + 1.0)
                  / ((SELECT n FROM stats) + (SELECT v FROM stats) + 1.0))
                AS nll
-      FROM toks LEFT JOIN tgt USING (tok))
+      FROM toks LEFT JOIN tgt USING (tok))"""
+
+
+@query(
+    "q_lm_perplexity",
+    oracle="""
+    WITH"""
+    + _LM_CE_CTES
+    + """
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            round(avg(nll), 4) AS cross_entropy
-    FROM scored GROUP BY doc_id
+    FROM nll GROUP BY doc_id
     """,
 )
 def q_lm_perplexity(spark, sf_dir):
@@ -1784,27 +1810,13 @@ def q_lm_perplexity(spark, sf_dir):
 @query(
     "pipeline_perplexity_filter",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, t.tok
-      FROM documents,
-      LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
-      WHERE length(trim(text)) > 0),
-    tgt AS (
-      SELECT tok, count(*) AS c FROM toks
-      JOIN (SELECT doc_id FROM documents WHERE source = 'src0') s
-        USING (doc_id)
-      GROUP BY tok),
-    stats AS (
-      SELECT (SELECT sum(c) FROM tgt) AS n,
-             (SELECT count(*) FROM tgt) AS v),
+    WITH"""
+    + _LM_CE_CTES
+    + """,
     ce AS (
-      SELECT toks.doc_id,
-             round(avg(-ln((coalesce(tgt.c, 0) + 1.0)
-                 / ((SELECT n FROM stats) + (SELECT v FROM stats) + 1.0))),
-               4) AS cross_entropy
-      FROM toks LEFT JOIN tgt USING (tok)
-      GROUP BY toks.doc_id),
-    thr AS (SELECT avg(cross_entropy) AS mean_ce FROM ce)
+      SELECT doc_id, round(avg(nll), 4) AS cross_entropy
+      FROM nll GROUP BY doc_id),
+    thr AS (SELECT round(avg(cross_entropy), 6) AS mean_ce FROM ce)
     SELECT ce.doc_id, d.source, ce.cross_entropy
     FROM ce JOIN documents d ON d.doc_id = ce.doc_id
     WHERE ce.cross_entropy < (SELECT mean_ce FROM thr)
@@ -1823,8 +1835,14 @@ def pipeline_perplexity_filter(spark, sf_dir):
     threshold (broadcast into the filter) + a doc-keyed metadata join.
     Nothing new shuffles."""
     ce = q_lm_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    # the threshold is an AGGREGATE, so it gets the round-aggregates
+    # treatment (6 dp): the engines' unrounded means can differ in the
+    # last ulp (summation order), and a doc sitting between them would
+    # flip classification (code review r6)
     thr = float(
-        ce.agg(F.avg("cross_entropy").alias("m")).collect()[0]["m"]
+        ce.agg(F.round(F.avg("cross_entropy"), 6).alias("m")).collect()[0][
+            "m"
+        ]
     )
     docs = T(spark, sf_dir, "documents").select("doc_id", "source")
     return (
@@ -2258,6 +2276,77 @@ _RECIPE_ORACLE = """
 """
 
 
+def data_recipe_manifest(spark, docs, weights, budget_mult=2.0):
+    """The recipe engine behind pipeline_data_recipe, parameterized on
+    mixture ``weights`` and the budget multiple so tests can force the
+    e_d == 1 (no-full-epoch) path that fixed weights never reach on the
+    fixture."""
+    from streaming_spark.operators.text import bpe_ish_token_count
+
+    t = (
+        docs.filter(F.col("source").isin(*weights))
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            bpe_ish_token_count("text").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        )
+    )
+    w = spark.createDataFrame(
+        list(weights.items()), "source STRING, wt DOUBLE"
+    )
+    tot = t.groupBy("source").agg(F.sum("n_tokens").alias("t_d"))
+    g = tot.agg(F.sum("t_d").cast("double").alias("g_tot"))
+    mult = F.lit(float(budget_mult))
+    plan = (
+        tot.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("t_d").cast("double").alias("t_d"),
+            (mult * F.col("g_tot") * F.col("wt")).alias("r_d"),
+            F.ceil(
+                mult * F.col("g_tot") * F.col("wt")
+                / F.col("t_d").cast("double")
+            )
+            .cast("bigint")
+            .alias("e_d"),
+        )
+    )
+    joined = t.join(F.broadcast(plan), "source")
+    # Guard the single-epoch domain: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] rather than the empty sequence DuckDB's
+    # generate_series(1, 0) produces, which would fabricate a spurious
+    # full epoch plus an invalid epoch 0 whenever e_d == 1 (any domain
+    # whose token share is >= 2x its weight) — explode of the empty
+    # array drops the row instead, matching the oracle.
+    full_epochs = joined.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(
+            F.when(
+                F.col("e_d") > 1,
+                F.sequence(F.lit(1).cast("bigint"), F.col("e_d") - 1),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("epoch"),
+    )
+    from pyspark.sql import Window
+
+    cum_w = Window.partitionBy("source").orderBy("ord")
+    last_epoch = (
+        joined.withColumn("cum", F.sum("n_tokens").over(cum_w))
+        .withColumn("rem", F.col("r_d") - (F.col("e_d") - 1) * F.col("t_d"))
+        .filter((F.col("cum") - F.col("n_tokens")).cast("double") < F.col("rem"))
+        .select("doc_id", "source", "n_tokens", F.col("e_d").alias("epoch"))
+    )
+    return full_epochs.unionByName(last_epoch).select(
+        "doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"),
+        "n_tokens",
+    )
+
+
 @query("pipeline_data_recipe", oracle=_RECIPE_ORACLE)
 def pipeline_data_recipe(spark, sf_dir):
     """Composed pipeline #11 — data-RECIPE materialization: given
@@ -2277,60 +2366,8 @@ def pipeline_data_recipe(spark, sf_dir):
     amplification beyond the budget itself; the trim is one cumulative
     window per domain in digest order.  The domain plan (3 rows) rides
     as a broadcast join."""
-    from streaming_spark.operators.text import bpe_ish_token_count
-
-    docs = T(spark, sf_dir, "documents")
-    t = (
-        docs.filter(F.col("source").isin(*_RECIPE_WEIGHTS))
-        .filter(F.length(F.trim("text")) > 0)
-        .select(
-            "doc_id",
-            "source",
-            bpe_ish_token_count("text").alias("n_tokens"),
-            F.md5(F.col("doc_id").cast("string")).alias("ord"),
-        )
-    )
-    w = spark.createDataFrame(
-        list(_RECIPE_WEIGHTS.items()), "source STRING, wt DOUBLE"
-    )
-    tot = t.groupBy("source").agg(F.sum("n_tokens").alias("t_d"))
-    g = tot.agg(F.sum("t_d").cast("double").alias("g_tot"))
-    plan = (
-        tot.join(F.broadcast(w), "source")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "source",
-            F.col("t_d").cast("double").alias("t_d"),
-            (F.lit(2.0) * F.col("g_tot") * F.col("wt")).alias("r_d"),
-            F.ceil(
-                F.lit(2.0) * F.col("g_tot") * F.col("wt")
-                / F.col("t_d").cast("double")
-            )
-            .cast("bigint")
-            .alias("e_d"),
-        )
-    )
-    joined = t.join(F.broadcast(plan), "source")
-    full_epochs = joined.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("e_d") - 1)).alias(
-            "epoch"
-        ),
-    )
-    from pyspark.sql import Window
-
-    cum_w = Window.partitionBy("source").orderBy("ord")
-    last_epoch = (
-        joined.withColumn("cum", F.sum("n_tokens").over(cum_w))
-        .withColumn("rem", F.col("r_d") - (F.col("e_d") - 1) * F.col("t_d"))
-        .filter((F.col("cum") - F.col("n_tokens")).cast("double") < F.col("rem"))
-        .select("doc_id", "source", "n_tokens", F.col("e_d").alias("epoch"))
-    )
-    return full_epochs.unionByName(last_epoch).select(
-        "doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"),
-        "n_tokens",
+    return data_recipe_manifest(
+        spark, T(spark, sf_dir, "documents"), _RECIPE_WEIGHTS, 2.0
     )
 
 

@@ -3244,7 +3244,7 @@ def q_semantic_decontaminate(spark, sf_dir):
     and the benchmark side stays a broadcast, which is the right
     asymmetry for decontamination (benchmarks are small, corpora are
     not)."""
-    from streaming_spark.operators.similarity import _cosine_expr
+    from streaming_spark.operators.similarity import decontamination_audit
 
     emb = T(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -3252,27 +3252,7 @@ def q_semantic_decontaminate(spark, sf_dir):
         F.col("embedding").alias("bench_emb"),
     )
     corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    sim = _cosine_expr("embedding", "bench_emb")
-    hits = (
-        corpus.join(F.broadcast(bench))
-        .select("vec_id", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.25)
-        .groupBy("vec_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            F.max("sim").alias("max_sim"),
-        )
-    )
-    return (
-        corpus.select("vec_id")
-        .join(hits, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
-            F.round(F.coalesce("max_sim", F.lit(-2.0)), 4).alias("max_sim"),
-            F.col("n_hits").isNotNull().alias("contaminated"),
-        )
-    )
+    return decontamination_audit(corpus, bench, threshold=0.25)
 
 
 @query("q_semdedup")  # rows-only: cluster geometry is engine-internal

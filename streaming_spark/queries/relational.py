@@ -402,8 +402,8 @@ def q_input_orc(spark, sf_dir):
     "q_schema_evolution",
     oracle="""
     SELECT count(*) AS n_rows,
-           CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_with_lang,
+           CAST(sum(CASE WHEN doc_id >= 250 AND lang IS NOT NULL THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_with_lang,
            count(DISTINCT CASE WHEN doc_id >= 250 THEN lang END) AS n_langs,
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents

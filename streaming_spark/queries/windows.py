@@ -2638,13 +2638,28 @@ def q_streaming_entity_resolve(spark, sf_dir):
     master_index = fuzzy_index(
         cust_static, "c_name", "c_custkey", max_dist=1, persist=True
     )
-    sink_dir = scratch_dir("ersink") + "/t"
-    cust_schema = T(spark, sf_dir, "customer").schema
-    stream_cust = (
-        spark.readStream.schema(cust_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stage_docs_stream_dir(sf_dir, table_name="customer"))
-    )
+    # everything from here to stream completion runs under the
+    # unpersist finally: a failure in staging/sink setup/start must not
+    # leak the two cached frames (a leaked persist degrades every later
+    # query in the session 3-4x — CLAUDE.md quirk; code review r6)
+    try:
+        sink_dir = scratch_dir("ersink") + "/t"
+        cust_schema = T(spark, sf_dir, "customer").schema
+        stream_cust = (
+            spark.readStream.schema(cust_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_stage_docs_stream_dir(sf_dir, table_name="customer"))
+        )
+        return _run_entity_resolve_stream(
+            spark, stream_cust, master_index, sink_dir
+        )
+    finally:
+        for frame in master_index:
+            frame.unpersist()
+
+
+def _run_entity_resolve_stream(spark, stream_cust, master_index, sink_dir):
+    from streaming_spark.operators.fuzzy import fuzzy_join
 
     def resolve_batch(batch_df, batch_id):
         pos = (F.col("c_custkey") % 8 + 10).cast("int")
@@ -2687,15 +2702,11 @@ def q_streaming_entity_resolve(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q_streaming_entity_resolve did not finish within 300s"
-            )
-    finally:
-        for frame in master_index:
-            frame.unpersist()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_entity_resolve did not finish within 300s"
+        )
     return (
         spark.read.parquet(sink_dir)
         .select(
@@ -3075,41 +3086,15 @@ def q_streaming_dsir_index(spark, sf_dir):
         q.stop()
         raise TimeoutError("q_streaming_dsir_index did not finish in 300s")
 
-    from streaming_spark.queries.curation import _DSIR_BUCKETS
+    from streaming_spark.queries.curation import dsir_scores
 
     index = spark.read.parquet(sink_dir).select(
         "doc_id", "source", "bucket", "tf"
     )
-    n_r = index.agg(F.sum("tf")).collect()[0][0]
-    n_t = (
-        index.filter(F.col("source") == "src0").agg(F.sum("tf")).collect()[
-            0
-        ][0]
-    )
-    tcnt = (
-        index.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.sum("tf").alias("c_t"))
-    )
-    rcnt = index.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
-    lr = F.log(
-        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
-        / F.lit(float(n_t + _DSIR_BUCKETS))
-    ) - F.log((F.col("c_r") + 1.0) / F.lit(float(n_r + _DSIR_BUCKETS)))
-    ratio = rcnt.join(tcnt, "bucket", "left").select("bucket", lr.alias("lr"))
-    return (
-        index.join(F.broadcast(ratio), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("tf") * F.col("lr")), 4).alias(
-                "dsir_weight"
-            ),
-            F.round(
-                F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 4
-            ).alias("dsir_per_token"),
-        )
-    )
+    # the scoring fold is the SHARED dsir_scores helper — smoothing,
+    # coalesce, and rounding live once, so this twin cannot drift from
+    # the batch query it must equal row for row (code review r6)
+    return dsir_scores(index)
 
 
 from streaming_spark.queries.northstar import (  # noqa: E402
@@ -3128,8 +3113,6 @@ def q_streaming_semantic_decontaminate(spark, sf_dir):
     so the union over batches equals the batch query row for row —
     same oracle.  No carried state at all: the cheapest twin shape in
     the twin table (like q_streaming_decontaminate for n-grams)."""
-    from streaming_spark.operators.similarity import _cosine_expr
-
     emb_static = T(spark, sf_dir, "embeddings")
     bench = emb_static.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("bench_id"),
@@ -3142,33 +3125,17 @@ def q_streaming_semantic_decontaminate(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_docs_stream_dir(sf_dir, table_name="embeddings"))
     )
-    sim = _cosine_expr("embedding", "bench_emb")
-
     def probe_batch(batch_df, batch_id):
-        corpus = batch_df.filter(F.col("vec_id") % 50 != 0)
-        hits = (
-            corpus.join(F.broadcast(bench))
-            .select("vec_id", sim.alias("sim"))
-            .filter(F.col("sim") >= 0.25)
-            .groupBy("vec_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_hits"),
-                F.max("sim").alias("max_sim"),
-            )
+        # the audit expression is the SHARED decontamination_audit
+        # helper — threshold/sentinel/rounding live once, the twin
+        # cannot drift from the batch query (code review r6)
+        from streaming_spark.operators.similarity import (
+            decontamination_audit,
         )
+
+        corpus = batch_df.filter(F.col("vec_id") % 50 != 0)
         (
-            corpus.select("vec_id")
-            .join(hits, "vec_id", "left")
-            .select(
-                "vec_id",
-                F.coalesce("n_hits", F.lit(0).cast("long")).alias(
-                    "n_hits"
-                ),
-                F.round(F.coalesce("max_sim", F.lit(-2.0)), 4).alias(
-                    "max_sim"
-                ),
-                F.col("n_hits").isNotNull().alias("contaminated"),
-            )
+            decontamination_audit(corpus, bench, threshold=0.25)
             .withColumn("__batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

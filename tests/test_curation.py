@@ -411,6 +411,33 @@ def test_ablation_subsets_nested(spark):
     assert rows[0.125].n_docs < rows[1.0].n_docs
 
 
+def test_data_recipe_single_epoch_domain(spark):
+    """Regression (code review r6): a domain whose token share is >=
+    budget_mult x its weight gets e_d == 1 — no full epochs, only the
+    trimmed partial.  Spark's sequence(1, 0) yields DESCENDING [1, 0]
+    rather than empty, which used to fabricate a phantom full epoch
+    plus an invalid epoch 0 for exactly those domains."""
+    from streaming_spark.queries.curation import data_recipe_manifest
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    docs = T(spark, SF_SMOKE, "documents")
+    # src1/src2 hold ~1/3 of the slice's tokens each but are weighted
+    # at 5% -> required = 2 * 0.05 = 10% of total < their share -> e_d=1
+    rows = data_recipe_manifest(
+        spark, docs, {"src0": 0.9, "src1": 0.05, "src2": 0.05}, 2.0
+    ).collect()
+    assert rows, "manifest should not be empty"
+    assert all(r.epoch >= 1 for r in rows)
+    for s in ("src1", "src2"):
+        eps = {r.epoch for r in rows if r.source == s}
+        assert eps == {1}, (s, eps)  # only the trimmed partial epoch
+        # and the trim actually bit: not every doc of the domain appears
+        n_in = sum(1 for r in rows if r.source == s)
+        n_all = docs.filter(F.col("source") == s).count()
+        assert n_in < n_all, (s, n_in, n_all)
+
+
 def test_contrastive_batch_assign_no_in_batch_dups(spark):
     """Batch-assignment contract: no two vectors sharing a batch_no are
     a near-dup pair (every cosine>=0.35 pair is split across batches),

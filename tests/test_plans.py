@@ -370,17 +370,21 @@ def test_registry_has_no_unbounded_global_window(spark):
     )
 
 
-# The three admitted sites and why each is bounded:
+# The admitted sites and why each is bounded:
 # - layout_sorted_write: lag-over-per-FILE-stats (operators/curation.py
 #   layout_file_stats — one row per part file, <= n_files).
 # - q_unpack: running-sum over per-PARTITION counts (operators/stream.py
 #   dense_index — one row per shuffle partition, metadata-sized).
 # - q_user_activity_topk: row_number over a dominating limit(20)
 #   (queries/windows.py — TakeOrderedAndProject feeds the window).
+# - pipeline_training_order: the same dense_index per-partition-counts
+#   window as q_unpack, numbering the recipe manifest
+#   (queries/curation.py — one row per shuffle partition).
 KNOWN_BOUNDED_GLOBAL_WINDOWS = {
     "layout_sorted_write",
     "q_unpack",
     "q_user_activity_topk",
+    "pipeline_training_order",
 }
 
 
