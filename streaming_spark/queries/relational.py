@@ -398,6 +398,36 @@ def q_input_orc(spark, sf_dir):
     )
 
 
+_SHARED_SQL_TEXT = """
+    SELECT n.n_name AS nation, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+"""
+
+
+@query("q_sql_text_interface", oracle=_SHARED_SQL_TEXT)
+def q_sql_text_interface(spark, sf_dir):
+    """The SQL-TEXT host surface: the reference's users drive it from a
+    host query language (AFL strings composed around the stream
+    operator, SURVEY.md §2.3); this engine's host language is ANSI SQL
+    — and the demonstration is that the IDENTICAL query string runs
+    unmodified on both engines (spark.sql here, DuckDB in the oracle —
+    the oracle IS the query text, byte for byte).  Tables register as
+    temp views once per session; everything else in the registry is
+    reachable the same way.
+
+    Scale: the string compiles to the same Catalyst plan the DataFrame
+    API would build — broadcast dim joins, partial aggs, pushdown; the
+    text interface costs nothing at execution time."""
+    for name in ("orders", "customer", "nation"):
+        T(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SHARED_SQL_TEXT)
+
+
 @query(
     "q_schema_evolution",
     oracle="""

@@ -111,9 +111,8 @@ def q_session_window(spark, sf_dir):
     )
 
 
-@query(
-    "q_session_transcripts",
-    oracle="""
+# shared by q_session_transcripts and its streaming fragment-merge twin
+_SESSION_TRANSCRIPTS_ORACLE = """
     WITH marks AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -135,8 +134,10 @@ def q_session_window(spark, sf_dir):
            md5(string_agg(event_type, ' ' ORDER BY ts, event_id))
              AS transcript_hash
     FROM sessions GROUP BY user_id, session_no
-    """,
-)
+"""
+
+
+@query("q_session_transcripts", oracle=_SESSION_TRANSCRIPTS_ORACLE)
 def q_session_transcripts(spark, sf_dir):
     """Conversation-data assembly: sessionize each user's event stream
     (10-minute inactivity gap, the q_session_window constant) and
@@ -181,6 +182,127 @@ def q_session_transcripts(spark, sf_dir):
                 " ",
             )
         ).alias("transcript_hash"),
+    )
+
+
+@query("q_streaming_session_transcripts", oracle=_SESSION_TRANSCRIPTS_ORACLE)
+def q_streaming_session_transcripts(spark, sf_dir):
+    """Session-transcript assembly as CONTINUOUS INGEST — the
+    fragment-merge twin of q_session_transcripts, and a new carried-
+    state shape in the twin family: each micro-batch sessionizes ITS
+    OWN events into maximal batch-local session FRAGMENTS (start_us,
+    end_us, ordered transcript, n_events) and lands them in a
+    batch-keyed idempotent sink; fragments are a mergeable sufficient
+    statistic because the batch gap rule and the cross-batch gap rule
+    are the SAME rule at different granularity — two adjacent
+    fragments fuse iff next.start − prev.end < the 10-minute gap, so
+    re-running gaps-and-islands AT FRAGMENT LEVEL over the accumulated
+    sink reconstructs every session exactly, transcripts concatenated
+    in time order.  Same oracle as the batch query, byte-for-byte
+    transcript hashes.
+
+    Correctness precondition (same as q_streaming_rolling_mean): the
+    event stream is globally time-ordered across files, so one user's
+    later batch never contains earlier events — fragments per user are
+    time-disjoint and ordered by start_us.  Sink growth is O(sessions
+    touched per batch), and the merge pass reads fragments, never raw
+    events — at 100 TB the compaction job is session-sized."""
+    from streaming_spark.streaming import read_events_stream
+
+    sink_dir = scratch_dir("sessfrag") + "/t"
+    ev_stream = read_events_stream(
+        spark, _stage_stream_dir(sf_dir), max_files_per_trigger=1
+    )
+    gap_us = 600_000_000
+
+    def land_fragments(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros("ts")
+        new_s = (
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) >= gap_us)
+        ).cast("bigint")
+        frags = (
+            batch_df.withColumn(
+                "frag",
+                F.sum(new_s).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "frag")
+            .agg(
+                F.min(us).alias("start_us"),
+                F.max(us).alias("end_us"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    " ",
+                ).alias("transcript"),
+            )
+            .drop("frag")
+        )
+        (
+            frags.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        ev_stream.writeStream.foreachBatch(land_fragments)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q_streaming_session_transcripts did not finish in 300s"
+        )
+
+    frags = spark.read.parquet(sink_dir).select(
+        "user_id", "start_us", "end_us", "n_events", "transcript"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("start_us")
+    new_sess = (
+        F.lag("end_us").over(w2).isNull()
+        | (F.col("start_us") - F.lag("end_us").over(w2) >= gap_us)
+    ).cast("bigint")
+    merged = (
+        frags.withColumn(
+            "session_no",
+            F.sum(new_sess).over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("start_us", "transcript"))
+                    ),
+                    lambda x: x["transcript"],
+                ),
+                " ",
+            ).alias("transcript"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "n_events",
+        F.length("transcript").cast("bigint").alias("n_chars"),
+        F.md5("transcript").alias("transcript_hash"),
     )
 
 
