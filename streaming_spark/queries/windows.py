@@ -1616,13 +1616,13 @@ def q_streaming_ann_index(spark, sf_dir):
     stays on this fast path."""
 
     from streaming_spark.operators.similarity import (
-        ivf_centroids,
         ivfpq_encode,
         ivfpq_residual_codebooks,
     )
+    from streaming_spark.queries.northstar import _ivf_centroids_cached
 
     emb_static = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = ivf_centroids(emb_static, dim=64, n_cells=8)
+    cent = _ivf_centroids_cached(spark, sf_dir)
     books = ivfpq_residual_codebooks(emb_static, cent, dim=64, m=16, ksub=16)
 
     sink_dir = scratch_dir("annidx") + "/t"
