@@ -371,6 +371,46 @@ def q_input_jsonl(spark, sf_dir):
 
 
 @query(
+    "q_input_jsonl_gz",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+)
+def q_input_jsonl_gz(spark, sf_dir):
+    """GZIP-compressed JSONL shards — the de facto distribution format
+    for public pretraining corpora (one .jsonl.gz per shard).  The
+    corpus is written as multiple gzip shards and read back with a
+    declared schema; the oracle asserts the round-trip is byte-exact
+    in aggregate against the parquet originals.
+
+    Scale note, and why shard COUNT is the real knob: gzip is NOT
+    splittable — each .gz file is one task no matter its size, so a
+    100 TB corpus must arrive as many shards (the upstream reality:
+    crawls ship thousands of them) or be transcoded to a splittable
+    codec (zstd parquet) at ingest; this query demonstrates the
+    many-shards path, with parallelism = shard count."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = os.path.join(scratch_dir("jsonlgz"), "docs_jsonl_gz")
+    (
+        docs.repartition(8)  # 8 shards -> 8 read tasks
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    back = spark.read.schema("doc_id BIGINT, source STRING, text STRING").json(
+        out
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+@query(
     "q_input_orc",
     oracle="""
     SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
