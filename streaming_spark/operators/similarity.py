@@ -824,6 +824,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     rotation: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via the composed IVF-PQ index — the standard
     billion-scale ANN deployment: a coarse quantizer prunes the search
@@ -856,8 +857,12 @@ def ivfpq_topk(
         if centroids is not None
         else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
     )
-    books = ivfpq_residual_codebooks(
-        vectors, cent, dim, m, ksub, vec_col=vec_col, rotation=rotation
+    books = (
+        codebooks
+        if codebooks is not None
+        else ivfpq_residual_codebooks(
+            vectors, cent, dim, m, ksub, vec_col=vec_col, rotation=rotation
+        )
     )
     enc = ivfpq_encode(vectors, cent, books, vec_col=vec_col, rotation=rotation)
 

@@ -1054,6 +1054,7 @@ def ann_topk_ivfpq(spark, sf_dir):
     return ivfpq_topk(
         emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
         rerank=128, centroids=_ivf_centroids_cached(spark, sf_dir),
+        codebooks=_ivfpq_books_cached(spark, sf_dir),
     )
 
 
@@ -1070,6 +1071,7 @@ def ann_recall_ivfpq(spark, sf_dir):
         ivfpq_topk(
             emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
             rerank=128, centroids=_ivf_centroids_cached(spark, sf_dir),
+            codebooks=_ivfpq_books_cached(spark, sf_dir),
         )
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
@@ -1090,6 +1092,26 @@ _BPE_CACHE: dict = {}
 
 
 _IVF_CENT_CACHE: dict = {}
+_IVFPQ_BOOKS_CACHE: dict = {}
+
+
+def _ivfpq_books_cached(spark, sf_dir, dim=64, n_cells=8, m=16, ksub=16):
+    """Memoized residual PQ codebooks for the default IVF-PQ
+    configuration — same determinism argument as the coarse quantizer
+    below (bounded md5-ordered sample, fixed seed), so the cache can
+    only change wall time, never results."""
+    from streaming_spark.operators.similarity import (
+        ivfpq_residual_codebooks,
+    )
+
+    key = (sf_dir, dim, n_cells, m, ksub)
+    if key not in _IVFPQ_BOOKS_CACHE:
+        emb = T(spark, sf_dir, "embeddings")
+        cent = _ivf_centroids_cached(spark, sf_dir, dim, n_cells)
+        _IVFPQ_BOOKS_CACHE[key] = ivfpq_residual_codebooks(
+            emb, cent, dim, m, ksub
+        )
+    return _IVFPQ_BOOKS_CACHE[key]
 
 
 def _ivf_centroids_cached(spark, sf_dir, dim=64, n_cells=8):
