@@ -981,6 +981,33 @@ def test_python_xxh64_matches_spark(spark):
     assert [h & ((1 << 64) - 1) for h in jvm] == py
 
 
+def test_ann_quantizer_cache_bit_identity(spark):
+    """The session memos for the IVF coarse quantizer and residual PQ
+    codebooks claim results are bit-identical with or without the
+    cache (training is a deterministic pure function of the table).
+    Prove it: the registered cached query equals a from-scratch
+    ivfpq_topk with no precomputed arrays, row for row."""
+    from streaming_spark.operators.similarity import ivfpq_topk
+    from streaming_spark.queries.registry import REGISTRY, T
+    from tests.conftest import SF_SMOKE
+
+    cached = sorted(
+        map(tuple, REGISTRY["ann_topk_ivfpq"](spark, SF_SMOKE).collect())
+    )
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    fresh = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16,
+                ksub=16, rerank=128,
+            ).collect(),
+        )
+    )
+    assert cached == fresh
+
+
 def test_bloom_no_false_negatives_and_fp_bound(spark):
     """Bloom contract: every indexed value probes present (one-sided
     error — NEVER a false negative), and the observed false-positive
