@@ -50,6 +50,89 @@ def pack_sequences(spark, sf_dir):
 
 
 @query(
+    "pack_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens, ord,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord) AS cum
+      FROM t),
+    p AS (
+      SELECT doc_id, source, n_tokens, ord,
+             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_no,
+             cum - n_tokens AS cum_before
+      FROM c),
+    o AS (
+      SELECT doc_id, source, n_tokens, ord, pack_no,
+             cum_before - min(cum_before) OVER (
+               PARTITION BY source, pack_no) AS tok_offset
+      FROM p)
+    SELECT source, pack_no,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           array_to_string(list(doc_id ORDER BY ord), ',') AS doc_ids,
+           array_to_string(list(tok_offset ORDER BY ord), ',') AS offsets
+    FROM o GROUP BY source, pack_no
+    """,
+)
+def pack_manifest(spark, sf_dir):
+    """The PACK MANIFEST — what the training loader actually consumes
+    one level below pack_sequences' per-doc assignment: per (source,
+    pack), the ordered document list and each document's starting
+    TOKEN OFFSET inside the concatenated window (exclusive running
+    sum, pack-relative), plus doc/token totals.  Offsets come from
+    window arithmetic (cum-before-doc minus the pack's minimum), not a
+    per-pack fold, and the ordered lists are verified byte-for-byte by
+    the oracle — so the exact concatenation layout is pinned, not just
+    the membership.
+
+    Scale: pack_sequences' one keyed shuffle + a second window over
+    the SAME partitioning (no new exchange) + a per-pack fold whose
+    group size is bounded by max_tokens."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    packed = curation.pack_sequences(docs, max_tokens=512).select(
+        "doc_id", "source", "n_tokens", "pack_no"
+    )
+    order = F.md5(F.col("doc_id").cast("string"))
+    w_src = Window.partitionBy("source").orderBy(order)
+    w_pack = Window.partitionBy("source", "pack_no")
+    with_off = (
+        packed.withColumn("ord", order)
+        .withColumn(
+            "cum_before",
+            F.sum("n_tokens").over(w_src) - F.col("n_tokens"),
+        )
+        .withColumn(
+            "offset",
+            F.col("cum_before") - F.min("cum_before").over(w_pack),
+        )
+    )
+    return with_off.groupBy("source", "pack_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "doc_id"))),
+                lambda x: x["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("doc_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "offset"))),
+                lambda x: x["offset"].cast("string"),
+            ),
+            ",",
+        ).alias("offsets"),
+    )
+
+
+@query(
     "pack_stats",
     oracle=f"""
     WITH t AS (
