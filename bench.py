@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     #                           broadcast removals, text never shuffles
     "dedup_bloom_ingest",     # bloom-gated ingest dedup: fixed-memory
     #                           corpus probe, exact verify on hits only
+    # round-7 additions: the recall-1 scale paths that replaced the two
+    # all-pairs legs (VERDICT r6 #1)
+    "dedup_embedding_cosine_blocked",  # blocked-exact IVF-cell pairs
+    #                           (triangle-inequality cell pruning)
+    "q_mutual_nn_pairs",      # bound-pruned exact top-1 + reciprocity
 ]
 
 

@@ -341,10 +341,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_id: str = "vec_id",
+    with_sim: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells —
     narrow Arrow-batch map against broadcast centroids, no shuffle.
-    ``nprobe=1`` for indexing; queries probe several cells."""
+    ``nprobe=1`` for indexing; queries probe several cells.
+
+    ``with_sim=True`` adds the cosine to the assigned centroid
+    (``cent_sim``) — the per-cell minimum of that column is the cell's
+    angular radius, the quantity the blocked-exact pair primitive's
+    triangle-inequality pruning needs (``_cell_pair_allowlist``)."""
 
     def assign(pdf: pd.DataFrame, side) -> pd.DataFrame:
         cent = side
@@ -355,17 +361,21 @@ def ivf_assign(
         p = min(nprobe, cent.shape[0])
         top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
         ids = pdf[id_col].to_numpy()
-        return pd.DataFrame(
-            {
-                out_id: np.repeat(ids, p),
-                "cell": top.reshape(-1).astype(np.int32),
-            }
-        )
+        out = {
+            out_id: np.repeat(ids, p),
+            "cell": top.reshape(-1).astype(np.int32),
+        }
+        if with_sim:
+            out["cent_sim"] = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        return pd.DataFrame(out)
 
+    schema = f"{out_id} BIGINT, cell INT"
+    if with_sim:
+        schema += ", cent_sim DOUBLE"
     return stream(
         df.select(id_col, vec_col),
         assign,
-        f"{out_id} BIGINT, cell INT",
+        schema,
         side_input=centroids,
     )
 
@@ -409,6 +419,132 @@ def ivf_topk(
     return _topk_on_candidates(cand, queries, vectors, k, vec_col)
 
 
+def exact_nn_topk(
+    vectors: DataFrame,
+    k: int = 1,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT self top-k (each vector's true k nearest others, cosine)
+    WITHOUT the all-pairs crossJoin — the recall-1 neighbor generator
+    the mutual-NN reciprocity test needs (an ANN candidate list cannot
+    guarantee the true top-1, so routing reciprocity over it would
+    silently change the answer; this keeps the oracle exact).
+
+    Adaptive two-pass IVF search over the same coarse quantizer the
+    ANN stack trains, with per-QUERY triangle-inequality cell pruning:
+
+    - Pass A probes each vector's OWN cell only and takes the k-th best
+      candidate cosine ``s_q`` found there (−2 sentinel when the cell
+      holds fewer than k others) — a cheap LOWER bound on the true k-th
+      best.
+    - Pass B re-maps each vector against the broadcast (centroids,
+      radii): any y in cell c satisfies ``cos(q, y) <= cos(max(0,
+      angle(q, c_c) - alpha_c))``; only cells whose bound reaches
+      ``s_q − 1e-9`` can hold a top-k member (the slack keeps
+      boundary-exact ties in play), so only those cells' members become
+      candidates.  The own cell always survives (its bound is 1), so
+      candidates ⊇ pass A and the final window argmax over pass-B
+      candidates is the TRUE top-k — same deterministic (sim DESC, id)
+      tie-break both passes.
+
+    Shuffle volume is O(probed-cell members), driver state is
+    O(n_cells) metadata; on a uniform corpus pruning degrades toward
+    probing every cell — exactness never depends on the data.  Output:
+    (query_id, neighbor_id, sim, rank), sim UNROUNDED float64 so a
+    downstream reciprocity join breaks ties identically to an oracle."""
+    dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    )
+    cent = ivf_centroids(base, dim, n_cells, id_col="vec_id", vec_col="__vec")
+    assigned = ivf_assign(
+        base, cent, id_col="vec_id", vec_col="__vec", with_sim=True
+    )
+    radii = {
+        r["cell"]: r["r"]
+        for r in assigned.groupBy("cell")
+        .agg(F.min("cent_sim").alias("r"))
+        .collect()
+    }
+    alpha = np.full(cent.shape[0], np.pi, dtype=np.float64)
+    for c, r in radii.items():
+        alpha[c] = np.arccos(np.clip(r, -1.0, 1.0))
+
+    # pass A: own-cell candidates → per-query lower bound s_q
+    qa = assigned.select(F.col("vec_id").alias("qa"), "cell")
+    cand_a = (
+        qa.join(assigned.select("vec_id", "cell"), "cell")
+        .filter(F.col("qa") != F.col("vec_id"))
+        .select("qa", "vec_id")
+    )
+    scored_a = _verify_pairs(
+        cand_a.select(F.col("qa").alias("id_a"), F.col("vec_id").alias("id_b")),
+        base,
+        -2.0,
+    ).select(F.col("id_a").alias("qa"), F.col("id_b").alias("vec_id"), "cos_sim")
+    wa = Window.partitionBy("qa").orderBy(F.col("cos_sim").desc(), "vec_id")
+    s_q = (
+        scored_a.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= k)
+        .groupBy("qa")
+        .agg(F.min("cos_sim").alias("s"), F.count("*").alias("n"))
+        .select(
+            "qa",
+            F.when(F.col("n") >= k, F.col("s")).otherwise(F.lit(-2.0)).alias("s"),
+        )
+    )
+    bounds = base.join(
+        s_q, base["vec_id"] == s_q["qa"], "left"
+    ).select(
+        base["vec_id"].alias("qa"),
+        "__vec",
+        F.coalesce("s", F.lit(-2.0)).alias("s"),
+    )
+
+    # pass B: per-query adaptive probe list from the exact bound
+    def probe(pdf: pd.DataFrame, side) -> pd.DataFrame:
+        cent_m, alpha_v = side
+        if len(pdf) == 0:
+            return None
+        mat = _norm_rows(_matrix(pdf["__vec"]))
+        theta = np.arccos(np.clip(mat @ cent_m.T, -1.0, 1.0))
+        bound = np.cos(np.maximum(0.0, theta - alpha_v[None, :]))
+        qs = pdf["s"].to_numpy(dtype=np.float64)
+        ri, ci = np.where(bound >= qs[:, None] - 1e-9)
+        return pd.DataFrame(
+            {
+                "qa": pdf["qa"].to_numpy()[ri],
+                "cell": ci.astype(np.int32),
+            }
+        )
+
+    probes = stream(
+        bounds, probe, "qa BIGINT, cell INT", side_input=(cent, alpha)
+    )
+    cand_b = (
+        probes.join(assigned.select("vec_id", "cell"), "cell")
+        .filter(F.col("qa") != F.col("vec_id"))
+        .select("qa", "vec_id")
+    )
+    scored = _verify_pairs(
+        cand_b.select(F.col("qa").alias("id_a"), F.col("vec_id").alias("id_b")),
+        base,
+        -2.0,
+    ).select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        F.col("cos_sim").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float = 0.4,
@@ -419,32 +555,51 @@ def cosine_pairs(
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    n_cells: int = 16,
 ) -> DataFrame:
     """All unordered pairs with cosine similarity ≥ ``threshold`` —
     ``(id_a, id_b, cos_sim)``, id_a < id_b — the semantic-dedup primitive.
 
-    Two physical strategies, selected by ``mode``:
+    Three physical strategies, selected by ``mode``:
 
     - ``"broadcast"``: EXACT.  The whole table (ids + normalized float64
       matrix) is broadcast to every partition, which does a blocked
       matmul over its own rows and emits only above-threshold pairs.
       Output-bound shuffle, but the broadcast side is O(N·dim) — only
       valid while N is small (a query/dim table, a sampled corpus).
-    - ``"lsh"``: the 100 TB path.  Random-hyperplane buckets on both
-      sides (``hyperplane_buckets``), candidates generated by a
-      self-join keyed (table_id, bucket) — ONE shuffle whose fan-in is
-      tuned by ``n_bits`` — then exact JVM-side cosine verification
-      (``_cosine_expr``) on candidates only.  NO driver collect, no
-      O(N²) stage; recall < 1 by construction (raise ``n_tables`` /
-      lower ``n_bits`` to trade shuffle volume for recall).
+    - ``"blocked"``: EXACT, the 100 TB path for the recall-1 contracts
+      (contrastive positives, in-batch-safe batching, mutual-NN).
+      Vectors are partitioned into IVF cells (``ivf_centroids`` — the
+      same coarse quantizer the ANN stack trains); a driver-side
+      triangle-inequality bound over (centroid angles, per-cell angular
+      radii) prunes every cell PAIR that provably cannot contain an
+      above-threshold vector pair; surviving cell pairs generate
+      candidates through ONE cell-keyed shuffle, then exact JVM-side
+      cosine verification on candidates only.  Recall is 1 BY
+      CONSTRUCTION (the pruning bound is a sound upper bound — see
+      ``_cell_pair_allowlist``); pruning EFFECTIVENESS is a data
+      property (clustered corpora prune hard, uniform ones less), but
+      no driver collect of the table and no all-pairs stage either way.
+    - ``"lsh"``: approximate (recall < 1) — random-hyperplane buckets
+      on both sides (``hyperplane_buckets``), candidates from a
+      self-join keyed (table_id, bucket), then exact verification on
+      candidates.  Cheaper than blocked when a recall qualifier is
+      acceptable; must be requested EXPLICITLY (auto never silently
+      drops recall below 1 — the r5 contract).
     - ``"auto"``: probe the row count with a LIMIT scan; ≤
-      ``broadcast_limit`` rows → broadcast, else LSH.
+      ``broadcast_limit`` rows → broadcast, else blocked.  Both arms
+      are exact, so callers whose contracts require recall 1 can use
+      auto at any scale.
     """
     if mode == "auto":
         probe = vectors.select(id_col).limit(broadcast_limit + 1).count()
-        mode = "broadcast" if probe <= broadcast_limit else "lsh"
+        mode = "broadcast" if probe <= broadcast_limit else "blocked"
     if mode == "broadcast":
         out = _cosine_pairs_broadcast(vectors, threshold, id_col, vec_col)
+    elif mode == "blocked":
+        out = _cosine_pairs_blocked(
+            vectors, threshold, id_col, vec_col, n_cells=n_cells
+        )
     elif mode == "lsh":
         out = _cosine_pairs_lsh(
             vectors, threshold, id_col, vec_col, n_bits, n_tables, seed
@@ -489,6 +644,131 @@ def _cosine_pairs_broadcast(
     )
 
 
+def _verify_pairs(
+    cand: DataFrame, base: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact JVM-side cosine verification of candidate (id_a, id_b)
+    pairs against ``base`` (vec_id, __vec) — the shared tail of every
+    blocking strategy: candidates join their vectors back (two keyed
+    hash joins), ``_cosine_expr`` scores in codegen, and only
+    above-threshold pairs survive.  Output volume is O(true pairs), not
+    O(candidates)."""
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("__vec").alias("__va"))
+    vb2 = base.select(F.col("vec_id").alias("id_b"), F.col("__vec").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_expr("__va", "__vb").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _cell_pair_allowlist(
+    centroids: np.ndarray,
+    radii: dict[int, float],
+    threshold: float,
+) -> list[tuple[int, int]]:
+    """Cell pairs that COULD contain a vector pair with cosine ≥
+    ``threshold`` — the sound triangle-inequality prune behind
+    ``cosine_pairs(mode='blocked')``.
+
+    For unit vectors x in cell i and y in cell j, the spherical
+    triangle inequality gives ``angle(x, y) >= theta_ij - alpha_i -
+    alpha_j`` where ``theta_ij`` is the centroid angle and ``alpha_c``
+    the cell's angular radius (max member angle to its own centroid,
+    i.e. arccos of the per-cell MIN ``cent_sim``).  Hence ``cos(x, y)
+    <= cos(max(0, theta_ij - alpha_i - alpha_j))``; a cell pair whose
+    bound falls below ``threshold`` (minus 1e-9 numerical slack, so a
+    boundary-exact pair is never pruned) provably holds no qualifying
+    pair — recall 1 regardless of how the quantizer clustered.
+
+    Returned SYMMETRIC (both (i, j) and (j, i), plus (i, i)) over the
+    cells that actually have members, so the candidate join can key
+    each side by its single owning cell and rely on ``id_a < id_b``
+    for pair uniqueness.  Size ≤ n_cells², driver-side by design."""
+    cells = sorted(radii)
+    idx = np.array(cells)
+    cent = centroids[idx]
+    alpha = np.arccos(
+        np.clip(np.array([radii[c] for c in cells]), -1.0, 1.0)
+    )
+    theta = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
+    bound = np.cos(np.maximum(0.0, theta - alpha[:, None] - alpha[None, :]))
+    keep = bound >= threshold - 1e-9
+    return [
+        (int(idx[i]), int(idx[j]))
+        for i in range(len(cells))
+        for j in range(len(cells))
+        if keep[i, j]
+    ]
+
+
+def _cosine_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Recall-1 threshold pairs without a driver collect of the table
+    and without an all-pairs stage (VERDICT r6 #1).
+
+    Shape: (1) train the IVF coarse quantizer on a bounded
+    deterministic sample (``ivf_centroids`` — the ANN stack's
+    quantizer, same md5-ordered sample); (2) assign every vector to
+    its ONE nearest cell in a narrow Arrow map that also emits the
+    cosine to the owning centroid; (3) fold per-cell angular radii
+    (n_cells rows — a metadata-sized collect); (4) prune cell pairs
+    with the exact triangle-inequality bound
+    (``_cell_pair_allowlist``); (5) surviving cell pairs generate
+    candidates via a broadcast of the allowlist + one cell-keyed
+    shuffle; (6) exact cosine verify on candidates only
+    (``_verify_pairs``).
+
+    Each vector owns exactly one cell, so a pair appears through at
+    most one allowlist entry — no distinct needed.  Scale knob:
+    ``n_cells`` should grow ~sqrt(N) so per-cell candidate blocks stay
+    bounded; pruning bites hardest on clustered corpora (tight alpha),
+    and on a pathologically uniform corpus degrades gracefully toward
+    cell-blocked all-pairs — never worse than correct."""
+    dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    )
+    cent = ivf_centroids(base, dim, n_cells, id_col="vec_id", vec_col="__vec")
+    # deliberately NOT persisted: the assign map is recomputed for the
+    # radii job and once per join branch, but it is one narrow Arrow
+    # map over a pruned scan — cheap next to the candidate join — and a
+    # persist here would outlive the call (the returned frame is lazy),
+    # which measurably degrades later same-session queries (CLAUDE.md).
+    # A caller reusing the index at scale can ivf_assign once itself.
+    assigned = ivf_assign(
+        base, cent, id_col="vec_id", vec_col="__vec", with_sim=True
+    )
+    radii = {
+        r["cell"]: r["r"]
+        for r in assigned.groupBy("cell")
+        .agg(F.min("cent_sim").alias("r"))
+        .collect()
+    }
+    allow = _cell_pair_allowlist(cent, radii, threshold)
+    spark = vectors.sparkSession
+    allow_df = spark.createDataFrame(allow, "ca INT, cb INT")
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("ca"))
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cb"))
+    cand = (
+        a.join(F.broadcast(allow_df), "ca")
+        .join(b, "cb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return _verify_pairs(cand, base, threshold)
+
+
 def _cosine_pairs_lsh(
     vectors: DataFrame,
     threshold: float,
@@ -512,18 +792,7 @@ def _cosine_pairs_lsh(
         )
         .distinct()
     )
-    va = base.select(F.col("vec_id").alias("id_a"), F.col("__vec").alias("__va"))
-    vb2 = base.select(F.col("vec_id").alias("id_b"), F.col("__vec").alias("__vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb2, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            _cosine_expr("__va", "__vb").alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return _verify_pairs(cand, base, threshold)
 
 
 def _cosine_expr(a: str, b: str):

@@ -456,16 +456,25 @@ def q_sql_text_interface(spark, sf_dir):
     operator, SURVEY.md §2.3); this engine's host language is ANSI SQL
     — and the demonstration is that the IDENTICAL query string runs
     unmodified on both engines (spark.sql here, DuckDB in the oracle —
-    the oracle IS the query text, byte for byte).  Tables register as
-    temp views once per session; everything else in the registry is
-    reachable the same way.
+    the oracle IS the query text, byte for byte).  The generic-named
+    temp views exist only for the duration of analysis: spark.sql
+    resolves relations EAGERLY, so the views are dropped before
+    returning (ADVICE r6 — leaving session-global `orders`/`customer`/
+    `nation` views behind would let a later spark.sql over different
+    data silently resolve stale fixtures) while the returned plan keeps
+    its resolved scans.
 
     Scale: the string compiles to the same Catalyst plan the DataFrame
     API would build — broadcast dim joins, partial aggs, pushdown; the
     text interface costs nothing at execution time."""
-    for name in ("orders", "customer", "nation"):
-        T(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_SHARED_SQL_TEXT)
+    names = ("orders", "customer", "nation")
+    try:
+        for name in names:
+            T(spark, sf_dir, name).createOrReplaceTempView(name)
+        return spark.sql(_SHARED_SQL_TEXT)  # analysis resolves views HERE
+    finally:
+        for name in names:
+            spark.catalog.dropTempView(name)
 
 
 @query(

@@ -553,3 +553,24 @@ def test_dsir_and_perplexity_separate_target_domain(spark):
     frac_top = mean([1.0 if r.source == "src0" else 0.0 for r in top])
     frac_all = mean([1.0 if s == "src0" else 0.0 for s in docs.values()])
     assert frac_top > frac_all, (frac_top, frac_all)
+
+
+def test_dsir_scores_raises_on_missing_domain(spark):
+    """dsir_scores must fail LOUDLY (descriptive ValueError), never
+    TypeError on a None sum, when the tf_index is empty or holds no
+    target-domain rows (ADVICE r6 — the helper is the shared entry
+    point of the batch/streaming twin pair, so a silent 0 here would
+    fabricate uniform log-ratios downstream)."""
+    import pytest
+
+    from streaming_spark.queries.curation import dsir_scores
+
+    schema = "doc_id BIGINT, source STRING, bucket STRING, tf BIGINT"
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="no rows at all"):
+        dsir_scores(empty)
+    no_target = spark.createDataFrame(
+        [(1, "src1", "ab", 3), (2, "src2", "cd", 1)], schema
+    )
+    with pytest.raises(ValueError, match="source='src0'"):
+        dsir_scores(no_target)

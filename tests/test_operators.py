@@ -221,18 +221,132 @@ def test_cosine_pairs_lsh_contained_in_exact(spark):
         assert abs(sim - exact[pair]) < 1e-6  # verify stage is exact
 
 
-def test_cosine_pairs_auto_picks_lsh_above_limit(spark):
-    """auto mode must route to the LSH plan (no driver collect of the
-    vector table) once the probe exceeds broadcast_limit."""
+def test_cosine_pairs_auto_picks_blocked_above_limit(spark):
+    """auto mode must route to the blocked-EXACT plan (no driver
+    collect of the vector table, no recall loss) once the probe
+    exceeds broadcast_limit — and that plan must produce the SAME
+    pairs as the broadcast path (recall 1 is auto's contract now;
+    VERDICT r6 #1) with no all-pairs stage."""
     from streaming_spark.operators.similarity import cosine_pairs
 
     rng = np.random.default_rng(5)
-    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(50)]
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(50)]
     df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
-    out = cosine_pairs(df, threshold=0.9, broadcast_limit=10)  # 50 > 10 → lsh
-    plan = str(out._jdf.queryExecution().analyzed())
-    # the LSH plan self-joins hyperplane buckets; broadcast path has no join
-    assert "Join" in plan
+    out = cosine_pairs(df, threshold=0.6, broadcast_limit=10)  # 50 > 10 → blocked
+    plan = str(out._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b): r.cos_sim for r in out.collect()}
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(df, threshold=0.6, mode="broadcast").collect()
+    }
+    assert got == exact
+    assert (3, 7) in got  # the planted near-dup survived the blocking
+
+
+def test_cosine_pairs_blocked_matches_broadcast(spark):
+    """The blocked-exact path must reproduce the broadcast path's pairs
+    EXACTLY (ids and 4-dp sims) on random data — recall 1 is a theorem
+    about the triangle-inequality prune, not a tuning outcome."""
+    from streaming_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((150, 24)).astype(np.float32)
+    vecs[11] = vecs[4] + 0.02 * rng.standard_normal(24).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(150)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).repartition(4)
+    b = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(df, threshold=0.4, mode="broadcast").collect()
+    }
+    bl = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(df, threshold=0.4, mode="blocked").collect()
+    }
+    assert b == bl
+    assert (4, 11) in bl
+
+
+def test_cell_pair_allowlist_prunes_soundly():
+    """Tight orthogonal clusters at a high threshold: every cross-cell
+    pair is provably below threshold and must be pruned; same-cell
+    pairs must survive.  At a permissive threshold nothing may be
+    pruned (the bound is sound, never aggressive)."""
+    from streaming_spark.operators.similarity import _cell_pair_allowlist
+
+    cent = np.eye(3)
+    tight = float(np.cos(np.radians(5.0)))
+    radii = {0: tight, 1: tight, 2: tight}
+    # cross-cell bound: cos(90° − 10°) ≈ 0.17 < 0.8 → pruned
+    allow = set(_cell_pair_allowlist(cent, radii, threshold=0.8))
+    assert allow == {(0, 0), (1, 1), (2, 2)}
+    # permissive threshold keeps everything (soundness, both orders)
+    allow_all = set(_cell_pair_allowlist(cent, radii, threshold=0.1))
+    assert allow_all == {(i, j) for i in range(3) for j in range(3)}
+
+
+def test_blocked_pairs_prune_clustered_corpus(spark):
+    """End-to-end on a clustered corpus: the blocked path must still
+    equal broadcast exactly (recall 1) — and here the prune actually
+    bites, which is the structure the 100 TB plan relies on."""
+    from streaming_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(23)
+    axes = np.eye(16)[:4]  # 4 well-separated cluster axes in 16-d
+    rows = []
+    for i in range(160):
+        v = axes[i % 4] + 0.05 * rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).repartition(4)
+    b = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(df, threshold=0.9, mode="broadcast").collect()
+    }
+    bl = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(
+            df, threshold=0.9, mode="blocked", n_cells=8
+        ).collect()
+    }
+    assert b == bl
+    assert len(b) > 0  # within-cluster pairs exist at 0.9
+
+
+def test_exact_nn_topk_matches_bruteforce(spark):
+    """exact_nn_topk's bound-pruned adaptive IVF search must return the
+    TRUE top-k (numpy all-pairs ground truth) — exactness may never
+    depend on how the quantizer clustered the data."""
+    from streaming_spark.operators.similarity import exact_nn_topk
+
+    rng = np.random.default_rng(29)
+    vecs = rng.standard_normal((90, 16)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).repartition(4)
+    out = exact_nn_topk(df, k=3, n_cells=6)
+    plan = str(out._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2.0)
+    for q in range(90):
+        order = sorted(
+            range(90), key=lambda j: (-sims[q, j], j)
+        )[:3]
+        assert [n for _, n in sorted(got[q])] == order, q
 
 
 def test_ann_lsh_recall_floor(spark):

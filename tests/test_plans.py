@@ -388,6 +388,36 @@ KNOWN_BOUNDED_GLOBAL_WINDOWS = {
 }
 
 
+def test_mutual_nn_plan_has_no_all_pairs_stage(spark):
+    """q_mutual_nn_pairs lost its O(S²) crossJoin in round 7: the top-1
+    generator is the bound-pruned exact IVF search, so the plan must
+    contain NO cartesian / nested-loop stage — while the all-pairs
+    DuckDB oracle still verifies the answer exactly (recall 1 is the
+    primitive's theorem, not a tuning outcome)."""
+    plan = plan_of(spark, "q_mutual_nn_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contrastive_batch_assign_auto_is_exact_above_bound(spark):
+    """The in-batch-safety contract rests on cosine_pairs auto mode
+    being exact at ANY scale: above the broadcast bound it must route
+    to the blocked plan (cell-keyed candidate join), never to LSH —
+    pinned here by forcing the bound below the fixture size and
+    checking no hyperplane bucketing stage appears (LSH's signature is
+    an ArrowEval bucket map feeding a (table_id, bucket) self-join)."""
+    from streaming_spark.operators.similarity import cosine_pairs
+    from streaming_spark.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = cosine_pairs(emb, threshold=0.35, broadcast_limit=10)
+    plan = str(out._jdf.queryExecution().analyzed())
+    assert "table_id" not in plan  # LSH's bucket-join key never appears
+    assert "cell" in plan  # the IVF-cell blocking is what planned
+
+
 def test_fuzzy_join_plan_has_no_nested_loop(spark):
     """The fuzzy join must stay a hash-keyed candidate join + exact
     verify — never a nested-loop over all pairs (the O(n²) formulation

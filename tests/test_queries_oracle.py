@@ -47,11 +47,16 @@ def test_catalog_is_current():
 
 
 def test_random_sample_replay(spark):
-    """Replay a deterministic random registry sample through the SAME
-    oracle gate the driver runs (scripts/dev_check.py), at a fixed seed
-    the driver doesn't use — cheap insurance for the registry surface
-    the driver's rotating 50-slug sample hasn't reached yet (VERDICT r5
-    item 6).  Bump the seed when it collides with a driver sample."""
+    """Replay THREE deterministic 50-slug registry samples through the
+    SAME oracle gate the driver runs (scripts/dev_check.py) — the
+    rotating-seed insurance VERDICT r6 #4 asked for: every future
+    50-slug driver draw's SHAPE has been pre-replayed from several
+    independent seeds, so a driver rotation landing on an untested slug
+    is strictly less likely each round.  Names are deduped across seeds
+    (a slug green under seed A needn't rerun for seed B — same code,
+    same data), streaming slugs are excluded here because they run real
+    micro-batch streams (minutes each) and carry their own oracle-parity
+    tests in test_windows/test_streaming."""
     import sys
     import os
 
@@ -60,10 +65,13 @@ def test_random_sample_replay(spark):
     )
     import dev_check
 
-    names = dev_check.sample_names(12, seed=20260814)
-    # streaming queries run real micro-batch streams (minutes each) and
-    # carry their own oracle-parity tests — keep this smoke replay quick
-    names = [n for n in names if not n.startswith("q_streaming_")]
+    seen: set[str] = set()
+    names: list[str] = []
+    for seed in (20260814, 7, 42):
+        for n in dev_check.sample_names(50, seed=seed):
+            if n not in seen and not n.startswith("q_streaming_"):
+                seen.add(n)
+                names.append(n)
     failed = dev_check.run(names, SF_SMOKE, spark=spark)
     assert not failed, failed
 
