@@ -1,23 +1,36 @@
 """Process-scoped scratch space for staged sinks / checkpoints.
 
 Several queries materialize runtime artifacts (streaming sinks,
-checkpoint dirs, staged CSV/JSONL shards, layout experiments).  Before
-round 6 each call mkdtemp'd into the system temp dir and never cleaned
-up, so every gate/bench/test invocation leaked directories holding full
-table copies (ADVICE r5).  All such dirs now live under ONE per-process
-root that is removed at interpreter exit — bounded lifetime, one rmtree,
-and a single prefix (``spark_graft_scratch_``) an operator can sweep if
-a process dies uncleanly.
+checkpoint dirs, staged CSV/JSONL shards, layout experiments, staged
+ANN assignment maps).  Before round 6 each call mkdtemp'd into the
+system temp dir and never cleaned up, so every gate/bench/test
+invocation leaked directories holding full table copies (ADVICE r5).
+All such dirs now live under ONE per-process root that is removed at
+interpreter exit — bounded lifetime, one rmtree, and a single prefix
+(``spark_graft_scratch_``) an operator can sweep if a process dies
+uncleanly.
 
 Round 7 (VERDICT r6 #3): atexit bounds the lifetime of gate/bench/test
 processes, but a long-lived notebook session would still accumulate
-staged table copies until exit.  ``scratch_dir`` therefore sweeps the
-OLDEST tag directories whenever the root's total size exceeds a cap
+staged table copies until exit.  ``scratch_dir`` therefore sweeps tag
+directories whenever the root's total size exceeds a cap
 (``SPARK_GRAFT_SCRATCH_CAP_BYTES``, default 8 GiB) BEFORE carving the
 new directory — disk use stays bounded within a session, and the dir
-being handed out is never itself a sweep candidate.  The cap is
-generous by default because an old dir could in principle back a
-still-open streaming sink; set it lower in bounded environments.
+being handed out is never itself a sweep candidate.
+
+Round 8 (ADVICE r7): victims are picked by RECURSIVE max-mtime, not the
+top-level dir stat.  A directory's own mtime only changes when entries
+are created directly in it, and Spark sinks write nested part files —
+so an ACTIVE long-running sink kept its creation-time mtime and was the
+first sweep candidate, deleting live data mid-query in the exact
+long-session scenario the sweep targets.  The recursive max-mtime is
+computed in the same single walk that sizes the dir, so "oldest" now
+means "least recent write activity anywhere inside".  (Exempting every
+dir handed out by this process was considered and rejected: the root is
+per-process, so EVERY dir under it came from this process and a blanket
+exemption would disable the sweep outright.)  An idle-but-still-open
+sink can in principle still be swept; the cap is generous by default
+for that reason — set it lower only in bounded environments.
 """
 
 from __future__ import annotations
@@ -26,6 +39,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import warnings
 
 _ROOT: str | None = None
 
@@ -42,31 +56,62 @@ def scratch_root() -> str:
     return _ROOT
 
 
-def _tree_size(path: str) -> int:
+def _cap() -> int:
+    """The sweep cap, parsed defensively: a malformed env value must not
+    raise at an arbitrary staging site mid-query (ADVICE r7) — warn once
+    and fall back to the default."""
+    raw = os.environ.get(_CAP_ENV)
+    if raw is None:
+        return _DEFAULT_CAP
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(
+            f"{_CAP_ENV}={raw!r} is not an integer — using the default "
+            f"cap of {_DEFAULT_CAP} bytes",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return _DEFAULT_CAP
+
+
+def _tree_stats(path: str) -> tuple[int, float]:
+    """(total size, recursive max-mtime) in ONE walk.  The max-mtime
+    spans every nested file plus the directory itself, so a sink
+    actively writing part files deep inside reads as recent even though
+    the top-level dir's own mtime never moves."""
     total = 0
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        newest = 0.0
     for dirpath, _dirnames, filenames in os.walk(path, onerror=lambda e: None):
         for f in filenames:
             try:
-                total += os.path.getsize(os.path.join(dirpath, f))
+                st = os.stat(os.path.join(dirpath, f))
             except OSError:
-                pass  # concurrently removed — fine, it's a size estimate
-    return total
+                continue  # concurrently removed — fine, it's an estimate
+            total += st.st_size
+            if st.st_mtime > newest:
+                newest = st.st_mtime
+    return total, newest
 
 
 def _sweep(root: str, cap: int) -> None:
-    """Remove oldest top-level tag dirs until the root fits ``cap``."""
+    """Remove least-recently-ACTIVE top-level tag dirs until the root
+    fits ``cap`` (activity = recursive max-mtime, see module docstring)."""
     try:
         entries = [e for e in os.scandir(root) if e.is_dir(follow_symlinks=False)]
     except OSError:
         return
+    if not entries:
+        return  # nothing to sweep — skip the recursive walk entirely
     sized = []
     for e in entries:
-        try:
-            sized.append((e.stat().st_mtime, e.path, _tree_size(e.path)))
-        except OSError:
-            pass
+        size, newest = _tree_stats(e.path)
+        sized.append((newest, e.path, size))
     total = sum(s for _, _, s in sized)
-    for _mtime, path, size in sorted(sized):
+    for _newest, path, size in sorted(sized):
         if total <= cap:
             break
         shutil.rmtree(path, ignore_errors=True)
@@ -76,9 +121,8 @@ def _sweep(root: str, cap: int) -> None:
 def scratch_dir(tag: str) -> str:
     """A fresh directory under the scratch root — drop-in for
     ``tempfile.mkdtemp(prefix=...)`` with bounded lifetime AND bounded
-    in-session size (oldest-first sweep above the cap; see module
-    docstring)."""
+    in-session size (least-recently-active sweep above the cap; see
+    module docstring)."""
     root = scratch_root()
-    cap = int(os.environ.get(_CAP_ENV, _DEFAULT_CAP))
-    _sweep(root, cap)
+    _sweep(root, _cap())
     return tempfile.mkdtemp(prefix=tag + "_", dir=root)

@@ -1,23 +1,31 @@
 """The scratch root's two boundedness guarantees: lifetime (atexit
-rmtree — r6) and in-session size (oldest-first sweep above the cap —
-VERDICT r6 #3: a long-lived notebook session must not accumulate staged
-table copies until exit)."""
+rmtree — r6) and in-session size (least-recently-ACTIVE sweep above the
+cap — VERDICT r6 #3 / ADVICE r7: a long-lived notebook session must not
+accumulate staged table copies until exit, and an active sink writing
+nested part files must never be the sweep victim)."""
 
 import os
+
+import pytest
 
 from streaming_spark import scratch
 
 
 def _fill(path: str, size: int, mtime: float) -> None:
-    with open(os.path.join(path, "blob"), "wb") as f:
+    blob = os.path.join(path, "blob")
+    with open(blob, "wb") as f:
         f.write(b"x" * size)
+    # age both the dir AND its contents: the sweep keys on the
+    # recursive max-mtime, so a fresh nested file would mask the age
+    os.utime(blob, (mtime, mtime))
     os.utime(path, (mtime, mtime))
 
 
 def test_scratch_sweep_keeps_disk_bounded(monkeypatch):
     """A loop of sink-staging queries keeps disk bounded: once the root
-    exceeds the cap, the OLDEST tag dirs are swept before the next dir
-    is carved — newest survivors plus the new dir stay under control."""
+    exceeds the cap, the least-recently-active tag dirs are swept before
+    the next dir is carved — newest survivors plus the new dir stay
+    under control."""
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", str(2_500))
     dirs = []
     for i in range(8):
@@ -33,10 +41,10 @@ def test_scratch_sweep_keeps_disk_bounded(monkeypatch):
         if e.is_dir() and os.path.basename(e.path).startswith("sweeptest")
     ]
     assert len(live) <= 3  # 2500 cap / 1000 per dir → ≤2 old + 1 new
-    # the survivors are the NEWEST dirs (oldest-first sweep)
+    # the survivors are the NEWEST dirs (least-recently-active sweep)
     assert dirs[-1] in [e.path for e in live]
     assert dirs[0] not in [e.path for e in live]
-    total = sum(scratch._tree_size(e.path) for e in live)
+    total = sum(scratch._tree_stats(e.path)[0] for e in live)
     assert total <= 2_500 + 1_000  # old data under cap + the fresh dir
 
 
@@ -48,3 +56,37 @@ def test_scratch_sweep_never_removes_the_new_dir(monkeypatch):
     assert os.path.isdir(d)
     with open(os.path.join(d, "ok"), "w") as f:
         f.write("ok")
+
+
+def test_scratch_sweep_spares_active_sink(monkeypatch):
+    """ADVICE r7: a dir created long ago whose NESTED files are freshly
+    written (an active Spark sink — part files land in subdirs, the
+    top-level mtime never moves) must outlive an idle dir that was
+    created later.  Victim order keys on recursive max-mtime."""
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", str(1_500))
+    active = scratch.scratch_dir("activesink")
+    # created "long ago" at the top level...
+    part_dir = os.path.join(active, "part=0")
+    os.makedirs(part_dir)
+    part = os.path.join(part_dir, "part-00000")
+    with open(part, "wb") as f:
+        f.write(b"x" * 1_000)
+    os.utime(active, (1_000_000, 1_000_000))
+    os.utime(part_dir, (1_000_000, 1_000_000))
+    os.utime(part, (2_000_000, 2_000_000))  # ...but writing NOW (newest)
+    idle = scratch.scratch_dir("idlesink")
+    _fill(idle, 1_000, 1_500_000)  # created later, idle since
+    # next carve must sweep the IDLE dir and spare the active sink
+    scratch.scratch_dir("trigger")
+    assert os.path.isdir(active)
+    assert not os.path.isdir(idle)
+
+
+def test_scratch_cap_env_parsed_defensively(monkeypatch):
+    """ADVICE r7: a malformed SPARK_GRAFT_SCRATCH_CAP_BYTES must not
+    raise at an arbitrary staging site mid-query — warn and fall back
+    to the default cap."""
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", "8 gigabytes")
+    with pytest.warns(RuntimeWarning, match="not an integer"):
+        d = scratch.scratch_dir("badcap")
+    assert os.path.isdir(d)
