@@ -74,8 +74,17 @@ BENCH_QUERIES = [
     # round-7 additions: the recall-1 scale paths that replaced the two
     # all-pairs legs (VERDICT r6 #1)
     "dedup_embedding_cosine_blocked",  # blocked-exact IVF-cell pairs
-    #                           (triangle-inequality cell pruning)
+    #                           (triangle-inequality cell pruning; on
+    #                           this near-uniform fixture nothing CAN
+    #                           prune — the entry measures the r8
+    #                           task-matmul worst case, ~N·sqrt(N)
+    #                           shuffle instead of an O(N²) pair join)
     "q_mutual_nn_pairs",      # bound-pruned exact top-1 + reciprocity
+    # round-8 addition: the same blocked-exact plan on a corpus where
+    # the triangle prune BITES (8 deterministic clusters derived from
+    # the fixture embeddings — candidates ~N²/16, VERDICT r7 #1 "done"
+    # criterion; the candidate count is in the telemetry log)
+    "dedup_embedding_cosine_clustered",
 ]
 
 
