@@ -939,6 +939,12 @@ def _with_block(assigned: DataFrame, n_rings: int) -> DataFrame:
     )
 
 
+# ceiling on the broadcast task table of the blocked pair path: above
+# it the allowlist coarsens from (cell, ring) to per-cell granularity
+# (module constant so tests can force the fallback on a small corpus)
+_MAX_PAIR_TASKS = 500_000
+
+
 def _auto_n_cells(n_rows: int, floor: int = 16, cap: int = 1024) -> int:
     """~sqrt(N) coarse-quantizer cells (VERDICT r7 #1b): per-cell
     blocks stay ~sqrt(N) so diagonal tasks are O(N) total work, and
@@ -1045,6 +1051,36 @@ def _cosine_pairs_blocked(
     ii, jj, same, volume = _block_pair_allowlist(
         cent, block_ids, radii, sizes, threshold, n_rings
     )
+    if len(ii) > _MAX_PAIR_TASKS:
+        # un-prunable corpus at fine granularity: the TASK table itself
+        # would outgrow its broadcast (B² pairs at B = cells·rings).
+        # Coarsen to per-CELL blocks — driver math only, still sound
+        # (cell radius = min ring radius), and ≤ n_cells²/2 tasks.  The
+        # keyed frame must agree, so rebuild block = cell · 1 + 0.
+        cells_of = block_ids // n_rings
+        cell_ids = np.unique(cells_of)
+        cell_r = np.array(
+            [radii[cells_of == c].min() for c in cell_ids]
+        )
+        cell_n = np.array(
+            [sizes[cells_of == c].sum() for c in cell_ids], dtype=np.int64
+        )
+        n_rings = 1
+        blocks = _with_block(
+            ivf_assign(
+                base,
+                cent,
+                id_col="vec_id",
+                vec_col="__vec",
+                with_sim=True,
+                keep_vec="__vec",
+            ),
+            n_rings,
+        )
+        block_ids, radii, sizes = cell_ids, cell_r, cell_n
+        ii, jj, same, volume = _block_pair_allowlist(
+            cent, block_ids, radii, sizes, threshold, n_rings
+        )
     log_candidate_volume("cosine_pairs[blocked]", volume, n_rows)
     if stats_out is not None:
         stats_out.update(

@@ -408,6 +408,40 @@ def test_exact_nn_topk_matches_bruteforce(spark):
         assert [n for _, n in sorted(got[q])] == order, q
 
 
+def test_blocked_pairs_task_coarsening_preserves_rows(spark, monkeypatch):
+    """When the (cell, ring) allowlist would exceed the task-table
+    broadcast ceiling, the blocked path coarsens to per-cell blocks —
+    forced here by shrinking the ceiling to 1 — and the output must
+    still equal the broadcast arm row for row (the fallback only
+    changes the blocking granularity, never the verify)."""
+    from streaming_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_MAX_PAIR_TASKS", 1)
+    rng = np.random.default_rng(37)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    vecs[9] = vecs[2] + 0.02 * rng.standard_normal(16).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).repartition(4)
+    b = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.cosine_pairs(
+            df, threshold=0.4, mode="broadcast"
+        ).collect()
+    }
+    stats: dict = {}
+    bl = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.cosine_pairs(
+            df, threshold=0.4, mode="blocked", n_cells=6, stats_out=stats
+        ).collect()
+    }
+    assert b == bl
+    assert (2, 9) in bl
+    assert stats["n_tasks"] <= 6 * 7 // 2  # per-cell granularity reached
+
+
 def test_exact_nn_topk_arms_agree(spark):
     """The broadcast arm (auto's pick at this size), the blocked arm,
     and the blocked arm with scratch staging FORCED must all return

@@ -399,6 +399,20 @@ def test_mutual_nn_plan_has_no_all_pairs_stage(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_blocked_pair_query_has_no_global_sort(spark):
+    """dedup_embedding_cosine_blocked lost its presentation orderBy in
+    round 8 (VERDICT r7 #3): a global sort of the result has no place
+    in a scale-demonstration plan — the gate compares pair sets
+    row-insensitively.  The only Sort allowed is the LOCAL per-task
+    sort feeding the grouped-map verify (global=false)."""
+    df = REGISTRY["dedup_embedding_cosine_blocked"](spark, SF_SMOKE)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    for line in plan.splitlines():
+        # executedPlan prints Sort as "Sort [keys...], <global>, 0"
+        if "Sort [" in line and "], true, " in line:
+            raise AssertionError(f"global Sort in blocked plan: {line}")
+
+
 def test_contrastive_batch_assign_auto_is_exact_above_bound(spark):
     """The in-batch-safety contract rests on cosine_pairs auto mode
     being exact at ANY scale: above the broadcast bound it must route
