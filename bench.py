@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "dedup_simhash",          # SimHash near-dup (vectorized signatures)
     "ann_topk_bruteforce",    # broadcast-query blocked matmul
     "ann_topk_lsh",           # hyperplane-bucketed approximate top-k
-    "dedup_embedding_cosine",  # LSH-blocked semantic near-dup (scale path)
+    "dedup_embedding_cosine",  # semantic near-dup, auto mode (broadcast
+    #                           matmul at this size; blocked-exact above)
     "text_quality",           # codegen'd text featurization
     "multimodal_blob_features",  # binary column plumbing
     # round-5 additions (headline total not comparable to BENCH_r04's

@@ -64,6 +64,7 @@ def fuzzy_self_pairs(
     id_col: str,
     max_dist: int = 1,
     max_bucket: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """All unordered pairs of rows whose ``col`` strings are within
     Levenshtein distance ``max_dist`` — (id_a, id_b, dist), id_a < id_b.
@@ -75,7 +76,15 @@ def fuzzy_self_pairs(
     bound — a pair is only lost if EVERY shared variant is hot, and the
     loss is observable (compare against an uncapped run on a sample).
     Default None = exact (the oracle-checked configuration); set it
-    when deploying against short/low-entropy string columns."""
+    when deploying against short/low-entropy string columns.
+
+    ``stats_out`` (opt-in, costs two small driver jobs) receives the
+    candidate-volume telemetry contract (VERDICT r7 #4 /
+    streaming_spark/telemetry.py): the exact pre-distinct join volume
+    Σ n·(n−1)/2 over variant buckets (``candidates``), ``n_rows``, and
+    ``total_pairs``; the quadratic-volume warning fires when the
+    blocking isn't pruning.  The estimator-vs-actual agreement is gated
+    in tests/test_candidates.py."""
     base = df.select(F.col(id_col).alias("__id"), F.col(col).alias("__s"))
     # shuffle 64-bit variant HASHES, not variant strings: the blocking
     # key only has to collide when variants are equal — a spurious hash
@@ -91,6 +100,20 @@ def fuzzy_self_pairs(
             variants.join(sizes, "__v")
             .filter(F.col("__n") <= max_bucket)
             .drop("__n")
+        )
+    if stats_out is not None:
+        from streaming_spark.telemetry import (
+            log_candidate_volume,
+            self_join_candidate_volume,
+        )
+
+        n_rows = base.count()
+        est = self_join_candidate_volume(variants, "__v")
+        log_candidate_volume("fuzzy_self_pairs", est, n_rows)
+        stats_out.update(
+            n_rows=n_rows,
+            candidates=est,
+            total_pairs=n_rows * (n_rows - 1) // 2,
         )
     cand = (
         variants.alias("a")

@@ -91,6 +91,19 @@ def test_fuzzy_variant_estimator_within_2x_of_actual(spark):
         .count()
     )
     assert actual <= est <= 2 * max(actual, 1), (est, actual)
+    # the operator's opt-in runtime telemetry must report the same
+    # estimate (fuzzy_self_pairs stats_out)
+    from streaming_spark.operators.fuzzy import fuzzy_self_pairs
+
+    stats: dict = {}
+    fuzzy_self_pairs(
+        load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name"),
+        "c_name",
+        "c_custkey",
+        max_dist=1,
+        stats_out=stats,
+    )
+    assert stats["candidates"] == est
 
 
 def test_qgram_postings_estimator_equals_join_volume(spark):
