@@ -83,8 +83,9 @@ BENCH_QUERIES = [
     "q_mutual_nn_pairs",      # bound-pruned exact top-1 + reciprocity
     # round-8 addition: the same blocked-exact plan on a corpus where
     # the triangle prune BITES (8 deterministic clusters derived from
-    # the fixture embeddings — candidates ~N²/16, VERDICT r7 #1 "done"
-    # criterion; the candidate count is in the telemetry log)
+    # the fixture embeddings — candidates 25% of the all-pairs
+    # ceiling vs 100% uniform, VERDICT r7 #1 "done" criterion; the
+    # candidate count is in the telemetry log)
     "dedup_embedding_cosine_clustered",
 ]
 

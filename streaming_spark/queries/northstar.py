@@ -600,8 +600,10 @@ def dedup_embedding_cosine_clustered(spark, sf_dir):
     DuckDB oracle, so the all-pairs oracle still replays the answer
     exactly); at threshold 0.85 only within-cluster pairs can qualify,
     and the driver-side allowlist prunes every cross-cluster block pair
-    (arccos 0.85 ≈ 31.8° < 90° − 2·27°), so candidate volume is ~N²/16
-    instead of N²/2 — asserted quantitatively in
+    (arccos 0.85 ≈ 31.8° < 90° − 2·27°), so candidate volume stays ~4×
+    below the all-pairs ceiling (measured 25% of pairs at sf0.1 — the
+    residue is cells whose centroid an outlier pulled off-axis — vs
+    100% on the uniform fixture) — asserted quantitatively in
     tests/test_candidates.py and visible in the telemetry log each run.
     """
     return cosine_pairs(
