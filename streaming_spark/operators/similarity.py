@@ -32,9 +32,14 @@ from streaming_spark.telemetry import log_candidate_volume
 def _norm_rows(mat: np.ndarray) -> np.ndarray:
     """Row-normalize with a zero guard: an all-zero vector (padding row,
     failed upstream embed) stays zero instead of going NaN and silently
-    poisoning every downstream matmul/argmax."""
+    poisoning every downstream matmul/argmax.  Nonzero rows divide by
+    their EXACT norm (no epsilon clamp) so the matmul arms and the
+    JVM-side ``_cosine_expr`` (which divides by the exact norm product
+    and coalesces the 0/0 case to 0.0) agree bit for bit on every
+    input, including denormal-tiny vectors — the arms-agree contracts
+    rest on it."""
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    return mat / np.maximum(norms, 1e-12)
+    return mat / np.where(norms > 0, norms, 1.0)
 
 
 def _matrix(pdf_vecs) -> np.ndarray:
@@ -454,20 +459,23 @@ def ivf_topk(
     return _topk_on_candidates(cand, queries, vectors, k, vec_col)
 
 
-def _self_topk_broadcast(
-    base: DataFrame, k: int, broadcast_limit: int
-) -> DataFrame:
+def _self_topk_broadcast(base: DataFrame, k: int) -> DataFrame:
     """EXACT self top-k, broadcast arm: the whole (ids, normalized
     float64 matrix) table ships to every partition, which computes its
     own rows' similarities against ALL vectors in one blocked matmul
     and emits each row's global top-k directly — ONE narrow Arrow map,
     no shuffle, no window (every row sees the full table, so its local
     top-k IS the global one).  Valid only under the small-side contract
-    (≤ ``broadcast_limit`` rows — same bound as ``cosine_pairs``'s
-    broadcast arm); ``exact_nn_topk`` auto mode enforces it.
+    (≤ 100k-ish rows — same bound as ``cosine_pairs``'s broadcast arm),
+    which the CALLER's auto probe enforces; a direct forced call on a
+    bigger table collects it all, like forcing
+    ``cosine_pairs(mode='broadcast')``.
     Tie-break (sim DESC, neighbor_id ASC) matches the blocked arm and
     the all-pairs oracles bit for bit; sims stay unrounded float64."""
+    out_schema = "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT"
     rows = base.collect()  # small-side contract: N x dim floats fit in driver
+    if len(rows) < 2:
+        return base.sparkSession.createDataFrame([], out_schema)
     all_ids = np.array([r[0] for r in rows])
     all_mat = _norm_rows(_matrix([r[1] for r in rows]))
 
@@ -572,13 +580,17 @@ def exact_nn_topk(
     outlive the returned lazy frame and degrade later same-session
     queries (CLAUDE.md), while the staged files are metadata-sized
     ((id, cell, block, cent_sim) rows and scored own-cell pairs).
-    ``stage=None`` (default) stages above 100k rows: below that the
-    branches are narrow Arrow maps over a pruned scan whose recompute
-    is cheaper than two extra write/read driver jobs (the fixed ~0.5 s
-    per-job overhead was most of q_mutual_nn_pairs' r7 wall time);
-    above it, recompute scales with the corpus while staging stays
-    metadata-sized.  Both paths are the same math — a test pins
-    stage-forced output equal to the default.
+    ``stage=None`` (default) stages above 100k rows — known from the
+    auto probe or the training sample; below that the branches are
+    narrow Arrow maps over a pruned scan whose recompute is cheaper
+    than two extra write/read driver jobs (the fixed ~0.5 s per-job
+    overhead was most of q_mutual_nn_pairs' r7 wall time); above it,
+    recompute scales with the corpus while staging stays
+    metadata-sized.  The one combination where N is never measured —
+    ``mode="blocked"`` FORCED with ``centroids`` supplied — defaults to
+    no staging: pass ``stage=True`` there (the scale caller that stages
+    its own assignment knows its N).  Both paths are the same math — a
+    test pins stage-forced output equal to the default.
 
     ``centroids`` accepts a pre-trained quantizer (e.g. the session-
     memoized cache the ANN stack shares) — any centroids are EXACT
@@ -596,15 +608,20 @@ def exact_nn_topk(
     base = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
+    n_rows: int | None = None
     if mode == "auto":
         probe = base.select("vec_id").limit(broadcast_limit + 1).count()
-        mode = "broadcast" if probe <= broadcast_limit else "blocked"
+        if probe <= broadcast_limit:
+            mode = "broadcast"
+        else:
+            mode = "blocked"
+            n_rows = probe  # a LOWER bound (> broadcast_limit) — enough
+            # for the staging decision below; the sample job refines it
     if mode == "broadcast":
-        return _self_topk_broadcast(base, k, broadcast_limit)
+        return _self_topk_broadcast(base, k)
     if mode != "blocked":
         raise ValueError(f"exact_nn_topk: unknown mode {mode!r}")
     empty_schema = "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT"
-    n_rows: int | None = None
     if centroids is None:
         sample = _md5_sample(base, "vec_id", "__vec", 2048)
         if len(sample) < 2:
@@ -790,7 +807,9 @@ def cosine_pairs(
         probe = vectors.select(id_col).limit(broadcast_limit + 1).count()
         mode = "broadcast" if probe <= broadcast_limit else "blocked"
     if mode == "broadcast":
-        out = _cosine_pairs_broadcast(vectors, threshold, id_col, vec_col)
+        out = _cosine_pairs_broadcast(
+            vectors, threshold, id_col, vec_col, stats_out=stats_out
+        )
     elif mode == "blocked":
         out = _cosine_pairs_blocked(
             vectors,
@@ -802,7 +821,14 @@ def cosine_pairs(
         )
     elif mode == "lsh":
         out = _cosine_pairs_lsh(
-            vectors, threshold, id_col, vec_col, n_bits, n_tables, seed
+            vectors,
+            threshold,
+            id_col,
+            vec_col,
+            n_bits,
+            n_tables,
+            seed,
+            stats_out=stats_out,
         )
     else:
         raise ValueError(f"cosine_pairs: unknown mode {mode!r}")
@@ -812,12 +838,39 @@ def cosine_pairs(
 
 
 def _cosine_pairs_broadcast(
-    vectors: DataFrame, threshold: float, id_col: str, vec_col: str
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     emb = vectors.select(id_col, vec_col)
     rows = emb.collect()  # small-side contract: N x dim floats fit in driver
+    if len(rows) < 2:
+        if stats_out is not None:
+            stats_out.update(
+                n_rows=len(rows),
+                n_blocks=0,
+                n_tasks=0,
+                candidates=0,
+                total_pairs=0,
+            )
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
+        )
     ids = np.array([r[0] for r in rows])
     mat = _norm_rows(_matrix([r[1] for r in rows]))
+    if stats_out is not None:
+        # the broadcast arm scores every pair by design (output-bound
+        # shuffle, in-partition matmul) — candidates = the ceiling
+        n = len(rows)
+        stats_out.update(
+            n_rows=n,
+            n_blocks=0,
+            n_tasks=0,
+            candidates=n * (n - 1) // 2,
+            total_pairs=n * (n - 1) // 2,
+        )
 
     def pairs(pdf: pd.DataFrame, side) -> pd.DataFrame:
         all_ids, all_mat = side
@@ -941,8 +994,12 @@ def _with_block(assigned: DataFrame, n_rings: int) -> DataFrame:
 
 # ceiling on the broadcast task table of the blocked pair path: above
 # it the allowlist coarsens from (cell, ring) to per-cell granularity
-# (module constant so tests can force the fallback on a small corpus)
-_MAX_PAIR_TASKS = 500_000
+# (module constant so tests can force the fallback on a small corpus).
+# Sized so the worst case at the _auto_n_cells cap fits under it even
+# with zero pruning (1024 cells → 1024·1025/2 = 524,800 cell-pair
+# tasks, ~13 MB broadcast); only a user-supplied n_cells beyond the
+# auto cap can exceed it, which the fallback then warns about.
+_MAX_PAIR_TASKS = 600_000
 
 
 def _auto_n_cells(n_rows: int, floor: int = 16, cap: int = 1024) -> int:
@@ -1014,6 +1071,14 @@ def _cosine_pairs_blocked(
     # sample limit) the exact N — no separate count()/first() jobs
     sample = _md5_sample(base, "vec_id", "__vec", 2048)
     if len(sample) < 2:
+        if stats_out is not None:
+            stats_out.update(
+                n_rows=len(sample),
+                n_blocks=0,
+                n_tasks=0,
+                candidates=0,
+                total_pairs=0,
+            )
         return spark.createDataFrame([], out_schema)
     n_rows = len(sample) if len(sample) < 2048 else base.count()
     if n_cells is None:
@@ -1081,6 +1146,22 @@ def _cosine_pairs_blocked(
         ii, jj, same, volume = _block_pair_allowlist(
             cent, block_ids, radii, sizes, threshold, n_rings
         )
+        if len(ii) > _MAX_PAIR_TASKS:
+            # cell granularity is the floor — nothing left to merge.
+            # Reachable only with a user-supplied n_cells far above the
+            # auto cap on an un-prunable corpus; say so loudly instead
+            # of silently shipping an oversized broadcast (the module's
+            # no-silent-caps stance).
+            import warnings
+
+            warnings.warn(
+                f"cosine_pairs[blocked]: {len(ii)} block-pair tasks even "
+                f"at per-cell granularity exceed the {_MAX_PAIR_TASKS} "
+                f"broadcast ceiling — reduce n_cells (the ~sqrt(N) auto "
+                f"default stays under it)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     log_candidate_volume("cosine_pairs[blocked]", volume, n_rows)
     if stats_out is not None:
         stats_out.update(
@@ -1147,12 +1228,27 @@ def _cosine_pairs_lsh(
     n_bits: int,
     n_tables: int,
     seed: int,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
     base = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
     vb = hyperplane_buckets(base, "__vec", dim, n_bits, n_tables, seed)
+    if stats_out is not None:
+        # opt-in (two extra driver jobs): the exact pre-distinct bucket
+        # self-join volume — the candidate-volume telemetry contract
+        from streaming_spark.telemetry import (
+            log_candidate_volume,
+            self_join_candidate_volume,
+        )
+
+        n = base.count()
+        est = self_join_candidate_volume(vb, ["table_id", "bucket"])
+        log_candidate_volume("cosine_pairs[lsh]", est, n)
+        stats_out.update(
+            n_rows=n, candidates=est, total_pairs=n * (n - 1) // 2
+        )
     cand = (
         vb.alias("a")
         .join(vb.alias("b"), ["table_id", "bucket"])
@@ -1166,7 +1262,11 @@ def _cosine_pairs_lsh(
 
 
 def _cosine_expr(a: str, b: str):
-    """JVM-side cosine via zip_with + aggregate (float64 accumulation)."""
+    """JVM-side cosine via zip_with + aggregate (float64 accumulation).
+    A zero vector yields 0.0 (coalesced 0/0), matching ``_norm_rows``'s
+    zero guard in the matmul arms — without it the NULL would be
+    silently dropped by the downstream ``>= threshold`` filter and the
+    physical arms would disagree on padding rows."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -1182,7 +1282,7 @@ def _cosine_expr(a: str, b: str):
             F.col(b), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
         )
     )
-    return dot / (na * nb)
+    return F.coalesce(dot / F.nullif(na * nb, F.lit(0.0)), F.lit(0.0))
 
 
 def pq_codebooks(

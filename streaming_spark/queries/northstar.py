@@ -3316,12 +3316,11 @@ def q_mutual_nn_pairs(spark, sf_dir):
     from streaming_spark.operators.similarity import exact_nn_topk
 
     emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    # the session-memoized coarse quantizer (trained once on the full
-    # table) is reused: ANY centroids are exact — the bounds use
-    # measured per-block radii — so sharing skips the sample job
-    best = exact_nn_topk(
-        emb, k=1, centroids=_ivf_centroids_cached(spark, sf_dir)
-    ).select(
+    # auto mode: at this subset size the exact broadcast arm plans (one
+    # narrow map, zero shuffle); above the small-side bound the blocked
+    # arm trains/samples its own quantizer — passing the session cache
+    # here would train it eagerly for an arm that never reads it
+    best = exact_nn_topk(emb, k=1).select(
         F.col("query_id").alias("qa"),
         F.col("neighbor_id").alias("qb"),
         F.col("sim").alias("cs"),

@@ -56,9 +56,13 @@ def scratch_root() -> str:
     return _ROOT
 
 
+_WARNED_BAD_CAP: set[str] = set()
+
+
 def _cap() -> int:
     """The sweep cap, parsed defensively: a malformed env value must not
     raise at an arbitrary staging site mid-query (ADVICE r7) — warn once
+    PER VALUE (not per scratch_dir call — a long session stages often)
     and fall back to the default."""
     raw = os.environ.get(_CAP_ENV)
     if raw is None:
@@ -66,12 +70,14 @@ def _cap() -> int:
     try:
         return int(raw)
     except ValueError:
-        warnings.warn(
-            f"{_CAP_ENV}={raw!r} is not an integer — using the default "
-            f"cap of {_DEFAULT_CAP} bytes",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+        if raw not in _WARNED_BAD_CAP:
+            _WARNED_BAD_CAP.add(raw)
+            warnings.warn(
+                f"{_CAP_ENV}={raw!r} is not an integer — using the "
+                f"default cap of {_DEFAULT_CAP} bytes",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return _DEFAULT_CAP
 
 

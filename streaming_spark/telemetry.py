@@ -60,11 +60,10 @@ def self_join_candidate_volume(keyed: DataFrame, key_cols: list[str] | str) -> i
     row = (
         keyed.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(
-            F.sum(
-                (F.col("__n") * (F.col("__n") - 1) / 2).cast("bigint")
-            ).alias("__cand")
-        )
+        # integer `div`, not `/`: BIGINT `/` goes through DOUBLE and a
+        # bucket of ≳1.3e8 members would round — n·(n−1) is even, so
+        # the integral division is exact at any size
+        .agg(F.sum(F.expr("__n * (__n - 1) div 2")).alias("__cand"))
         .first()
     )
     return int(row["__cand"] or 0)

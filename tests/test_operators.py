@@ -442,6 +442,53 @@ def test_blocked_pairs_task_coarsening_preserves_rows(spark, monkeypatch):
     assert stats["n_tasks"] <= 6 * 7 // 2  # per-cell granularity reached
 
 
+def test_similarity_arms_agree_on_zero_vectors_and_empty_input(spark):
+    """A padding row (all-zero embedding) must score sim 0.0 in EVERY
+    physical arm — the matmul arms zero-guard it, and _cosine_expr now
+    coalesces the 0/0 to 0.0 instead of producing a NULL the threshold
+    filter silently dropped (so forcing an arm could change rows).
+    Empty input must return a typed empty frame, not crash in the
+    broadcast arm's matrix build."""
+    from streaming_spark.operators.similarity import cosine_pairs, exact_nn_topk
+
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(30)]
+    rows.append((30, [0.0] * 8))  # padding row
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).repartition(2)
+
+    def nn_snap(out):
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, round(r.sim, 9))
+            for r in out.collect()
+        }
+
+    bc = nn_snap(exact_nn_topk(df, k=2, mode="broadcast"))
+    bl = nn_snap(exact_nn_topk(df, k=2, mode="blocked", n_cells=4))
+    assert bc == bl
+    assert (30, 1) in bc  # the zero vector still gets ranked neighbors
+    assert bc[(30, 1)][1] == 0.0  # at sim exactly 0.0
+
+    p_b = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(df, threshold=-1.0, mode="broadcast").collect()
+    }
+    p_bl = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(
+            df, threshold=-1.0, mode="blocked", n_cells=4
+        ).collect()
+    }
+    assert p_b == p_bl
+    assert len(p_b) == 31 * 30 // 2  # threshold -1 keeps every pair
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    assert exact_nn_topk(empty, k=1).count() == 0
+    assert cosine_pairs(empty, threshold=0.5).count() == 0
+
+
 def test_exact_nn_topk_arms_agree(spark):
     """The broadcast arm (auto's pick at this size), the blocked arm,
     and the blocked arm with scratch staging FORCED must all return
