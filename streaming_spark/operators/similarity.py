@@ -802,6 +802,12 @@ def cosine_pairs(
       ``broadcast_limit`` rows → broadcast, else blocked.  Both arms
       are exact, so callers whose contracts require recall 1 can use
       auto at any scale.
+
+    ``stats_out`` receives the candidate-volume telemetry
+    (streaming_spark/telemetry.py) in EVERY mode: blocked fills the
+    exact driver-side allowlist volume for free; broadcast reports the
+    all-pairs ceiling it scores by design; lsh pays two opt-in driver
+    jobs for its exact pre-distinct bucket volume.
     """
     if mode == "auto":
         probe = vectors.select(id_col).limit(broadcast_limit + 1).count()

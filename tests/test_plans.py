@@ -411,6 +411,12 @@ def test_blocked_pair_query_has_no_global_sort(spark):
         # executedPlan prints Sort as "Sort [keys...], <global>, 0"
         if "Sort [" in line and "], true, " in line:
             raise AssertionError(f"global Sort in blocked plan: {line}")
+    # the ONLY join is the broadcast of the metadata-sized task table —
+    # vectors meet through the task-keyed grouped map, never a shuffle
+    # join or a per-pair candidate join
+    import re
+
+    assert set(re.findall(r"(\w*Join\w*)", plan)) == {"BroadcastHashJoin"}
 
 
 def test_contrastive_batch_assign_auto_is_exact_above_bound(spark):
