@@ -521,7 +521,7 @@ def _self_topk_broadcast(base: DataFrame, k: int) -> DataFrame:
     return stream(
         ensure_parallelism(base),
         local,
-        "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT",
+        out_schema,
         side_input=(all_ids, all_mat),
     )
 
@@ -575,8 +575,11 @@ def exact_nn_topk(
     Staging (VERDICT r7 #2 / ADVICE r7): pass B consumes the assign map
     and the pass-A scores from several lineage branches.  When
     ``stage`` is on, both are MATERIALIZED once to process-scoped
-    scratch parquet (``streaming_spark.scratch`` — bounded lifetime and
-    size) instead of recomputing per branch; a ``persist()`` would
+    scratch parquet (``streaming_spark.scratch``, PINNED against the
+    in-session sweep — the returned lazy frame reads these files for
+    an unbounded lifetime the sweep's mtime signal cannot see, and
+    both tables are metadata-sized) instead of recomputing per branch;
+    a ``persist()`` would
     outlive the returned lazy frame and degrade later same-session
     queries (CLAUDE.md), while the staged files are metadata-sized
     ((id, cell, block, cent_sim) rows and scored own-cell pairs).
@@ -623,17 +626,11 @@ def exact_nn_topk(
         raise ValueError(f"exact_nn_topk: unknown mode {mode!r}")
     empty_schema = "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT"
     if centroids is None:
-        sample = _md5_sample(base, "vec_id", "__vec", 2048)
-        if len(sample) < 2:
-            return spark.createDataFrame([], empty_schema)
-        n_rows = len(sample) if len(sample) < 2048 else base.count()
-        if n_cells is None:
-            n_cells = _auto_n_cells(n_rows, floor=4)
-        if 4 * n_cells > len(sample) and n_rows > len(sample):
-            sample = _md5_sample(base, "vec_id", "__vec", 4 * n_cells)
-        cent = _spherical_kmeans(
-            _norm_rows(_matrix([r[1] for r in sample])), n_cells
+        cent, n_rows, n_cells = _train_blocked_quantizer(
+            base, n_cells, floor=4
         )
+        if cent is None:
+            return spark.createDataFrame([], empty_schema)
     else:
         cent = centroids
     if stage is None:
@@ -644,7 +641,12 @@ def exact_nn_topk(
         n_rings,
     )
     if stage:
-        assign_path = scratch_dir("nn_assign") + "/t"
+        # pin=True: the returned frame READS these files lazily with
+        # unbounded lifetime, and the sweep's mtime signal cannot see
+        # reads — an unpinned staged dir would eventually be evicted
+        # under a query that still needs it (scratch.py module docs).
+        # Both staged tables are metadata-sized by contract.
+        assign_path = scratch_dir("nn_assign", pin=True) + "/t"
         assigned.write.parquet(assign_path)
         assigned = spark.read.parquet(assign_path)
     stats = (
@@ -676,7 +678,7 @@ def exact_nn_topk(
         -2.0,
     )
     if stage:
-        scored_a_path = scratch_dir("nn_pass_a") + "/t"
+        scored_a_path = scratch_dir("nn_pass_a", pin=True) + "/t"
         scored_a.write.parquet(scored_a_path)
         scored_a = spark.read.parquet(scored_a_path)
     scored_a = scored_a.select(
@@ -933,6 +935,7 @@ def _block_pair_allowlist(
     block_sizes: np.ndarray,
     threshold: float,
     n_rings: int,
+    chunk: int = 256,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Unordered (cell, ring) BLOCK pairs that COULD contain a vector
     pair with cosine ≥ ``threshold`` — the sound triangle-inequality
@@ -963,16 +966,32 @@ def _block_pair_allowlist(
     surviving block-pair indices with ``i <= j`` (``same`` marks the
     diagonal) and the exact Σ |bi|·|bj| (n·(n−1)/2 on the diagonal)
     candidate count — driver math over ≤ (n_cells·n_rings)² bounds, no
-    job."""
+    job.  The bound matrix is evaluated in row CHUNKS so the driver
+    peak stays O(chunk · B) instead of O(B²) — at the auto cap (1024
+    cells × 4 rings = 4096 blocks) a dense float64 theta/bound pair
+    would be ~270 MB of transient allocations exactly when the
+    coarsening fallback is about to discard them; chunked, the peak is
+    a few MB and the kept indices (the only O(survivors) state) are
+    identical, in the same row-major order."""
     cell_of = block_ids // n_rings
     cent_b = centroids[cell_of]
     alpha = np.arccos(np.clip(block_radii, -1.0, 1.0))
-    theta = np.arccos(np.clip(cent_b @ cent_b.T, -1.0, 1.0))
-    bound = np.cos(np.maximum(0.0, theta - alpha[:, None] - alpha[None, :]))
-    keep = bound >= threshold - 1e-9
-    iu, ju = np.triu_indices(len(block_ids))
-    kept = keep[iu, ju]
-    ii, jj = iu[kept], ju[kept]
+    n_blocks = len(block_ids)
+    ii_parts: list[np.ndarray] = []
+    jj_parts: list[np.ndarray] = []
+    for r0 in range(0, n_blocks, chunk):
+        r1 = min(r0 + chunk, n_blocks)
+        theta = np.arccos(np.clip(cent_b[r0:r1] @ cent_b.T, -1.0, 1.0))
+        bound = np.cos(
+            np.maximum(0.0, theta - alpha[r0:r1, None] - alpha[None, :])
+        )
+        ri, ci = np.nonzero(bound >= threshold - 1e-9)
+        ri = ri + r0
+        ut = ri <= ci  # upper triangle: each unordered block pair once
+        ii_parts.append(ri[ut])
+        jj_parts.append(ci[ut])
+    ii = np.concatenate(ii_parts) if ii_parts else np.empty(0, dtype=np.int64)
+    jj = np.concatenate(jj_parts) if jj_parts else np.empty(0, dtype=np.int64)
     same = ii == jj
     # a singleton block's diagonal task holds no pairs — drop it
     useful = ~same | (block_sizes[ii] >= 2)
@@ -1017,6 +1036,34 @@ def _auto_n_cells(n_rows: int, floor: int = 16, cap: int = 1024) -> int:
     ``sample_limit`` together (the quantizer needs ≥ n_cells sampled
     vectors)."""
     return max(floor, min(cap, math.isqrt(max(n_rows, 1))))
+
+
+def _train_blocked_quantizer(
+    base: DataFrame,
+    n_cells: int | None,
+    floor: int = 16,
+    sample_limit: int = 2048,
+) -> tuple[np.ndarray | None, int, int]:
+    """The quantizer-training preamble shared by the blocked pair path
+    and ``exact_nn_topk``'s blocked arm: ONE sample job yields the
+    training sample, dim, and (below the sample limit) the exact N — no
+    separate count()/first() jobs; ``n_cells`` defaults to ~sqrt(N)
+    (:func:`_auto_n_cells`), and the sample is re-drawn larger only when
+    the cell count outgrew it (the k-means needs ≥ ~4 vectors per cell).
+    Returns ``(centroids, n_rows, n_cells)``; centroids is None when the
+    table holds < 2 vectors (the callers' empty-output contract)."""
+    sample = _md5_sample(base, "vec_id", "__vec", sample_limit)
+    if len(sample) < 2:
+        return None, len(sample), 0
+    n_rows = len(sample) if len(sample) < sample_limit else base.count()
+    if n_cells is None:
+        n_cells = _auto_n_cells(n_rows, floor=floor)
+    if 4 * n_cells > len(sample) and n_rows > len(sample):
+        sample = _md5_sample(base, "vec_id", "__vec", 4 * n_cells)
+    cent = _spherical_kmeans(
+        _norm_rows(_matrix([r[1] for r in sample])), n_cells
+    )
+    return cent, n_rows, n_cells
 
 
 def _cosine_pairs_blocked(
@@ -1073,45 +1120,43 @@ def _cosine_pairs_blocked(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
     out_schema = "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
-    # ONE sample job yields the training sample, dim, and (below the
-    # sample limit) the exact N — no separate count()/first() jobs
-    sample = _md5_sample(base, "vec_id", "__vec", 2048)
-    if len(sample) < 2:
+    cent, n_rows, n_cells = _train_blocked_quantizer(base, n_cells)
+    if cent is None:
         if stats_out is not None:
             stats_out.update(
-                n_rows=len(sample),
+                n_rows=n_rows,
                 n_blocks=0,
                 n_tasks=0,
                 candidates=0,
                 total_pairs=0,
             )
         return spark.createDataFrame([], out_schema)
-    n_rows = len(sample) if len(sample) < 2048 else base.count()
-    if n_cells is None:
-        n_cells = _auto_n_cells(n_rows)
-    if 4 * n_cells > len(sample) and n_rows > len(sample):
-        sample = _md5_sample(base, "vec_id", "__vec", 4 * n_cells)
-    cent = _spherical_kmeans(
-        _norm_rows(_matrix([r[1] for r in sample])), n_cells
-    )
     # deliberately NOT persisted: the assign map is recomputed for the
     # stats job and the task join, but it is one narrow Arrow map over
     # a pruned scan — cheap next to the task shuffle — and a persist
     # here would outlive the call (the returned frame is lazy), which
     # measurably degrades later same-session queries (CLAUDE.md).
-    blocks = _with_block(
-        ivf_assign(
-            base,
-            cent,
-            id_col="vec_id",
-            vec_col="__vec",
-            with_sim=True,
-            keep_vec="__vec",
-        ),
-        n_rings,
-    )
+    def _assign_blocks(keep_vec: str | None = None) -> DataFrame:
+        return _with_block(
+            ivf_assign(
+                base,
+                cent,
+                id_col="vec_id",
+                vec_col="__vec",
+                with_sim=True,
+                keep_vec=keep_vec,
+            ),
+            n_rings,
+        )
+
+    blocks = _assign_blocks(keep_vec="__vec")
+    # the stats action runs on a VECTOR-FREE twin of the assign map:
+    # mapInPandas output cannot be column-pruned, so aggregating the
+    # keep_vec frame would ship all N float64 vectors through Arrow
+    # just for a min/count that discards them
     stats = (
-        blocks.groupBy("block")
+        _assign_blocks()
+        .groupBy("block")
         .agg(F.min("cent_sim").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -1137,17 +1182,7 @@ def _cosine_pairs_blocked(
             [sizes[cells_of == c].sum() for c in cell_ids], dtype=np.int64
         )
         n_rings = 1
-        blocks = _with_block(
-            ivf_assign(
-                base,
-                cent,
-                id_col="vec_id",
-                vec_col="__vec",
-                with_sim=True,
-                keep_vec="__vec",
-            ),
-            n_rings,
-        )
+        blocks = _assign_blocks(keep_vec="__vec")  # reads rebound n_rings
         block_ids, radii, sizes = cell_ids, cell_r, cell_n
         ii, jj, same, volume = _block_pair_allowlist(
             cent, block_ids, radii, sizes, threshold, n_rings
@@ -1215,11 +1250,16 @@ def _cosine_pairs_blocked(
         sims = mat[a] @ mat[~a].T
         ri, ci = np.where(sims >= threshold)
         ia, ib = ids[a][ri], ids[~a][ci]
+        # a duplicated vec_id whose rows land in different blocks would
+        # meet itself here — drop it like the diagonal branch's strict <
+        # and the broadcast arm do (id_a < id_b output contract)
+        keep = ia != ib
+        ia, ib = ia[keep], ib[keep]
         return pd.DataFrame(
             {
                 "id_a": np.minimum(ia, ib),
                 "id_b": np.maximum(ia, ib),
-                "cos_sim": sims[ri, ci],
+                "cos_sim": sims[ri[keep], ci[keep]],
             }
         )
 
@@ -1253,7 +1293,11 @@ def _cosine_pairs_lsh(
         est = self_join_candidate_volume(vb, ["table_id", "bucket"])
         log_candidate_volume("cosine_pairs[lsh]", est, n)
         stats_out.update(
-            n_rows=n, candidates=est, total_pairs=n * (n - 1) // 2
+            n_rows=n,
+            n_blocks=0,
+            n_tasks=0,
+            candidates=est,
+            total_pairs=n * (n - 1) // 2,
         )
     cand = (
         vb.alias("a")

@@ -31,7 +31,19 @@ per-process, so EVERY dir under it came from this process and a blanket
 exemption would disable the sweep outright.)  An idle-but-still-open
 sink can in principle still be swept; the cap is generous by default
 for that reason — set it lower only in bounded environments.
-"""
+
+Round 8 follow-up: mtime measures WRITE activity, but a staged parquet
+a returned LAZY DataFrame still READS never writes again — its
+max-mtime freezes at staging time, so in a long session the sweep
+would eventually evict files an outstanding query plan depends on and
+the next action fails mid-query with FileNotFoundException
+(``exact_nn_topk``'s staged assign map is exactly this shape).
+``scratch_dir(tag, pin=True)`` therefore exempts a dir from sweeping
+for the life of the process (it still dies with the root atexit).
+Pinning is for METADATA-SIZED staged read inputs only — pinned bytes
+still count toward the cap, so oversized pins would starve the
+sweepable pool; big artifacts (sinks, table copies) must stay
+unpinned."""
 
 from __future__ import annotations
 
@@ -103,9 +115,15 @@ def _tree_stats(path: str) -> tuple[int, float]:
     return total, newest
 
 
+_PINNED: set[str] = set()
+
+
 def _sweep(root: str, cap: int) -> None:
     """Remove least-recently-ACTIVE top-level tag dirs until the root
-    fits ``cap`` (activity = recursive max-mtime, see module docstring)."""
+    fits ``cap`` (activity = recursive max-mtime, see module docstring).
+    Pinned dirs are never victims but their bytes count toward the
+    total, so they tighten the budget for sweepable dirs rather than
+    hiding from it."""
     try:
         entries = [e for e in os.scandir(root) if e.is_dir(follow_symlinks=False)]
     except OSError:
@@ -113,10 +131,12 @@ def _sweep(root: str, cap: int) -> None:
     if not entries:
         return  # nothing to sweep — skip the recursive walk entirely
     sized = []
+    total = 0
     for e in entries:
         size, newest = _tree_stats(e.path)
-        sized.append((newest, e.path, size))
-    total = sum(s for _, _, s in sized)
+        total += size
+        if e.path not in _PINNED:
+            sized.append((newest, e.path, size))
     for _newest, path, size in sorted(sized):
         if total <= cap:
             break
@@ -124,11 +144,17 @@ def _sweep(root: str, cap: int) -> None:
         total -= size
 
 
-def scratch_dir(tag: str) -> str:
+def scratch_dir(tag: str, pin: bool = False) -> str:
     """A fresh directory under the scratch root — drop-in for
     ``tempfile.mkdtemp(prefix=...)`` with bounded lifetime AND bounded
     in-session size (least-recently-active sweep above the cap; see
-    module docstring)."""
+    module docstring).  ``pin=True`` exempts the dir from the sweep for
+    the life of the process — for metadata-sized staged READ inputs
+    whose consumer is a lazy DataFrame with unbounded lifetime (the
+    sweep's mtime signal cannot see reads); never pin bulk artifacts."""
     root = scratch_root()
     _sweep(root, _cap())
-    return tempfile.mkdtemp(prefix=tag + "_", dir=root)
+    out = tempfile.mkdtemp(prefix=tag + "_", dir=root)
+    if pin:
+        _PINNED.add(out)
+    return out

@@ -272,6 +272,82 @@ def test_cosine_pairs_blocked_matches_broadcast(spark):
     assert (4, 11) in bl
 
 
+def test_cosine_pairs_blocked_drops_self_pairs_on_duplicate_ids(spark):
+    """A vec_id that appears TWICE (an upstream union double-append)
+    with similar-but-distinct vectors landing in different RINGS of the
+    same cell: the cross-block task sees the id on both sides and must
+    not emit an (x, x) self-pair — the broadcast arm's strict < drops
+    it, and the arms must agree on the pair SET."""
+    from streaming_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(20):  # tight cluster at e1 (ring 0 of its cell)
+        v = np.zeros(8)
+        v[0] = 1.0
+        v += 0.02 * rng.standard_normal(8)
+        rows.append((i, v.tolist()))
+    for i in range(20, 40):  # second cluster at e2 → the other cell
+        v = np.zeros(8)
+        v[1] = 1.0
+        v += 0.02 * rng.standard_normal(8)
+        rows.append((i, v.tolist()))
+    # the duplicated id: once at e1 exactly (ring 0), once 40° away
+    # toward e3 (ring 1 at n_rings=4) — same cell, different blocks,
+    # mutual cosine cos(40°) ≈ 0.77 ≥ threshold, so only the id_a !=
+    # id_b guard keeps the self-pair out of the cross-block task
+    v1 = np.zeros(8)
+    v1[0] = 1.0
+    v2 = np.zeros(8)
+    v2[0] = float(np.cos(np.radians(40.0)))
+    v2[2] = float(np.sin(np.radians(40.0)))
+    rows.append((999, v1.tolist()))
+    rows.append((999, v2.tolist()))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    bl = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(
+            df, threshold=0.5, mode="blocked", n_cells=2
+        ).collect()
+    }
+    br = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(df, threshold=0.5, mode="broadcast").collect()
+    }
+    assert all(a != b for a, b in bl)
+    assert bl == br
+
+
+def test_block_pair_allowlist_chunking_is_invisible():
+    """The chunked bound evaluation (driver-memory fix: O(chunk · B)
+    peak instead of O(B²)) must return bit-identical survivors, order,
+    and volume for any chunk size — including chunks that split the
+    block list mid-row."""
+    from streaming_spark.operators.similarity import _block_pair_allowlist
+
+    rng = np.random.default_rng(11)
+    n_cells, n_rings = 7, 3
+    cent = rng.standard_normal((n_cells, 6))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    block_ids = np.sort(
+        rng.choice(n_cells * n_rings, size=15, replace=False)
+    ).astype(np.int64)
+    radii = rng.uniform(0.2, 0.999, size=15)
+    sizes = rng.integers(1, 50, size=15)
+    for threshold in (-0.5, 0.1, 0.6, 0.95):
+        ref = _block_pair_allowlist(
+            cent, block_ids, radii, sizes, threshold, n_rings, chunk=10_000
+        )
+        for chunk in (1, 2, 4, 7):
+            got = _block_pair_allowlist(
+                cent, block_ids, radii, sizes, threshold, n_rings, chunk=chunk
+            )
+            assert np.array_equal(got[0], ref[0])
+            assert np.array_equal(got[1], ref[1])
+            assert np.array_equal(got[2], ref[2])
+            assert got[3] == ref[3]
+
+
 def test_block_pair_allowlist_prunes_soundly():
     """Tight orthogonal clusters at a high threshold: every cross-cell
     block pair is provably below threshold and must be pruned; same-cell
@@ -514,6 +590,26 @@ def test_exact_nn_topk_arms_agree(spark):
     staged = snap(exact_nn_topk(df, k=2, mode="blocked", stage=True))
     assert auto == blocked == staged
     assert len(auto) == 70 * 2
+
+
+def test_exact_nn_topk_staged_result_survives_scratch_sweep(spark, monkeypatch):
+    """The staged arm returns a LAZY frame whose lineage reads scratch
+    parquet; a later scratch_dir call must not sweep those files out
+    from under it (they are pinned — their mtime freezes at staging
+    time, so the least-recently-active sweep would otherwise pick them
+    first).  Collecting AFTER a forced full sweep must still work."""
+    from streaming_spark import scratch
+    from streaming_spark.operators.similarity import exact_nn_topk
+
+    rng = np.random.default_rng(43)
+    rows = [(i, rng.standard_normal(12).astype(np.float32).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = exact_nn_topk(df, k=1, mode="blocked", stage=True)
+    # cap 0: the next scratch_dir sweeps EVERY unpinned sized dir
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", "0")
+    scratch.scratch_dir("sweeptrigger")
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    assert len(got) == 60
 
 
 def test_ann_lsh_recall_floor(spark):

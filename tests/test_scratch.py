@@ -82,6 +82,27 @@ def test_scratch_sweep_spares_active_sink(monkeypatch):
     assert not os.path.isdir(idle)
 
 
+def test_scratch_pinned_dir_survives_sweep(monkeypatch, tmp_path):
+    """A pinned dir (a staged READ input a lazy DataFrame still
+    depends on — e.g. exact_nn_topk's assign map) is never a sweep
+    victim even when it is the least recently active, while its bytes
+    still count toward the cap (they tighten the budget for the
+    sweepable dirs rather than hiding from it)."""
+    # isolated root: leftovers from other tests must not skew the totals
+    monkeypatch.setattr(scratch, "_ROOT", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", str(1_500))
+    pinned = scratch.scratch_dir("pinnedstage", pin=True)
+    _fill(pinned, 1_000, 1_000_000)  # oldest — would be the first victim
+    idle = scratch.scratch_dir("idleunpinned")
+    _fill(idle, 1_000, 2_000_000)  # newer, but unpinned
+    scratch.scratch_dir("trigger")
+    # pinned survives; the NEWER unpinned dir was evicted in its place
+    # because pinned bytes count against the cap
+    assert os.path.isdir(pinned)
+    assert not os.path.isdir(idle)
+    scratch._PINNED.discard(pinned)  # don't leak the pin into other tests
+
+
 def test_scratch_cap_env_parsed_defensively(monkeypatch):
     """ADVICE r7: a malformed SPARK_GRAFT_SCRATCH_CAP_BYTES must not
     raise at an arbitrary staging site mid-query — warn and fall back
