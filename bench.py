@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     # ceiling vs 100% uniform, VERDICT r7 #1 "done" criterion; the
     # candidate count is in the telemetry log)
     "dedup_embedding_cosine_clustered",
+    # round-8 addition: exact top-k with the blocked arm FORCED on the
+    # full 2k-vector table (auto would broadcast at this size) — the
+    # task-matmul pass A/B shape; the per-pair-join shape it replaced
+    # measured 124 s at this N, the task shape ~3-8 s (ROADMAP r8)
+    "q_exact_nn_blocked",
 ]
 
 

@@ -526,6 +526,81 @@ def _self_topk_broadcast(base: DataFrame, k: int) -> DataFrame:
     )
 
 
+# per-task cap on the query-vector bytes a single pass-B task holds —
+# above it queries are salted into subtasks (members replicated per
+# subtask); module constant so tests can force the salted path small.
+_PASS_B_TASK_BYTES = 64 << 20
+
+
+def _grouped_self_topk(tagged: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Per-task exact top-k scorer shared by ``exact_nn_topk``'s two
+    passes.  ``tagged`` rows are ``(id, __vec, side, selftask, *keys)``;
+    within each key group, queries (side 1 — or EVERY row when
+    ``selftask`` is set, the own-cell pass) are scored against members
+    (side 0) in one float64 matmul (identical math to the broadcast
+    arm), and only each query's top-k rows BY THE GLOBAL (sim DESC,
+    id ASC) ORDER leave the task — a sound pre-reduction: the final
+    row_number over the union can only pick rows that are top-k inside
+    their own task, so shuffling the also-rans is pure waste (the same
+    lesson as the blocked pair path's task matmul, VERDICT r7).  Pairs
+    with EQUAL ids never score (the self row, and duplicated-id inputs
+    — the broadcast arm's skip-self contract).  A members-only group in
+    a two-sided stage (a salt bucket that drew no queries) emits
+    nothing.  The matmul is chunked over queries so task memory stays
+    O(chunk · |members|) however many queries probe one block."""
+    out_schema = "qa BIGINT, vec_id BIGINT, cos_sim DOUBLE"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qa": np.array([], dtype=np.int64),
+                "vec_id": np.array([], dtype=np.int64),
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
+        ids = pdf["id"].to_numpy()
+        mat = _norm_rows(_matrix(pdf["__vec"]))
+        if bool(pdf["selftask"].iloc[0]):
+            q_ids, q_mat = ids, mat
+            m_ids, m_mat = ids, mat
+        else:
+            qm = pdf["side"].to_numpy() == 1
+            q_ids, q_mat = ids[qm], mat[qm]
+            m_ids, m_mat = ids[~qm], mat[~qm]
+            if len(q_ids) == 0 or len(m_ids) == 0:
+                return empty
+        out_q: list = []
+        out_n: list = []
+        out_s: list = []
+        chunk = 2048
+        for c0 in range(0, len(q_ids), chunk):
+            sims = q_mat[c0 : c0 + chunk] @ m_mat.T
+            for r in range(sims.shape[0]):
+                s = sims[r]
+                qid = q_ids[c0 + r]
+                vi = np.flatnonzero(m_ids != qid)
+                if len(vi) == 0:
+                    continue
+                if len(vi) > k:
+                    part = vi[np.argpartition(-s[vi], k - 1)[:k]]
+                    vi = vi[s[vi] >= s[part].min()]  # keep boundary ties
+                order = vi[np.lexsort((m_ids[vi], -s[vi]))][:k]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(m_ids[order])
+                out_s.append(s[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "qa": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_n),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    return tagged.groupBy(*keys).applyInPandas(fn, out_schema)
+
+
 def exact_nn_topk(
     vectors: DataFrame,
     k: int = 1,
@@ -537,6 +612,7 @@ def exact_nn_topk(
     stage: bool | None = None,
     mode: str = "auto",
     broadcast_limit: int = 100_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT self top-k (each vector's true k nearest others, cosine)
     WITHOUT the all-pairs crossJoin — the recall-1 neighbor generator
@@ -557,32 +633,53 @@ def exact_nn_topk(
     ring-refined bounds of ``_block_pair_allowlist``, here evaluated
     per query):
 
-    - Pass A probes each vector's OWN cell only and takes the k-th best
-      candidate cosine ``s_q`` found there (−2 sentinel when the cell
-      holds fewer than k others) — a cheap LOWER bound on the true k-th
-      best.
+    - Pass A scores each vector against its OWN cell in one per-cell
+      task matmul (:func:`_grouped_self_topk` — only each query's
+      top-k rows leave the task) and takes the k-th best cosine found
+      there as ``s_q`` (−2 sentinel when the cell holds fewer than k
+      others) — a cheap LOWER bound on the true k-th best.
     - Pass B maps each vector against the broadcast (centroids,
       per-block radii): any y in block b of cell c satisfies
       ``cos(q, y) <= cos(max(0, angle(q, c_c) − alpha_b))``; only
       blocks whose bound reaches ``s_q − 1e-9`` can hold a top-k
-      member (the slack keeps boundary-exact ties in play), so only
-      those blocks' members become candidates.  Own-CELL blocks are
-      excluded — their pairs were scored exactly in pass A and the
-      final rank unions both passes, so no candidate is verified twice
-      (VERDICT r7 #2: pass A folds into the result instead of being
-      recomputed by pass B).
+      member (the slack keeps boundary-exact ties in play).  The
+      surviving (query, block) probes become TASKS of one keyed
+      shuffle: each probed block's members meet the queries probing it
+      in a grouped-Arrow float64 matmul, and only each query's
+      per-task top-k rows leave — NEVER the O(candidates) per-pair
+      join (same redesign that took the blocked pair path 29.5 s →
+      2.9 s; the per-pair shape measured 124 s for N=2,000 on a
+      uniform corpus, the task matmul ~3 s).  Blocks whose probe
+      population outgrows ``_PASS_B_TASK_BYTES`` of query vectors are
+      salted into subtasks (members replicated per subtask) so one hot
+      block cannot exceed task memory.  Own-CELL blocks are excluded
+      — their pairs were scored exactly in pass A and the final rank
+      unions both passes, so no candidate is verified twice (VERDICT
+      r7 #2).
 
-    Staging (VERDICT r7 #2 / ADVICE r7): pass B consumes the assign map
-    and the pass-A scores from several lineage branches.  When
-    ``stage`` is on, both are MATERIALIZED once to process-scoped
-    scratch parquet (``streaming_spark.scratch``, PINNED against the
-    in-session sweep — the returned lazy frame reads these files for
-    an unbounded lifetime the sweep's mtime signal cannot see, and
-    both tables are metadata-sized) instead of recomputing per branch;
-    a ``persist()`` would
-    outlive the returned lazy frame and degrade later same-session
-    queries (CLAUDE.md), while the staged files are metadata-sized
-    ((id, cell, block, cent_sim) rows and scored own-cell pairs).
+    Candidate-volume telemetry (the VERDICT r7 #4 contract, same as
+    ``cosine_pairs``): the per-block probe populations are folded in
+    one metadata-sized aggregate BEFORE any task launches; the exact
+    ORDERED candidate volume (pass A's Σ n_c·(n_c−1) own-cell pairs +
+    pass B's Σ probes_b·|b|) is logged against the n·(n−1) ordered
+    ceiling, a ``QuadraticCandidateVolumeWarning`` fires when pruning
+    is not biting (expected on a near-uniform corpus — exact NN there
+    is information-theoretically all-pairs; route such data through
+    the ANN family when the contract tolerates recall < 1), and
+    ``stats_out`` receives ``{"n_rows", "n_blocks", "candidates",
+    "total_pairs"}``.
+
+    Staging (VERDICT r7 #2 / ADVICE r7): pass B consumes the assign
+    map, the pass-A top-k scores, and the probe list from several
+    lineage branches.  When ``stage`` is on, all three are MATERIALIZED
+    once to process-scoped scratch parquet (``streaming_spark.scratch``,
+    PINNED against the in-session sweep — the returned lazy frame reads
+    these files for an unbounded lifetime the sweep's mtime signal
+    cannot see) instead of recomputing per branch; a ``persist()``
+    would outlive the returned lazy frame and degrade later
+    same-session queries (CLAUDE.md), while the staged files are
+    metadata-sized ((id, cell, block, cent_sim) rows, ≤ N·k pass-A
+    scores, (qa, block) probes).
     ``stage=None`` (default) stages above 100k rows — known from the
     auto probe or the training sample; below that the branches are
     narrow Arrow maps over a pruned scan whose recompute is cheaper
@@ -600,10 +697,14 @@ def exact_nn_topk(
     (the bounds use measured radii), so reuse never risks the answer;
     it skips the sample-collect job entirely.
 
-    Shuffle volume is O(probed-block members); on a uniform corpus
+    Shuffle volume is O(N·probed-blocks + N·k); on a uniform corpus
     pruning degrades toward probing every block — exactness never
-    depends on the data.  Output: (query_id, neighbor_id, sim, rank),
-    sim UNROUNDED float64 so a downstream reciprocity join breaks ties
+    depends on the data.  ``id_col`` values must be UNIQUE: equal-id
+    pairs never score (so a duplicated id can never become its own
+    neighbor), but two rows sharing an id would also share one s_q
+    bound and one output key, making the per-row result sets
+    arm-dependent.  Output: (query_id, neighbor_id, sim, rank), sim
+    UNROUNDED float64 so a downstream reciprocity join breaks ties
     identically to an oracle."""
     from streaming_spark.scratch import scratch_dir
 
@@ -645,13 +746,13 @@ def exact_nn_topk(
         # unbounded lifetime, and the sweep's mtime signal cannot see
         # reads — an unpinned staged dir would eventually be evicted
         # under a query that still needs it (scratch.py module docs).
-        # Both staged tables are metadata-sized by contract.
+        # All staged tables are metadata-sized by contract.
         assign_path = scratch_dir("nn_assign", pin=True) + "/t"
         assigned.write.parquet(assign_path)
         assigned = spark.read.parquet(assign_path)
     stats = (
         assigned.groupBy("block")
-        .agg(F.min("cent_sim").alias("r"))
+        .agg(F.min("cent_sim").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
     if not stats:
@@ -661,35 +762,48 @@ def exact_nn_topk(
     alpha = np.arccos(
         np.clip(np.array([r["r"] for r in stats]), -1.0, 1.0)
     )
+    sizes = np.array([r["n"] for r in stats], dtype=np.int64)
+    size_of_block = dict(zip(block_ids.tolist(), sizes.tolist()))
+    n_total = int(sizes.sum())
     cell_of = block_ids // n_rings
 
-    # pass A: own-cell candidates, scored EXACTLY once — both the s_q
-    # bound and the final rank reuse these scores (VERDICT r7 #2: pass
-    # B excludes the own cell instead of re-verifying it)
-    qa = assigned.select(F.col("vec_id").alias("qa"), "cell")
-    cand_a = (
-        qa.join(assigned.select("vec_id", "cell"), "cell")
-        .filter(F.col("qa") != F.col("vec_id"))
-        .select("qa", "vec_id")
+    # the vector-carrying twin of the assign map: pass A's per-cell
+    # tasks and pass B's member side need (id, vec, cell/block) — one
+    # narrow Arrow map, recomputed per consumer (cheaper than staging
+    # N·dim doubles; the metadata frames above are what staging covers)
+    assigned_vec = _with_block(
+        ivf_assign(
+            base,
+            cent,
+            id_col="vec_id",
+            vec_col="__vec",
+            with_sim=True,
+            keep_vec="__vec",
+        ),
+        n_rings,
     )
-    scored_a = _verify_pairs(
-        cand_a.select(F.col("qa").alias("id_a"), F.col("vec_id").alias("id_b")),
-        base,
-        -2.0,
+
+    # pass A: per-cell self task matmul — each query's own-cell top-k
+    # is scored EXACTLY once, and only those ≤ N·k rows leave the
+    # tasks; both the s_q bound and the final rank reuse them (VERDICT
+    # r7 #2: pass B excludes the own cell instead of re-verifying it)
+    tagged_a = assigned_vec.select(
+        F.col("vec_id").alias("id"),
+        "__vec",
+        F.lit(0).alias("side"),
+        F.lit(1).alias("selftask"),
+        "cell",
     )
+    scored_a = _grouped_self_topk(tagged_a, ["cell"], k)
     if stage:
         scored_a_path = scratch_dir("nn_pass_a", pin=True) + "/t"
         scored_a.write.parquet(scored_a_path)
         scored_a = spark.read.parquet(scored_a_path)
-    scored_a = scored_a.select(
-        F.col("id_a").alias("qa"), F.col("id_b").alias("vec_id"), "cos_sim"
-    )
-    wa = Window.partitionBy("qa").orderBy(F.col("cos_sim").desc(), "vec_id")
+    # scored_a is already per-query top-k within the own cell, so the
+    # k-th-best fold needs no window — min over ≤ k rows per query
     s_q = (
-        scored_a.withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") <= k)
-        .groupBy("qa")
-        .agg(F.min("cos_sim").alias("s"), F.count("*").alias("n"))
+        scored_a.groupBy("qa")
+        .agg(F.min("cos_sim").alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
             "qa",
             F.when(F.col("n") >= k, F.col("s")).otherwise(F.lit(-2.0)).alias("s"),
@@ -732,15 +846,92 @@ def exact_nn_topk(
         "qa BIGINT, block INT",
         side_input=(cent, alpha, cell_of, block_ids),
     )
-    cand_b = probes.join(
-        assigned.select("vec_id", "block"), "block"
-    ).select("qa", "vec_id")
-    scored_b = _verify_pairs(
-        cand_b.select(F.col("qa").alias("id_a"), F.col("vec_id").alias("id_b")),
-        base,
-        -2.0,
-    ).select(F.col("id_a").alias("qa"), F.col("id_b").alias("vec_id"), "cos_sim")
-    scored = scored_a.unionByName(scored_b).select(
+    if stage:
+        probes_path = scratch_dir("nn_probes", pin=True) + "/t"
+        probes.write.parquet(probes_path)
+        probes = spark.read.parquet(probes_path)
+
+    # candidate-volume telemetry (VERDICT r7 #4): one metadata-sized
+    # fold of the probe list gives the EXACT ordered candidate volume
+    # BEFORE any task launches — and doubles as the salt map that keeps
+    # a hot block's task memory bounded
+    probe_counts = {
+        int(r["block"]): int(r["q"])
+        for r in probes.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("q"))
+        .collect()
+    }
+    cell_sizes: dict[int, int] = {}
+    for c, n in zip(cell_of.tolist(), sizes.tolist()):
+        cell_sizes[c] = cell_sizes.get(c, 0) + n
+    pass_a_pairs = sum(n * (n - 1) for n in cell_sizes.values())
+    pass_b_pairs = sum(
+        q * size_of_block[b] for b, q in probe_counts.items()
+    )
+    candidates = pass_a_pairs + pass_b_pairs
+    ordered_total = n_total * (n_total - 1)
+    log_candidate_volume(
+        "exact_nn_topk", candidates, n_total, total_pairs=ordered_total
+    )
+    if stats_out is not None:
+        stats_out.update(
+            n_rows=n_total,
+            n_blocks=len(block_ids),
+            candidates=candidates,
+            total_pairs=ordered_total,
+        )
+
+    if not probe_counts:
+        scored = scored_a
+    else:
+        # each probed block is one task; blocks whose probe population
+        # outgrows the per-task query-vector budget are salted into
+        # subtasks (members replicated per subtask, queries hashed)
+        dim = cent.shape[1]
+        q_cap = max(1, _PASS_B_TASK_BYTES // (8 * dim))
+        salt_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "block": np.array(list(probe_counts), dtype=np.int32),
+                    "n_sub": np.array(
+                        [-(-q // q_cap) for q in probe_counts.values()],
+                        dtype=np.int32,
+                    ),
+                }
+            ),
+            "block INT, n_sub INT",
+        )
+        qside = (
+            probes.join(base.select(F.col("vec_id").alias("qa"), "__vec"), "qa")
+            .join(F.broadcast(salt_df), "block")
+            .select(
+                F.col("qa").alias("id"),
+                "__vec",
+                F.lit(1).alias("side"),
+                F.lit(0).alias("selftask"),
+                "block",
+                F.pmod(F.xxhash64("qa"), F.col("n_sub")).cast("int").alias("sub"),
+            )
+        )
+        mside = (
+            assigned_vec.join(F.broadcast(salt_df), "block")
+            .select(
+                F.col("vec_id").alias("id"),
+                "__vec",
+                F.lit(0).alias("side"),
+                F.lit(0).alias("selftask"),
+                "block",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("n_sub") - F.lit(1))
+                ).alias("sub"),
+            )
+        )
+        scored_b = _grouped_self_topk(
+            mside.unionByName(qside), ["block", "sub"], k
+        )
+        scored = scored_a.unionByName(scored_b)
+
+    scored = scored.select(
         F.col("qa").alias("query_id"),
         F.col("vec_id").alias("neighbor_id"),
         F.col("cos_sim").alias("sim"),

@@ -3340,6 +3340,54 @@ def q_mutual_nn_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "q_exact_nn_blocked",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS s
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    rk AS (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS r
+      FROM sims)
+    SELECT query_id, neighbor_id, round(s, 4) AS sim, CAST(r AS INT) AS rank
+    FROM rk WHERE r <= 2
+    """,
+)
+def q_exact_nn_blocked(spark, sf_dir):
+    """Exact top-2 neighbors over the FULL embeddings table with the
+    blocked arm FORCED — the driver-gated twin of the unit-level
+    exactness tests (auto mode takes the broadcast arm below 100k rows,
+    so without forcing, the scale arm would never face the all-pairs
+    DuckDB oracle).  Pass A scores each vector's own IVF cell in a
+    per-cell task matmul; pass B turns the per-query triangle-bound
+    probe list into block-keyed matmul tasks that emit only per-task
+    top-k — worst-case shuffle ~N·sqrt(N) rows, never an O(candidates)
+    pair join (operators/similarity.py exact_nn_topk; same task-matmul
+    redesign as cosine_pairs' blocked arm).  On this near-uniform
+    corpus the bound cannot prune (exact NN here is information-
+    theoretically all-pairs), so the run also exercises the
+    QuadraticCandidateVolumeWarning telemetry path; recall stays 1 by
+    construction and the oracle replays every row.  Reference analog:
+    the reference has no ANN/NN surface — this is engine-beyond-
+    reference coverage (SURVEY §2.6 family)."""
+    from streaming_spark.operators.similarity import exact_nn_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return exact_nn_topk(emb, k=2, mode="blocked").select(
+        "query_id",
+        "neighbor_id",
+        F.round("sim", 4).alias("sim"),
+        "rank",
+    )
+
+
 _SEMANTIC_DECON_ORACLE = """
     WITH bench AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -74,10 +74,18 @@ def log_candidate_volume(
     candidates: int,
     n_items: int,
     warn_fraction: float = 0.5,
+    total_pairs: int | None = None,
 ) -> None:
     """Record a blocking strategy's candidate volume against the
-    all-pairs ceiling; warn loudly when blocking is not pruning."""
-    total = n_items * (n_items - 1) // 2
+    all-pairs ceiling; warn loudly when blocking is not pruning.
+    ``total_pairs`` overrides the default unordered n·(n−1)/2 ceiling —
+    top-k search counts ORDERED (query, member) candidates, so its
+    ceiling is n·(n−1)."""
+    total = (
+        total_pairs
+        if total_pairs is not None
+        else n_items * (n_items - 1) // 2
+    )
     frac = candidates / total if total else 0.0
     log.info(
         "%s: %d candidate pairs over %d items (%.1f%% of the %d-pair "

@@ -592,6 +592,78 @@ def test_exact_nn_topk_arms_agree(spark):
     assert len(auto) == 70 * 2
 
 
+def test_exact_nn_topk_salted_tasks_agree(spark, monkeypatch):
+    """Forcing the pass-B salt (a per-task query-vector budget far
+    below the data) splits hot blocks into subtasks — the physical
+    split must be invisible: identical rows to the broadcast arm."""
+    from streaming_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_PASS_B_TASK_BYTES", 1024)
+    rng = np.random.default_rng(53)
+    vecs = rng.standard_normal((70, 12)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(70)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).repartition(4)
+
+    def snap(out):
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, round(r.sim, 9))
+            for r in out.collect()
+        }
+
+    salted = snap(similarity.exact_nn_topk(df, k=2, mode="blocked", n_cells=4))
+    bc = snap(similarity.exact_nn_topk(df, k=2, mode="broadcast"))
+    assert salted == bc
+
+
+def test_exact_nn_topk_candidate_telemetry(spark):
+    """The VERDICT r7 #4 telemetry contract covers the NN search too:
+    stats_out receives the exact ordered candidate volume before any
+    task launches, and the saturation warning fires on a uniform
+    corpus where the bound provably cannot prune (exact NN there is
+    information-theoretically all-pairs)."""
+    import pytest as _pytest
+
+    from streaming_spark.operators.similarity import exact_nn_topk
+    from streaming_spark.telemetry import QuadraticCandidateVolumeWarning
+
+    rng = np.random.default_rng(59)
+    rows = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    stats: dict = {}
+    with _pytest.warns(QuadraticCandidateVolumeWarning):
+        out = exact_nn_topk(
+            df, k=1, n_cells=5, mode="blocked", stats_out=stats
+        )
+        n = out.count()
+    assert n == 80
+    assert stats["n_rows"] == 80
+    assert stats["total_pairs"] == 80 * 79  # ordered (query, member) pairs
+    assert 0 < stats["candidates"] <= stats["total_pairs"]
+    assert stats["n_blocks"] >= 5
+
+
+def test_exact_nn_topk_never_self_neighbor_on_duplicate_ids(spark):
+    """A duplicated vec_id (ids are a documented uniqueness contract,
+    but a violation must not corrupt answers) can never be emitted as
+    its OWN neighbor — equal-id pairs are excluded in every task, the
+    same skip-self rule as the broadcast arm."""
+    from streaming_spark.operators.similarity import exact_nn_topk
+
+    rng = np.random.default_rng(61)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(40)]
+    # two rows, one id, similar vectors — without the equal-id guard
+    # the second row lands in some block and becomes query 999's
+    # "nearest neighbor" at cosine ~1
+    v = rng.standard_normal(8).astype(np.float32)
+    rows.append((999, v.tolist()))
+    rows.append((999, (v + np.float32(0.01) * rng.standard_normal(8).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = exact_nn_topk(df, k=2, n_cells=4, mode="blocked").collect()
+    assert all(r.query_id != r.neighbor_id for r in got)
+
+
 def test_exact_nn_topk_staged_result_survives_scratch_sweep(spark, monkeypatch):
     """The staged arm returns a LAZY frame whose lineage reads scratch
     parquet; a later scratch_dir call must not sweep those files out

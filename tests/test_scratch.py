@@ -21,11 +21,14 @@ def _fill(path: str, size: int, mtime: float) -> None:
     os.utime(path, (mtime, mtime))
 
 
-def test_scratch_sweep_keeps_disk_bounded(monkeypatch):
+def test_scratch_sweep_keeps_disk_bounded(monkeypatch, tmp_path):
     """A loop of sink-staging queries keeps disk bounded: once the root
     exceeds the cap, the least-recently-active tag dirs are swept before
     the next dir is carved — newest survivors plus the new dir stay
     under control."""
+    # isolated root: dirs pinned by other tests in the shared process
+    # root would count against this tiny cap and skew the accounting
+    monkeypatch.setattr(scratch, "_ROOT", str(tmp_path))
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", str(2_500))
     dirs = []
     for i in range(8):
@@ -58,11 +61,14 @@ def test_scratch_sweep_never_removes_the_new_dir(monkeypatch):
         f.write("ok")
 
 
-def test_scratch_sweep_spares_active_sink(monkeypatch):
+def test_scratch_sweep_spares_active_sink(monkeypatch, tmp_path):
     """ADVICE r7: a dir created long ago whose NESTED files are freshly
     written (an active Spark sink — part files land in subdirs, the
     top-level mtime never moves) must outlive an idle dir that was
     created later.  Victim order keys on recursive max-mtime."""
+    # isolated root: pinned staged-parquet dirs from earlier tests
+    # would exceed this cap on their own and force extra evictions
+    monkeypatch.setattr(scratch, "_ROOT", str(tmp_path))
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", str(1_500))
     active = scratch.scratch_dir("activesink")
     # created "long ago" at the top level...
