@@ -232,6 +232,12 @@ def q_streaming_session_transcripts(spark, sf_dir):
             .groupBy("user_id", "frag")
             .agg(
                 F.min(us).alias("start_us"),
+                # first event_id: the merge pass's tie-break when two
+                # same-user fragments share start_us (events at one
+                # timestamp straddling a file boundary) — without it
+                # the fragment sort falls through to the transcript
+                # STRING, which need not match event order
+                F.min("event_id").alias("first_event_id"),
                 F.max(us).alias("end_us"),
                 F.count(F.lit(1)).alias("n_events"),
                 F.array_join(
@@ -248,30 +254,23 @@ def q_streaming_session_transcripts(spark, sf_dir):
             )
             .drop("frag")
         )
-        (
-            frags.withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+        _land_batch(
+            frags,
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        ev_stream.writeStream.foreachBatch(land_fragments)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_session_transcripts did not finish in 300s"
-        )
+    _run_foreach_batch(ev_stream, land_fragments, "q_streaming_session_transcripts")
 
     frags = spark.read.parquet(sink_dir).select(
-        "user_id", "start_us", "end_us", "n_events", "transcript"
+        "user_id",
+        "start_us",
+        "first_event_id",
+        "end_us",
+        "n_events",
+        "transcript",
     )
-    w2 = Window.partitionBy("user_id").orderBy("start_us")
+    w2 = Window.partitionBy("user_id").orderBy("start_us", "first_event_id")
     new_sess = (
         F.lag("end_us").over(w2).isNull()
         | (F.col("start_us") - F.lag("end_us").over(w2) >= gap_us)
@@ -289,7 +288,9 @@ def q_streaming_session_transcripts(spark, sf_dir):
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("start_us", "transcript"))
+                        F.collect_list(
+                            F.struct("start_us", "first_event_id", "transcript")
+                        )
                     ),
                     lambda x: x["transcript"],
                 ),
@@ -429,7 +430,12 @@ def _stage_stream_dir(
     if event_type is not None:
         table = table.filter(pc.equal(table["event_type"], event_type))
     step = (table.num_rows + n_files - 1) // n_files
-    base = int(_time.time()) - 1000
+    # mtimes ascend 1s apart but END ~2s before NOW: a deep backdate
+    # (this used now-1000) made the just-staged dir the oldest thing
+    # under the scratch root, i.e. the FIRST victim of the LRU sweep a
+    # later scratch_dir("ckpt") call triggers — live stream input
+    # deleted mid-query in a capped long session
+    base = int(_time.time()) - n_files - 2
     for i in range(n_files):
         path = os.path.join(stream_dir, f"part-{i}.parquet")
         pq.write_table(table.slice(i * step, step), path)
@@ -471,7 +477,10 @@ def _stage_docs_stream_dir(
     stream_dir = scratch_dir("docstream")
     table = pq.read_table(table_path(sf_dir, table_name))
     step = (table.num_rows + n_files - 1) // n_files
-    base = int(_time.time()) - 1000
+    # recent mtimes (see _stage_stream_dir): ascending for discovery
+    # order, ending ~2s before NOW so the LRU sweep never picks the
+    # live stream input as its oldest victim
+    base = int(_time.time()) - n_files - 2
     for i in range(n_files):
         path = os.path.join(stream_dir, f"part-{i}.parquet")
         pq.write_table(table.slice(i * step, step), path)
@@ -507,6 +516,16 @@ def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300
     deadline = _time.time() + timeout_s
     try:
         while _time.time() < deadline:
+            if not q.isActive:
+                # a dead query's watermark never advances — re-raise its
+                # own failure instead of spinning to a masking timeout
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                raise RuntimeError(
+                    f"streaming query {sink_name} terminated before the "
+                    f"watermark passed {min_watermark}"
+                )
             prog = q.lastProgress
             wm = (prog or {}).get("eventTime", {}).get("watermark")
             if wm is not None:
@@ -523,6 +542,42 @@ def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300
         q.stop()
     q.awaitTermination(60)
     return df.sparkSession.table(sink_name)
+
+
+def _run_foreach_batch(stream_df, land, label: str, timeout_s: int = 300) -> None:
+    """Run a finite file-backed stream to completion through a
+    ``foreachBatch`` landing function — availableNow trigger, fresh
+    scratch checkpoint, bounded wait.  ONE implementation for the ~19
+    foreachBatch queries in this module (the run block was copy-pasted
+    per query until round 8), so exception/timeout behavior has a
+    single owner: ``awaitTermination`` re-raises the query's own
+    failure; the timeout only fires when the query is genuinely stuck,
+    and stops it before raising so the session is not left holding a
+    zombie stream."""
+    q = (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"{label} did not finish within {timeout_s}s")
+
+
+def _land_batch(df, batch_id, sink_dir: str) -> None:
+    """Idempotent batch landing: overwrite exactly this batch's
+    partition of the parquet sink (dynamic partition overwrite keyed by
+    ``__batch``), so a replayed micro-batch after a checkpoint recovery
+    rewrites its own output instead of duplicating it — the shared sink
+    discipline of every foreachBatch query here."""
+    (
+        df.withColumn("__batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(sink_dir)
+    )
 
 
 def _max_event_ts(sf_dir: str):
@@ -750,26 +805,13 @@ def q_streaming_sink_parquet(spark, sf_dir):
     def land(batch_df, batch_id):
         # partition-by-batch overwrite: idempotent under Spark's batch
         # replay (same batch_id -> same directory replaced)
-        (
-            batch_df.withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+        _land_batch(
+            batch_df,
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        ev.writeStream.foreachBatch(land)
-        .option(
-            "checkpointLocation",
-            scratch_dir("ckpt"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_sink_parquet did not finish within 300s")
+    _run_foreach_batch(ev, land, "q_streaming_sink_parquet")
     landed = spark.read.parquet(sink_dir)
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1224,35 +1266,19 @@ def q_streaming_incremental_rollup(spark, sf_dir):
     )
 
     def land_partials(batch_df, batch_id):
-        (
+        _land_batch(
             batch_df.groupBy(
                 "event_type",
                 F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias(
                     "bucket"
                 ),
             )
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        ev.writeStream.foreachBatch(land_partials)
-        .option(
-            "checkpointLocation",
-            scratch_dir("ckpt"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_incremental_rollup did not finish within 300s"
-        )
+    _run_foreach_batch(ev, land_partials, "q_streaming_incremental_rollup")
     partials = spark.read.parquet(sink_dir)
     return partials.groupBy("event_type", "bucket").agg(
         F.sum("n").alias("n_events"),
@@ -1315,40 +1341,29 @@ def q_streaming_decontaminate(spark, sf_dir):
     bench = benchmark_grams(
         docs_static.filter(F.col("doc_id") % 97 == 0)
     ).persist()
-    bench.count()  # materialize once; every micro-batch reuses it
-
-    sink_dir = scratch_dir("decon") + "/t"
-    stream_docs = (
-        spark.readStream.schema(docs_static.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stage_docs_stream_dir(sf_dir))
-    )
-
-    def flag_batch(batch_df, batch_id):
-        corpus = batch_df.filter(F.col("doc_id") % 97 != 0)
-        (
-            decontaminate_against(corpus, bench)
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
-        )
-
-    q = (
-        stream_docs.writeStream.foreachBatch(flag_batch)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
+    # everything from materialization to stream completion runs under
+    # the unpersist finally: staging and stream start can throw, and a
+    # leaked persisted frame degrades every later query in the session
+    # 3-4x (CLAUDE.md; same shape q_streaming_entity_resolve fixed)
     try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "q_streaming_decontaminate did not finish within 300s"
+        bench.count()  # materialize once; every micro-batch reuses it
+
+        sink_dir = scratch_dir("decon") + "/t"
+        stream_docs = (
+            spark.readStream.schema(docs_static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_stage_docs_stream_dir(sf_dir))
+        )
+
+        def flag_batch(batch_df, batch_id):
+            corpus = batch_df.filter(F.col("doc_id") % 97 != 0)
+            _land_batch(
+                decontaminate_against(corpus, bench),
+                batch_id,
+                sink_dir,
             )
+
+        _run_foreach_batch(stream_docs, flag_batch, "q_streaming_decontaminate")
     finally:
         bench.unpersist()
     return spark.read.parquet(sink_dir).select(
@@ -1508,27 +1523,14 @@ def q_streaming_static_join(spark, sf_dir):
     )
 
     def land(batch_df, batch_id):
-        (
+        _land_batch(
             batch_df.groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        enriched.writeStream.foreachBatch(land)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_static_join did not finish within 300s")
+    _run_foreach_batch(enriched, land, "q_streaming_static_join")
     return (
         spark.read.parquet(sink_dir)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
@@ -1633,26 +1635,13 @@ def q_streaming_ann_index(spark, sf_dir):
     )
 
     def encode_batch(batch_df, batch_id):
-        (
-            ivfpq_encode(batch_df, cent, books, id_col="vec_id")
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+        _land_batch(
+            ivfpq_encode(batch_df, cent, books, id_col="vec_id"),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_emb.writeStream.foreachBatch(encode_batch)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_ann_index did not finish within 300s")
+    _run_foreach_batch(stream_emb, encode_batch, "q_streaming_ann_index")
 
     streamed = spark.read.parquet(sink_dir).select("vec_id", "cell", "codes")
     batch = ivfpq_encode(emb_static, cent, books, id_col="vec_id")
@@ -1823,31 +1812,18 @@ def q_streaming_kmeans_update(spark, sf_dir):
     )
 
     def accumulate(batch_df, batch_id):
-        (
+        _land_batch(
             stream(
                 batch_df.select("vec_id", "embedding"),
                 partials,
                 "cell INT, n BIGINT, vsum ARRAY<DOUBLE>",
                 side_input=cent0,
-            )
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            ),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_emb.writeStream.foreachBatch(accumulate)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_kmeans_update did not finish in 300s")
+    _run_foreach_batch(stream_emb, accumulate, "q_streaming_kmeans_update")
 
     def fold_update(rows):
         sums = np.zeros((k, dim))
@@ -1953,26 +1929,13 @@ def q_streaming_dup_spans(spark, sf_dir):
 
     def land_hashes(batch_df, batch_id):
         batch = batch_df.filter(F.length("text") >= width)
-        (
-            window_hashes(batch, text_col="text", id_col="doc_id", width=width)
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+        _land_batch(
+            window_hashes(batch, text_col="text", id_col="doc_id", width=width),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_docs.writeStream.foreachBatch(land_hashes)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_dup_spans did not finish within 300s")
+    _run_foreach_batch(stream_docs, land_hashes, "q_streaming_dup_spans")
 
     spans = spark.read.parquet(sink_dir).select("doc_id", "pos", "h")
     docs = docs_static.filter(F.length("text") >= width)
@@ -2278,28 +2241,15 @@ def q_streaming_countmin(spark, sf_dir):
 
     def land_sketch(batch_df, batch_id):
         mat = countmin_sketch(batch_df, "event_type", depth, width)
-        (
+        _land_batch(
             spark.createDataFrame(
                 [(mat.reshape(-1).tolist(),)], "cells ARRAY<BIGINT>"
-            )
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            ),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        ev_stream.writeStream.foreachBatch(land_sketch)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_countmin did not finish within 300s")
+    _run_foreach_batch(ev_stream, land_sketch, "q_streaming_countmin")
 
     merged = np.zeros(depth * width, dtype=np.int64)
     for r in spark.read.parquet(sink_dir).collect():
@@ -2358,26 +2308,15 @@ def q_streaming_bloom_index(spark, sf_dir):
 
     def land_bloom(batch_df, batch_id):
         words = bloom_build(batch_df, "user_id", n_bits=n_bits, k=k)
-        (
+        _land_batch(
             spark.createDataFrame(
                 [(words.view(np.int64).tolist(),)], "words ARRAY<BIGINT>"
-            )
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            ),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        ev_stream.writeStream.foreachBatch(land_bloom)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_bloom_index did not finish within 300s")
+    _run_foreach_batch(ev_stream, land_bloom, "q_streaming_bloom_index")
 
     merged = np.zeros(n_bits // 64, dtype=np.uint64)
     for r in spark.read.parquet(sink_dir).collect():
@@ -2430,28 +2369,13 @@ def q_streaming_hll_distinct(spark, sf_dir):
     )
 
     def land_sketch(batch_df, batch_id):
-        (
-            batch_df.agg(F.hll_sketch_agg("user_id").alias("sk"))
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+        _land_batch(
+            batch_df.agg(F.hll_sketch_agg("user_id").alias("sk")),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        ev_stream.writeStream.foreachBatch(land_sketch)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_hll_distinct did not finish within 300s"
-        )
+    _run_foreach_batch(ev_stream, land_sketch, "q_streaming_hll_distinct")
 
     streamed = spark.read.parquet(sink_dir).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_streamed")
@@ -2512,28 +2436,13 @@ def q_streaming_minhash_index(spark, sf_dir):
     )
 
     def land_signatures(batch_df, batch_id):
-        (
-            minhash_signatures(batch_df, "text", "doc_id")
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+        _land_batch(
+            minhash_signatures(batch_df, "text", "doc_id"),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_docs.writeStream.foreachBatch(land_signatures)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_minhash_index did not finish within 300s"
-        )
+    _run_foreach_batch(stream_docs, land_signatures, "q_streaming_minhash_index")
 
     sigs = spark.read.parquet(sink_dir).select("id", "shingles", "sig").persist()
     try:
@@ -2612,8 +2521,6 @@ def q_streaming_bm25_index(spark, sf_dir):
     accumulated index; and a retried batch replaces its own partition
     (idempotent dynamic overwrite)."""
 
-    from pyspark.sql.window import Window
-
     post_dir = scratch_dir("bm25post") + "/t"
     cnt_dir = scratch_dir("bm25cnt") + "/t"
     docs_schema = T(spark, sf_dir, "documents").schema
@@ -2628,40 +2535,22 @@ def q_streaming_bm25_index(spark, sf_dir):
             "doc_id",
             F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
         )
-        (
+        _land_batch(
             toks.groupBy("doc_id", "tok")
             .agg(
                 F.count(F.lit(1)).alias("tf"),
                 F.min("pos").alias("first_pos"),
-            )
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(post_dir)
+            ),
+            batch_id,
+            post_dir,
         )
-        (
-            batch_df.agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(cnt_dir)
+        _land_batch(
+            batch_df.agg(F.count(F.lit(1)).alias("n")),
+            batch_id,
+            cnt_dir,
         )
 
-    q = (
-        stream_docs.writeStream.foreachBatch(land_postings)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_bm25_index did not finish within 300s"
-        )
+    _run_foreach_batch(stream_docs, land_postings, "q_streaming_bm25_index")
 
     index = spark.read.parquet(post_dir).select(
         "doc_id", "tok", "tf", "first_pos"
@@ -2750,7 +2639,7 @@ def q_streaming_entity_resolve(spark, sf_dir):
     re-scanned.  (Master UPDATES would re-land its variants — the
     MERGE/SCD2 surface covers that axis.)"""
 
-    from streaming_spark.operators.fuzzy import fuzzy_index, fuzzy_join
+    from streaming_spark.operators.fuzzy import fuzzy_index
 
     cust_static = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     # Build + persist the master's deletion-variant index ONCE, before
@@ -2805,30 +2694,15 @@ def _run_entity_resolve_stream(spark, stream_cust, master_index, sink_dir):
         rk = F.row_number().over(
             Window.partitionBy("dirty_id").orderBy("dist", "master_id")
         )
-        (
+        _land_batch(
             links.withColumn("rk", rk)
             .filter(F.col("rk") == 1)
-            .select("dirty_id", "master_id", "dist")
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            .select("dirty_id", "master_id", "dist"),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_cust.writeStream.foreachBatch(resolve_batch)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_entity_resolve did not finish within 300s"
-        )
+    _run_foreach_batch(stream_cust, resolve_batch, "q_streaming_entity_resolve")
     return (
         spark.read.parquet(sink_dir)
         .select(
@@ -2891,7 +2765,7 @@ def q_streaming_phrase_index(spark, sf_dir):
     )
 
     def land_postings(batch_df, batch_id):
-        (
+        _land_batch(
             batch_df.filter(F.length(F.trim("text")) > 0)
             .select(
                 "doc_id",
@@ -2899,27 +2773,12 @@ def q_streaming_phrase_index(spark, sf_dir):
                     "pos", "tok"
                 ),
             )
-            .withColumn("pos", F.col("pos") + 1)
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            .withColumn("pos", F.col("pos") + 1),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_docs.writeStream.foreachBatch(land_postings)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_phrase_index did not finish within 300s"
-        )
+    _run_foreach_batch(stream_docs, land_postings, "q_streaming_phrase_index")
 
     toks = spark.read.parquet(sink_dir).select("doc_id", "tok", "pos")
     probe = toks.filter(F.col("doc_id").isin(0, 37, 74) & (F.col("pos") <= 2))
@@ -3025,7 +2884,7 @@ def q_streaming_curate_corpus(spark, sf_dir):
     )
 
     def land_survivors(batch_df, batch_id):
-        (
+        _land_batch(
             with_lang_scores(
                 batch_df.select("doc_id", "source", "text"), "text"
             )
@@ -3033,27 +2892,12 @@ def q_streaming_curate_corpus(spark, sf_dir):
             .filter(token_count("text") >= 20)
             .select(
                 "doc_id", "source", "text", F.md5("text").alias("digest")
-            )
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            ),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_docs.writeStream.foreachBatch(land_survivors)
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_curate_corpus did not finish within 300s"
-        )
+    _run_foreach_batch(stream_docs, land_survivors, "q_streaming_curate_corpus")
 
     survivors = spark.read.parquet(sink_dir).select(
         "doc_id", "source", "text", "digest"
@@ -3110,27 +2954,16 @@ def q_streaming_line_index(spark, sf_dir):
     )
 
     def land_owners(batch_df, batch_id):
-        (
+        _land_batch(
             line_digests(batch_df, "text", "doc_id")
             .groupBy("h")
             .agg(F.min(F.struct("doc_id", "line_no")).alias("own"))
-            .select("h", "own.doc_id", "own.line_no")
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            .select("h", "own.doc_id", "own.line_no"),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_docs.writeStream.foreachBatch(land_owners)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_line_index did not finish in 300s")
+    _run_foreach_batch(stream_docs, land_owners, "q_streaming_line_index")
 
     owners = (
         spark.read.parquet(sink_dir)
@@ -3188,25 +3021,14 @@ def q_streaming_dsir_index(spark, sf_dir):
             "source",
             F.substring(F.md5("tok"), 1, 4).alias("bucket"),
         )
-        (
+        _land_batch(
             toks.groupBy("doc_id", "source", "bucket")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+            .agg(F.count(F.lit(1)).alias("tf")),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_docs.writeStream.foreachBatch(land_features)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_dsir_index did not finish in 300s")
+    _run_foreach_batch(stream_docs, land_features, "q_streaming_dsir_index")
 
     from streaming_spark.queries.curation import dsir_scores
 
@@ -3256,26 +3078,13 @@ def q_streaming_semantic_decontaminate(spark, sf_dir):
         )
 
         corpus = batch_df.filter(F.col("vec_id") % 50 != 0)
-        (
-            decontamination_audit(corpus, bench, threshold=0.25)
-            .withColumn("__batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(sink_dir)
+        _land_batch(
+            decontamination_audit(corpus, bench, threshold=0.25),
+            batch_id,
+            sink_dir,
         )
 
-    q = (
-        stream_emb.writeStream.foreachBatch(probe_batch)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "q_streaming_semantic_decontaminate did not finish in 300s"
-        )
+    _run_foreach_batch(stream_emb, probe_batch, "q_streaming_semantic_decontaminate")
     return spark.read.parquet(sink_dir).select(
         "vec_id", "n_hits", "max_sim", "contaminated"
     )
