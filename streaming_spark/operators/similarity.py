@@ -459,7 +459,9 @@ def ivf_topk(
     return _topk_on_candidates(cand, queries, vectors, k, vec_col)
 
 
-def _self_topk_broadcast(base: DataFrame, k: int) -> DataFrame:
+def _self_topk_broadcast(
+    base: DataFrame, k: int, stats_out: dict | None = None
+) -> DataFrame:
     """EXACT self top-k, broadcast arm: the whole (ids, normalized
     float64 matrix) table ships to every partition, which computes its
     own rows' similarities against ALL vectors in one blocked matmul
@@ -474,6 +476,17 @@ def _self_topk_broadcast(base: DataFrame, k: int) -> DataFrame:
     the all-pairs oracles bit for bit; sims stay unrounded float64."""
     out_schema = "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT"
     rows = base.collect()  # small-side contract: N x dim floats fit in driver
+    if stats_out is not None:
+        # this arm scores every ordered pair by design — the same
+        # four-key telemetry contract as the blocked arm, so a generic
+        # consumer never KeyErrors on the physical routing
+        n = len(rows)
+        stats_out.update(
+            n_rows=n,
+            n_blocks=0,
+            candidates=n * (n - 1),
+            total_pairs=n * (n - 1),
+        )
     if len(rows) < 2:
         return base.sparkSession.createDataFrame([], out_schema)
     all_ids = np.array([r[0] for r in rows])
@@ -722,7 +735,7 @@ def exact_nn_topk(
             n_rows = probe  # a LOWER bound (> broadcast_limit) — enough
             # for the staging decision below; the sample job refines it
     if mode == "broadcast":
-        return _self_topk_broadcast(base, k)
+        return _self_topk_broadcast(base, k, stats_out=stats_out)
     if mode != "blocked":
         raise ValueError(f"exact_nn_topk: unknown mode {mode!r}")
     empty_schema = "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT"

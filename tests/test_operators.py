@@ -642,6 +642,12 @@ def test_exact_nn_topk_candidate_telemetry(spark):
     assert stats["total_pairs"] == 80 * 79  # ordered (query, member) pairs
     assert 0 < stats["candidates"] <= stats["total_pairs"]
     assert stats["n_blocks"] >= 5
+    # the broadcast arm fills the same keys (it scores the ceiling by
+    # design), so a generic consumer never KeyErrors on the routing
+    bstats: dict = {}
+    exact_nn_topk(df, k=1, mode="broadcast", stats_out=bstats).count()
+    assert bstats["candidates"] == bstats["total_pairs"] == 80 * 79
+    assert bstats["n_rows"] == 80
 
 
 def test_exact_nn_topk_never_self_neighbor_on_duplicate_ids(spark):
