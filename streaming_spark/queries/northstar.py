@@ -163,6 +163,28 @@ def ann_topk_lsh(spark, sf_dir):
     return lsh_bucket_topk(emb, queries, dim=64, k=5, n_bits=4, n_tables=12)
 
 
+def _recall_per_query(exact, approx, dp):
+    """Per-query recall@k of an approximate top-k list against the
+    exact one — left-join hit flags, hits / |exact| per query.  ONE
+    definition for the five ANN recall measurements (each previously
+    re-spelled the join + aggregate inline, with silently drifting
+    rounding precision)."""
+    hits = approx.select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), dp
+            ).alias("recall_at_5")
+        )
+        .orderBy("query_id")
+    )
+
+
 @query("ann_recall_at_k")  # rows-only: measures the approximation contract
 # of the seeded-hyperplane LSH path — the hash is engine-internal (numpy
 # projections), so no SQL oracle; the recall FLOOR is asserted in
@@ -179,19 +201,8 @@ def ann_recall_at_k(spark, sf_dir):
     exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = (
         lsh_bucket_topk(emb, queries, dim=64, k=5, n_bits=4, n_tables=12)
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
     )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
-            ).alias("recall_at_5")
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact, approx, dp=3)
 
 
 @query(
@@ -382,6 +393,7 @@ def multimodal_blob_features(spark, sf_dir):
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS blob_md5
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def multimodal_tar_ingest(spark, sf_dir):
@@ -399,9 +411,13 @@ def multimodal_tar_ingest(spark, sf_dir):
     from streaming_spark.io import table_path
 
     docs = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    # a NULL document has no bytes to archive: skip it on BOTH sides
+    # (the old `t or ""` silently conflated None with a genuinely empty
+    # document, diverging from the oracle's NULL-propagating encode())
     samples = [
-        (str(i), "txt", (t or "").encode("utf-8"))
+        (str(i), "txt", t.encode("utf-8"))
         for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if t is not None
     ]
     out_dir = scratch_dir("tar")
     multimodal.write_tar_shards(samples, out_dir, n_shards=4)
@@ -720,7 +736,7 @@ def ann_recall_ivf(spark, sf_dir):
     """Recall@5 of the IVF path vs exact brute force, per query — the
     IVF approximation contract, computed engine-internally like
     ann_recall_at_k."""
-    from streaming_spark.operators.similarity import cosine_topk, ivf_topk
+    from streaming_spark.operators.similarity import ivf_topk
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -730,19 +746,8 @@ def ann_recall_ivf(spark, sf_dir):
             emb, queries, dim=64, k=5, n_cells=8, nprobe=4,
             centroids=_ivf_centroids_cached(spark, sf_dir),
         )
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
     )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
-            ).alias("recall_at_5")
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact, approx, dp=3)
 
 
 @query(
@@ -1100,26 +1105,15 @@ def ann_topk_pq(spark, sf_dir):
 def ann_recall_pq(spark, sf_dir):
     """Recall@5 of the PQ+rerank path vs exact brute force, per query —
     the PQ approximation contract."""
-    from streaming_spark.operators.similarity import cosine_topk, pq_topk
+    from streaming_spark.operators.similarity import pq_topk
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = (
         pq_topk(emb, queries, dim=64, k=5, m=16, ksub=16, rerank=64)
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
     )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4
-            ).alias("recall_at_5")
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact, approx, dp=4)
 
 
 @query("ann_topk_ivfpq")  # rows-only: IVF cells and PQ codebooks are
@@ -1159,7 +1153,7 @@ def ann_topk_ivfpq(spark, sf_dir):
 def ann_recall_ivfpq(spark, sf_dir):
     """Recall@5 of the IVF-PQ path vs exact brute force, per query —
     the composed-index approximation contract."""
-    from streaming_spark.operators.similarity import cosine_topk, ivfpq_topk
+    from streaming_spark.operators.similarity import ivfpq_topk
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -1170,19 +1164,8 @@ def ann_recall_ivfpq(spark, sf_dir):
             rerank=128, centroids=_ivf_centroids_cached(spark, sf_dir),
             codebooks=_ivfpq_books_cached(spark, sf_dir),
         )
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
     )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4
-            ).alias("recall_at_5")
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact, approx, dp=4)
 
 
 _BPE_CACHE: dict = {}
@@ -1209,6 +1192,27 @@ def _ivfpq_books_cached(spark, sf_dir, dim=64, n_cells=8, m=16, ksub=16):
             emb, cent, dim, m, ksub
         )
     return _IVFPQ_BOOKS_CACHE[key]
+
+
+_OPQ_ROT_CACHE: dict = {}
+
+
+def _opq_residual_rot_cached(spark, sf_dir, dim=64, m=16, ksub=16, n_opq_iters=4):
+    """Memoized OPQ rotation trained on IVF residuals — the same
+    determinism argument as the quantizer caches around it (bounded
+    md5-ordered sample, fixed iteration count): three registered
+    queries train the IDENTICAL rotation, so per-session reuse changes
+    wall time only, never results."""
+    from streaming_spark.operators.similarity import opq_train_residual
+
+    key = (sf_dir, dim, m, ksub, n_opq_iters)
+    if key not in _OPQ_ROT_CACHE:
+        emb = T(spark, sf_dir, "embeddings")
+        cent = _ivf_centroids_cached(spark, sf_dir, dim)
+        _OPQ_ROT_CACHE[key] = opq_train_residual(
+            emb, cent, dim, m=m, ksub=ksub, n_opq_iters=n_opq_iters
+        )[0]
+    return _OPQ_ROT_CACHE[key]
 
 
 def _ivf_centroids_cached(spark, sf_dir, dim=64, n_cells=8):
@@ -1396,9 +1400,10 @@ def dedup_keep_central_count(spark, sf_dir):
     return kept.agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@query(
-    "q_fuzzy_link_dirty",
-    oracle="""
+# deterministic single-character typo rule shared by the two linkage
+# queries — the engine and oracle halves must stay in lockstep, so each
+# side has exactly ONE definition
+_DIRTY_CUSTOMERS_CTE = """
     WITH dirty AS (
       SELECT c_custkey AS dirty_id,
              CASE WHEN c_custkey % 3 = 0 THEN
@@ -1406,7 +1411,35 @@ def dedup_keep_central_count(spark, sf_dir):
                || 'x'
                || substring(c_name, CAST(c_custkey % 8 + 12 AS INT))
              ELSE c_name END AS dirty_name
-      FROM customer)
+      FROM customer)"""
+
+
+def _dirty_customers(spark, sf_dir):
+    """(clean master, dirty batch): every third customer name gets a
+    deterministic single-character typo — the engine half of the
+    _DIRTY_CUSTOMERS_CTE rule above."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = (F.col("c_custkey") % 8 + 10).cast("int")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substr(F.col("c_name"), F.lit(1), pos),
+                F.lit("x"),
+                F.substr(F.col("c_name"), pos + 2, F.length("c_name")),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("dirty_name"),
+    )
+    return cust, dirty
+
+
+@query(
+    "q_fuzzy_link_dirty",
+    oracle=_DIRTY_CUSTOMERS_CTE
+    + """
     SELECT d.dirty_id, m.c_custkey AS master_id,
            levenshtein(d.dirty_name, m.c_name) AS dist
     FROM dirty d JOIN customer m
@@ -1425,21 +1458,7 @@ def q_fuzzy_link_dirty(spark, sf_dir):
     each incoming batch probes it."""
     from streaming_spark.operators.fuzzy import fuzzy_join
 
-    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    pos = (F.col("c_custkey") % 8 + 10).cast("int")
-    dirty = cust.select(
-        F.col("c_custkey").alias("dirty_id"),
-        F.when(
-            F.col("c_custkey") % 3 == 0,
-            F.concat(
-                F.substr(F.col("c_name"), F.lit(1), pos),
-                F.lit("x"),
-                F.substr(F.col("c_name"), pos + 2, F.length("c_name")),
-            ),
-        )
-        .otherwise(F.col("c_name"))
-        .alias("dirty_name"),
-    )
+    cust, dirty = _dirty_customers(spark, sf_dir)
     return fuzzy_join(
         dirty, cust, "dirty_name", "c_name", "dirty_id", "c_custkey",
         max_dist=1,
@@ -1950,19 +1969,8 @@ def ann_recall_lsh_multiprobe(spark, sf_dir):
         lsh_multiprobe_topk(
             emb, queries, dim=64, k=5, n_bits=4, n_tables=2, n_probes=8
         )
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
     )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 3
-            ).alias("recall_at_5")
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact, approx, dp=3)
 
 
 @query("ann_topk_ivfopq")  # rows-only: rotation, cells and codebooks
@@ -1985,15 +1993,13 @@ def ann_topk_ivfopq(spark, sf_dir):
     plain IVF-PQ's; the advantage is pinned on an anisotropic clustered
     corpus in the contract test."""
     from streaming_spark.operators.similarity import (
-        ivf_centroids,
         ivfpq_topk,
-        opq_train_residual,
     )
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     cent = _ivf_centroids_cached(spark, sf_dir)
-    rot, _ = opq_train_residual(emb, cent, 64, m=16, ksub=16, n_opq_iters=4)
+    rot = _opq_residual_rot_cached(spark, sf_dir)
     return ivfpq_topk(
         emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
         rerank=128, centroids=cent, rotation=rot,
@@ -2273,15 +2279,13 @@ def ann_topk_ivfopq_local(spark, sf_dir):
     identical to ann_topk_ivfpq_local; only the LUT side rotates the
     query (q·r = (Rq)·(Rr))."""
     from streaming_spark.operators.similarity import (
-        ivf_centroids,
         ivfpq_topk_local,
-        opq_train_residual,
     )
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     cent = _ivf_centroids_cached(spark, sf_dir)
-    rot, _ = opq_train_residual(emb, cent, 64, m=16, ksub=16, n_opq_iters=4)
+    rot = _opq_residual_rot_cached(spark, sf_dir)
     return ivfpq_topk_local(
         emb, queries, dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16,
         rerank=128, centroids=cent, rotation=rot,
@@ -2659,15 +2663,13 @@ def q_ann_index_artifact(spark, sf_dir):
     from streaming_spark.operators.similarity import (
         ann_index_load,
         ann_index_save,
-        ivf_centroids,
         ivfpq_topk,
-        opq_train_residual,
     )
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     cent = _ivf_centroids_cached(spark, sf_dir)
-    rot, _ = opq_train_residual(emb, cent, 64, m=16, ksub=16, n_opq_iters=4)
+    rot = _opq_residual_rot_cached(spark, sf_dir)
     path = os.path.join(
         scratch_dir("ann"), "index.json"
     )
@@ -3012,15 +3014,8 @@ def q_dup_span_components(spark, sf_dir):
 
 @query(
     "q_entity_resolve",
-    oracle="""
-    WITH dirty AS (
-      SELECT c_custkey AS dirty_id,
-             CASE WHEN c_custkey % 3 = 0 THEN
-               substring(c_name, 1, CAST(c_custkey % 8 + 10 AS INT))
-               || 'x'
-               || substring(c_name, CAST(c_custkey % 8 + 12 AS INT))
-             ELSE c_name END AS dirty_name
-      FROM customer),
+    oracle=_DIRTY_CUSTOMERS_CTE
+    + """,
     links AS (
       SELECT d.dirty_id, m.c_custkey AS master_id,
              levenshtein(d.dirty_name, m.c_name) AS dist
@@ -3053,21 +3048,7 @@ def q_entity_resolve(spark, sf_dir):
 
     from streaming_spark.operators.fuzzy import fuzzy_join
 
-    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    pos = (F.col("c_custkey") % 8 + 10).cast("int")
-    dirty = cust.select(
-        F.col("c_custkey").alias("dirty_id"),
-        F.when(
-            F.col("c_custkey") % 3 == 0,
-            F.concat(
-                F.substr(F.col("c_name"), F.lit(1), pos),
-                F.lit("x"),
-                F.substr(F.col("c_name"), pos + 2, F.length("c_name")),
-            ),
-        )
-        .otherwise(F.col("c_name"))
-        .alias("dirty_name"),
-    )
+    cust, dirty = _dirty_customers(spark, sf_dir)
     links = fuzzy_join(
         dirty, cust, "dirty_name", "c_name", "dirty_id", "c_custkey",
         max_dist=1,
@@ -3107,29 +3088,20 @@ def q_hard_negatives(spark, sf_dir):
     comparison reuses q_negative_pairs' hash-into-domain join.  At
     billion scale the exact top-k swaps for ann_topk_ivfpq under the
     same contract — the mining loop is index-agnostic."""
-    from streaming_spark.operators.similarity import cosine_topk, _cosine_expr
+    from streaming_spark.operators.similarity import _cosine_expr
 
     emb = T(spark, sf_dir, "embeddings")
     n_vecs = emb.count()  # bounded scalar
     anchors = emb.filter(F.col("vec_id") % 25 == 0)
     k = 3
-    hard = (
-        cosine_topk(emb, anchors, k=k + 1)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            F.col("query_id").alias("anchor_id"),
-            F.col("neighbor_id").alias("hard_neg_id"),
-            F.col("sim").alias("hard_cos"),
-        )
+    # cosine_topk's contract already excludes self-matches and emits the
+    # (sim DESC, neighbor_id) rank — no over-fetch/re-rank needed
+    hard = cosine_topk(emb, anchors, k=k).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("hard_neg_id"),
+        F.col("sim").alias("hard_cos"),
+        "rank",
     )
-    from pyspark.sql import Window
-
-    rk = F.row_number().over(
-        Window.partitionBy("anchor_id").orderBy(
-            F.col("hard_cos").desc(), "hard_neg_id"
-        )
-    )
-    hard = hard.withColumn("rank", rk).filter(F.col("rank") <= k)
     rand = anchors.select(
         F.col("vec_id").alias("anchor_id"),
         F.explode(F.sequence(F.lit(1), F.lit(k))).alias("rank"),
@@ -3325,9 +3297,7 @@ def q_mutual_nn_pairs(spark, sf_dir):
         F.col("neighbor_id").alias("qb"),
         F.col("sim").alias("cs"),
     )
-    other = best.select(
-        F.col("qa").alias("qb"), F.col("qb").alias("qa")
-    ).withColumn("mutual", F.lit(1))
+    other = best.select(F.col("qa").alias("qb"), F.col("qb").alias("qa"))
     return (
         best.join(other, ["qa", "qb"])
         .filter(F.col("qa") < F.col("qb"))
@@ -3467,8 +3437,10 @@ def q_semdedup(spark, sf_dir):
     from streaming_spark.operators.similarity import semdedup
 
     emb = T(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    marked = semdedup(emb, dim=dim, k=8, threshold=0.3)
+    # dim=64 is the fixture contract every sibling ANN/k-means query
+    # hard-codes — probing it with a driver-side first() was one extra
+    # Spark job per run for a known constant
+    marked = semdedup(emb, dim=64, k=8, threshold=0.3)
     return (
         marked.groupBy("cell")
         .agg(
