@@ -92,8 +92,6 @@ def pack_manifest(spark, sf_dir):
     Scale: pack_sequences' one keyed shuffle + a second window over
     the SAME partitioning (no new exchange) + a per-pack fold whose
     group size is bounded by max_tokens."""
-    from pyspark.sql import Window
-
     docs = T(spark, sf_dir, "documents")
     packed = curation.pack_sequences(docs, max_tokens=512).select(
         "doc_id", "source", "n_tokens", "pack_no"
@@ -294,8 +292,6 @@ def layout_sorted_write(spark, sf_dir):
     The disjointness proof is computed Spark-side over the per-file
     min/max; the oracle pins file count and row conservation."""
 
-    from streaming_spark.operators import curation
-
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     out_dir = scratch_dir("layout") + "/t"
     curation.write_sorted_layout(li, out_dir, "l_orderkey", n_files=8)
@@ -327,8 +323,6 @@ def sample_domain_mix(spark, sf_dir):
     three of the fixture's src strata; other sources dropped) — exact-k
     deterministic md5-order draws per stratum, the rebalancing step of a
     training-mixture pipeline."""
-    from streaming_spark.operators import curation
-
     docs = T(spark, sf_dir, "documents").select("doc_id", "source")
     mixed = curation.sample_domain_mix(
         docs, {"src0": 30, "src1": 10, "src2": 20}
@@ -373,8 +367,12 @@ def pack_sequences_bpe(spark, sf_dir):
 def _spread16_sql(e: str) -> str:
     """DuckDB-side twin of operators.curation._spread_bits16 — generated
     from the same mask sequence so both engines compute identical Morton
-    codes."""
-    e = f"(({e}) & 65535)"
+    codes.  The BIGINT cast mirrors the Spark twin's bigint widening:
+    without it DuckDB keeps INT32 arithmetic and the final ``<< 1`` of
+    the y-dimension hard-errors ("Overflow in left shift") whenever the
+    input has bit 15 set (any suppkey domain ≥ 32768 — latent on the
+    small fixtures, certain at real TPC-H scale factors)."""
+    e = f"(CAST(({e}) & 65535 AS BIGINT))"
     for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
         e = f"(((({e}) << {shift}) | ({e})) & {mask})"
     return e
@@ -425,8 +423,6 @@ def layout_zorder_pruning(spark, sf_dir):
     file-statistics pruning (parquet footer min/max, or a lakehouse
     manifest) can skip most of the data.  Matched-row counts must be
     identical — layout never changes semantics."""
-
-    from streaming_spark.operators import curation
 
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
@@ -685,6 +681,24 @@ def text_normalize(spark, sf_dir):
     )
 
 
+def _es_uniform_key():
+    """Efraimidis-Spirakis uniform key, shared by the two weighted
+    samplers: the first 8 md5 hex chars of doc_id as a 32-bit fraction,
+    floored at 2^-33 so ln(u) stays finite on BOTH engines — DuckDB's
+    ln(0) hard-errors while Spark's log(0) null-sorts, so an md5 prefix
+    of 8 zero hex chars (p = 2^-32 per doc: latent at fixture scale,
+    expected at billions of docs) would crash the oracle while the
+    engine silently mis-ranked.  The DuckDB twin (same greatest/2^-33
+    floor, exactly representable) is inlined in both queries' oracles —
+    keep all three in lockstep."""
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return F.greatest(u, F.lit(2.0 ** -33))
+
+
 @query(
     "sample_weighted",
     oracle="""
@@ -692,8 +706,9 @@ def text_normalize(spark, sf_dir):
       SELECT doc_id, source,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS weight,
-             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+             greatest(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0,
+                      power(2.0, -33)) AS u
       FROM documents)
     SELECT doc_id, source, weight
     FROM k
@@ -717,11 +732,7 @@ def sample_weighted(spark, sf_dir):
     from streaming_spark.operators.text import token_count
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = _es_uniform_key()
     keyed = docs.select(
         "doc_id",
         "source",
@@ -773,8 +784,9 @@ def sample_weighted(spark, sf_dir):
       WHERE g.doc_id % 97 <> 0 AND hits.doc_id IS NULL AND g.weight > 0),
     keyed AS (
       SELECT doc_id, source, weight,
-             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+             greatest(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0,
+                      power(2.0, -33)) AS u
       FROM clean)
     SELECT doc_id, source, weight
     FROM keyed
@@ -811,11 +823,7 @@ def pipeline_pretraining_sample(spark, sf_dir):
     )
     flags = decontaminate_flags(surv, F.col("doc_id") % 97 == 0)
     clean = flags.filter(~F.col("contaminated")).select("doc_id", "source")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = _es_uniform_key()
     keyed = (
         clean.join(surv.select("doc_id", "text"), "doc_id")
         .select(
@@ -1020,7 +1028,7 @@ def q_token_budget_plan(spark, sf_dir):
         F.round(
             F.least(weight * budget / F.col("total_tokens"), F.lit(1.0)), 6
         ).alias("sample_rate"),
-    ).drop("__z")
+    )
 
 
 @query("pipeline_cluster_pack")  # rows-only: the k-means cells inside
@@ -1356,10 +1364,23 @@ def pipeline_contrastive_dataset(spark, sf_dir):
         .join(anchors.select(F.col("vec_id").alias("anchor_id")), "anchor_id")
         .withColumn("pair_type", F.lit("positive"))
     )
-    # hard negatives: nearest neighbors that are NOT positives
+    # hard negatives: nearest neighbors that are NOT positives.  Fetch
+    # depth is k + the MAX positive count over anchors (one metadata
+    # aggregate): the k-th non-positive neighbor has at most max_pos
+    # positives ranked ahead of it, so top-(k + max_pos) provably
+    # contains all k true hard negatives — the old fixed +8 buffer
+    # silently under-supplied anchors inside dense near-dup clusters
+    # (> 8 partners above the positive threshold).  cosine_topk already
+    # excludes self-matches by contract.
+    max_pos = int(
+        pos.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+        or 0
+    )
     hard = (
-        cosine_topk(emb, anchors, k=k + 8)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cosine_topk(emb, anchors, k=k + max_pos)
         .select(
             F.col("query_id").alias("anchor_id"),
             F.col("neighbor_id").alias("partner_id"),
@@ -1371,8 +1392,6 @@ def pipeline_contrastive_dataset(spark, sf_dir):
             "left_anti",
         )
     )
-    from pyspark.sql import Window
-
     rk = F.row_number().over(
         Window.partitionBy("anchor_id").orderBy(
             F.col("cos_sim").desc(), "partner_id"
@@ -1888,6 +1907,14 @@ def q_lm_perplexity(spark, sf_dir):
     row = tgt.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
+    if row["n"] is None:
+        # empty target slice: say WHICH contract broke instead of a raw
+        # TypeError on None arithmetic (same loud-guard discipline as
+        # dsir_scores' empty-domain error, ADVICE r6)
+        raise ValueError(
+            "q_lm_perplexity: target slice source='src0' holds no "
+            "non-empty documents — the unigram LM has nothing to train on"
+        )
     denom = float(row["n"] + row["v"] + 1)
     nll = -F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(denom))
     return (
@@ -1932,11 +1959,13 @@ def pipeline_perplexity_filter(spark, sf_dir):
     # treatment (6 dp): the engines' unrounded means can differ in the
     # last ulp (summation order), and a doc sitting between them would
     # flip classification (code review r6)
-    thr = float(
-        ce.agg(F.round(F.avg("cross_entropy"), 6).alias("m")).collect()[0][
-            "m"
-        ]
-    )
+    mean_row = ce.agg(F.round(F.avg("cross_entropy"), 6).alias("m")).collect()[0]
+    if mean_row["m"] is None:
+        raise ValueError(
+            "pipeline_perplexity_filter: no scored documents — every "
+            "text is empty/whitespace, so no mean threshold exists"
+        )
+    thr = float(mean_row["m"])
     docs = T(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         ce.filter(F.col("cross_entropy") < F.lit(thr))
@@ -2264,8 +2293,6 @@ def q_contrastive_batch_assign(spark, sf_dir):
             F.coalesce("component", F.col("vec_id")).alias("component"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("component").orderBy("vec_id")
     return assigned.withColumn(
         "batch_no", F.row_number().over(w).cast("bigint")
@@ -2328,9 +2355,15 @@ def q_line_dedup(spark, sf_dir):
 
 
 _RECIPE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_RECIPE_BUDGET_MULT = 2.0
+# the oracle is GENERATED from the same constants the Spark side
+# consumes (the file-wide convention: _TOKS_SQL, _DSIR_BUCKETS,
+# _spread16_sql) — editing the mixture or budget cannot drift the twin
+_W_VALUES_SQL = ", ".join(f"('{s}', {w})" for s, w in _RECIPE_WEIGHTS.items())
+_SRC_LIST_SQL = ", ".join(f"'{s}'" for s in _RECIPE_WEIGHTS)
 
 
-_RECIPE_ORACLE = """
+_RECIPE_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, source,
              CAST(list_sum(list_transform(
@@ -2339,15 +2372,15 @@ _RECIPE_ORACLE = """
                AS BIGINT) AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS ord
       FROM documents
-      WHERE source IN ('src0', 'src1', 'src2')
+      WHERE source IN ({_SRC_LIST_SQL})
         AND length(trim(text)) > 0),
-    w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    w(source, wt) AS (VALUES {_W_VALUES_SQL}),
     tot AS (SELECT source, sum(n_tokens) AS t_d FROM t GROUP BY source),
     g AS (SELECT CAST(sum(t_d) AS DOUBLE) AS g_tot FROM tot),
     plan AS (
       SELECT source, CAST(t_d AS DOUBLE) AS t_d,
-             2.0 * g_tot * wt AS r_d,
-             CAST(ceil(2.0 * g_tot * wt / CAST(t_d AS DOUBLE)) AS BIGINT)
+             {_RECIPE_BUDGET_MULT} * g_tot * wt AS r_d,
+             CAST(ceil({_RECIPE_BUDGET_MULT} * g_tot * wt / CAST(t_d AS DOUBLE)) AS BIGINT)
                AS e_d
       FROM tot JOIN w USING (source) CROSS JOIN g),
     full_epochs AS (
@@ -2427,8 +2460,6 @@ def data_recipe_manifest(spark, docs, weights, budget_mult=2.0):
             ).otherwise(F.array().cast("array<bigint>"))
         ).alias("epoch"),
     )
-    from pyspark.sql import Window
-
     cum_w = Window.partitionBy("source").orderBy("ord")
     last_epoch = (
         joined.withColumn("cum", F.sum("n_tokens").over(cum_w))
@@ -2462,7 +2493,7 @@ def pipeline_data_recipe(spark, sf_dir):
     window per domain in digest order.  The domain plan (3 rows) rides
     as a broadcast join."""
     return data_recipe_manifest(
-        spark, T(spark, sf_dir, "documents"), _RECIPE_WEIGHTS, 2.0
+        spark, T(spark, sf_dir, "documents"), _RECIPE_WEIGHTS, _RECIPE_BUDGET_MULT
     )
 
 
