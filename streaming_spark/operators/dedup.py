@@ -78,7 +78,11 @@ def minhash_signatures(
             permuted = (np.outer(a, h) + b[:, None]) % _MERSENNE
             sig = permuted.min(axis=1)
             ids.append(doc_id)
-            # int64 view for Spark LongType (values < 2^61 so safe)
+            # int64 view for Spark LongType: raw shingle hashes span the
+            # full uint64 range (only sig is reduced mod 2^61-1), so
+            # values >= 2^63 wrap negative — harmless for the set
+            # algebra (both sides of intersect/union wrap identically)
+            # but NOT a non-negative id: don't bucket or export these
             shingle_lists.append(np.unique(h).astype(np.int64).tolist())
             sigs.append(sig.astype(np.int64).tolist())
         return pd.DataFrame({"id": ids, "shingles": shingle_lists, "sig": sigs})
@@ -130,7 +134,23 @@ def lsh_candidate_pairs(
 
 
 def _banded(sigs: DataFrame, bands: int) -> DataFrame:
-    """Shared banding: (id, band_id, bh) — one row per (doc, band)."""
+    """Shared banding: (id, band_id, bh) — one row per (doc, band).
+
+    Guard: a signature SHORTER than ``bands`` floors rows_per_band to 0,
+    every band slice goes empty, and the whole corpus collapses into one
+    bucket per band — which the hot-bucket cap then DROPS, i.e. total
+    silent recall loss.  That degenerate geometry raises driver-side
+    (one limit-1 probe, metadata cost) instead.  A non-multiple
+    num_perm uses the first bands·floor(num_perm/bands) values —
+    standard banding; the remainder carries no extra collision power."""
+    probe = sigs.select(F.size("sig").alias("n")).first()
+    if probe is not None and probe["n"] < bands:
+        raise ValueError(
+            f"lsh banding: {probe['n']} signature values cannot fill "
+            f"{bands} bands (rows_per_band would be 0 and every doc "
+            f"would share one bucket per band) — lower bands or raise "
+            f"num_perm"
+        )
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     return sigs.select(
         "id",
@@ -351,6 +371,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation moves the minimum ONE hop per round, so
+        # a duplicate CHAIN longer than max_iter exits here with labels
+        # that split one true cluster into several — silently keeping
+        # duplicates is the worst failure mode a dedup primitive can
+        # have, so refuse loudly instead (near-dup graphs are shallow
+        # cliques in practice; a deeper one needs a bigger max_iter or
+        # a pointer-jumping variant)
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iter} rounds ({changed} nodes moved last round) — "
+            f"the component graph is deeper than max_iter; raise it"
+        )
     return labels
 
 

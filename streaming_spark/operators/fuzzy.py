@@ -141,15 +141,19 @@ def fuzzy_index(
     id_col: str,
     max_dist: int = 1,
     persist: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """The master side of :func:`fuzzy_join`, precomputed: ``(base,
-    variants)`` where ``base`` holds ``(__rid, __s)`` and ``variants``
-    holds ``(__rid, __v)`` hashed deletion variants.  Build ONCE for a
-    static master and pass as ``right_index=`` so per-batch probes skip
-    the master-sized variant expansion (ADVICE r5).  With
-    ``persist=True`` both frames are cached AND materialized eagerly;
-    the caller owns the lifetime (unpersist when the stream ends —
-    a lingering cache degrades later queries, CLAUDE.md)."""
+    variants, max_dist)`` where ``base`` holds ``(__rid, __s)`` and
+    ``variants`` holds ``(__rid, __v)`` hashed deletion variants.
+    Build ONCE for a static master and pass as ``right_index=`` so
+    per-batch probes skip the master-sized variant expansion (ADVICE
+    r5).  The index RECORDS its ``max_dist`` so :func:`fuzzy_join` can
+    refuse a mismatched probe — an index built at d=1 holds no
+    2-deletion variants, and joining it at max_dist=2 would silently
+    lose matches.  With ``persist=True`` both frames are cached AND
+    materialized eagerly; the caller owns the lifetime (unpersist when
+    the stream ends — a lingering cache degrades later queries,
+    CLAUDE.md)."""
     base = df.select(F.col(id_col).alias("__rid"), F.col(col).alias("__s"))
     v = base.select(
         "__rid", F.explode(deletion_variants("__s", max_dist)).alias("__vs")
@@ -159,7 +163,7 @@ def fuzzy_index(
         v = v.persist()
         base.count()
         v.count()
-    return base, v
+    return base, v, max_dist
 
 
 def fuzzy_join(
@@ -171,7 +175,7 @@ def fuzzy_join(
     right_id: str,
     max_dist: int = 1,
     max_bucket: int | None = None,
-    right_index: tuple[DataFrame, DataFrame] | None = None,
+    right_index: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """Cross-RELATION fuzzy match: all (left_id, right_id, dist) pairs
     with ``levenshtein(left_col, right_col) <= max_dist`` — the
@@ -193,7 +197,14 @@ def fuzzy_join(
 
     lbase, lv = variant_frame(left, left_col, left_id, "__lid")
     if right_index is not None:
-        rbase, rv = right_index
+        rbase, rv, idx_dist = right_index
+        if idx_dist != max_dist:
+            raise ValueError(
+                f"fuzzy_join: right_index was built with max_dist="
+                f"{idx_dist} but the join asks for max_dist={max_dist} — "
+                f"the index holds only {idx_dist}-deletion variants, so "
+                f"the join would silently lose matches; rebuild the index"
+            )
     else:
         rbase, rv = variant_frame(right, right_col, right_id, "__rid")
     if max_bucket is not None:
@@ -264,10 +275,17 @@ def damerau_levenshtein(a: str, b: str) -> int:
 
 def adjacent_swap_variants(col):
     """Array of every string reachable by ONE adjacent-character swap
-    (len-1 variants; swapping equal chars reproduces the input)."""
+    (len-1 variants; swapping equal chars reproduces the input).
+
+    Strings shorter than 2 chars get an EMPTY array explicitly: Spark's
+    ``sequence(1, 0)`` is DESCENDING ([1, 0]), not empty (CLAUDE.md),
+    so the unguarded transform fabricated an identity variant (i=1) and
+    a doubled-first-char variant (i=0) — masked in the Damerau pair
+    query only because its union takes min(dist), but wrong for any
+    other consumer."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - 1, F.lit(0))),
+    variants = F.transform(
+        F.sequence(F.lit(1), F.length(c) - 1),
         lambda i: F.concat(
             F.substr(c, F.lit(1), i - 1),
             F.substr(c, i + 1, F.lit(1)),
@@ -275,6 +293,9 @@ def adjacent_swap_variants(col):
             F.substr(c, i + 2, F.length(c)),
         ),
     )
+    return F.when(
+        F.length(c) < 2, F.array().cast("array<string>")
+    ).otherwise(variants)
 
 
 def fuzzy_self_pairs_damerau(

@@ -28,7 +28,14 @@ STOPWORDS = {
 
 
 def tokens_col(text: str | Column) -> Column:
-    """Whitespace tokenization (empty text → empty array, not [''])."""
+    """Whitespace tokenization (empty text → empty array, not ['']).
+
+    NULL text propagates as NULL — deliberately, because every DuckDB
+    oracle twin's ``CASE WHEN length(trim(text)) = 0 ... ELSE split``
+    does the same (NULL falls through the WHEN and splits to NULL), so
+    the engines agree row for row.  A caller whose input admits NULL
+    text and needs total metrics must ``coalesce`` BEFORE tokenizing —
+    on both sides."""
     c = F.col(text) if isinstance(text, str) else text
     trimmed = F.trim(c)
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
@@ -41,10 +48,10 @@ def token_count(text: str | Column) -> Column:
 
 
 def stopword_hits(tokens: Column, lang: str) -> Column:
-    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return F.size(F.expr(f"filter(__tokens, t -> t IN ({words}))")).alias(
-        f"hits_{lang}"
-    )
+    """Count of ``lang`` stopwords in a token-array column."""
+    return F.size(
+        F.filter(tokens, lambda t: t.isin(*STOPWORDS[lang]))
+    ).alias(f"hits_{lang}")
 
 
 def with_lang_scores(df: DataFrame, text_col: str) -> DataFrame:
@@ -54,9 +61,8 @@ def with_lang_scores(df: DataFrame, text_col: str) -> DataFrame:
     CASE ordering."""
     out = df.withColumn("__tokens", tokens_col(text_col))
     for lang in STOPWORDS:
-        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         out = out.withColumn(
-            f"hits_{lang}", F.expr(f"size(filter(__tokens, t -> t IN ({words})))")
+            f"hits_{lang}", stopword_hits(F.col("__tokens"), lang)
         )
     hits = [F.col(f"hits_{lang}") for lang in STOPWORDS]
     best = F.greatest(*hits)
@@ -410,15 +416,11 @@ def line_digests(
 ) -> DataFrame:
     """(id, line_no, h) — one 16-byte digest per derived line.  The
     narrow first pass of the line-dedup family: the line text is
-    dropped before anything wide happens."""
-    docs = df.filter(F.length(F.trim(F.col(text_col))) > 0)
-    ls = F.split(break_into_lines(text_col, words_per_line), "\n")
-    return docs.select(
-        id_col, F.posexplode(ls).alias("pos0", "line")
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).cast("bigint").alias("line_no"),
-        F.md5("line").alias("h"),
+    dropped before anything wide happens.  Composes ``derive_lines`` so
+    the line derivation (filter, split, 1-based numbering) has exactly
+    one definition."""
+    return derive_lines(df, text_col, id_col, words_per_line).select(
+        id_col, "line_no", F.md5("line").alias("h")
     )
 
 
@@ -547,8 +549,14 @@ def gopher_quality(
     r_wl = (F.col("mean_word_len") >= min_mean_word_len) & (
         F.col("mean_word_len") <= max_mean_word_len
     )
-    r_alpha = F.col("alpha_frac") > min_alpha_frac
-    r_sym = F.col("symbol_ratio") < max_symbol_ratio
+    # INCLUSIVE boundaries, matching Rae et al.'s removal rules (remove
+    # when alpha fraction < 0.8 / symbol ratio > 0.1 → KEEP the exact
+    # boundary): a doc with exactly 4/5 alphabetic words (0.8 is an
+    # exact double) is kept by the paper and was wrongly dropped by the
+    # previous strict comparison; the word-count/word-length rules were
+    # already inclusive
+    r_alpha = F.col("alpha_frac") >= min_alpha_frac
+    r_sym = F.col("symbol_ratio") <= max_symbol_ratio
     r_stop = F.col("n_stop") >= min_stop
     return out.select(
         "*",

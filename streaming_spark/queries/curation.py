@@ -1997,12 +1997,12 @@ _GOPHER_METRICS_SQL = """
            n_stop,
            (n_words >= 50 AND n_words <= 100000) AS ok_words,
            (mean_word_len >= 3 AND mean_word_len <= 10) AS ok_word_len,
-           (alpha_frac > 0.8) AS ok_alpha,
-           (symbol_ratio < 0.1) AS ok_symbols,
+           (alpha_frac >= 0.8) AS ok_alpha,
+           (symbol_ratio <= 0.1) AS ok_symbols,
            (n_stop >= {min_stop}) AS ok_stop,
            ((n_words >= 50 AND n_words <= 100000)
             AND (mean_word_len >= 3 AND mean_word_len <= 10)
-            AND (alpha_frac > 0.8) AND (symbol_ratio < 0.1)
+            AND (alpha_frac >= 0.8) AND (symbol_ratio <= 0.1)
             AND (n_stop >= {min_stop})) AS passes
     FROM m
 """

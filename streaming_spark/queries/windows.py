@@ -2665,7 +2665,7 @@ def q_streaming_entity_resolve(spark, sf_dir):
             spark, stream_cust, master_index, sink_dir
         )
     finally:
-        for frame in master_index:
+        for frame in master_index[:2]:  # third element records max_dist
             frame.unpersist()
 
 

@@ -2601,9 +2601,66 @@ def test_fuzzy_index_reuse_equals_inline(spark):
             ).collect()
         }
     finally:
-        for frame in idx:
+        for frame in idx[:2]:  # third element records max_dist
             frame.unpersist()
     assert inline == reused and inline, (inline, reused)
+    # an index built at d=1 holds no 2-deletion variants: probing it at
+    # a LARGER max_dist must refuse instead of silently losing matches
+    with pytest.raises(ValueError, match="right_index was built"):
+        fuzzy_join(
+            dirty, None, "name", None, "did", "mid",
+            max_dist=2, right_index=idx,
+        )
+
+
+def test_adjacent_swap_variants_short_strings(spark):
+    """len<2 strings have NO adjacent-swap variants — the unguarded
+    sequence(1,0) (DESCENDING in Spark, not empty) used to fabricate an
+    identity variant and a doubled-first-char variant."""
+    from streaming_spark.operators.fuzzy import adjacent_swap_variants
+
+    df = spark.createDataFrame([("",), ("a",), ("ab",), ("abc",)], "s STRING")
+    got = {
+        r.s: r.v
+        for r in df.select(
+            "s", adjacent_swap_variants("s").alias("v")
+        ).collect()
+    }
+    assert got[""] == [] and got["a"] == []
+    assert got["ab"] == ["ba"]
+    assert got["abc"] == ["bac", "acb"]
+
+
+def test_connected_components_refuses_unconverged_labels(spark):
+    """A duplicate CHAIN deeper than max_iter must raise, not silently
+    split one true cluster into several (min-label propagation moves
+    the minimum one hop per round)."""
+    from streaming_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a BIGINT, id_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(chain, max_iter=3).collect()
+    ok = connected_components(chain, max_iter=10)
+    assert {r.component for r in ok.collect()} == {0}
+
+
+def test_lsh_banding_refuses_short_signatures(spark):
+    """num_perm < bands floors rows_per_band to 0 — every band slice
+    empty, the corpus collapses into one bucket per band, and the hot
+    cap then drops it: total silent recall loss.  Refuse loudly."""
+    from streaming_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id BIGINT, text STRING"
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=8)
+    with pytest.raises(ValueError, match="cannot fill"):
+        lsh_candidate_pairs(sigs, bands=16).collect()
 
 
 def test_semdedup_contract(spark):
