@@ -184,7 +184,7 @@ def q_small_qty_revenue(spark, sf_dir):
     oracle="""
     SELECT c_name, c_custkey, o_orderkey,
            CAST(o_orderdate AS VARCHAR) AS orderdate_str,
-           round(o_totalprice, 2) AS totalprice,
+           o_totalprice AS totalprice,
            round(sum(l_quantity), 2) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -229,7 +229,10 @@ def q_large_orders(spark, sf_dir):
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("string").alias("orderdate_str"),
-            F.round("o_totalprice", 2).alias("totalprice"),
+            # stored per-row value, passed through UNROUNDED: rounding a
+            # raw double is the boundary-divergence risk CLAUDE.md bans,
+            # and a pure no-op for 2-dp fixture prices
+            F.col("o_totalprice").alias("totalprice"),
             "total_qty",
         )
     )

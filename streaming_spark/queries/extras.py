@@ -79,7 +79,10 @@ def q_set_ops(spark, sf_dir):
     i = hi.intersect(pri).agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("intersect").alias("op"), "n"
     )
-    e = hi.exceptAll(pri).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+    # subtract() IS set-difference (left-anti + distinct, one exchange);
+    # the previous exceptAll().distinct() planned the strictly costlier
+    # multiset count-replication form just to re-distinct it
+    e = hi.subtract(pri).agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("except").alias("op"), "n"
     )
     return u.unionByName(i).unionByName(e)
@@ -90,7 +93,7 @@ def q_set_ops(spark, sf_dir):
     oracle=r"""
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
-           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
            CAST(l_extendedprice AS VARCHAR) AS price_str,
            concat('item-', CAST(l_linenumber AS VARCHAR)) AS tag,
            regexp_replace(l_returnflag, 'R', 'X', 'g') AS flag_sub,
@@ -117,7 +120,8 @@ def q_scalar_expressions(spark, sf_dir):
         F.when(F.col("l_quantity") > 25, F.lit("big"))
         .otherwise(F.lit("small"))
         .alias("size_class"),
-        F.col("l_quantity").cast("int").alias("qty_int"),
+        # floor() before the cast: Spark CAST truncates, DuckDB rounds
+        F.floor("l_quantity").cast("int").alias("qty_int"),
         F.col("l_extendedprice").cast("string").alias("price_str"),
         F.concat(F.lit("item-"), ln.cast("string")).alias("tag"),
         F.regexp_replace("l_returnflag", "R", "X").alias("flag_sub"),
@@ -158,32 +162,44 @@ def q_model_selection(spark, sf_dir):
     r_pkg/vignettes/poLCA.Rmd:60-80, polca_example.R).  Here: per-partition
     Gaussian fits of extendedprice with partition-seeded subsampling; the
     best (highest log-likelihood on its sample) wins via a single-row
-    top-k."""
+    top-k.
+
+    ONE model per partition, exactly: the map consumes the partition's
+    whole Arrow-batch ITERATOR before fitting — a per-batch map would
+    fit once per 65536-row chunk, reusing the partition seed across
+    chunks and silently breaking the one-model-per-instance semantics
+    whenever a partition spans several batches (it does at sf0.1: 600k
+    rows / 8 partitions = 2 chunks each).  The accumulated column is
+    one float per row of the partition — bounded by the repartition
+    contract."""
     import numpy as np
 
-    from streaming_spark.operators.stream import ensure_parallelism, stream
+    from streaming_spark.operators.stream import ensure_parallelism
 
     li = ensure_parallelism(
         T(spark, sf_dir, "lineitem").select("l_extendedprice"), 8
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit(batches):
         from pyspark import TaskContext
 
         seed = (TaskContext.get().partitionId() if TaskContext.get() else 0) + 1
+        parts = [b["l_extendedprice"].to_numpy() for b in batches]
+        if not parts:
+            return
+        x = np.concatenate(parts)
         rng = np.random.default_rng(seed)
-        x = pdf["l_extendedprice"].to_numpy()
         sample = rng.choice(x, size=min(len(x), 2000), replace=False)
         mu, sigma = float(sample.mean()), float(sample.std() + 1e-9)
         ll = float(
             -0.5 * np.sum(((sample - mu) / sigma) ** 2)
             - len(sample) * np.log(sigma * np.sqrt(2 * np.pi))
         )
-        return pd.DataFrame(
+        yield pd.DataFrame(
             {"seed": [seed], "mu": [mu], "sigma": [sigma], "loglik": [ll]}
         )
 
-    fits = stream(li, fit, "seed INT, mu DOUBLE, sigma DOUBLE, loglik DOUBLE")
+    fits = li.mapInPandas(fit, "seed INT, mu DOUBLE, sigma DOUBLE, loglik DOUBLE")
     return fits.orderBy(F.col("loglik").desc()).limit(1)
 
 
@@ -308,7 +324,14 @@ def q_salted_agg(spark, sf_dir):
     exactly the degenerate-key case salting exists for."""
     from streaming_spark.operators.skew import salted_aggregate
 
-    li = T(spark, sf_dir, "lineitem")
+    # project FIRST: salted_aggregate salts with F.hash(*df.columns), so
+    # handing it the full table makes the salt reference all 16 lineitem
+    # columns and defeats column pruning on the scan — the 3 needed
+    # columns keep ReadSchema narrow (salt values change, results don't:
+    # the salt only spreads rows across reducers)
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
     out = salted_aggregate(
         li,
         keys=["l_returnflag"],
@@ -844,7 +867,6 @@ def q_sketch_countmin(spark, sf_dir):
     vs the exact path's groupBy exchange; estimates are one-sided
     (never undercount).  At 100 TB this answers "how often does item X
     appear" for arbitrary X in fixed memory."""
-    import pandas as pd
 
     from streaming_spark.operators.sketch import (
         countmin_estimate,
@@ -881,7 +903,6 @@ def q_sketch_bloom(spark, sf_dir):
     rides along).  At 100 TB this is the broadcastable membership gate
     in front of any expensive corpus lookup — fixed memory, one-sided
     error."""
-    import pandas as pd
 
     from streaming_spark.operators.sketch import bloom_build, bloom_contains
 

@@ -36,7 +36,7 @@ def q_build(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS revenue,
-           CAST(l_quantity AS BIGINT) % 10 AS qty_bucket
+           CAST(floor(l_quantity) AS BIGINT) % 10 AS qty_bucket
     FROM lineitem
     """,
 )
@@ -50,7 +50,10 @@ def q_apply(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-        (F.col("l_quantity").cast("bigint") % 10).alias("qty_bucket"),
+        # floor() pins ONE double->int semantic: a bare CAST truncates in
+        # Spark but rounds half-away in DuckDB — masked only because the
+        # fixture quantities are whole numbers
+        (F.floor("l_quantity").cast("bigint") % 10).alias("qty_bucket"),
     )
 
 
@@ -468,6 +471,16 @@ def q_sql_text_interface(spark, sf_dir):
     API would build — broadcast dim joins, partial aggs, pushdown; the
     text interface costs nothing at execution time."""
     names = ("orders", "customer", "nation")
+    # refuse, loudly, rather than createOrReplace over a CALLER-owned
+    # temp view of the same name (the finally would then also drop it —
+    # silent destruction of someone else's session state)
+    taken = [n for n in names if spark.catalog.tableExists(n)]
+    if taken:
+        raise ValueError(
+            f"q_sql_text_interface: temp view(s) {taken} already exist "
+            f"in this session — the query needs those generic names "
+            f"free (it drops them when done); drop or rename yours first"
+        )
     try:
         for name in names:
             T(spark, sf_dir, name).createOrReplaceTempView(name)
