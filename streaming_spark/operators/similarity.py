@@ -647,12 +647,16 @@ def exact_nn_topk(
     per query):
 
     - Pass A scores each vector against its OWN cell in one per-cell
-      task matmul (:func:`_grouped_self_topk` — only each query's
-      top-k rows leave the task) and takes the k-th best cosine found
-      there as ``s_q`` (−2 sentinel when the cell holds fewer than k
-      others) — a cheap LOWER bound on the true k-th best.
-    - Pass B maps each vector against the broadcast (centroids,
-      per-block radii): any y in block b of cell c satisfies
+      task matmul (only each query's top-k rows leave the task), takes
+      the k-th best cosine found there as ``s_q`` (−2 sentinel when
+      the cell holds fewer than k others) — a cheap LOWER bound on the
+      true k-th best — and, IN THE SAME TASK, evaluates the block
+      bounds against the broadcast (centroids, per-block radii) to
+      emit the probe list next to the top-k rows (r9, VERDICT r8 #1:
+      the bound is born inside the task, so folding s_q out through a
+      groupBy + N-row shuffle join + a separate probe map was one
+      whole job and one data-sized join of pure overhead per run).
+    - Pass B: any y in block b of cell c satisfies
       ``cos(q, y) <= cos(max(0, angle(q, c_c) − alpha_b))``; only
       blocks whose bound reaches ``s_q − 1e-9`` can hold a top-k
       member (the slack keeps boundary-exact ties in play).  The
@@ -682,28 +686,36 @@ def exact_nn_topk(
     ``stats_out`` receives ``{"n_rows", "n_blocks", "candidates",
     "total_pairs"}``.
 
-    Staging (VERDICT r7 #2 / ADVICE r7): pass B consumes the assign
-    map, the pass-A top-k scores, and the probe list from several
-    lineage branches.  When ``stage`` is on, all three are MATERIALIZED
-    once to process-scoped scratch parquet (``streaming_spark.scratch``,
-    PINNED against the in-session sweep — the returned lazy frame reads
-    these files for an unbounded lifetime the sweep's mtime signal
-    cannot see) instead of recomputing per branch; a ``persist()``
-    would outlive the returned lazy frame and degrade later
-    same-session queries (CLAUDE.md), while the staged files are
-    metadata-sized ((id, cell, block, cent_sim) rows, ≤ N·k pass-A
-    scores, (qa, block) probes).
-    ``stage=None`` (default) stages above 100k rows — known from the
-    auto probe or the training sample; below that the branches are
-    narrow Arrow maps over a pruned scan whose recompute is cheaper
-    than two extra write/read driver jobs (the fixed ~0.5 s per-job
-    overhead was most of q_mutual_nn_pairs' r7 wall time); above it,
+    Staging (VERDICT r7 #2 / ADVICE r7; reshaped in r9 per VERDICT r8
+    #1): the fused pass-A output (top-k rows AND probe rows, one table
+    tagged by ``kind``) is consumed by SEVERAL lineage branches (the
+    salt-map/telemetry collect, the final rank union, pass B's query
+    side), so it is MATERIALIZED unconditionally to process-scoped
+    scratch parquet (``streaming_spark.scratch``, PINNED against the
+    in-session sweep — the returned lazy frame reads these files for
+    an unbounded lifetime the sweep's mtime signal cannot see):
+    unstaged, the per-cell matmul shuffle re-ran once per consuming
+    branch, which was most of the forced blocked arm's wall time at
+    gate size, and the table is bounded by N·k + the probe volume at
+    any scale — one write job costs less than one re-run of the
+    lineage.  A ``persist()`` instead would outlive the returned lazy
+    frame and degrade later same-session queries (CLAUDE.md).  The
+    ``stage`` knob governs only the ASSIGN map ((id, cell, block,
+    cent_sim) rows): ``stage=None`` (default) stages
+    it above 100k rows — known from the auto probe or the training
+    sample; below that it is one narrow Arrow map over a pruned scan
+    whose recompute is cheaper than a write/read pair, above it
     recompute scales with the corpus while staging stays
-    metadata-sized.  The one combination where N is never measured —
-    ``mode="blocked"`` FORCED with ``centroids`` supplied — defaults to
-    no staging: pass ``stage=True`` there (the scale caller that stages
-    its own assignment knows its N).  Both paths are the same math — a
-    test pins stage-forced output equal to the default.
+    metadata-sized.  The pinned dirs are reported in
+    ``stats_out["staged_dirs"]`` — a caller that knows the returned
+    frame is fully consumed should pass them to
+    :func:`streaming_spark.scratch.unpin` so a long session's pins
+    cannot starve the scratch sweep (ADVICE r8).  The one combination
+    where N is never measured — ``mode="blocked"`` FORCED with
+    ``centroids`` supplied — defaults to not staging the assign map:
+    pass ``stage=True`` there when N is large (the scale caller that
+    stages its own assignment knows its N).  Both paths are the same
+    math — a test pins stage-forced output equal to the default.
 
     ``centroids`` accepts a pre-trained quantizer (e.g. the session-
     memoized cache the ANN stack shares) — any centroids are EXACT
@@ -744,31 +756,53 @@ def exact_nn_topk(
             base, n_cells, floor=4
         )
         if cent is None:
+            # degenerate (< 2 vectors): same four-key stats_out contract
+            # as the populated path — a generic telemetry consumer must
+            # never KeyError on an empty corpus (ADVICE r8)
+            if stats_out is not None:
+                stats_out.update(
+                    n_rows=n_rows, n_blocks=0, candidates=0, total_pairs=0
+                )
             return spark.createDataFrame([], empty_schema)
     else:
         cent = centroids
     if stage is None:
         stage = n_rows is not None and n_rows > 100_000
 
+    staged_dirs: list[str] = []
+
+    def _stage_table(df: DataFrame, tag: str) -> DataFrame:
+        # pin=True: the returned frame READS these files lazily with
+        # unbounded lifetime, and the sweep's mtime signal cannot see
+        # reads — an unpinned staged dir would eventually be evicted
+        # under a query that still needs it (scratch.py module docs).
+        # All staged tables are metadata-sized by contract; the pinned
+        # dirs surface in stats_out["staged_dirs"] so a caller that
+        # knows the frame is consumed can scratch.unpin() them
+        # (ADVICE r8 — pins are releasable, not process-lifetime).
+        d = scratch_dir("nn_" + tag, pin=True)
+        staged_dirs.append(d)
+        df.write.parquet(d + "/t")
+        return spark.read.parquet(d + "/t")
+
     assigned = _with_block(
         ivf_assign(base, cent, id_col="vec_id", vec_col="__vec", with_sim=True),
         n_rings,
     )
     if stage:
-        # pin=True: the returned frame READS these files lazily with
-        # unbounded lifetime, and the sweep's mtime signal cannot see
-        # reads — an unpinned staged dir would eventually be evicted
-        # under a query that still needs it (scratch.py module docs).
-        # All staged tables are metadata-sized by contract.
-        assign_path = scratch_dir("nn_assign", pin=True) + "/t"
-        assigned.write.parquet(assign_path)
-        assigned = spark.read.parquet(assign_path)
+        assigned = _stage_table(assigned, "assign")
     stats = (
         assigned.groupBy("block")
         .agg(F.min("cent_sim").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
     if not stats:
+        # empty table under supplied centroids: fill the same stats_out
+        # contract as the populated path (ADVICE r8)
+        if stats_out is not None:
+            stats_out.update(
+                n_rows=0, n_blocks=0, candidates=0, total_pairs=0
+            )
         return spark.createDataFrame([], empty_schema)
     stats.sort(key=lambda r: r["block"])
     block_ids = np.array([r["block"] for r in stats], dtype=np.int64)
@@ -796,73 +830,92 @@ def exact_nn_topk(
         n_rings,
     )
 
-    # pass A: per-cell self task matmul — each query's own-cell top-k
-    # is scored EXACTLY once, and only those ≤ N·k rows leave the
-    # tasks; both the s_q bound and the final rank reuse them (VERDICT
-    # r7 #2: pass B excludes the own cell instead of re-verifying it)
-    tagged_a = assigned_vec.select(
-        F.col("vec_id").alias("id"),
-        "__vec",
-        F.lit(0).alias("side"),
-        F.lit(1).alias("selftask"),
-        "cell",
-    )
-    scored_a = _grouped_self_topk(tagged_a, ["cell"], k)
-    if stage:
-        scored_a_path = scratch_dir("nn_pass_a", pin=True) + "/t"
-        scored_a.write.parquet(scored_a_path)
-        scored_a = spark.read.parquet(scored_a_path)
-    # scored_a is already per-query top-k within the own cell, so the
-    # k-th-best fold needs no window — min over ≤ k rows per query
-    s_q = (
-        scored_a.groupBy("qa")
-        .agg(F.min("cos_sim").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "qa",
-            F.when(F.col("n") >= k, F.col("s")).otherwise(F.lit(-2.0)).alias("s"),
-        )
-    )
-    own_cell = assigned.select(F.col("vec_id").alias("qa"), "cell")
-    bounds = (
-        base.join(s_q, base["vec_id"] == s_q["qa"], "left")
-        .select(
-            base["vec_id"].alias("qa"),
-            "__vec",
-            F.coalesce("s", F.lit(-2.0)).alias("s"),
-        )
-        .join(own_cell, "qa")
+    # pass A + probe generation, FUSED into one per-cell task (VERDICT
+    # r8 #1): each cell's task computes the exact own-cell top-k in a
+    # chunked float64 matmul (identical math to _grouped_self_topk's
+    # selftask arm — equal ids never score, per-query top-k by the
+    # global (sim DESC, id ASC) order, boundary ties kept), derives
+    # each query's s_q bound IN-TASK (k-th best if the cell held ≥ k
+    # others, else the -2 sentinel), and evaluates the ring-refined
+    # block bounds against the broadcast (centroids, per-block radii)
+    # to emit the probe list alongside the top-k rows.  The unfused
+    # shape materialized pass A, folded s_q with a groupBy, joined it
+    # back to the N-row vector table, and ran a SEPARATE Arrow map +
+    # staging write for the probes — an N-row shuffle join and a whole
+    # extra job per run at any scale, for a bound that was born inside
+    # the pass-A task to begin with.  Sentinels (-1) mark the unused
+    # columns per kind; both kinds land in ONE staged table read back
+    # as two pruned filters.
+    fused_schema = (
+        "qa BIGINT, vec_id BIGINT, cos_sim DOUBLE, block INT, kind INT"
     )
 
-    # pass B: per-query adaptive probe list from the exact block bounds,
-    # own-cell blocks excluded (already scored in pass A)
-    def probe(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        cent_m, alpha_v, cells_v, blocks_v = side
-        if len(pdf) == 0:
-            return None
+    def pass_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        cent_m, alpha_v, cells_v, blocks_v = cent, alpha, cell_of, block_ids
+        ids = pdf["vec_id"].to_numpy()
         mat = _norm_rows(_matrix(pdf["__vec"]))
+        own = pdf["cell"].to_numpy()
+        out_q: list = []
+        out_n: list = []
+        out_s: list = []
+        s_q = np.full(len(ids), -2.0)  # sentinel: < any true cosine
+        chunk = 2048
+        for c0 in range(0, len(ids), chunk):
+            sims = mat[c0 : c0 + chunk] @ mat.T
+            for r in range(sims.shape[0]):
+                s = sims[r]
+                qid = ids[c0 + r]
+                vi = np.flatnonzero(ids != qid)
+                if len(vi) == 0:
+                    continue
+                if len(vi) > k:
+                    part = vi[np.argpartition(-s[vi], k - 1)[:k]]
+                    vi = vi[s[vi] >= s[part].min()]  # keep boundary ties
+                order = vi[np.lexsort((ids[vi], -s[vi]))][:k]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(ids[order])
+                out_s.append(s[order])
+                if len(order) == k:
+                    s_q[c0 + r] = s[order][-1]
+        # probe bounds for every query in the cell, own-cell excluded
         theta = np.arccos(np.clip(mat @ cent_m.T, -1.0, 1.0))
         bound = np.cos(np.maximum(0.0, theta[:, cells_v] - alpha_v[None, :]))
-        qs = pdf["s"].to_numpy(dtype=np.float64)
-        own = pdf["cell"].to_numpy()
-        mask = (bound >= qs[:, None] - 1e-9) & (cells_v[None, :] != own[:, None])
+        mask = (bound >= s_q[:, None] - 1e-9) & (cells_v[None, :] != own[:, None])
         ri, ci = np.where(mask)
-        return pd.DataFrame(
-            {
-                "qa": pdf["qa"].to_numpy()[ri],
-                "block": blocks_v[ci].astype(np.int32),
-            }
-        )
+        parts = [
+            pd.DataFrame(
+                {
+                    "qa": ids[ri],
+                    "vec_id": np.full(len(ri), -1, dtype=np.int64),
+                    "cos_sim": np.full(len(ri), -2.0),
+                    "block": blocks_v[ci].astype(np.int32),
+                    "kind": np.ones(len(ri), dtype=np.int32),
+                }
+            )
+        ]
+        if out_q:
+            nk = sum(len(a) for a in out_q)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "qa": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_s),
+                        "block": np.full(nk, -1, dtype=np.int32),
+                        "kind": np.zeros(nk, dtype=np.int32),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
-    probes = stream(
-        bounds,
-        probe,
-        "qa BIGINT, block INT",
-        side_input=(cent, alpha, cell_of, block_ids),
+    fused = _stage_table(
+        assigned_vec.select("vec_id", "__vec", "cell")
+        .groupBy("cell")
+        .applyInPandas(pass_a, fused_schema),
+        "pass_a",
     )
-    if stage:
-        probes_path = scratch_dir("nn_probes", pin=True) + "/t"
-        probes.write.parquet(probes_path)
-        probes = spark.read.parquet(probes_path)
+    scored_a = fused.filter(F.col("kind") == 0).select("qa", "vec_id", "cos_sim")
+    probes = fused.filter(F.col("kind") == 1).select("qa", "block")
 
     # candidate-volume telemetry (VERDICT r7 #4): one metadata-sized
     # fold of the probe list gives the EXACT ordered candidate volume
@@ -892,6 +945,7 @@ def exact_nn_topk(
             n_blocks=len(block_ids),
             candidates=candidates,
             total_pairs=ordered_total,
+            staged_dirs=list(staged_dirs),
         )
 
     if not probe_counts:

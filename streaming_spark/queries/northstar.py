@@ -516,8 +516,8 @@ def q_array_functions(spark, sf_dir):
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -527,9 +527,20 @@ def dedup_embedding_cosine(spark, sf_dir):
     contract (≤ 100k rows), blocked-exact IVF-cell pairing (triangle-
     inequality cell pruning, recall 1) above it.  The scale path never
     collects the vector table to the driver and has no all-pairs
-    stage; LSH (recall < 1) is a separate explicit query."""
+    stage; LSH (recall < 1) is a separate explicit query.
+
+    Threshold semantics (ADVICE r8): the keep decision compares the
+    4dp-ROUNDED cosine on BOTH engines — cosines are matmul reductions
+    whose summation order differs between numpy BLAS and DuckDB's
+    sequential list functions, so a raw ``>= t`` comparison could flip
+    on a pair within an ulp of t (CLAUDE.md's aggregate-derived
+    rounding rule, applied to the comparison too).  The inner
+    cosine_pairs threshold sits half a 4dp step lower so every pair
+    that could round up to t reaches the rounded filter."""
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs(emb, threshold=0.4 - 1e-4).filter(
+        F.col("cos_sim") >= 0.4
+    )
 
 
 @query(
@@ -539,8 +550,8 @@ def dedup_embedding_cosine(spark, sf_dir):
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
 )
 def dedup_embedding_cosine_blocked(spark, sf_dir):
@@ -565,9 +576,13 @@ def dedup_embedding_cosine_blocked(spark, sf_dir):
     telemetry reports via QuadraticCandidateVolumeWarning), which is
     exactly the regime the r8 task-matmul verify is shaped for: worst
     case is one ~N·sqrt(N)-row block shuffle + vectorized per-task
-    matmuls, not an O(N²) per-pair join."""
+    matmuls, not an O(N²) per-pair join.  Keep decision compares the
+    4dp-rounded cosine on both engines (ADVICE r8 — see
+    dedup_embedding_cosine)."""
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_pairs(emb, threshold=0.4, mode="blocked")
+    return cosine_pairs(emb, threshold=0.4 - 1e-4, mode="blocked").filter(
+        F.col("cos_sim") >= 0.4
+    )
 
 
 def _clustered_embeddings(spark, sf_dir):
@@ -603,7 +618,7 @@ def _clustered_embeddings(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
     FROM c a JOIN c b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.85
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.85
     """,
 )
 def dedup_embedding_cosine_clustered(spark, sf_dir):
@@ -621,10 +636,13 @@ def dedup_embedding_cosine_clustered(spark, sf_dir):
     residue is cells whose centroid an outlier pulled off-axis — vs
     100% on the uniform fixture) — asserted quantitatively in
     tests/test_candidates.py and visible in the telemetry log each run.
-    """
+    Keep decision compares the 4dp-rounded cosine on both engines
+    (ADVICE r8 — see dedup_embedding_cosine)."""
     return cosine_pairs(
-        _clustered_embeddings(spark, sf_dir), threshold=0.85, mode="blocked"
-    )
+        _clustered_embeddings(spark, sf_dir),
+        threshold=0.85 - 1e-4,
+        mode="blocked",
+    ).filter(F.col("cos_sim") >= 0.85)
 
 
 @query("dedup_embedding_cosine_lsh")  # rows-only: hyperplane buckets are
@@ -3344,13 +3362,19 @@ def q_exact_nn_blocked(spark, sf_dir):
     corpus the bound cannot prune (exact NN here is information-
     theoretically all-pairs), so the run also exercises the
     QuadraticCandidateVolumeWarning telemetry path; recall stays 1 by
-    construction and the oracle replays every row.  Reference analog:
-    the reference has no ANN/NN surface — this is engine-beyond-
-    reference coverage (SURVEY §2.6 family)."""
+    construction and the oracle replays every row.  The coarse
+    quantizer is the session-memoized cache the ANN stack shares
+    (VERDICT r8 #1 — any centroids are exact, the bounds use measured
+    radii, so reuse skips the sample-collect job without risking a
+    row; on this uniform corpus fewer cells also means fewer blocks to
+    probe).  Reference analog: the reference has no ANN/NN surface —
+    this is engine-beyond-reference coverage (SURVEY §2.6 family)."""
     from streaming_spark.operators.similarity import exact_nn_topk
 
     emb = T(spark, sf_dir, "embeddings")
-    return exact_nn_topk(emb, k=2, mode="blocked").select(
+    return exact_nn_topk(
+        emb, k=2, mode="blocked", centroids=_ivf_centroids_cached(spark, sf_dir)
+    ).select(
         "query_id",
         "neighbor_id",
         F.round("sim", 4).alias("sim"),

@@ -472,9 +472,16 @@ def q_sql_text_interface(spark, sf_dir):
     text interface costs nothing at execution time."""
     names = ("orders", "customer", "nation")
     # refuse, loudly, rather than createOrReplace over a CALLER-owned
-    # temp view of the same name (the finally would then also drop it —
-    # silent destruction of someone else's session state)
-    taken = [n for n in names if spark.catalog.tableExists(n)]
+    # TEMP VIEW of the same name (the finally would then also drop it —
+    # silent destruction of someone else's session state).  Only
+    # temporary views conflict: a PERMANENT table of the same name is
+    # merely shadowed for the duration of analysis and the finally's
+    # dropTempView cannot touch it, so tableExists (true for metastore
+    # objects too) would refuse spuriously (ADVICE r8).
+    temp_views = {
+        t.name for t in spark.catalog.listTables() if t.isTemporary
+    }
+    taken = [n for n in names if n in temp_views]
     if taken:
         raise ValueError(
             f"q_sql_text_interface: temp view(s) {taken} already exist "

@@ -43,7 +43,15 @@ for the life of the process (it still dies with the root atexit).
 Pinning is for METADATA-SIZED staged read inputs only — pinned bytes
 still count toward the cap, so oversized pins would starve the
 sweepable pool; big artifacts (sinks, table copies) must stay
-unpinned."""
+unpinned.
+
+Round 9 (ADVICE r8): pins are RELEASABLE — :func:`unpin` returns a dir
+to the ordinary sweep pool once its consuming frame is known to be
+consumed (stagers expose their dirs: ``exact_nn_topk`` puts them in
+``stats_out["staged_dirs"]``), and the sweep warns once per process
+when pinned bytes alone exceed half the cap, so pin starvation is now
+both bounded (release) and observable (warning) instead of merely
+documented."""
 
 from __future__ import annotations
 
@@ -117,13 +125,23 @@ def _tree_stats(path: str) -> tuple[int, float]:
 
 _PINNED: set[str] = set()
 
+# warn once per process when pinned bytes alone pass this fraction of
+# the cap — pins are process-lifetime unless released, so a session
+# that stages often and never unpins monotonically shrinks the
+# sweepable budget (ADVICE r8); the warning names the remedy
+_PIN_WARN_FRACTION = 0.5
+_WARNED_PIN_PRESSURE = False
+
 
 def _sweep(root: str, cap: int) -> None:
     """Remove least-recently-ACTIVE top-level tag dirs until the root
     fits ``cap`` (activity = recursive max-mtime, see module docstring).
     Pinned dirs are never victims but their bytes count toward the
     total, so they tighten the budget for sweepable dirs rather than
-    hiding from it."""
+    hiding from it; when pinned bytes ALONE pass half the cap a
+    one-time warning fires (pins are release-or-process-lifetime — a
+    caller that never calls :func:`unpin` is starving the sweep)."""
+    global _WARNED_PIN_PRESSURE
     try:
         entries = [e for e in os.scandir(root) if e.is_dir(follow_symlinks=False)]
     except OSError:
@@ -132,11 +150,27 @@ def _sweep(root: str, cap: int) -> None:
         return  # nothing to sweep — skip the recursive walk entirely
     sized = []
     total = 0
+    pinned_total = 0
     for e in entries:
         size, newest = _tree_stats(e.path)
         total += size
-        if e.path not in _PINNED:
+        if e.path in _PINNED:
+            pinned_total += size
+        else:
             sized.append((newest, e.path, size))
+    if not _WARNED_PIN_PRESSURE and pinned_total > cap * _PIN_WARN_FRACTION:
+        _WARNED_PIN_PRESSURE = True
+        warnings.warn(
+            f"pinned scratch dirs hold {pinned_total} bytes — more than "
+            f"{_PIN_WARN_FRACTION:.0%} of the {cap}-byte sweep cap; "
+            f"pins are exempt from sweeping until released, so the "
+            f"sweepable budget is shrinking — call "
+            f"streaming_spark.scratch.unpin(path) once a staged frame "
+            f"is known to be consumed (stagers expose their dirs, e.g. "
+            f"exact_nn_topk via stats_out['staged_dirs'])",
+            ResourceWarning,
+            stacklevel=4,
+        )
     for _newest, path, size in sorted(sized):
         if total <= cap:
             break
@@ -151,10 +185,23 @@ def scratch_dir(tag: str, pin: bool = False) -> str:
     module docstring).  ``pin=True`` exempts the dir from the sweep for
     the life of the process — for metadata-sized staged READ inputs
     whose consumer is a lazy DataFrame with unbounded lifetime (the
-    sweep's mtime signal cannot see reads); never pin bulk artifacts."""
+    sweep's mtime signal cannot see reads); never pin bulk artifacts,
+    and release a pin with :func:`unpin` once the consuming frame is
+    known to be fully consumed (ADVICE r8)."""
     root = scratch_root()
     _sweep(root, _cap())
     out = tempfile.mkdtemp(prefix=tag + "_", dir=root)
     if pin:
         _PINNED.add(out)
     return out
+
+
+def unpin(path: str) -> None:
+    """Release a ``scratch_dir(..., pin=True)`` pin: the dir rejoins the
+    ordinary least-recently-active sweep pool (it is NOT deleted here —
+    it just stops being exempt).  Safe to call on an unpinned or
+    already-released path (idempotent).  Callers that stage read inputs
+    for a lazy DataFrame should release the pin as soon as the frame is
+    known to be consumed (collected, written, or discarded) so a long
+    session's pins cannot starve the sweepable budget (ADVICE r8)."""
+    _PINNED.discard(path)

@@ -650,6 +650,91 @@ def test_exact_nn_topk_candidate_telemetry(spark):
     assert bstats["n_rows"] == 80
 
 
+def test_sql_text_interface_guard_is_temp_view_scoped(spark):
+    """ADVICE r8: q_sql_text_interface refuses only when a TEMP VIEW
+    owns one of its generic names (the finally's dropTempView would
+    destroy caller session state); a PERMANENT table of the same name
+    is merely shadowed for the duration of analysis and must not
+    trigger the refusal."""
+    from tests.conftest import SF_SMOKE
+    from streaming_spark.queries.relational import q_sql_text_interface
+
+    spark.sql("DROP TABLE IF EXISTS nation")
+    spark.sql("CREATE TABLE nation (n_nationkey INT, n_name STRING) USING parquet")
+    try:
+        assert q_sql_text_interface(spark, SF_SMOKE).count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation")
+    # a caller-owned TEMP view still refuses, and survives the refusal
+    spark.range(1).createOrReplaceTempView("nation")
+    try:
+        with pytest.raises(ValueError, match="temp view"):
+            q_sql_text_interface(spark, SF_SMOKE)
+        assert spark.table("nation").count() == 1  # untouched
+    finally:
+        spark.catalog.dropTempView("nation")
+
+
+def test_exact_nn_topk_degenerate_returns_fill_stats(spark):
+    """ADVICE r8: the blocked arm's degenerate early returns (< 2
+    vectors → no quantizer; empty table under SUPPLIED centroids) fill
+    the same four-key stats_out contract as the populated path — a
+    generic telemetry consumer must never KeyError on the routing."""
+    from streaming_spark.operators.similarity import exact_nn_topk
+
+    keys = {"n_rows", "n_blocks", "candidates", "total_pairs"}
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    stats: dict = {}
+    assert exact_nn_topk(empty, k=1, mode="blocked", stats_out=stats).count() == 0
+    assert keys <= set(stats)
+    assert stats["n_rows"] == 0 and stats["candidates"] == 0
+
+    cent = np.eye(4, 8, dtype=np.float64)  # supplied quantizer, empty table
+    stats2: dict = {}
+    assert (
+        exact_nn_topk(
+            empty, k=1, mode="blocked", centroids=cent, stats_out=stats2
+        ).count()
+        == 0
+    )
+    assert keys <= set(stats2)
+    assert stats2["n_rows"] == 0 and stats2["candidates"] == 0
+
+
+def test_exact_nn_topk_staged_dirs_are_releasable(spark):
+    """ADVICE r8: the staged arm reports its pinned scratch dirs in
+    stats_out["staged_dirs"] so a caller that knows the frame is
+    consumed can return them to the sweep pool via scratch.unpin."""
+    from streaming_spark import scratch
+    from streaming_spark.operators.similarity import exact_nn_topk
+
+    rng = np.random.default_rng(67)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    stats: dict = {}
+    out = exact_nn_topk(
+        df, k=1, mode="blocked", n_cells=4, stage=True, stats_out=stats
+    )
+    assert out.count() == 50  # frame fully consumed
+    staged = stats["staged_dirs"]
+    assert len(staged) == 2  # assign map + fused pass-A/probe table
+    assert all(d in scratch._PINNED for d in staged)
+    for d in staged:
+        scratch.unpin(d)
+    assert not any(d in scratch._PINNED for d in staged)
+    # stage=False governs only the assign map — the fused pass-A/probe
+    # table is staged unconditionally (its lineage feeds several
+    # branches; see the staging docstring) and reported too
+    stats2: dict = {}
+    exact_nn_topk(
+        df, k=1, mode="blocked", n_cells=4, stage=False, stats_out=stats2
+    ).count()
+    assert len(stats2["staged_dirs"]) == 1
+    for d in stats2["staged_dirs"]:
+        scratch.unpin(d)
+
+
 def test_exact_nn_topk_never_self_neighbor_on_duplicate_ids(spark):
     """A duplicated vec_id (ids are a documented uniqueness contract,
     but a violation must not corrupt answers) can never be emitted as

@@ -48,11 +48,50 @@ def test_catalog_is_current():
 
 _REPLAY_SEEDS = (20260814, 7, 42)
 
+# The registry's NEWEST additions (rounds 6-8, by first-introducing
+# commit: `git log --reverse -S'"<slug>"' -- streaming_spark`) — the
+# driver's 50-slug sample has been frozen since r6, so these are the
+# least driver-exercised slugs; the fourth replay case overweights
+# them (VERDICT r8 #5).  Append here when registering new queries.
+_NEWEST_SLUGS = (
+    "q_semdedup",
+    "text_gopher_quality",
+    "q_semantic_decontaminate",
+    "pipeline_gopher_filter",
+    "q_streaming_semantic_decontaminate",
+    "dedup_bloom_ingest",
+    "q_sketch_bloom",
+    "q_streaming_bloom_index",
+    "pipeline_data_recipe",
+    "q_line_dedup",
+    "text_c4_rules",
+    "q_streaming_line_index",
+    "pipeline_c4_filter",
+    "q_backfill_partition",
+    "q_schema_evolution",
+    "q_session_transcripts",
+    "q_contrastive_batch_assign",
+    "q_ablation_subsets",
+    "pipeline_training_order",
+    "q_sql_text_interface",
+    "q_streaming_session_transcripts",
+    "q_input_jsonl_gz",
+    "pack_manifest",
+    "dedup_embedding_cosine_blocked",
+    "dedup_embedding_cosine_clustered",
+    "q_exact_nn_blocked",
+)
 
-def _replay_names(seed: int) -> list[str]:
+_NEWEST_CASE = "newest-overweight"
+
+
+def _replay_names(seed) -> list[str]:
     """This seed's 50-slug draw, minus streaming slugs and minus any
     slug already covered by an EARLIER seed's draw (a slug green under
-    seed A needn't rerun for seed B — same code, same data)."""
+    seed A needn't rerun for seed B — same code, same data).  The
+    ``_NEWEST_CASE`` pseudo-seed draws ALL of ``_NEWEST_SLUGS`` first
+    (the least driver-exercised slugs) and fills to 50 with a seeded
+    uniform draw from the rest."""
     import sys
     import os
 
@@ -66,9 +105,23 @@ def _replay_names(seed: int) -> list[str]:
         if s == seed:
             break
         earlier.update(dev_check.sample_names(50, seed=s))
+    if seed == _NEWEST_CASE:
+        # (earlier already holds ALL uniform seeds' draws — the loop
+        # above never hit the pseudo-seed, so it never broke)
+        import random
+
+        from streaming_spark.queries import REGISTRY
+
+        missing = [n for n in _NEWEST_SLUGS if n not in REGISTRY]
+        assert not missing, f"_NEWEST_SLUGS drifted from the registry: {missing}"
+        rest = sorted(set(REGISTRY) - set(_NEWEST_SLUGS))
+        filler = random.Random(20260815).sample(rest, 50 - len(_NEWEST_SLUGS))
+        names = list(_NEWEST_SLUGS) + filler
+    else:
+        names = dev_check.sample_names(50, seed=seed)
     return [
         n
-        for n in dev_check.sample_names(50, seed=seed)
+        for n in names
         if n not in earlier and not n.startswith("q_streaming_")
     ]
 
@@ -79,6 +132,7 @@ def _replay_names(seed: int) -> list[str]:
         _REPLAY_SEEDS[0],
         pytest.param(_REPLAY_SEEDS[1], marks=pytest.mark.slow),
         pytest.param(_REPLAY_SEEDS[2], marks=pytest.mark.slow),
+        pytest.param(_NEWEST_CASE, marks=pytest.mark.slow),
     ],
 )
 def test_random_sample_replay(spark, seed):
@@ -88,11 +142,15 @@ def test_random_sample_replay(spark, seed):
     50-slug driver draw's SHAPE has been pre-replayed from several
     independent seeds, so a driver rotation landing on an untested slug
     is strictly less likely each round.  Parametrized per seed (ADVICE
-    r7: one flaky slug must fail ONE localized case, and the two extra
+    r7: one flaky slug must fail ONE localized case, and the extra
     seeds are marked slow — deselected by default, run with
-    ``pytest -m "" tests/``).  Streaming slugs are excluded because
-    they run real micro-batch streams (minutes each) and carry their
-    own oracle-parity tests in test_windows/test_streaming."""
+    ``pytest -m "" tests/``).  The fourth case overweights the NEWEST
+    registry additions — the driver's sample has been frozen since r6,
+    so the r6-r8 slugs are the least driver-exercised and a rotation
+    is most likely to surprise there (VERDICT r8 #5).  Streaming slugs
+    are excluded because they run real micro-batch streams (minutes
+    each) and carry their own oracle-parity tests in
+    test_windows/test_streaming."""
     import sys
     import os
 

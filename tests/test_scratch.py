@@ -109,6 +109,48 @@ def test_scratch_pinned_dir_survives_sweep(monkeypatch, tmp_path):
     scratch._PINNED.discard(pinned)  # don't leak the pin into other tests
 
 
+def test_scratch_unpin_returns_dir_to_sweep_pool(monkeypatch, tmp_path):
+    """ADVICE r8: pins are releasable — after unpin() the dir rejoins
+    the ordinary least-recently-active sweep pool (and unpin is
+    idempotent: releasing an already-released or never-pinned path is
+    a no-op, never an error)."""
+    monkeypatch.setattr(scratch, "_ROOT", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", str(1_500))
+    staged = scratch.scratch_dir("releasedstage", pin=True)
+    _fill(staged, 1_000, 1_000_000)  # oldest
+    newer = scratch.scratch_dir("newerunpinned")
+    _fill(newer, 1_000, 2_000_000)
+    scratch.unpin(staged)
+    scratch.unpin(staged)  # idempotent
+    scratch.unpin(str(tmp_path / "never_pinned"))  # no-op
+    scratch.scratch_dir("trigger")
+    # with the pin released, the OLDEST dir is the victim again and the
+    # newer unpinned dir survives
+    assert not os.path.isdir(staged)
+    assert os.path.isdir(newer)
+
+
+def test_scratch_warns_on_pin_pressure(monkeypatch, tmp_path):
+    """ADVICE r8: when pinned bytes alone exceed half the cap, the next
+    sweep warns once per process (pins shrink the sweepable budget
+    until released — the warning makes the starvation observable and
+    names the unpin remedy)."""
+    monkeypatch.setattr(scratch, "_ROOT", str(tmp_path))
+    monkeypatch.setattr(scratch, "_WARNED_PIN_PRESSURE", False)
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", str(1_500))
+    pinned = scratch.scratch_dir("bigpin", pin=True)
+    _fill(pinned, 1_000, 1_000_000)  # 1000 > 1500/2
+    with pytest.warns(ResourceWarning, match="unpin"):
+        scratch.scratch_dir("trigger")
+    # once per process: a second sweep over the same pressure is silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", ResourceWarning)
+        scratch.scratch_dir("trigger2")
+    scratch._PINNED.discard(pinned)  # don't leak the pin into other tests
+
+
 def test_scratch_cap_env_parsed_defensively(monkeypatch):
     """ADVICE r7: a malformed SPARK_GRAFT_SCRATCH_CAP_BYTES must not
     raise at an arbitrary staging site mid-query — warn and fall back
