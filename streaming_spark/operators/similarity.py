@@ -618,7 +618,6 @@ def exact_nn_topk(
     vectors: DataFrame,
     k: int = 1,
     n_cells: int | None = None,
-    n_rings: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
@@ -642,43 +641,48 @@ def exact_nn_topk(
 
     The blocked arm is an adaptive two-pass IVF search over the same
     coarse quantizer the ANN stack trains (``n_cells`` ~sqrt(N) by
-    default), with per-QUERY triangle-inequality BLOCK pruning (the
-    ring-refined bounds of ``_block_pair_allowlist``, here evaluated
-    per query):
+    default), with per-QUERY triangle-inequality CELL pruning (the
+    same bound family as ``_block_pair_allowlist``, here evaluated per
+    query at cell granularity — unlike the pair path, ring refinement
+    cannot sharpen a per-query probe decision: the bound is monotone
+    in the radius, so a cell's loosest ring passes iff the cell-level
+    bound passes, and scoring the whole probed cell preserves
+    exactness while shuffling each query vector once per probed CELL
+    instead of once per probed ring-block):
 
     - Pass A scores each vector against its OWN cell in one per-cell
       task matmul (only each query's top-k rows leave the task), takes
       the k-th best cosine found there as ``s_q`` (−2 sentinel when
       the cell holds fewer than k others) — a cheap LOWER bound on the
-      true k-th best — and, IN THE SAME TASK, evaluates the block
-      bounds against the broadcast (centroids, per-block radii) to
+      true k-th best — and, IN THE SAME TASK, evaluates the cell
+      bounds against the broadcast (centroids, per-cell radii) to
       emit the probe list next to the top-k rows (r9, VERDICT r8 #1:
       the bound is born inside the task, so folding s_q out through a
       groupBy + N-row shuffle join + a separate probe map was one
       whole job and one data-sized join of pure overhead per run).
-    - Pass B: any y in block b of cell c satisfies
-      ``cos(q, y) <= cos(max(0, angle(q, c_c) − alpha_b))``; only
-      blocks whose bound reaches ``s_q − 1e-9`` can hold a top-k
-      member (the slack keeps boundary-exact ties in play).  The
-      surviving (query, block) probes become TASKS of one keyed
-      shuffle: each probed block's members meet the queries probing it
-      in a grouped-Arrow float64 matmul, and only each query's
-      per-task top-k rows leave — NEVER the O(candidates) per-pair
-      join (same redesign that took the blocked pair path 29.5 s →
-      2.9 s; the per-pair shape measured 124 s for N=2,000 on a
-      uniform corpus, the task matmul ~3 s).  Blocks whose probe
-      population outgrows ``_PASS_B_TASK_BYTES`` of query vectors are
-      salted into subtasks (members replicated per subtask) so one hot
-      block cannot exceed task memory.  Own-CELL blocks are excluded
-      — their pairs were scored exactly in pass A and the final rank
-      unions both passes, so no candidate is verified twice (VERDICT
-      r7 #2).
+    - Pass B: any y in cell c satisfies
+      ``cos(q, y) <= cos(max(0, angle(q, c_c) − alpha_c))`` with
+      alpha_c the cell's max member angle; only cells whose bound
+      reaches ``s_q − 1e-9`` can hold a top-k member (the slack keeps
+      boundary-exact ties in play).  The surviving (query, cell)
+      probes become TASKS of one keyed shuffle: each probed cell's
+      members meet the queries probing it in a grouped-Arrow float64
+      matmul, and only each query's per-task top-k rows leave — NEVER
+      the O(candidates) per-pair join (same redesign that took the
+      blocked pair path 29.5 s → 2.9 s; the per-pair shape measured
+      124 s for N=2,000 on a uniform corpus, the task matmul ~3 s).
+      Cells whose probe population outgrows ``_PASS_B_TASK_BYTES`` of
+      query vectors are salted into subtasks (members replicated per
+      subtask) so one hot cell cannot exceed task memory.  Own cells
+      are excluded — their pairs were scored exactly in pass A and the
+      final rank unions both passes, so no candidate is verified twice
+      (VERDICT r7 #2).
 
     Candidate-volume telemetry (the VERDICT r7 #4 contract, same as
-    ``cosine_pairs``): the per-block probe populations are folded in
+    ``cosine_pairs``): the per-cell probe populations are folded in
     one metadata-sized aggregate BEFORE any task launches; the exact
     ORDERED candidate volume (pass A's Σ n_c·(n_c−1) own-cell pairs +
-    pass B's Σ probes_b·|b|) is logged against the n·(n−1) ordered
+    pass B's Σ probes_c·|c|) is logged against the n·(n−1) ordered
     ceiling, a ``QuadraticCandidateVolumeWarning`` fires when pruning
     is not biting (expected on a near-uniform corpus — exact NN there
     is information-theoretically all-pairs; route such data through
@@ -700,8 +704,8 @@ def exact_nn_topk(
     any scale — one write job costs less than one re-run of the
     lineage.  A ``persist()`` instead would outlive the returned lazy
     frame and degrade later same-session queries (CLAUDE.md).  The
-    ``stage`` knob governs only the ASSIGN map ((id, cell, block,
-    cent_sim) rows): ``stage=None`` (default) stages
+    ``stage`` knob governs only the ASSIGN map ((id, cell, cent_sim)
+    rows): ``stage=None`` (default) stages
     it above 100k rows — known from the auto probe or the training
     sample; below that it is one narrow Arrow map over a pruned scan
     whose recompute is cheaper than a write/read pair, above it
@@ -722,8 +726,8 @@ def exact_nn_topk(
     (the bounds use measured radii), so reuse never risks the answer;
     it skips the sample-collect job entirely.
 
-    Shuffle volume is O(N·probed-blocks + N·k); on a uniform corpus
-    pruning degrades toward probing every block — exactness never
+    Shuffle volume is O(N·probed-cells + N·k); on a uniform corpus
+    pruning degrades toward probing every cell — exactness never
     depends on the data.  ``id_col`` values must be UNIQUE: equal-id
     pairs never score (so a duplicated id can never become its own
     neighbor), but two rows sharing an id would also share one s_q
@@ -785,14 +789,13 @@ def exact_nn_topk(
         df.write.parquet(d + "/t")
         return spark.read.parquet(d + "/t")
 
-    assigned = _with_block(
-        ivf_assign(base, cent, id_col="vec_id", vec_col="__vec", with_sim=True),
-        n_rings,
+    assigned = ivf_assign(
+        base, cent, id_col="vec_id", vec_col="__vec", with_sim=True
     )
     if stage:
         assigned = _stage_table(assigned, "assign")
     stats = (
-        assigned.groupBy("block")
+        assigned.groupBy("cell")
         .agg(F.min("cent_sim").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -804,30 +807,26 @@ def exact_nn_topk(
                 n_rows=0, n_blocks=0, candidates=0, total_pairs=0
             )
         return spark.createDataFrame([], empty_schema)
-    stats.sort(key=lambda r: r["block"])
-    block_ids = np.array([r["block"] for r in stats], dtype=np.int64)
+    stats.sort(key=lambda r: r["cell"])
+    cell_ids = np.array([r["cell"] for r in stats], dtype=np.int64)
     alpha = np.arccos(
         np.clip(np.array([r["r"] for r in stats]), -1.0, 1.0)
     )
     sizes = np.array([r["n"] for r in stats], dtype=np.int64)
-    size_of_block = dict(zip(block_ids.tolist(), sizes.tolist()))
+    size_of_cell = dict(zip(cell_ids.tolist(), sizes.tolist()))
     n_total = int(sizes.sum())
-    cell_of = block_ids // n_rings
 
     # the vector-carrying twin of the assign map: pass A's per-cell
-    # tasks and pass B's member side need (id, vec, cell/block) — one
-    # narrow Arrow map, recomputed per consumer (cheaper than staging
-    # N·dim doubles; the metadata frames above are what staging covers)
-    assigned_vec = _with_block(
-        ivf_assign(
-            base,
-            cent,
-            id_col="vec_id",
-            vec_col="__vec",
-            with_sim=True,
-            keep_vec="__vec",
-        ),
-        n_rings,
+    # tasks and pass B's member side need (id, vec, cell) — one narrow
+    # Arrow map, recomputed per consumer (cheaper than staging N·dim
+    # doubles; the metadata frames above are what staging covers)
+    assigned_vec = ivf_assign(
+        base,
+        cent,
+        id_col="vec_id",
+        vec_col="__vec",
+        with_sim=True,
+        keep_vec="__vec",
     )
 
     # pass A + probe generation, FUSED into one per-cell task (VERDICT
@@ -836,8 +835,8 @@ def exact_nn_topk(
     # selftask arm — equal ids never score, per-query top-k by the
     # global (sim DESC, id ASC) order, boundary ties kept), derives
     # each query's s_q bound IN-TASK (k-th best if the cell held ≥ k
-    # others, else the -2 sentinel), and evaluates the ring-refined
-    # block bounds against the broadcast (centroids, per-block radii)
+    # others, else the -2 sentinel), and evaluates the per-cell
+    # bounds against the broadcast (centroids, per-cell radii)
     # to emit the probe list alongside the top-k rows.  The unfused
     # shape materialized pass A, folded s_q with a groupBy, joined it
     # back to the N-row vector table, and ran a SEPARATE Arrow map +
@@ -847,11 +846,11 @@ def exact_nn_topk(
     # columns per kind; both kinds land in ONE staged table read back
     # as two pruned filters.
     fused_schema = (
-        "qa BIGINT, vec_id BIGINT, cos_sim DOUBLE, block INT, kind INT"
+        "qa BIGINT, vec_id BIGINT, cos_sim DOUBLE, probe_cell INT, kind INT"
     )
 
     def pass_a(pdf: pd.DataFrame) -> pd.DataFrame:
-        cent_m, alpha_v, cells_v, blocks_v = cent, alpha, cell_of, block_ids
+        cent_m, alpha_v, cells_v = cent, alpha, cell_ids
         ids = pdf["vec_id"].to_numpy()
         mat = _norm_rows(_matrix(pdf["__vec"]))
         own = pdf["cell"].to_numpy()
@@ -877,7 +876,17 @@ def exact_nn_topk(
                 out_s.append(s[order])
                 if len(order) == k:
                     s_q[c0 + r] = s[order][-1]
-        # probe bounds for every query in the cell, own-cell excluded
+        # probe bounds for every query in the cell, own-cell excluded.
+        # CELL granularity (r9): the per-cell alpha is the cell's max
+        # member angle, and the bound is monotone increasing in alpha,
+        # so "any ring of this cell passes" is EXACTLY "the cell-level
+        # bound passes" — ring refinement cannot sharpen the decision
+        # of whether to probe a cell at all, only which of its rings
+        # to score, and scoring the whole probed cell keeps exactness
+        # (extra candidates are harmless) while cutting the query-side
+        # shuffle by the ring factor: at saturation (uniform data) the
+        # old per-(cell,ring) probes replicated every query vector 4x
+        # for tasks that each scored the same queries anyway.
         theta = np.arccos(np.clip(mat @ cent_m.T, -1.0, 1.0))
         bound = np.cos(np.maximum(0.0, theta[:, cells_v] - alpha_v[None, :]))
         mask = (bound >= s_q[:, None] - 1e-9) & (cells_v[None, :] != own[:, None])
@@ -888,7 +897,7 @@ def exact_nn_topk(
                     "qa": ids[ri],
                     "vec_id": np.full(len(ri), -1, dtype=np.int64),
                     "cos_sim": np.full(len(ri), -2.0),
-                    "block": blocks_v[ci].astype(np.int32),
+                    "probe_cell": cells_v[ci].astype(np.int32),
                     "kind": np.ones(len(ri), dtype=np.int32),
                 }
             )
@@ -901,7 +910,7 @@ def exact_nn_topk(
                         "qa": np.concatenate(out_q),
                         "vec_id": np.concatenate(out_n),
                         "cos_sim": np.concatenate(out_s),
-                        "block": np.full(nk, -1, dtype=np.int32),
+                        "probe_cell": np.full(nk, -1, dtype=np.int32),
                         "kind": np.zeros(nk, dtype=np.int32),
                     }
                 )
@@ -915,24 +924,23 @@ def exact_nn_topk(
         "pass_a",
     )
     scored_a = fused.filter(F.col("kind") == 0).select("qa", "vec_id", "cos_sim")
-    probes = fused.filter(F.col("kind") == 1).select("qa", "block")
+    probes = fused.filter(F.col("kind") == 1).select(
+        "qa", F.col("probe_cell").alias("cell")
+    )
 
     # candidate-volume telemetry (VERDICT r7 #4): one metadata-sized
     # fold of the probe list gives the EXACT ordered candidate volume
     # BEFORE any task launches — and doubles as the salt map that keeps
-    # a hot block's task memory bounded
+    # a hot cell's task memory bounded
     probe_counts = {
-        int(r["block"]): int(r["q"])
-        for r in probes.groupBy("block")
+        int(r["cell"]): int(r["q"])
+        for r in probes.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("q"))
         .collect()
     }
-    cell_sizes: dict[int, int] = {}
-    for c, n in zip(cell_of.tolist(), sizes.tolist()):
-        cell_sizes[c] = cell_sizes.get(c, 0) + n
-    pass_a_pairs = sum(n * (n - 1) for n in cell_sizes.values())
+    pass_a_pairs = sum(int(n) * (int(n) - 1) for n in sizes)
     pass_b_pairs = sum(
-        q * size_of_block[b] for b, q in probe_counts.items()
+        q * size_of_cell[c] for c, q in probe_counts.items()
     )
     candidates = pass_a_pairs + pass_b_pairs
     ordered_total = n_total * (n_total - 1)
@@ -942,7 +950,7 @@ def exact_nn_topk(
     if stats_out is not None:
         stats_out.update(
             n_rows=n_total,
-            n_blocks=len(block_ids),
+            n_blocks=len(cell_ids),
             candidates=candidates,
             total_pairs=ordered_total,
             staged_dirs=list(staged_dirs),
@@ -951,7 +959,7 @@ def exact_nn_topk(
     if not probe_counts:
         scored = scored_a
     else:
-        # each probed block is one task; blocks whose probe population
+        # each probed cell is one task; cells whose probe population
         # outgrows the per-task query-vector budget are salted into
         # subtasks (members replicated per subtask, queries hashed)
         dim = cent.shape[1]
@@ -959,42 +967,42 @@ def exact_nn_topk(
         salt_df = spark.createDataFrame(
             pd.DataFrame(
                 {
-                    "block": np.array(list(probe_counts), dtype=np.int32),
+                    "cell": np.array(list(probe_counts), dtype=np.int32),
                     "n_sub": np.array(
                         [-(-q // q_cap) for q in probe_counts.values()],
                         dtype=np.int32,
                     ),
                 }
             ),
-            "block INT, n_sub INT",
+            "cell INT, n_sub INT",
         )
         qside = (
             probes.join(base.select(F.col("vec_id").alias("qa"), "__vec"), "qa")
-            .join(F.broadcast(salt_df), "block")
+            .join(F.broadcast(salt_df), "cell")
             .select(
                 F.col("qa").alias("id"),
                 "__vec",
                 F.lit(1).alias("side"),
                 F.lit(0).alias("selftask"),
-                "block",
+                "cell",
                 F.pmod(F.xxhash64("qa"), F.col("n_sub")).cast("int").alias("sub"),
             )
         )
         mside = (
-            assigned_vec.join(F.broadcast(salt_df), "block")
+            assigned_vec.join(F.broadcast(salt_df), "cell")
             .select(
                 F.col("vec_id").alias("id"),
                 "__vec",
                 F.lit(0).alias("side"),
                 F.lit(0).alias("selftask"),
-                "block",
+                "cell",
                 F.explode(
                     F.sequence(F.lit(0), F.col("n_sub") - F.lit(1))
                 ).alias("sub"),
             )
         )
         scored_b = _grouped_self_topk(
-            mside.unionByName(qside), ["block", "sub"], k
+            mside.unionByName(qside), ["cell", "sub"], k
         )
         scored = scored_a.unionByName(scored_b)
 

