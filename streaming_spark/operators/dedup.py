@@ -325,23 +325,56 @@ def _simhash_pairs_from(sh: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame,
+    max_iter: int = 20,
+    mode: str = "auto",
+    driver_limit: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list
     ``(id_a, id_b)`` → ``(id, component)`` where component is the
     minimum member id — the cluster step that turns near-dup PAIRS into
     dedup GROUPS (keep one doc per component).
 
-    Algorithm: iterative min-label propagation (each node takes the min
-    label among itself and its neighbors) until a fixpoint; converges in
-    O(diameter) rounds, and near-dup graphs are shallow (dup clusters are
-    cliques or near-cliques, diameter ≈ 1-2).  Each round is ONE shuffle
-    of the edge list; ``localCheckpoint`` truncates the growing lineage —
-    without it, iteration i replays all i-1 predecessors (the classic
-    iterative-Spark trap at scale)."""
+    Two physical strategies, identical results (pinned by test),
+    mirroring the ``cosine_pairs`` auto contract:
+
+    - ``"driver"``: the edge list is collected and union-find with path
+      compression labels every component in one pass — near-dup edge
+      lists are usually FAR smaller than the corpus (only duplicated
+      docs appear), and at gate scale the iterative arm's per-round
+      jobs (two joins + fold + checkpoint + convergence count, times
+      O(diameter) rounds) are pure fixed overhead for a graph that
+      fits in kilobytes.  Valid only while edges fit the ≤
+      ``driver_limit`` contract (~16 MB of int64 pairs at the 1M
+      default).  Depth-insensitive: no max_iter refusal.
+    - ``"iterative"``: min-label propagation (each node takes the min
+      label among itself and its neighbors) until a fixpoint;
+      converges in O(diameter) rounds, and near-dup graphs are shallow
+      (dup clusters are cliques or near-cliques, diameter ≈ 1-2).
+      Each round is ONE shuffle of the edge list; ``localCheckpoint``
+      truncates the growing lineage — without it, iteration i replays
+      all i-1 predecessors (the classic iterative-Spark trap at
+      scale).  Refuses loudly past ``max_iter`` (see below).
+    - ``"auto"``: ONE ``LIMIT driver_limit+1`` collect both probes the
+      size and, when the contract holds, IS the driver arm's input —
+      the edge lineage is often an expensive similarity join (the
+      whole cosine-pair matmul for the embedding graph), so a separate
+      probe-count action would recompute it once per action for
+      nothing.  Overflow falls through to iterative.  Both arms are
+      exact, so dedup recall never depends on the routing.
+    """
     edges = pairs.select(
         F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
     ).distinct()
+    if mode == "auto":
+        sample = edges.limit(driver_limit + 1).collect()
+        if len(sample) <= driver_limit:
+            return _components_driver(edges, sample)
+        mode = "iterative"
+    if mode == "driver":
+        return _components_driver(edges, edges.collect())
+    if mode != "iterative":
+        raise ValueError(f"connected_components: unknown mode {mode!r}")
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
@@ -385,6 +418,52 @@ def connected_components(
             f"the component graph is deeper than max_iter; raise it"
         )
     return labels
+
+
+def _components_driver(edges: DataFrame, rows: list) -> DataFrame:
+    """Union-find labeling of an already-COLLECTED edge list — the
+    bounded small arm of :func:`connected_components` (the caller
+    enforces the size contract and hands over the collected rows so
+    the edge lineage runs exactly once).  Component label = min member
+    id, same as the iterative arm; id types are preserved (the output
+    schema is derived from the edge columns, so string ids work
+    identically)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    groups: dict = {}
+    for node in parent:
+        groups.setdefault(find(node), []).append(node)
+    out = []
+    for members in groups.values():
+        comp = min(members)
+        out.extend((m, comp) for m in members)
+    u_field = edges.schema["u"]
+    schema = StructType(
+        [
+            StructField("id", u_field.dataType, False),
+            StructField("component", u_field.dataType, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def dedup_keep_one(

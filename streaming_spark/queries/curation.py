@@ -2277,8 +2277,10 @@ def q_contrastive_batch_assign(spark, sf_dir):
     blocked-exact IVF-cell path above — recall 1 by construction, so
     the no-false-negative guarantee the batch-safety argument rests on
     survives a 100× corpus); the component/rank spine is unchanged.
-    Components cost O(diameter) edge-keyed shuffles (near-dup graphs
-    are shallow); the rank is one keyed window over (component)."""
+    Components auto-route: one driver union-find pass while the edge
+    list fits the bounded-collect contract (near-dup edge lists are
+    far smaller than the corpus), O(diameter) edge-keyed shuffles
+    above it; the rank is one keyed window over (component)."""
     from streaming_spark.operators.dedup import connected_components
     from streaming_spark.operators.similarity import cosine_pairs
 

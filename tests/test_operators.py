@@ -2719,16 +2719,50 @@ def test_adjacent_swap_variants_short_strings(spark):
 def test_connected_components_refuses_unconverged_labels(spark):
     """A duplicate CHAIN deeper than max_iter must raise, not silently
     split one true cluster into several (min-label propagation moves
-    the minimum one hop per round)."""
+    the minimum one hop per round).  The refusal is an ITERATIVE-arm
+    property; the driver arm (union-find) is depth-insensitive and
+    handles the same chain at any max_iter."""
     from streaming_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a BIGINT, id_b BIGINT"
     )
     with pytest.raises(RuntimeError, match="still changing"):
-        connected_components(chain, max_iter=3).collect()
-    ok = connected_components(chain, max_iter=10)
+        connected_components(chain, max_iter=3, mode="iterative").collect()
+    ok = connected_components(chain, max_iter=10, mode="iterative")
     assert {r.component for r in ok.collect()} == {0}
+    deep = connected_components(chain, max_iter=3, mode="driver")
+    assert {r.component for r in deep.collect()} == {0}
+
+
+def test_connected_components_arms_agree(spark):
+    """The driver union-find arm and the iterative min-label arm must
+    return the identical (id -> component) map on a random multigraph —
+    the auto routing is a physical choice, never a semantic one (the
+    cosine_pairs arms-agree contract, applied to the graph step)."""
+    import random
+
+    from streaming_spark.operators.dedup import connected_components
+
+    rng = random.Random(71)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(90)
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a BIGINT, id_b BIGINT"
+    )
+    drv = {r.id: r.component for r in
+           connected_components(pairs, mode="driver").collect()}
+    itr = {r.id: r.component for r in
+           connected_components(pairs, mode="iterative").collect()}
+    assert drv == itr and len(drv) > 0
+    # string ids survive the driver arm (schema derived from the edges)
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a STRING, id_b STRING"
+    )
+    sdrv = {r.id: r.component for r in
+            connected_components(spairs, mode="driver").collect()}
+    assert sdrv == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_lsh_banding_refuses_short_signatures(spark):
