@@ -13,12 +13,13 @@ deployment, and each run's pinned staging dirs are released through
 ``scratch.unpin`` afterwards (the ADVICE r8 release handle) so the
 sweep keeps disk bounded across the sweep of Ns.
 
-The uniform PAIR path is capped at N = 50k on this box: with zero
-pruning its task shuffle is ~N x (4 sqrt N) member rows of 64 float64
-each (~70 GB at N = 100k), which exceeds the local free disk — that
-bound is itself the documented scale behavior (the telemetry warns and
-the sanctioned escape is the ANN family); the NN path shuffles per
-probed CELL (r9) and stays within disk through N = 200k.
+Both uniform ops are disk-capped on this box — with zero pruning the
+pair path's task shuffle is ~N x (4 sqrt N) member rows of 64 float64
+each (~70 GB at N = 100k) and the NN path's probe join is ~N x sqrt N
+query rows (~48 GB at N = 200k), either of which exceeds the local
+free disk.  The caps are themselves the documented scale behavior (the
+telemetry warns and the sanctioned escape is the ANN family); the
+clustered regime runs the full sweep.
 
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_blocked.py [max_n]
@@ -102,7 +103,11 @@ def main() -> None:
                              "shuffle rows exceed local disk at zero pruning"))
             else:
                 plan.append(("pairs", kind, n, None))
-            plan.append(("nn", kind, n, None))
+            if kind == "uniform" and n > 100_000:
+                plan.append(("nn", kind, n, "skipped: ~N*sqrt(N) query "
+                             "shuffle rows exceed local disk at zero pruning"))
+            else:
+                plan.append(("nn", kind, n, None))
     # biggest uniform runs last so earlier results survive a disk blowup
     plan.sort(key=lambda p: (p[2], p[1] == "uniform"))
 
@@ -121,7 +126,7 @@ def main() -> None:
             ).count()
         else:
             rows = exact_nn_topk(
-                df, k=2, mode="blocked", stage=n > 100_000, stats_out=stats
+                df, k=2, mode="blocked", stats_out=stats
             ).count()
         dt = time.perf_counter() - t0
         print(

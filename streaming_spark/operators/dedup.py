@@ -338,15 +338,19 @@ def connected_components(
     Two physical strategies, identical results (pinned by test),
     mirroring the ``cosine_pairs`` auto contract:
 
-    - ``"driver"``: the edge list is collected and union-find with path
-      compression labels every component in one pass — near-dup edge
-      lists are usually FAR smaller than the corpus (only duplicated
-      docs appear), and at gate scale the iterative arm's per-round
-      jobs (two joins + fold + checkpoint + convergence count, times
-      O(diameter) rounds) are pure fixed overhead for a graph that
-      fits in kilobytes.  Valid only while edges fit the ≤
-      ``driver_limit`` contract (~16 MB of int64 pairs at the 1M
-      default).  Depth-insensitive: no max_iter refusal.
+    - ``"driver"``: the edge list is collected through Arrow
+      (``toPandas`` — columnar, not per-row Row objects) and union-find
+      with path compression labels every component in one pass —
+      near-dup edge lists are usually FAR smaller than the corpus
+      (only duplicated docs appear), and at gate scale the iterative
+      arm's per-round jobs (two joins + fold + checkpoint +
+      convergence count, times O(diameter) rounds) are pure fixed
+      overhead for a graph that fits in kilobytes.  Valid only while
+      edges fit the ≤ ``driver_limit`` contract (~16 MB of int64 pairs
+      at the 1M default; the union-find dict adds a few hundred MB of
+      transient Python objects at that extreme — size the limit down
+      in driver-constrained deployments).  Depth-insensitive: no
+      max_iter refusal.
     - ``"iterative"``: min-label propagation (each node takes the min
       label among itself and its neighbors) until a fixpoint;
       converges in O(diameter) rounds, and near-dup graphs are shallow
@@ -367,12 +371,12 @@ def connected_components(
         F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
     ).distinct()
     if mode == "auto":
-        sample = edges.limit(driver_limit + 1).collect()
+        sample = edges.limit(driver_limit + 1).toPandas()
         if len(sample) <= driver_limit:
             return _components_driver(edges, sample)
         mode = "iterative"
     if mode == "driver":
-        return _components_driver(edges, edges.collect())
+        return _components_driver(edges, edges.toPandas())
     if mode != "iterative":
         raise ValueError(f"connected_components: unknown mode {mode!r}")
     nodes = (
@@ -420,14 +424,15 @@ def connected_components(
     return labels
 
 
-def _components_driver(edges: DataFrame, rows: list) -> DataFrame:
-    """Union-find labeling of an already-COLLECTED edge list — the
+def _components_driver(edges: DataFrame, pdf: "pd.DataFrame") -> DataFrame:
+    """Union-find labeling of an already-COLLECTED edge frame — the
     bounded small arm of :func:`connected_components` (the caller
-    enforces the size contract and hands over the collected rows so
-    the edge lineage runs exactly once).  Component label = min member
-    id, same as the iterative arm; id types are preserved (the output
-    schema is derived from the edge columns, so string ids work
-    identically)."""
+    enforces the size contract and hands over the Arrow-collected
+    pandas frame so the edge lineage runs exactly once and no per-row
+    Row objects are built).  Component label = min member id, same as
+    the iterative arm; id types are preserved (the output schema is
+    derived from the edge columns, so string ids work identically),
+    and the result ships back through Arrow too."""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -440,8 +445,7 @@ def _components_driver(edges: DataFrame, rows: list) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        u, v = r["u"], r["v"]
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -452,10 +456,12 @@ def _components_driver(edges: DataFrame, rows: list) -> DataFrame:
     groups: dict = {}
     for node in parent:
         groups.setdefault(find(node), []).append(node)
-    out = []
+    ids: list = []
+    comps: list = []
     for members in groups.values():
         comp = min(members)
-        out.extend((m, comp) for m in members)
+        ids.extend(members)
+        comps.extend([comp] * len(members))
     u_field = edges.schema["u"]
     schema = StructType(
         [
@@ -463,7 +469,9 @@ def _components_driver(edges: DataFrame, rows: list) -> DataFrame:
             StructField("component", u_field.dataType, False),
         ]
     )
-    return edges.sparkSession.createDataFrame(out, schema)
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame({"id": ids, "component": comps}), schema
+    )
 
 
 def dedup_keep_one(

@@ -545,6 +545,42 @@ def _self_topk_broadcast(
 _PASS_B_TASK_BYTES = 64 << 20
 
 
+def _topk_against(q_ids, q_mat, m_ids, m_mat, k, s_q=None):
+    """The one exact per-task top-k loop every arm of ``exact_nn_topk``
+    shares (pass A's fused task, pass B's grouped tasks — extracting it
+    makes the arms' "identical math" contract mechanical instead of
+    maintained by hand): chunked float64 matmul of queries against
+    members, equal ids never score, per-query order (sim DESC, id ASC)
+    with boundary ties kept through the k-th score then truncated to
+    k.  When ``s_q`` (a preallocated per-query array) is given, each
+    query that found a FULL k rows records its k-th-best score there —
+    the pass-A pruning bound, captured in the same pass.  Returns the
+    (qa, vec_id, cos_sim) column arrays (empty lists when nothing
+    scored)."""
+    out_q: list = []
+    out_n: list = []
+    out_s: list = []
+    chunk = 2048
+    for c0 in range(0, len(q_ids), chunk):
+        sims = q_mat[c0 : c0 + chunk] @ m_mat.T
+        for r in range(sims.shape[0]):
+            s = sims[r]
+            qid = q_ids[c0 + r]
+            vi = np.flatnonzero(m_ids != qid)
+            if len(vi) == 0:
+                continue
+            if len(vi) > k:
+                part = vi[np.argpartition(-s[vi], k - 1)[:k]]
+                vi = vi[s[vi] >= s[part].min()]  # keep boundary ties
+            order = vi[np.lexsort((m_ids[vi], -s[vi]))][:k]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_n.append(m_ids[order])
+            out_s.append(s[order])
+            if s_q is not None and len(order) == k:
+                s_q[c0 + r] = s[order][-1]
+    return out_q, out_n, out_s
+
+
 def _grouped_self_topk(tagged: DataFrame, keys: list[str], k: int) -> DataFrame:
     """Per-task exact top-k scorer shared by ``exact_nn_topk``'s two
     passes.  ``tagged`` rows are ``(id, __vec, side, selftask, *keys)``;
@@ -582,25 +618,7 @@ def _grouped_self_topk(tagged: DataFrame, keys: list[str], k: int) -> DataFrame:
             m_ids, m_mat = ids[~qm], mat[~qm]
             if len(q_ids) == 0 or len(m_ids) == 0:
                 return empty
-        out_q: list = []
-        out_n: list = []
-        out_s: list = []
-        chunk = 2048
-        for c0 in range(0, len(q_ids), chunk):
-            sims = q_mat[c0 : c0 + chunk] @ m_mat.T
-            for r in range(sims.shape[0]):
-                s = sims[r]
-                qid = q_ids[c0 + r]
-                vi = np.flatnonzero(m_ids != qid)
-                if len(vi) == 0:
-                    continue
-                if len(vi) > k:
-                    part = vi[np.argpartition(-s[vi], k - 1)[:k]]
-                    vi = vi[s[vi] >= s[part].min()]  # keep boundary ties
-                order = vi[np.lexsort((m_ids[vi], -s[vi]))][:k]
-                out_q.append(np.full(len(order), qid, dtype=np.int64))
-                out_n.append(m_ids[order])
-                out_s.append(s[order])
+        out_q, out_n, out_s = _topk_against(q_ids, q_mat, m_ids, m_mat, k)
         if not out_q:
             return empty
         return pd.DataFrame(
@@ -621,7 +639,6 @@ def exact_nn_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
-    stage: bool | None = None,
     mode: str = "auto",
     broadcast_limit: int = 100_000,
     stats_out: dict | None = None,
@@ -703,23 +720,16 @@ def exact_nn_topk(
     gate size, and the table is bounded by N·k + the probe volume at
     any scale — one write job costs less than one re-run of the
     lineage.  A ``persist()`` instead would outlive the returned lazy
-    frame and degrade later same-session queries (CLAUDE.md).  The
-    ``stage`` knob governs only the ASSIGN map ((id, cell, cent_sim)
-    rows): ``stage=None`` (default) stages
-    it above 100k rows — known from the auto probe or the training
-    sample; below that it is one narrow Arrow map over a pruned scan
-    whose recompute is cheaper than a write/read pair, above it
-    recompute scales with the corpus while staging stays
-    metadata-sized.  The pinned dirs are reported in
+    frame and degrade later same-session queries (CLAUDE.md).  Nothing
+    else stages: the assign map's only consumer is the per-cell stats
+    collect (one pass — a staged copy would be a pure extra write
+    job), and the vector-carrying assign twin is recomputed per
+    consumer as a narrow Arrow map (cheaper than staging N·dim
+    doubles).  The pinned dir is reported in
     ``stats_out["staged_dirs"]`` — a caller that knows the returned
-    frame is fully consumed should pass them to
+    frame is fully consumed should pass it to
     :func:`streaming_spark.scratch.unpin` so a long session's pins
-    cannot starve the scratch sweep (ADVICE r8).  The one combination
-    where N is never measured — ``mode="blocked"`` FORCED with
-    ``centroids`` supplied — defaults to not staging the assign map:
-    pass ``stage=True`` there when N is large (the scale caller that
-    stages its own assignment knows its N).  Both paths are the same
-    math — a test pins stage-forced output equal to the default.
+    cannot starve the scratch sweep (ADVICE r8).
 
     ``centroids`` accepts a pre-trained quantizer (e.g. the session-
     memoized cache the ANN stack shares) — any centroids are EXACT
@@ -741,15 +751,10 @@ def exact_nn_topk(
     base = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
-    n_rows: int | None = None
+    staged_dirs: list[str] = []
     if mode == "auto":
         probe = base.select("vec_id").limit(broadcast_limit + 1).count()
-        if probe <= broadcast_limit:
-            mode = "broadcast"
-        else:
-            mode = "blocked"
-            n_rows = probe  # a LOWER bound (> broadcast_limit) — enough
-            # for the staging decision below; the sample job refines it
+        mode = "broadcast" if probe <= broadcast_limit else "blocked"
     if mode == "broadcast":
         return _self_topk_broadcast(base, k, stats_out=stats_out)
     if mode != "blocked":
@@ -765,22 +770,22 @@ def exact_nn_topk(
             # never KeyError on an empty corpus (ADVICE r8)
             if stats_out is not None:
                 stats_out.update(
-                    n_rows=n_rows, n_blocks=0, candidates=0, total_pairs=0
+                    n_rows=n_rows,
+                    n_blocks=0,
+                    candidates=0,
+                    total_pairs=0,
+                    staged_dirs=list(staged_dirs),
                 )
             return spark.createDataFrame([], empty_schema)
     else:
         cent = centroids
-    if stage is None:
-        stage = n_rows is not None and n_rows > 100_000
-
-    staged_dirs: list[str] = []
 
     def _stage_table(df: DataFrame, tag: str) -> DataFrame:
         # pin=True: the returned frame READS these files lazily with
         # unbounded lifetime, and the sweep's mtime signal cannot see
         # reads — an unpinned staged dir would eventually be evicted
         # under a query that still needs it (scratch.py module docs).
-        # All staged tables are metadata-sized by contract; the pinned
+        # The staged table is bounded by N*k + probe volume; the pinned
         # dirs surface in stats_out["staged_dirs"] so a caller that
         # knows the frame is consumed can scratch.unpin() them
         # (ADVICE r8 — pins are releasable, not process-lifetime).
@@ -789,11 +794,11 @@ def exact_nn_topk(
         df.write.parquet(d + "/t")
         return spark.read.parquet(d + "/t")
 
+    # the assign map's only consumer is this one stats collect — never
+    # staged (a staged copy would be a pure extra write job; r9 review)
     assigned = ivf_assign(
         base, cent, id_col="vec_id", vec_col="__vec", with_sim=True
     )
-    if stage:
-        assigned = _stage_table(assigned, "assign")
     stats = (
         assigned.groupBy("cell")
         .agg(F.min("cent_sim").alias("r"), F.count(F.lit(1)).alias("n"))
@@ -804,7 +809,11 @@ def exact_nn_topk(
         # contract as the populated path (ADVICE r8)
         if stats_out is not None:
             stats_out.update(
-                n_rows=0, n_blocks=0, candidates=0, total_pairs=0
+                n_rows=0,
+                n_blocks=0,
+                candidates=0,
+                total_pairs=0,
+                staged_dirs=list(staged_dirs),
             )
         return spark.createDataFrame([], empty_schema)
     stats.sort(key=lambda r: r["cell"])
@@ -854,28 +863,11 @@ def exact_nn_topk(
         ids = pdf["vec_id"].to_numpy()
         mat = _norm_rows(_matrix(pdf["__vec"]))
         own = pdf["cell"].to_numpy()
-        out_q: list = []
-        out_n: list = []
-        out_s: list = []
         s_q = np.full(len(ids), -2.0)  # sentinel: < any true cosine
-        chunk = 2048
-        for c0 in range(0, len(ids), chunk):
-            sims = mat[c0 : c0 + chunk] @ mat.T
-            for r in range(sims.shape[0]):
-                s = sims[r]
-                qid = ids[c0 + r]
-                vi = np.flatnonzero(ids != qid)
-                if len(vi) == 0:
-                    continue
-                if len(vi) > k:
-                    part = vi[np.argpartition(-s[vi], k - 1)[:k]]
-                    vi = vi[s[vi] >= s[part].min()]  # keep boundary ties
-                order = vi[np.lexsort((ids[vi], -s[vi]))][:k]
-                out_q.append(np.full(len(order), qid, dtype=np.int64))
-                out_n.append(ids[order])
-                out_s.append(s[order])
-                if len(order) == k:
-                    s_q[c0 + r] = s[order][-1]
+        # own-cell exact top-k + the per-query k-th-best bound, via the
+        # SHARED scoring loop (the same code object pass B runs — the
+        # arms' "identical math" contract is mechanical, not manual)
+        out_q, out_n, out_s = _topk_against(ids, mat, ids, mat, k, s_q=s_q)
         # probe bounds for every query in the cell, own-cell excluded.
         # CELL granularity (r9): the per-cell alpha is the cell's max
         # member angle, and the bound is monotone increasing in alpha,

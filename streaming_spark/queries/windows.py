@@ -536,41 +536,47 @@ def _run_until_watermark(
     import time as _time
 
     restore = _stream_conf(df.sparkSession, state_partitions)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .trigger(processingTime="250 milliseconds")
-        .start()
-    )
-    deadline = _time.time() + timeout_s
     try:
-        while _time.time() < deadline:
-            if not q.isActive:
-                # a dead query's watermark never advances — re-raise its
-                # own failure instead of spinning to a masking timeout
-                exc = q.exception()
-                if exc is not None:
-                    raise exc
-                raise RuntimeError(
-                    f"streaming query {sink_name} terminated before the "
-                    f"watermark passed {min_watermark}"
+        # start() is INSIDE the conf window's try: a builder/analysis
+        # failure (bad checkpoint dir, sink-name collision) must still
+        # restore the session's shuffle-partition conf (r9 review)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + timeout_s
+        try:
+            while _time.time() < deadline:
+                if not q.isActive:
+                    # a dead query's watermark never advances — re-raise
+                    # its own failure instead of spinning to a masking
+                    # timeout
+                    exc = q.exception()
+                    if exc is not None:
+                        raise exc
+                    raise RuntimeError(
+                        f"streaming query {sink_name} terminated before "
+                        f"the watermark passed {min_watermark}"
+                    )
+                prog = q.lastProgress
+                wm = (prog or {}).get("eventTime", {}).get("watermark")
+                if wm is not None:
+                    wm_dt = _dt.datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
+                    if wm_dt >= min_watermark:
+                        break
+                _time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"streaming query {sink_name}: watermark never reached "
+                    f"{min_watermark} within {timeout_s}s"
                 )
-            prog = q.lastProgress
-            wm = (prog or {}).get("eventTime", {}).get("watermark")
-            if wm is not None:
-                wm_dt = _dt.datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
-                if wm_dt >= min_watermark:
-                    break
-            _time.sleep(0.2)
-        else:
-            raise TimeoutError(
-                f"streaming query {sink_name}: watermark never reached "
-                f"{min_watermark} within {timeout_s}s"
-            )
+        finally:
+            q.stop()
     finally:
-        q.stop()
         restore()
     q.awaitTermination(60)
     return df.sparkSession.table(sink_name)

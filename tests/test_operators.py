@@ -566,10 +566,9 @@ def test_similarity_arms_agree_on_zero_vectors_and_empty_input(spark):
 
 
 def test_exact_nn_topk_arms_agree(spark):
-    """The broadcast arm (auto's pick at this size), the blocked arm,
-    and the blocked arm with scratch staging FORCED must all return
-    identical (query, rank) → (neighbor, sim) maps — the auto routing
-    and the stage knob are physical choices, never semantic ones."""
+    """The broadcast arm (auto's pick at this size) and the blocked arm
+    must return identical (query, rank) → (neighbor, sim) maps — the
+    auto routing is a physical choice, never a semantic one."""
     from streaming_spark.operators.similarity import exact_nn_topk
 
     rng = np.random.default_rng(31)
@@ -586,9 +585,8 @@ def test_exact_nn_topk_arms_agree(spark):
         }
 
     auto = snap(exact_nn_topk(df, k=2))
-    blocked = snap(exact_nn_topk(df, k=2, mode="blocked", stage=False))
-    staged = snap(exact_nn_topk(df, k=2, mode="blocked", stage=True))
-    assert auto == blocked == staged
+    blocked = snap(exact_nn_topk(df, k=2, mode="blocked"))
+    assert auto == blocked
     assert len(auto) == 70 * 2
 
 
@@ -682,7 +680,7 @@ def test_exact_nn_topk_degenerate_returns_fill_stats(spark):
     generic telemetry consumer must never KeyError on the routing."""
     from streaming_spark.operators.similarity import exact_nn_topk
 
-    keys = {"n_rows", "n_blocks", "candidates", "total_pairs"}
+    keys = {"n_rows", "n_blocks", "candidates", "total_pairs", "staged_dirs"}
     empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
 
     stats: dict = {}
@@ -700,6 +698,9 @@ def test_exact_nn_topk_degenerate_returns_fill_stats(spark):
     )
     assert keys <= set(stats2)
     assert stats2["n_rows"] == 0 and stats2["candidates"] == 0
+    # the releasability contract holds on every return path: a caller
+    # that unpins stats_out["staged_dirs"] never leaks a pin (r9 review)
+    assert stats2["staged_dirs"] == []
 
 
 def test_exact_nn_topk_staged_dirs_are_releasable(spark):
@@ -713,26 +714,14 @@ def test_exact_nn_topk_staged_dirs_are_releasable(spark):
     rows = [(i, rng.standard_normal(8).astype(np.float32).tolist()) for i in range(50)]
     df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
     stats: dict = {}
-    out = exact_nn_topk(
-        df, k=1, mode="blocked", n_cells=4, stage=True, stats_out=stats
-    )
+    out = exact_nn_topk(df, k=1, mode="blocked", n_cells=4, stats_out=stats)
     assert out.count() == 50  # frame fully consumed
     staged = stats["staged_dirs"]
-    assert len(staged) == 2  # assign map + fused pass-A/probe table
+    assert len(staged) == 1  # the fused pass-A/probe table
     assert all(d in scratch._PINNED for d in staged)
     for d in staged:
         scratch.unpin(d)
     assert not any(d in scratch._PINNED for d in staged)
-    # stage=False governs only the assign map — the fused pass-A/probe
-    # table is staged unconditionally (its lineage feeds several
-    # branches; see the staging docstring) and reported too
-    stats2: dict = {}
-    exact_nn_topk(
-        df, k=1, mode="blocked", n_cells=4, stage=False, stats_out=stats2
-    ).count()
-    assert len(stats2["staged_dirs"]) == 1
-    for d in stats2["staged_dirs"]:
-        scratch.unpin(d)
 
 
 def test_exact_nn_topk_never_self_neighbor_on_duplicate_ids(spark):
@@ -767,7 +756,7 @@ def test_exact_nn_topk_staged_result_survives_scratch_sweep(spark, monkeypatch):
     rng = np.random.default_rng(43)
     rows = [(i, rng.standard_normal(12).astype(np.float32).tolist()) for i in range(60)]
     df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
-    out = exact_nn_topk(df, k=1, mode="blocked", stage=True)
+    out = exact_nn_topk(df, k=1, mode="blocked")
     # cap 0: the next scratch_dir sweeps EVERY unpinned sized dir
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH_CAP_BYTES", "0")
     scratch.scratch_dir("sweeptrigger")
