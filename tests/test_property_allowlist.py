@@ -57,3 +57,29 @@ def test_block_bound_never_prunes_a_qualifying_pair(seed, dim, n_rings):
         ni, nj = int(sizes[i]), int(sizes[j])
         expect += ni * (ni - 1) // 2 if s else ni * nj
     assert volume == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(2, 6))
+def test_cell_bound_dominates_every_member_cosine(seed, dim):
+    """exact_nn_topk's per-query CELL bound (r9 cell-granularity probes)
+    is a sound upper bound on the cosine to ANY member of the cell, for
+    ANY centroids and ANY assignment geometry:
+    cos(q, y) <= cos(max(0, theta(q, c) - alpha_c)) with alpha_c the
+    cell's max member angle.  This inequality IS the recall-1 argument:
+    a query's true above-s_q neighbor can never live in an unprobed
+    cell, so scoring own cell + bound-passing cells is exhaustive."""
+    rng = np.random.default_rng(seed)
+    n_pts, n_cells = int(rng.integers(4, 50)), int(rng.integers(2, 6))
+    pts = _norm_rows(rng.standard_normal((n_pts, dim)))
+    cent = _norm_rows(rng.standard_normal((n_cells, dim)))
+    sims = pts @ cent.T
+    cell = np.argmax(sims, axis=1)
+    cent_sim = sims[np.arange(n_pts), cell]
+    pair = pts @ pts.T
+    theta_q = np.arccos(np.clip(sims, -1.0, 1.0))  # (n, n_cells)
+    for c in np.unique(cell):
+        alpha = np.arccos(np.clip(cent_sim[cell == c].min(), -1.0, 1.0))
+        bound = np.cos(np.maximum(0.0, theta_q[:, c] - alpha))
+        members = np.flatnonzero(cell == c)
+        assert (pair[:, members] <= bound[:, None] + 1e-9).all()
