@@ -13,11 +13,12 @@ deployment, and each run's pinned staging dirs are released through
 ``scratch.unpin`` afterwards (the ADVICE r8 release handle) so the
 sweep keeps disk bounded across the sweep of Ns.
 
-Both uniform ops are disk-capped on this box — with zero pruning the
-pair path's task shuffle is ~N x (4 sqrt N) member rows of 64 float64
-each (~70 GB at N = 100k) and the NN path's probe join is ~N x sqrt N
-query rows (~48 GB at N = 200k), either of which exceeds the local
-free disk.  The caps are themselves the documented scale behavior (the
+Both uniform ops are disk-capped at N = 200k on this box — with zero
+pruning each path's task shuffle is ~N x sqrt N vector rows (the pair
+path ships each vector once per partner CELL after the r9 cell-pair
+task grouping; the NN path ships each query once per probed cell),
+~48 GB of 64-float64 rows at N = 200k, which exceeds the local free
+disk.  The caps are themselves the documented scale behavior (the
 telemetry warns and the sanctioned escape is the ANN family); the
 clustered regime runs the full sweep.
 
@@ -98,16 +99,13 @@ def main() -> None:
     plan = []
     for n in ns:
         for kind in ("clustered", "uniform"):
-            if kind == "uniform" and n > 50_000:
-                plan.append(("pairs", kind, n, "skipped: ~N*4sqrt(N) member "
-                             "shuffle rows exceed local disk at zero pruning"))
-            else:
-                plan.append(("pairs", kind, n, None))
-            if kind == "uniform" and n > 100_000:
-                plan.append(("nn", kind, n, "skipped: ~N*sqrt(N) query "
-                             "shuffle rows exceed local disk at zero pruning"))
-            else:
-                plan.append(("nn", kind, n, None))
+            for op in ("pairs", "nn"):
+                if kind == "uniform" and n > 100_000:
+                    plan.append((op, kind, n, "skipped: ~N*sqrt(N) vector "
+                                 "shuffle rows exceed local disk at zero "
+                                 "pruning"))
+                else:
+                    plan.append((op, kind, n, None))
     # biggest uniform runs last so earlier results survive a disk blowup
     plan.sort(key=lambda p: (p[2], p[1] == "uniform"))
 

@@ -1351,26 +1351,34 @@ def _cosine_pairs_blocked(
     :class:`~streaming_spark.telemetry.QuadraticCandidateVolumeWarning`
     fires before any cluster work when blocking is not pruning on this
     data (VERDICT r7 #1c: never silently run a quadratic shuffle);
-    (5) each surviving block pair becomes one TASK — members of both
-    blocks meet through a single task-keyed shuffle and a grouped
-    Arrow-batch float64 matmul emits only above-threshold pairs.
+    (5) surviving block pairs are GROUPED BY CELL PAIR into tasks (r9):
+    members of both cells meet through a single task-keyed shuffle and
+    per-combo Arrow-batch float64 matmuls score ONLY the surviving
+    ring combos, emitting above-threshold pairs — identical FLOPs and
+    candidate volume to one-task-per-block-pair, but each vector ships
+    once per partner CELL with a surviving combo instead of once per
+    surviving partner ring-block (up to n_rings× less member shuffle;
+    blocks partition the vectors and each block pair maps to exactly
+    one cell pair, so every unordered vector pair still meets in
+    exactly one task).
 
     The matmul verify is the same math as the broadcast arm (normalize,
     ``a @ b.T``, ``>= threshold`` on raw float64), so forcing this plan
     is bit-identical to broadcast — and it replaces the r7 per-pair
     candidate join + interpreted HOF cosine, which shuffled two full
     vectors per CANDIDATE PAIR (O(candidates) rows).  Here each vector
-    is shuffled once per partner BLOCK (≤ N·B rows total, ~N^1.5 at the
-    sqrt(N) default with zero pruning, and proportionally less as the
-    prune bites), and the per-task matmul is vectorized — on the
-    near-uniform fixture where nothing prunes this is ~20× faster than
-    the r7 shape at identical output.
+    is shuffled once per partner CELL (≤ N·n_cells rows total, ~N^1.5
+    at the sqrt(N) default with zero pruning, and proportionally less
+    as the prune bites), and the per-task matmuls are vectorized — on
+    the near-uniform fixture where nothing prunes this is ~20× faster
+    than the r7 shape at identical output.
 
     Blocks partition the vectors, so an unordered vector pair meets in
     exactly ONE task — no distinct needed.  Per-task memory is
-    O(|bi| + |bj|) vectors; a pathologically hot cell is the residual
-    skew hazard (same caveat as every blocking family — the telemetry
-    makes it observable).  ``stats_out`` (tests, bench) receives
+    O(|cell_i| + |cell_j|) vectors (~2·sqrt(N) at the auto cell
+    count); a pathologically hot cell is the residual skew hazard
+    (same caveat as every blocking family — the telemetry makes it
+    observable).  ``stats_out`` (tests, bench) receives
     ``{"n_rows", "n_blocks", "n_tasks", "candidates", "total_pairs"}``.
     """
     spark = vectors.sparkSession
@@ -1472,56 +1480,109 @@ def _cosine_pairs_blocked(
         )
     if len(ii) == 0:
         return spark.createDataFrame([], out_schema)
-    task = np.arange(len(ii))
-    task_pdf = pd.DataFrame(
-        {
-            "task": np.concatenate([task, task[~same]]),
-            "block": np.concatenate(
-                [block_ids[ii], block_ids[jj[~same]]]
-            ).astype(np.int32),
-            "side": np.concatenate(
-                [np.zeros(len(ii), dtype=np.int32), np.ones(int((~same).sum()), dtype=np.int32)]
-            ),
-        }
+    # group surviving block pairs by their CELL pair (r9): blocks
+    # partition the vectors and every surviving block pair maps to
+    # exactly one cell pair, so scoring the surviving ring combos
+    # inside ONE task per cell pair preserves meets-exactly-once while
+    # each vector ships once per partner CELL with >= 1 surviving
+    # combo instead of once per surviving partner ring-block —
+    # identical FLOPs and candidate volume (only surviving combos are
+    # scored, as per-combo submatrix matmuls), up to n_rings x less
+    # member shuffle.  The disk-bound uniform regime is exactly that
+    # replication; per-task memory grows to O(|cell_i| + |cell_j|)
+    # vectors (~2 sqrt N at the auto cell count — same order as pass A
+    # of the NN path).
+    bi_arr, bj_arr = block_ids[ii], block_ids[jj]
+    cell_pair = np.stack([bi_arr // n_rings, bj_arr // n_rings], axis=1)
+    _, task_of_combo = np.unique(cell_pair, axis=0, return_inverse=True)
+    combo_map: dict[int, list[tuple[int, int]]] = {}
+    ship: set[tuple[int, int]] = set()  # (task, block) rows to ship
+    for t, bi, bj in zip(
+        task_of_combo.tolist(), bi_arr.tolist(), bj_arr.tolist()
+    ):
+        combo_map.setdefault(t, []).append((bi, bj))
+        ship.add((t, bi))
+        ship.add((t, bj))
+    # captured by the task closure — bounded by _MAX_PAIR_TASKS combos
+    # (~10 MB worst case, the same ceiling the task-table broadcast was
+    # sized for), shipped once per job with the serialized UDF
+    combo_arrays = {
+        t: (
+            np.array([c[0] for c in combos], dtype=np.int64),
+            np.array([c[1] for c in combos], dtype=np.int64),
+        )
+        for t, combos in combo_map.items()
+    }
+    ship_rows = sorted(ship)
+    task_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "task": np.array([s[0] for s in ship_rows], dtype=np.int64),
+                "block": np.array([s[1] for s in ship_rows], dtype=np.int32),
+            }
+        ),
+        "task BIGINT, block INT",
     )
-    task_df = spark.createDataFrame(task_pdf, "task BIGINT, block INT, side INT")
     exploded = blocks.select("vec_id", "__vec", "block").join(
         F.broadcast(task_df), "block"
     )
 
-    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    empty_pdf = pd.DataFrame(
+        {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cos_sim": np.array([], dtype=np.float64),
+        }
+    )
+
+    def pair_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         mat = _norm_rows(_matrix(pdf["__vec"]))
-        side = pdf["side"].to_numpy()
-        if side.max() == 0:  # diagonal task: pairs within one block
-            sims = mat @ mat.T
-            ri, ci = np.where(sims >= threshold)
-            keep = ids[ri] < ids[ci]  # each unordered pair once, no self
-            return pd.DataFrame(
-                {
-                    "id_a": ids[ri[keep]],
-                    "id_b": ids[ci[keep]],
-                    "cos_sim": sims[ri[keep], ci[keep]],
-                }
-            )
-        a = side == 0
-        sims = mat[a] @ mat[~a].T
-        ri, ci = np.where(sims >= threshold)
-        ia, ib = ids[a][ri], ids[~a][ci]
-        # a duplicated vec_id whose rows land in different blocks would
-        # meet itself here — drop it like the diagonal branch's strict <
-        # and the broadcast arm do (id_a < id_b output contract)
-        keep = ia != ib
-        ia, ib = ia[keep], ib[keep]
+        blk = pdf["block"].to_numpy()
+        combos_i, combos_j = combo_arrays[int(pdf["task"].iloc[0])]
+        row_of = {int(b): np.flatnonzero(blk == b) for b in np.unique(blk)}
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for bi, bj in zip(combos_i.tolist(), combos_j.tolist()):
+            a = row_of.get(bi)
+            if a is None:
+                continue
+            if bi == bj:  # within-block combo: upper triangle, no self
+                if len(a) < 2:
+                    continue
+                sims = mat[a] @ mat[a].T
+                ri, ci = np.where(sims >= threshold)
+                keep = ids[a][ri] < ids[a][ci]
+                out_a.append(ids[a][ri[keep]])
+                out_b.append(ids[a][ci[keep]])
+                out_s.append(sims[ri[keep], ci[keep]])
+            else:
+                b = row_of.get(bj)
+                if b is None:
+                    continue
+                sims = mat[a] @ mat[b].T
+                ri, ci = np.where(sims >= threshold)
+                ia, ib = ids[a][ri], ids[b][ci]
+                # a duplicated vec_id whose rows land in different
+                # blocks would meet itself here — drop it like the
+                # within-block strict < and the broadcast arm do
+                keep = ia != ib
+                ia, ib = ia[keep], ib[keep]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_s.append(sims[ri[keep], ci[keep]])
+        if not out_a:
+            return empty_pdf
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ia, ib),
-                "id_b": np.maximum(ia, ib),
-                "cos_sim": sims[ri[keep], ci[keep]],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
             }
         )
 
-    return exploded.groupBy("task").applyInPandas(pair_block, out_schema)
+    return exploded.groupBy("task").applyInPandas(pair_cell, out_schema)
 
 
 def _cosine_pairs_lsh(
