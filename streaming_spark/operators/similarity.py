@@ -478,14 +478,16 @@ def _self_topk_broadcast(
     rows = base.collect()  # small-side contract: N x dim floats fit in driver
     if stats_out is not None:
         # this arm scores every ordered pair by design — the same
-        # four-key telemetry contract as the blocked arm, so a generic
-        # consumer never KeyErrors on the physical routing
+        # telemetry contract as the blocked arm (including the empty
+        # staged_dirs: this arm never stages, but a caller following
+        # the release contract must not KeyError on the auto routing)
         n = len(rows)
         stats_out.update(
             n_rows=n,
             n_blocks=0,
             candidates=n * (n - 1),
             total_pairs=n * (n - 1),
+            staged_dirs=[],
         )
     if len(rows) < 2:
         return base.sparkSession.createDataFrame([], out_schema)
@@ -1430,7 +1432,7 @@ def _cosine_pairs_blocked(
     block_ids = np.array([r["block"] for r in stats], dtype=np.int64)
     radii = np.array([r["r"] for r in stats])
     sizes = np.array([r["n"] for r in stats], dtype=np.int64)
-    ii, jj, same, volume = _block_pair_allowlist(
+    ii, jj, _same, volume = _block_pair_allowlist(
         cent, block_ids, radii, sizes, threshold, n_rings
     )
     if len(ii) > _MAX_PAIR_TASKS:
@@ -1450,7 +1452,7 @@ def _cosine_pairs_blocked(
         n_rings = 1
         blocks = _assign_blocks(keep_vec="__vec")  # reads rebound n_rings
         block_ids, radii, sizes = cell_ids, cell_r, cell_n
-        ii, jj, same, volume = _block_pair_allowlist(
+        ii, jj, _same, volume = _block_pair_allowlist(
             cent, block_ids, radii, sizes, threshold, n_rings
         )
         if len(ii) > _MAX_PAIR_TASKS:
@@ -1495,24 +1497,25 @@ def _cosine_pairs_blocked(
     bi_arr, bj_arr = block_ids[ii], block_ids[jj]
     cell_pair = np.stack([bi_arr // n_rings, bj_arr // n_rings], axis=1)
     _, task_of_combo = np.unique(cell_pair, axis=0, return_inverse=True)
-    combo_map: dict[int, list[tuple[int, int]]] = {}
+    # combos sorted by task, captured by the task closure as THREE flat
+    # numpy arrays + a starts index (combo_starts[t]:combo_starts[t+1]
+    # slices task t's combos) — bounded by _MAX_PAIR_TASKS combos, ~8 MB
+    # of int64 at the ceiling (the same budget the old task-table
+    # broadcast was sized for); a per-task dict of numpy arrays pickled
+    # ~4x bigger and rebuilt ~1M objects on every deserialization
+    order = np.argsort(task_of_combo, kind="stable")
+    combos_i = bi_arr[order]
+    combos_j = bj_arr[order]
+    n_tasks_grouped = int(task_of_combo.max()) + 1
+    combo_starts = np.searchsorted(
+        task_of_combo[order], np.arange(n_tasks_grouped + 1)
+    )
     ship: set[tuple[int, int]] = set()  # (task, block) rows to ship
     for t, bi, bj in zip(
         task_of_combo.tolist(), bi_arr.tolist(), bj_arr.tolist()
     ):
-        combo_map.setdefault(t, []).append((bi, bj))
         ship.add((t, bi))
         ship.add((t, bj))
-    # captured by the task closure — bounded by _MAX_PAIR_TASKS combos
-    # (~10 MB worst case, the same ceiling the task-table broadcast was
-    # sized for), shipped once per job with the serialized UDF
-    combo_arrays = {
-        t: (
-            np.array([c[0] for c in combos], dtype=np.int64),
-            np.array([c[1] for c in combos], dtype=np.int64),
-        )
-        for t, combos in combo_map.items()
-    }
     ship_rows = sorted(ship)
     task_df = spark.createDataFrame(
         pd.DataFrame(
@@ -1539,12 +1542,13 @@ def _cosine_pairs_blocked(
         ids = pdf["vec_id"].to_numpy()
         mat = _norm_rows(_matrix(pdf["__vec"]))
         blk = pdf["block"].to_numpy()
-        combos_i, combos_j = combo_arrays[int(pdf["task"].iloc[0])]
+        t = int(pdf["task"].iloc[0])
+        lo, hi = int(combo_starts[t]), int(combo_starts[t + 1])
         row_of = {int(b): np.flatnonzero(blk == b) for b in np.unique(blk)}
         out_a: list = []
         out_b: list = []
         out_s: list = []
-        for bi, bj in zip(combos_i.tolist(), combos_j.tolist()):
+        for bi, bj in zip(combos_i[lo:hi].tolist(), combos_j[lo:hi].tolist()):
             a = row_of.get(bi)
             if a is None:
                 continue

@@ -3353,12 +3353,12 @@ def q_exact_nn_blocked(spark, sf_dir):
     blocked arm FORCED — the driver-gated twin of the unit-level
     exactness tests (auto mode takes the broadcast arm below 100k rows,
     so without forcing, the scale arm would never face the all-pairs
-    DuckDB oracle).  Pass A scores each vector's own IVF cell in a
-    per-cell task matmul; pass B turns the per-query triangle-bound
-    probe list into block-keyed matmul tasks that emit only per-task
-    top-k — worst-case shuffle ~N·sqrt(N) rows, never an O(candidates)
-    pair join (operators/similarity.py exact_nn_topk; same task-matmul
-    redesign as cosine_pairs' blocked arm).  On this near-uniform
+    DuckDB oracle).  One fused per-cell task scores each vector's own
+    IVF cell AND emits its cell-granularity probe list (r9); pass B
+    turns the probes into CELL-keyed matmul tasks that emit only
+    per-task top-k — worst-case shuffle ~N·sqrt(N) rows, never an
+    O(candidates) pair join (operators/similarity.py exact_nn_topk;
+    same task-matmul redesign as cosine_pairs' blocked arm).  On this near-uniform
     corpus the bound cannot prune (exact NN here is information-
     theoretically all-pairs), so the run also exercises the
     QuadraticCandidateVolumeWarning telemetry path; recall stays 1 by
