@@ -13,14 +13,14 @@ deployment, and each run's pinned staging dirs are released through
 ``scratch.unpin`` afterwards (the ADVICE r8 release handle) so the
 sweep keeps disk bounded across the sweep of Ns.
 
-Both uniform ops are disk-capped at N = 200k on this box — with zero
+Uniform ops above N = 200k are disk-capped on this box — with zero
 pruning each path's task shuffle is ~N x sqrt N vector rows (the pair
 path ships each vector once per partner CELL after the r9 cell-pair
-task grouping; the NN path ships each query once per probed cell),
-~48 GB of 64-float64 rows at N = 200k, which exceeds the local free
-disk.  The caps are themselves the documented scale behavior (the
-telemetry warns and the sanctioned escape is the ANN family); the
-clustered regime runs the full sweep.
+task grouping; the NN path ships each query once per probed cell):
+measured peak scratch+shuffle at N = 200k was ~37 GB (fits), so the
+next step would not.  The cap is itself the documented scale behavior
+(the telemetry warns and the sanctioned escape is the ANN family);
+the clustered regime runs the full sweep comfortably.
 
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_blocked.py [max_n]
@@ -100,7 +100,7 @@ def main() -> None:
     for n in ns:
         for kind in ("clustered", "uniform"):
             for op in ("pairs", "nn"):
-                if kind == "uniform" and n > 100_000:
+                if kind == "uniform" and n > 200_000:
                     plan.append((op, kind, n, "skipped: ~N*sqrt(N) vector "
                                  "shuffle rows exceed local disk at zero "
                                  "pruning"))
