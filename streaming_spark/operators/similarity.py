@@ -1381,7 +1381,10 @@ def _cosine_pairs_blocked(
     count); a pathologically hot cell is the residual skew hazard
     (same caveat as every blocking family — the telemetry makes it
     observable).  ``stats_out`` (tests, bench) receives
-    ``{"n_rows", "n_blocks", "n_tasks", "candidates", "total_pairs"}``.
+    ``{"n_rows", "n_blocks", "n_tasks", "candidates", "total_pairs"}``
+    — ``n_tasks`` counts surviving block-pair COMBOS (the unit of
+    candidate accounting), not the grouped cell-pair tasks they are
+    packed into.
     """
     spark = vectors.sparkSession
     base = vectors.select(
