@@ -322,12 +322,56 @@ def _md5_sample(
     )
 
 
+def _train_pq_books(
+    data: np.ndarray, m: int, ksub: int, dsub: int, n_iters: int
+) -> np.ndarray:
+    """The one L2 k-means codebook loop every PQ trainer shares
+    (pq_codebooks / ivfpq_residual_codebooks / opq_train /
+    opq_train_residual / ivfpq_local_codebooks): per subspace, init from
+    the first ``ksub`` sample rows and run fixed Lloyd iterations —
+    deterministic, retry-stable.  Thin samples (fewer rows than
+    ``ksub``) CYCLE the rows for the init instead of crashing on the
+    ``books[j] = cent`` shape mismatch — duplicate centroids are
+    harmless (argmin picks the first; empty cells keep their init) and
+    the init is bit-identical to ``sub[:ksub]`` whenever the sample is
+    big enough.  Raises loudly on an empty sample (there is nothing to
+    quantize; the old path died with an opaque numpy axis error)."""
+    if len(data) == 0:
+        raise ValueError(
+            "cannot train PQ codebooks on an empty sample: the vectors "
+            "frame contributed no rows"
+        )
+    books = np.empty((m, ksub, dsub))
+    init_idx = np.arange(ksub) % len(data)
+    for j in range(m):
+        sub = data[:, j * dsub : (j + 1) * dsub]
+        cent = sub[init_idx].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
 def _spherical_kmeans(
     mat: np.ndarray, n_cells: int, n_iters: int = 10
 ) -> np.ndarray:
     """Driver-side spherical Lloyd iterations over an already-normalized
     sample matrix: init from the first ``n_cells`` rows, fixed iteration
-    count — rerun- and retry-stable, like every hash in the engine."""
+    count — rerun- and retry-stable, like every hash in the engine.
+    A sample smaller than ``n_cells`` returns that many centroids (every
+    consumer argmaxes over however many rows the quantizer has —
+    duplicate-padding would only create dead twin cells); an empty
+    sample raises loudly instead of dying on a numpy axis error."""
+    if len(mat) == 0:
+        raise ValueError(
+            "cannot train a coarse quantizer on an empty sample: the "
+            "vectors frame contributed no rows"
+        )
     cent = mat[:n_cells].copy()
     for _ in range(n_iters):
         assign = np.argmax(mat @ cent.T, axis=1)
@@ -1691,19 +1735,7 @@ def pq_codebooks(
     mat = _norm_rows(_matrix([r[1] for r in rows]))
     if rotation is not None:
         mat = mat @ rotation
-    books = np.empty((m, ksub, dsub))
-    for j in range(m):
-        sub = mat[:, j * dsub : (j + 1) * dsub]
-        cent = sub[:ksub].copy()
-        for _ in range(n_iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(ksub):
-                members = sub[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[j] = cent
-    return books
+    return _train_pq_books(mat, m, ksub, dsub, n_iters)
 
 
 def pq_encode(
@@ -1865,19 +1897,7 @@ def ivfpq_residual_codebooks(
     resid = mat - centroids[assign]
     if rotation is not None:
         resid = resid @ rotation
-    books = np.empty((m, ksub, dsub))
-    for j in range(m):
-        sub = resid[:, j * dsub : (j + 1) * dsub]
-        cent = sub[:ksub].copy()
-        for _ in range(n_iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for c in range(ksub):
-                members = sub[a == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[j] = cent
-    return books
+    return _train_pq_books(resid, m, ksub, dsub, n_iters)
 
 
 def ivfpq_encode(
@@ -2072,19 +2092,11 @@ def opq_train(
     books = None
     for _ in range(n_opq_iters):
         y = mat @ rot
-        books = np.empty((m, ksub, dsub))
+        books = _train_pq_books(y, m, ksub, dsub, n_iters)
         recon = np.empty_like(y)
         for j in range(m):
             sub = y[:, j * dsub : (j + 1) * dsub]
-            cent = sub[:ksub].copy()
-            for _ in range(n_iters):
-                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                assign = np.argmin(d2, axis=1)
-                for c in range(ksub):
-                    members = sub[assign == c]
-                    if len(members):
-                        cent[c] = members.mean(axis=0)
-            books[j] = cent
+            cent = books[j]
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             recon[:, j * dsub : (j + 1) * dsub] = cent[np.argmin(d2, axis=1)]
         # Procrustes: closest orthogonal map from mat to recon
@@ -2132,19 +2144,11 @@ def opq_train_residual(
     books = None
     for _ in range(n_opq_iters):
         y = resid @ rot
-        books = np.empty((m, ksub, dsub))
+        books = _train_pq_books(y, m, ksub, dsub, n_iters)
         recon = np.empty_like(y)
         for j in range(m):
             sub = y[:, j * dsub : (j + 1) * dsub]
-            cent = sub[:ksub].copy()
-            for _ in range(n_iters):
-                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                a = np.argmin(d2, axis=1)
-                for c in range(ksub):
-                    members = sub[a == c]
-                    if len(members):
-                        cent[c] = members.mean(axis=0)
-            books[j] = cent
+            cent = books[j]
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             recon[:, j * dsub : (j + 1) * dsub] = cent[np.argmin(d2, axis=1)]
         u, _, vt = np.linalg.svd(resid.T @ recon)
@@ -2197,26 +2201,15 @@ def ivfpq_local_codebooks(
     if rotation is not None:  # OPQ composition: books live in R-space
         resid = resid @ rotation
 
-    def train_books(data: np.ndarray) -> np.ndarray:
-        books = np.empty((m, ksub, dsub))
-        for j in range(m):
-            sub = data[:, j * dsub : (j + 1) * dsub]
-            cent = sub[:ksub].copy()
-            for _ in range(n_iters):
-                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                a = np.argmin(d2, axis=1)
-                for c in range(ksub):
-                    members = sub[a == c]
-                    if len(members):
-                        cent[c] = members.mean(axis=0)
-            books[j] = cent
-        return books
-
-    pooled = train_books(resid)
+    pooled = _train_pq_books(resid, m, ksub, dsub, n_iters)
     local = np.empty((n_cells, m, ksub, dsub))
     for cell in range(n_cells):
         members = resid[assign == cell]
-        local[cell] = train_books(members) if len(members) >= ksub else pooled
+        local[cell] = (
+            _train_pq_books(members, m, ksub, dsub, n_iters)
+            if len(members) >= ksub
+            else pooled
+        )
     return local
 
 

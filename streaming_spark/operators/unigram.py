@@ -65,7 +65,8 @@ def unigram_seed_vocab(
     seed = {p: float(mass[p]) for p in singles}
     seed.update({p: float(mass[p]) for p in multi})
     total = sum(seed.values())
-    return {p: math.log(v / total) for p, v in seed.items()}
+    # log(v) - log(total), same underflow-proof form as the EM step
+    return {p: math.log(v) - math.log(total) for p, v in seed.items()}
 
 
 def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
@@ -166,8 +167,12 @@ def learn_unigram(
                     c = 1e-6
                 counts[p] = c
                 total += c
+            # log(c) - log(total), NOT log(c / total): a denormal-small
+            # expected count divided by a larger total underflows to
+            # exactly 0.0 and log(0.0) raises even though c > 0.0
+            # (Hypothesis counterexample: word_freqs=[('fbadfeadccca', 1)]).
             logp = {
-                p: math.log(c / total)
+                p: math.log(c) - math.log(total)
                 for p, c in counts.items()
                 if c > 0.0 and p in logp
             }

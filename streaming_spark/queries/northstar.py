@@ -1025,9 +1025,13 @@ def ann_tradeoff_curve(spark, sf_dir):
             ),
             (
                 "ivfpq",
+                # codebooks memoized like the quantizer: 4 redundant
+                # per-pass trainings gone, results identical
+                # (deterministic sample + fixed seed)
                 lambda np_: ivfpq_topk(
                     emb, queries, dim=64, k=5, n_cells=8, nprobe=np_,
                     m=16, ksub=16, rerank=128, centroids=cent,
+                    codebooks=_ivfpq_books_cached(spark, sf_dir),
                 ),
             ),
         ):
@@ -1485,11 +1489,33 @@ def q_fuzzy_link_dirty(spark, sf_dir):
 
 @query(
     "q_fuzzy_name_pairs_damerau",
+    # Candidate-restricted oracle (VERDICT r9 #5 — the all-pairs DL
+    # cross join was ~2/3 of this gate entry's cost): generate each
+    # name's single-deletion variants (plus the name itself) in SQL and
+    # compute damerau_levenshtein only on variant-sharing pairs.  Sound
+    # for DL ≤ 1 by the same case analysis the engine relies on —
+    # equal strings share s; a substitution at i shares both sides'
+    # delete-at-i variant; an insertion shares the shorter string
+    # itself; a transposition of U,V shares xVy (delete U from both) —
+    # so zero false negatives, and the final WHERE removes false
+    # positives exactly.  tests/test_queries_oracle.py pins this oracle
+    # ≡ the plain all-pairs cross join on real fixture names, keeping
+    # the engine/oracle independence argument honest.  Verified
+    # identical rows at sf0.01 (20,825 pairs), 4.0 s → 0.14 s.
     oracle="""
-    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           damerau_levenshtein(a.c_name, b.c_name) AS dist
-    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-    WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
+    WITH var AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN g.i = 0 THEN c_name
+                  ELSE substr(c_name, 1, g.i - 1) || substr(c_name, g.i + 1)
+             END AS v
+      FROM customer,
+      LATERAL (SELECT unnest(range(0, length(c_name) + 1)) AS i) g),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                      a.c_name AS na, b.c_name AS nb
+      FROM var a JOIN var b ON a.v = b.v AND a.c_custkey < b.c_custkey)
+    SELECT id_a, id_b, damerau_levenshtein(na, nb) AS dist
+    FROM cand WHERE damerau_levenshtein(na, nb) <= 1
     """,
 )
 def q_fuzzy_name_pairs_damerau(spark, sf_dir):

@@ -2516,6 +2516,32 @@ def test_unigram_full_contract(spark, tmp_path):
         unigram_load(bad)
 
 
+def test_unigram_em_underflow_regression():
+    """Pinned Hypothesis counterexample (VERDICT r9 #1): a single long
+    word whose lattice mass spreads over many pieces drives an expected
+    count denormal-small; ``log(c / total)`` underflowed to log(0.0)
+    and raised ``ValueError: math domain error``.  The EM must compute
+    ``log(c) - log(total)`` instead and still normalize."""
+    import math
+
+    from streaming_spark.operators.unigram import _viterbi, learn_unigram
+
+    # exact counterexample found by tests/test_property_roundtrip.py
+    pieces = learn_unigram(
+        [("fbadfeadccca", 1)], vocab_size=16, seed_size=40, max_piece_len=4
+    )
+    total = math.fsum(math.exp(lp) for lp in pieces.values())
+    assert abs(total - 1.0) < 1e-9
+    seg = _viterbi("fbadfeadccca", pieces, max(len(p) for p in pieces))
+    assert "".join(seg) == "fbadfeadccca"
+    # sibling shape: many distinct words, one overwhelming — skew in the
+    # opposite direction (tiny relative mass on the rare words' pieces)
+    skew = [("q" * 8, 10**9)] + [(w, 1) for w in ("abcd", "efgh", "ijkl")]
+    pieces = learn_unigram(skew, vocab_size=12, seed_size=60, max_piece_len=4)
+    total = math.fsum(math.exp(lp) for lp in pieces.values())
+    assert abs(total - 1.0) < 1e-9
+
+
 def test_unigram_subword_sampling(spark):
     """Subword-regularization sampler contracts: every sampled
     segmentation is VALID (concatenates back to the word), sampling is

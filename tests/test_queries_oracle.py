@@ -32,6 +32,30 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_damerau_oracle_blocking_is_lossless(duck):
+    """The candidate-restricted damerau oracle (symmetric-deletion
+    variants in SQL, VERDICT r9 #5) returns EXACTLY the rows of the
+    plain all-pairs cross join on real fixture names — the check that
+    keeps the oracle's independence argument honest now that it shares
+    the engine's blocking idea."""
+    from streaming_spark.queries import ORACLES
+
+    allpairs = duck.execute(
+        """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               damerau_levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b
+        """
+    ).fetchall()
+    blocked = duck.execute(
+        ORACLES["q_fuzzy_name_pairs_damerau"] + " ORDER BY id_a, id_b"
+    ).fetchall()
+    assert len(allpairs) > 0  # non-vacuous on the fixture
+    assert blocked == allpairs
+
+
 def test_catalog_is_current():
     """CATALOG.md must list every registered query (regenerate with
     scripts/gen_catalog.py after adding queries) — the judge-facing
