@@ -1,0 +1,198 @@
+"""Scaling measurement for the TEXT near-duplicate families —
+MinHash-LSH pairs, SimHash pairs, and the components step that turns
+pairs into dedup groups — at N = 10k .. 1M documents, complementing
+scripts/stress_blocked.py's embedding-space tables.
+
+Corpus: deterministic hash-generated documents (~60 words from a
+10k-word vocabulary), with every fifth document a PLANTED near-copy of
+its predecessor (each position mutates independently with p = 1/20, so
+~3 of 60 words differ — Jaccard over 9-char shingles ≈ 0.75-0.9).
+Every value is a pure function of doc_id (splitmix64 mixing), so the
+corpus is identical across partitionings, runs, and task retries.
+Expected structure per N: N/5 planted pairs, each its own 2-clique.
+
+Reported per (op, N): wall seconds, result rows, planted-pair RECALL
+(the fraction of (d-1, d) pairs recovered — the correctness-at-scale
+number; MinHash should sit near 1.0 at threshold 0.5, SimHash lower
+because 6 differing words can flip > 3 signature bits), and for
+components the group count.
+
+Scale notes the sweep exposes (document next to the table in ROADMAP):
+
+- MinHash-LSH candidate volume stays ~linear in N here: unique docs
+  hash to singleton buckets, so pairs come only from planted dups plus
+  band-collision noise.  Wall time tracks the signature map (O(N·len·
+  num_perm), embarrassingly parallel) + one banded shuffle.
+- SimHash's fixed 4x16-bit banding has an N²/2^16 candidate FLOOR on
+  random docs (expected bucket size N/65536 per band): negligible at
+  200k (~3/bucket), material at 1M (~15/bucket, ~30M candidate pairs
+  before Hamming verify).  Wider/more bands are the standard remedy at
+  larger N; the floor is a property of the published 4-band scheme,
+  not of this implementation.
+
+Usage:
+    PYTHONPATH=/root/repo python scripts/stress_dedup.py [max_n]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+from streaming_spark import get_spark, scratch
+
+VOCAB = 10_000
+WORDS = 60
+MUT_DENOM = 20  # per-position mutation probability 1/20 for planted dups
+_WORDS_TAB = [f"w{i}" for i in range(VOCAB)]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — wrapping uint64 arithmetic."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _gen_texts(ids: np.ndarray) -> list[str]:
+    """Texts for a batch of doc ids — pure function of doc_id."""
+    ids = ids.astype(np.uint64)
+    is_dup = (ids % np.uint64(5)) == np.uint64(4)
+    base = np.where(is_dup, ids - np.uint64(1), ids)
+    pos = np.arange(WORDS, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        w = _mix64(base[:, None] * np.uint64(0x9E3779B97F4A7C15) + pos[None, :])
+        mut = _mix64(
+            ids[:, None] * np.uint64(0xD6E8FEB86659FD93) + pos[None, :]
+        )
+        alt = _mix64(
+            ids[:, None] * np.uint64(0xA24BAED4963EE407) + pos[None, :]
+        )
+    w = w % np.uint64(VOCAB)
+    take_alt = is_dup[:, None] & ((mut % np.uint64(MUT_DENOM)) == np.uint64(0))
+    w = np.where(take_alt, alt % np.uint64(VOCAB), w).astype(np.int64)
+    tab = _WORDS_TAB
+    return [" ".join(tab[i] for i in row) for row in w]
+
+
+def stage_corpus(spark, n: int) -> tuple[str, "object"]:
+    d = scratch.scratch_dir(f"stress_dedup_{n}", pin=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame({"doc_id": ids, "text": _gen_texts(ids)})
+
+    (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "doc_id BIGINT, text STRING")
+        .write.parquet(d + "/t")
+    )
+    return d, spark.read.parquet(d + "/t")
+
+
+def _recall(pairs, n: int) -> float:
+    """Fraction of the N/5 planted (d-1, d) pairs present in ``pairs``."""
+    from pyspark.sql import functions as F
+
+    planted = n // 5
+    if planted == 0:
+        return 1.0
+    hit = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 5 == 3)
+    ).count()
+    return round(hit / planted, 4)
+
+
+def release(*dirs: str) -> None:
+    for p in dirs:
+        scratch.unpin(p)
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def main() -> None:
+    from streaming_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+
+    max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark(app_name="stress-dedup")
+
+    # warm the Arrow worker pool + JVM before timing (CLAUDE.md)
+    warm_dir, warm = stage_corpus(spark, 1_000)
+    minhash_dedup_pairs(warm, "text", "doc_id").count()
+    simhash_dedup_pairs(warm, "text", "doc_id").count()
+    release(warm_dir)
+
+    for n in (10_000, 50_000, 200_000, 500_000, 1_000_000):
+        if n > max_n:
+            break
+        d, df = stage_corpus(spark, n)
+
+        t0 = time.perf_counter()
+        mh = minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5)
+        mh_rows = mh.count()
+        mh_dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "op": "minhash_lsh",
+                    "n": n,
+                    "seconds": round(mh_dt, 2),
+                    "rows": mh_rows,
+                    "recall_planted": _recall(mh, n),
+                }
+            ),
+            flush=True,
+        )
+
+        # components over the just-found pairs (localCheckpointed by
+        # minhash_dedup_pairs, so this times ONLY the components step)
+        t0 = time.perf_counter()
+        comp = connected_components(mh)
+        n_comp = comp.select("component").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "op": "components",
+                    "n": n,
+                    "seconds": round(time.perf_counter() - t0, 2),
+                    "rows": n_comp,
+                }
+            ),
+            flush=True,
+        )
+
+        t0 = time.perf_counter()
+        sh = simhash_dedup_pairs(df, "text", "doc_id", max_hamming=3)
+        sh_rows = sh.count()
+        sh_dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "op": "simhash",
+                    "n": n,
+                    "seconds": round(sh_dt, 2),
+                    "rows": sh_rows,
+                    "recall_planted": _recall(sh, n),
+                }
+            ),
+            flush=True,
+        )
+
+        release(d)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -227,6 +227,52 @@ def test_unigram_segmentation_properties(word_freqs):
         assert all(p in pieces for p in s)
 
 
+@given(
+    st.text(alphabet=st.sampled_from("abc"), min_size=1, max_size=7),
+    st.integers(1, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_unigram_expected_counts_match_enumeration(word, max_len):
+    """The forward-backward E-step (_expected_counts) equals brute-force
+    enumeration over ALL segmentations of the word — each piece's
+    expected count is Σ_seg P(seg)·count(piece, seg) / Σ_seg P(seg).
+    Pins the lattice recursion's math, not just its non-crashing."""
+    from collections import Counter
+
+    from streaming_spark.operators.unigram import (
+        _expected_counts,
+        unigram_seed_vocab,
+    )
+
+    logp = unigram_seed_vocab([(word, 1)], max_piece_len=max_len, seed_size=30)
+
+    def enumerate_segs(w):
+        if not w:
+            return [[]]
+        out = []
+        for ln in range(1, min(max_len, len(w)) + 1):
+            piece = w[:ln]
+            if piece in logp:
+                out.extend([piece] + rest for rest in enumerate_segs(w[ln:]))
+        return out
+
+    segs = enumerate_segs(word)
+    assert segs  # single chars are always in the seed vocab
+    weights = [math.exp(math.fsum(logp[p] for p in seg)) for seg in segs]
+    z = math.fsum(weights)
+    want: Counter = Counter()
+    for seg, wgt in zip(segs, weights):
+        for p in seg:
+            want[p] += wgt / z
+    got: Counter = Counter()
+    _expected_counts(word, 1, logp, max_len, got)
+    assert set(got) == set(want)
+    for p in want:
+        assert math.isclose(got[p], want[p], rel_tol=1e-9, abs_tol=1e-12), (
+            p, got[p], want[p],
+        )
+
+
 # -- line-derivation property: Spark expression vs a pure-Python model --
 
 _line_words = st.lists(
