@@ -172,6 +172,30 @@ def main() -> None:
             flush=True,
         )
 
+        # at the sweep's largest point, also time the ITERATIVE arm on
+        # the same edges — the path that runs when edges exceed the
+        # driver contract (>1M); results must agree with the driver arm
+        if n >= max_n or n == 1_000_000:
+            t0 = time.perf_counter()
+            n_comp_it = (
+                connected_components(mh, mode="iterative")
+                .select("component")
+                .distinct()
+                .count()
+            )
+            print(
+                json.dumps(
+                    {
+                        "op": "components_iterative",
+                        "n": n,
+                        "seconds": round(time.perf_counter() - t0, 2),
+                        "rows": n_comp_it,
+                        "agrees_with_driver_arm": n_comp_it == n_comp,
+                    }
+                ),
+                flush=True,
+            )
+
         t0 = time.perf_counter()
         sh = simhash_dedup_pairs(df, "text", "doc_id", max_hamming=3)
         sh_rows = sh.count()
