@@ -105,7 +105,7 @@ def write_tar_shards(
 
 
 def read_tar_members(
-    spark, path: str, pattern: str = "*.tar"
+    spark, path: str, pattern: str = "*.tar", batch_bytes: int = 64 << 20
 ) -> DataFrame:
     """Container (webdataset-style) multimodal source: a directory of tar
     shards → one row per member file —
@@ -116,8 +116,13 @@ def read_tar_members(
     parallelism = shard count; the webdataset convention of ~1 GB shards
     makes each task's working set bounded.  The tar walk runs
     executor-side inside an Arrow-batched map — the driver never sees a
-    byte of payload.  Members named ``<key>.<ext>`` with the same key
-    are one logical sample (group downstream by ``sample_key``)."""
+    byte of payload.  Member rows flush to an output batch every
+    ``batch_bytes`` of accumulated payload, so the peak Python-side
+    buffer is one OUTPUT batch, not one whole decompressed shard (the
+    shard's raw bytes are already resident via binaryFile — that is the
+    source's floor — but the exploded copy is bounded).  Members named
+    ``<key>.<ext>`` with the same key are one logical sample (group
+    downstream by ``sample_key``)."""
     import ntpath
 
     files = (
@@ -135,6 +140,19 @@ def read_tar_members(
             for shard_path, content in zip(pdf["path"], pdf["content"]):
                 shard = ntpath.basename(shard_path)
                 keys, exts, blobs, sizes = [], [], [], []
+                pending = 0
+
+                def flush():
+                    return pd.DataFrame(
+                        {
+                            "shard": shard,
+                            "sample_key": keys,
+                            "ext": exts,
+                            "blob": blobs,
+                            "n_bytes": sizes,
+                        }
+                    )
+
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     for m in tf:
                         if not m.isfile():
@@ -146,15 +164,13 @@ def read_tar_members(
                         exts.append(ext)
                         blobs.append(data)
                         sizes.append(len(data))
-                yield pd.DataFrame(
-                    {
-                        "shard": shard,
-                        "sample_key": keys,
-                        "ext": exts,
-                        "blob": blobs,
-                        "n_bytes": sizes,
-                    }
-                )
+                        pending += len(data)
+                        if pending >= batch_bytes:
+                            yield flush()
+                            keys, exts, blobs, sizes = [], [], [], []
+                            pending = 0
+                if keys:
+                    yield flush()
 
     return files.mapInPandas(
         explode,

@@ -158,6 +158,25 @@ def test_tar_container_roundtrip(spark, tmp_path):
     assert len(frames) == 4  # 256 bytes / 64
 
 
+def test_tar_member_batch_flush(spark, tmp_path):
+    """A tiny batch_bytes forces the explode map to flush mid-shard —
+    rows must be identical to the single-batch path (the flush bound
+    exists so a ~1 GB webdataset shard never materializes as one Arrow
+    batch)."""
+    from streaming_spark.operators.multimodal import (
+        read_tar_members,
+        write_tar_shards,
+    )
+
+    samples = [(f"{i:04d}", "txt", bytes([i % 256]) * 50) for i in range(20)]
+    write_tar_shards(samples, str(tmp_path), n_shards=1)
+    # 50-byte members with a 100-byte flush bound → ~10 flushes/shard
+    got = read_tar_members(spark, str(tmp_path), batch_bytes=100).collect()
+    back = {(r.sample_key, r.ext): bytes(r.blob) for r in got}
+    assert back == {(k, e): p for k, e, p in samples}
+    assert all(r.shard == "shard-00000.tar" for r in got)
+
+
 def test_connected_components_known_graph(spark):
     from streaming_spark.operators.dedup import connected_components
 
