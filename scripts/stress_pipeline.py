@@ -1,0 +1,205 @@
+"""END-TO-END curation-pipeline scaling measurement — the composed
+pipeline a training-data run would execute, at N = 50k .. 1M documents:
+
+    quality filters (Gopher + C4, codegen scan stage)
+      → cross-doc line dedup + exact dedup on the CLEANED text digest
+      → MinHash-LSH near-dup pairs → components → keep-one
+      → n-gram decontamination against a benchmark slice
+      → token accounting (whitespace + BPE-ish counts)
+
+stress_dedup.py / stress_blocked.py time the families in ISOLATION;
+this script answers the composition question — does the whole pipeline
+hold when stages feed each other at scale (shuffles in sequence, scratch
+churn, survivor-set joins), and what does each stage cost relative to
+the others?  Stages are checkpointed to scratch parquet between phases
+(exactly what a production run does), so each timing covers one stage's
+compute + write, never a replay of its upstream.
+
+Corpus: stress_dedup's deterministic generator (~60-word docs, every
+5th a planted near-copy of its predecessor), plus source = doc_id % 4.
+Expected structure per N (the correctness-at-scale checks):
+- exact dedup on the line-cleaned digest drops the planted copies whose
+  per-position mutations all missed — ≈ N/5 · (19/20)^60 ≈ 0.94% of N;
+- near-dup keep-one drops the remaining ~N/5 planted dups (recall
+  ~0.995 per stress_dedup);
+- the benchmark is the doc_id % 97 == 0 slice of the RAW corpus (an
+  external eval suite whose items were also scraped into the crawl);
+  after dedup the surviving copies of benchmark docs — at minimum the
+  benchmark docs themselves, kept as min-id cluster members — must be
+  flagged by 5-gram overlap (random collisions are ~impossible at
+  VOCAB=10k), so the JSON reports contaminated_removed against that
+  floor.
+
+Usage:
+    PYTHONPATH=/root/repo python scripts/stress_pipeline.py [max_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from stress_dedup import release, stage_corpus  # noqa: E402
+
+from streaming_spark import get_spark, scratch  # noqa: E402
+
+
+def _stage(spark, name: str, df, n: int):
+    """Checkpoint a stage to scratch parquet; return (dir, df, rows)."""
+    d = scratch.scratch_dir(f"stress_pipe_{name}_{n}", pin=True)
+    df.write.parquet(d + "/t")
+    out = spark.read.parquet(d + "/t")
+    return d, out, out.count()
+
+
+def run_point(spark, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.dedup import (
+        dedup_keep_one,
+        minhash_dedup_pairs,
+    )
+    from streaming_spark.operators.text import (
+        bpe_ish_token_count,
+        c4_quality,
+        gopher_quality,
+        line_dedup_clean,
+        token_count,
+    )
+    from streaming_spark.queries.curation import (
+        benchmark_grams,
+        decontaminate_against,
+    )
+
+    t_all = time.perf_counter()
+    corpus_dir, raw = stage_corpus(spark, n)
+    docs = raw.withColumn("source", (F.col("doc_id") % 4).cast("string"))
+
+    def report(op, seconds, rows, **extra):
+        print(
+            json.dumps(
+                {
+                    "op": op,
+                    "n": n,
+                    "seconds": round(seconds, 2),
+                    "rows": rows,
+                    **extra,
+                }
+            ),
+            flush=True,
+        )
+
+    # 1. quality filters — Gopher + C4 rule sets, both codegen'd scan
+    # expressions (min_stop=0: the synthetic vocab has no stopwords)
+    t0 = time.perf_counter()
+    keep_g = gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
+    keep_c = c4_quality(docs).filter("passes").select("doc_id")
+    filtered = docs.join(keep_g, "doc_id").join(keep_c, "doc_id")
+    d1, filtered, rows1 = _stage(spark, "filtered", filtered, n)
+    report("pipe_quality_filters", time.perf_counter() - t0, rows1)
+
+    # 2. cross-doc line dedup, then EXACT dedup on the cleaned-text
+    # digest (keep min doc_id per cleaned_hash) — one digest shuffle +
+    # one window, text never shuffles
+    t0 = time.perf_counter()
+    cleaned = line_dedup_clean(filtered)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cleaned_hash").orderBy("doc_id")
+    keep_ids = (
+        cleaned.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id")
+    )
+    exact = filtered.join(keep_ids, "doc_id")
+    d2, exact, rows2 = _stage(spark, "exact", exact, n)
+    report("pipe_line_exact_dedup", time.perf_counter() - t0, rows2)
+
+    # 3. near-dup: MinHash-LSH pairs → components → keep-one
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs(exact, "text", "doc_id", threshold=0.5)
+    survivors = dedup_keep_one(exact, pairs, "doc_id")
+    d3, survivors, rows3 = _stage(spark, "neardup", survivors, n)
+    report(
+        "pipe_near_dedup",
+        time.perf_counter() - t0,
+        rows3,
+        removed=rows2 - rows3,
+        planted=n // 5,
+    )
+
+    # 4. decontamination against an EXTERNAL eval set: the benchmark is
+    # the doc_id % 97 == 0 slice of the RAW corpus (simulating an eval
+    # suite whose items were also scraped into the training crawl);
+    # every surviving copy of a benchmark doc must be flagged via
+    # 5-gram overlap and dropped
+    t0 = time.perf_counter()
+    bench = raw.filter("doc_id % 97 = 0")
+    flags = decontaminate_against(survivors, benchmark_grams(bench))
+    clean = survivors.join(
+        flags.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+    )
+    d4, clean, rows4 = _stage(spark, "clean", clean, n)
+    # the floor: surviving docs that ARE benchmark docs (near-dedup
+    # keeps the min-id member, which for a (bench, planted-dup) pair is
+    # the bench doc itself); mutated planted dups of bench docs that
+    # escape minhash add a few more
+    bench_in_corpus = survivors.filter("doc_id % 97 = 0").count()
+    report(
+        "pipe_decontaminate",
+        time.perf_counter() - t0,
+        rows4,
+        bench_docs=bench.count(),
+        contaminated_removed=rows3 - rows4,
+        contaminated_floor=bench_in_corpus,
+        floor_met=(rows3 - rows4) >= bench_in_corpus,
+    )
+
+    # 5. token accounting over the final corpus — pure codegen aggregate
+    t0 = time.perf_counter()
+    stats = clean.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("bpe_tokens"),
+    ).collect()[0]
+    report(
+        "pipe_token_stats",
+        time.perf_counter() - t0,
+        int(stats["docs"]),
+        ws_tokens=int(stats["ws_tokens"]),
+        bpe_tokens=int(stats["bpe_tokens"]),
+    )
+
+    report(
+        "pipeline_total",
+        time.perf_counter() - t_all,
+        rows4,
+        docs_in=n,
+    )
+    release(corpus_dir, d1, d2, d3, d4)
+
+
+def main() -> None:
+    max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark(app_name="stress-pipeline")
+    # stress_dedup is imported as a module here (not __main__ as in its
+    # own run), so its generator closures pickle by REFERENCE — ship the
+    # file so executor workers can import it
+    spark.sparkContext.addPyFile(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "stress_dedup.py")
+    )
+
+    # warm the Arrow worker pools before timing (CLAUDE.md)
+    run_point(spark, 1_000)
+
+    for n in (50_000, 200_000, 1_000_000):
+        if n > max_n:
+            break
+        run_point(spark, n)
+
+
+if __name__ == "__main__":
+    main()
