@@ -473,6 +473,7 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: vectors live
     in their nearest coarse-quantizer cell; each query scores only the
@@ -484,13 +485,28 @@ def ivf_topk(
     (k-means), which beats data-oblivious hyperplanes on clustered
     corpora.  One shuffle (candidates ⋈ vectors); centroids broadcast.
     Pass ``centroids`` to reuse a trained quantizer across calls (e.g.
-    an nprobe sweep)."""
+    an nprobe sweep).
+
+    ``assigned`` accepts the PRE-STAGED inverted file — the
+    ``(vec_id, cell)`` frame ``ivf_assign(vectors, cent)`` produces,
+    persisted as parquet next to the :func:`ann_index_save` quantizer
+    artifact.  Per-call assignment is the N × n_cells matmul over the
+    whole corpus (the index BUILD); a deployment builds it once and
+    serves many query batches against it — at 1M × 64-dim the build is
+    the dominant term of a cold call (measured in
+    scripts/stress_ann.py).  Assignment is a deterministic function of
+    (vectors, centroids), so passing the staged frame is result-
+    identical to inline assignment (pinned by test)."""
     cent = (
         centroids
         if centroids is not None
         else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
     )
-    va = ivf_assign(vectors, cent, vec_col=vec_col, nprobe=1)
+    va = (
+        assigned
+        if assigned is not None
+        else ivf_assign(vectors, cent, vec_col=vec_col, nprobe=1)
+    )
     qa = ivf_assign(
         queries, cent, vec_col=vec_col, nprobe=nprobe, out_id="query_id"
     )
@@ -1960,6 +1976,7 @@ def ivfpq_topk(
     centroids: np.ndarray | None = None,
     rotation: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via the composed IVF-PQ index — the standard
     billion-scale ANN deployment: a coarse quantizer prunes the search
@@ -1999,7 +2016,20 @@ def ivfpq_topk(
             vectors, cent, dim, m, ksub, vec_col=vec_col, rotation=rotation
         )
     )
-    enc = ivfpq_encode(vectors, cent, books, vec_col=vec_col, rotation=rotation)
+    # ``encoded`` accepts the PRE-STAGED code table — the
+    # (vec_id, cell, codes) frame ivfpq_encode produces, persisted as
+    # parquet next to the ann_index_save artifact.  Encoding is the
+    # full-corpus map (the index BUILD); serving many query batches
+    # re-encodes nothing.  Codes are a deterministic function of
+    # (vectors, centroids, codebooks, rotation), so the staged frame is
+    # result-identical to inline encoding (pinned by test) — but it is
+    # only valid WITH the exact quantizer that produced it: pass the
+    # saved centroids/codebooks/rotation alongside, never retrain.
+    enc = (
+        encoded
+        if encoded is not None
+        else ivfpq_encode(vectors, cent, books, vec_col=vec_col, rotation=rotation)
+    )
 
     q_rows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])

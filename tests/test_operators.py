@@ -1556,6 +1556,51 @@ def test_ann_quantizer_cache_bit_identity(spark):
     assert cached == fresh
 
 
+def test_ann_prestaged_index_agrees(spark, tmp_path):
+    """The serve-path affordances — ivf_topk(assigned=...) and
+    ivfpq_topk(encoded=...) — must return row-identical results to the
+    inline build: assignment/encoding are deterministic functions of
+    (vectors, quantizer), so a parquet round-trip of the index changes
+    nothing.  This is the contract that lets a deployment build the
+    inverted file / code table once and serve many query batches."""
+    from streaming_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+        ivfpq_encode,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    cent = ivf_centroids(emb, 64, 8)
+    ivf_kw = dict(dim=64, k=5, n_cells=8, nprobe=4, centroids=cent)
+    inline = sorted(map(tuple, ivf_topk(emb, queries, **ivf_kw).collect()))
+    ivf_assign(emb, cent).write.parquet(str(tmp_path / "ivf"))
+    staged = spark.read.parquet(str(tmp_path / "ivf"))
+    prestaged = sorted(
+        map(tuple, ivf_topk(emb, queries, assigned=staged, **ivf_kw).collect())
+    )
+    assert inline == prestaged
+
+    books = ivfpq_residual_codebooks(emb, cent, 64, m=16, ksub=16)
+    pq_kw = dict(
+        dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16, rerank=128,
+        centroids=cent, codebooks=books,
+    )
+    inline_pq = sorted(map(tuple, ivfpq_topk(emb, queries, **pq_kw).collect()))
+    ivfpq_encode(emb, cent, books).write.parquet(str(tmp_path / "pq"))
+    enc = spark.read.parquet(str(tmp_path / "pq"))
+    prestaged_pq = sorted(
+        map(tuple, ivfpq_topk(emb, queries, encoded=enc, **pq_kw).collect())
+    )
+    assert inline_pq == prestaged_pq
+
+
 def test_bloom_no_false_negatives_and_fp_bound(spark):
     """Bloom contract: every indexed value probes present (one-sided
     error — NEVER a false negative), and the observed false-positive
