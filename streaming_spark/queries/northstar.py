@@ -1197,21 +1197,27 @@ _IVF_CENT_CACHE: dict = {}
 _IVFPQ_BOOKS_CACHE: dict = {}
 
 
-def _ivfpq_books_cached(spark, sf_dir, dim=64, n_cells=8, m=16, ksub=16):
+def _ivfpq_books_cached(
+    spark, sf_dir, dim=64, n_cells=8, m=16, ksub=16,
+    rotation=None, rot_tag="",
+):
     """Memoized residual PQ codebooks for the default IVF-PQ
     configuration — same determinism argument as the coarse quantizer
     below (bounded md5-ordered sample, fixed seed), so the cache can
-    only change wall time, never results."""
+    only change wall time, never results.  ``rotation`` trains in the
+    rotated residual space (OPQ); rotations are themselves memoized and
+    deterministic, so the caller's ``rot_tag`` string is a sound cache
+    key for the array."""
     from streaming_spark.operators.similarity import (
         ivfpq_residual_codebooks,
     )
 
-    key = (sf_dir, dim, n_cells, m, ksub)
+    key = (sf_dir, dim, n_cells, m, ksub, rot_tag)
     if key not in _IVFPQ_BOOKS_CACHE:
         emb = T(spark, sf_dir, "embeddings")
         cent = _ivf_centroids_cached(spark, sf_dir, dim, n_cells)
         _IVFPQ_BOOKS_CACHE[key] = ivfpq_residual_codebooks(
-            emb, cent, dim, m, ksub
+            emb, cent, dim, m, ksub, rotation=rotation
         )
     return _IVFPQ_BOOKS_CACHE[key]
 
@@ -2690,23 +2696,29 @@ def q_dup_span_ranges(spark, sf_dir):
 @query("q_ann_index_artifact")  # rows-only: the top-k is approximate by
 # construction; the save→load→query == in-memory bit-identity and the
 # loud-failure contracts are pinned in tests/test_operators.py::
-# test_ann_index_artifact_roundtrip
+# test_ann_index_artifact_roundtrip, and inline-vs-prestaged identity
+# in test_ann_prestaged_index_agrees
 def q_ann_index_artifact(spark, sf_dir):
-    """IVF-OPQ top-5 served FROM A PERSISTED INDEX ARTIFACT: train the
-    coarse centroids and residual OPQ rotation, ann_index_save them to a
-    versioned JSON artifact, ann_index_load in (what would be) the query
-    job, and answer from the loaded parameters — the train-once /
-    query-many deployment boundary every billion-scale ANN index
-    actually has.  Retraining quantizers per job would silently re-key
-    stored codes; the artifact pins them (same rationale as the BPE
-    artifact, operators/bpe.py bpe_save).  Float64 arrays round-trip
-    json exactly, so the served top-k is bit-identical to the in-memory
-    index — asserted row-for-row in the contract test."""
+    """IVF-OPQ top-5 served FROM A FULLY PERSISTED INDEX: train the
+    coarse centroids, residual OPQ rotation AND codebooks, ann_index_save
+    the quantizer to a versioned JSON artifact, stage the encoded code
+    table (the distributed half of the index) to parquet, then answer
+    from the loaded artifact + staged codes via ``encoded=`` — the
+    train-once / encode-once / query-many deployment boundary every
+    billion-scale ANN index actually has.  Retraining quantizers per job
+    would silently re-key stored codes; the artifact pins them (same
+    rationale as the BPE artifact, operators/bpe.py bpe_save), and
+    encoding is a deterministic function of (vectors, quantizer), so
+    serving from the staged table is row-identical to inline encoding.
+    Float64 arrays round-trip json exactly, so the served top-k is
+    bit-identical to the in-memory index — asserted row-for-row in the
+    contract tests."""
     import os
 
     from streaming_spark.operators.similarity import (
         ann_index_load,
         ann_index_save,
+        ivfpq_encode,
         ivfpq_topk,
     )
 
@@ -2714,22 +2726,31 @@ def q_ann_index_artifact(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8)
     cent = _ivf_centroids_cached(spark, sf_dir)
     rot = _opq_residual_rot_cached(spark, sf_dir)
-    path = os.path.join(
-        scratch_dir("ann"), "index.json"
+    books = _ivfpq_books_cached(
+        spark, sf_dir, rotation=rot, rot_tag="opq-residual"
     )
+    d = scratch_dir("ann")
+    path = os.path.join(d, "index.json")
     ann_index_save(
         path,
         dim=64,
         centroids=cent,
         rotation=rot,
+        codebooks=books,
         params={"n_cells": 8, "m": 16, "ksub": 16},
     )
+    codes_dir = os.path.join(d, "codes")
+    ivfpq_encode(emb, cent, books, rotation=rot).write.mode(
+        "overwrite"
+    ).parquet(codes_dir)
     art = ann_index_load(path)
     return ivfpq_topk(
         emb, queries, dim=art["dim"], k=5,
         n_cells=art["params"]["n_cells"], nprobe=4,
         m=art["params"]["m"], ksub=art["params"]["ksub"], rerank=128,
         centroids=art["centroids"], rotation=art["rotation"],
+        codebooks=art["codebooks"],
+        encoded=spark.read.parquet(codes_dir),
     )
 
 

@@ -41,6 +41,49 @@ def test_stream_roundtrip_random_frames(spark, rows):
     assert got == want
 
 
+# keys may contain INTERIOR dots (webdataset keys like "000.a.b" —
+# member name parsing must split on the LAST dot only); leading-dot-only
+# keys are out of convention and excluded
+tar_key = st.builds(
+    lambda head, tail: head + tail,
+    st.text(alphabet="abcdefghij0123456789_-", min_size=1, max_size=3),
+    st.text(alphabet="abcdefghij0123456789_-.", max_size=9),
+)
+tar_samples = st.lists(
+    st.tuples(
+        tar_key,
+        st.sampled_from(["txt", "json", "bin", "jpg"]),
+        st.binary(min_size=0, max_size=300),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda s: (s[0], s[1]),
+)
+
+
+@given(tar_samples, st.integers(min_value=1, max_value=3))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tar_container_roundtrip_random(spark, tmp_path_factory, samples, n_shards):
+    """For ANY sample set (including empty payloads and multi-extension
+    keys) and any shard count: write_tar_shards → read_tar_members is a
+    byte-exact bijection, and n_bytes matches every payload."""
+    from streaming_spark.operators.multimodal import (
+        read_tar_members,
+        write_tar_shards,
+    )
+
+    d = tmp_path_factory.mktemp("tars")
+    write_tar_shards(samples, str(d), n_shards=n_shards)
+    got = read_tar_members(spark, str(d), batch_bytes=128).collect()
+    back = {(r.sample_key, r.ext): bytes(r.blob) for r in got}
+    assert back == {(k, e): p for k, e, p in samples}
+    assert all(r.n_bytes == len(bytes(r.blob)) for r in got)
+
+
 def _norm(v):
     if isinstance(v, bytearray):
         return bytes(v)
