@@ -2081,38 +2081,59 @@ def ivfpq_topk(
     q_lut = q_mat if rotation is None else q_mat @ rotation
     luts = np.einsum("qjd,jkd->qjk", q_lut.reshape(len(q_ids), m, dsub), books)
 
-    def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        qids, qc_terms, probe_sets, tables, topr = side
-        if len(pdf) == 0:
-            return None
-        codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
-        cells = pdf["cell"].to_numpy()
-        ids = pdf["vec_id"].to_numpy()
-        cols = np.arange(codes.shape[1])
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(qids):
-            mask = np.isin(cells, probe_sets[qi]) & (ids != qid)
-            if not mask.any():
+    side_bc = vectors.sparkSession.sparkContext.broadcast(
+        (q_ids, qc, probed, luts, rerank)
+    )
+
+    # One partial emission per PARTITION, not per Arrow chunk: each
+    # query keeps a running top-``rerank`` (padded -inf/-1 rows) merged
+    # per chunk, so the global candidate window receives
+    # O(partitions x Q x rerank) rows instead of O(chunks x Q x rerank)
+    # — the same shuffle-volume argument as cosine_topk's partial stage
+    # (a production 128 MB partition holds ~50 Arrow chunks).
+    def adc_part(batches):
+        qids, qc_terms, probe_sets, tables, topr = side_bc.value
+        n_q = len(qids)
+        best_s = best_v = None
+        for pdf in batches:
+            if len(pdf) == 0:
                 continue
-            sims = (
-                tables[qi][cols, codes[mask]].sum(axis=1)
-                + qc_terms[qi][cells[mask]]
-            )
-            ids_m = ids[mask]
-            r = min(topr, len(ids_m))
-            top = np.argpartition(-sims, r - 1)[:r]
-            out_q.extend([qid] * r)
-            out_v.extend(ids_m[top].tolist())
-            out_s.extend(sims[top].tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
+            codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            cols = np.arange(codes.shape[1])
+            if best_s is None:
+                best_s = np.full((n_q, topr), -np.inf)
+                best_v = np.full((n_q, topr), -1, dtype=np.int64)
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cells, probe_sets[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                sims = (
+                    tables[qi][cols, codes[mask]].sum(axis=1)
+                    + qc_terms[qi][cells[mask]]
+                )
+                ids_m = ids[mask]
+                r = min(topr, len(ids_m))
+                top = np.argpartition(-sims, r - 1)[:r]
+                s_all = np.concatenate([best_s[qi], sims[top]])
+                v_all = np.concatenate([best_v[qi], ids_m[top]])
+                sel = np.argpartition(-s_all, topr - 1)[:topr]
+                best_s[qi] = s_all[sel]
+                best_v[qi] = v_all[sel]
+        if best_s is None:
+            return
+        keep = best_v.reshape(-1) >= 0  # drop -inf padding
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, best_s.shape[1])[keep],
+                "vec_id": best_v.reshape(-1)[keep],
+                "adc_sim": best_s.reshape(-1)[keep],
+            }
         )
 
-    partial = stream(
-        ensure_parallelism(enc),
-        adc_score,
-        "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE",
-        side_input=(q_ids, qc, probed, luts, rerank),
+    partial = ensure_parallelism(enc).mapInPandas(
+        adc_part, "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("vec_id")
