@@ -1900,6 +1900,9 @@ def pq_topk(
             {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
         )
 
+    # per-chunk partial emission kept for this demonstrative variant;
+    # the deployment path (ivfpq_topk) emits ONE partial per PARTITION —
+    # see its adc_part for the shuffle-volume argument
     partial = stream(
         ensure_parallelism(enc),
         adc_score,
@@ -2437,6 +2440,9 @@ def ivfpq_topk_local(
             {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
         )
 
+    # per-chunk partial emission kept for this demonstrative variant;
+    # the deployment path (ivfpq_topk) emits ONE partial per PARTITION —
+    # see its adc_part for the shuffle-volume argument
     partial = stream(
         ensure_parallelism(enc),
         adc_score,
