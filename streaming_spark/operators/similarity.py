@@ -1831,6 +1831,48 @@ def pq_encode(
     )
 
 
+class _RunningTopR:
+    """Per-partition running top-``topr`` per query for the ADC scan
+    family — the single owner of the partial-merge contract all three
+    PQ variants (pq_topk, ivfpq_topk, ivfpq_topk_local) share: each
+    chunk OFFERs a query's candidate (sims, ids), the state keeps the
+    best ``topr`` seen so far, and FLUSH emits one partial frame per
+    partition.  This bounds the global candidate window's shuffle input
+    at O(partitions × Q × topr) instead of O(chunks × Q × topr) — same
+    argument as cosine_topk's partial stage (a production 128 MB
+    partition holds ~50 Arrow chunks).  Padding rows carry sim = -inf;
+    flush drops on NON-FINITE SIM, never on the id (a corpus is free to
+    use negative vec_ids)."""
+
+    def __init__(self, n_q: int, topr: int):
+        self.topr = topr
+        self.s = np.full((n_q, topr), -np.inf)
+        self.v = np.zeros((n_q, topr), dtype=np.int64)
+
+    def offer(self, qi: int, sims: np.ndarray, ids: np.ndarray) -> None:
+        r = min(self.topr, len(ids))
+        if r == 0:
+            return
+        top = np.argpartition(-sims, r - 1)[:r]
+        s_all = np.concatenate([self.s[qi], sims[top]])
+        v_all = np.concatenate([self.v[qi], ids[top]])
+        sel = np.argpartition(-s_all, self.topr - 1)[: self.topr]
+        self.s[qi] = s_all[sel]
+        self.v[qi] = v_all[sel]
+
+    def flush(self, qids: np.ndarray) -> pd.DataFrame | None:
+        keep = np.isfinite(self.s.reshape(-1))
+        if not keep.any():
+            return None
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, self.topr)[keep],
+                "vec_id": self.v.reshape(-1)[keep],
+                "adc_sim": self.s.reshape(-1)[keep],
+            }
+        )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1877,37 +1919,33 @@ def pq_topk(
     # subvector with every codebook entry
     luts = np.einsum("qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), books)
 
-    def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        qids, tables, topr = side
-        if len(pdf) == 0:
-            return None
-        codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
-        ids = pdf["vec_id"].to_numpy()
-        out_q, out_v, out_s = [], [], []
-        cols = np.arange(codes.shape[1])
-        for qi, qid in enumerate(qids):
-            sims = tables[qi][cols, codes].sum(axis=1)  # (rows,)
-            mask = ids != qid
-            sims_m, ids_m = sims[mask], ids[mask]
-            r = min(topr, len(ids_m))
-            if r == 0:
-                continue
-            top = np.argpartition(-sims_m, r - 1)[:r]
-            out_q.extend([qid] * r)
-            out_v.extend(ids_m[top].tolist())
-            out_s.extend(sims_m[top].tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
-        )
+    side_bc = vectors.sparkSession.sparkContext.broadcast(
+        (q_ids, luts, rerank)
+    )
 
-    # per-chunk partial emission kept for this demonstrative variant;
-    # the deployment path (ivfpq_topk) emits ONE partial per PARTITION —
-    # see its adc_part for the shuffle-volume argument
-    partial = stream(
-        ensure_parallelism(enc),
-        adc_score,
-        "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE",
-        side_input=(q_ids, luts, rerank),
+    def adc_part(batches):
+        qids, tables, topr = side_bc.value
+        state = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
+            ids = pdf["vec_id"].to_numpy()
+            cols = np.arange(codes.shape[1])
+            if state is None:
+                state = _RunningTopR(len(qids), topr)
+            for qi, qid in enumerate(qids):
+                sims = tables[qi][cols, codes].sum(axis=1)  # (rows,)
+                mask = ids != qid
+                state.offer(qi, sims[mask], ids[mask])
+        if state is None:
+            return
+        out = state.flush(qids)
+        if out is not None:
+            yield out
+
+    partial = ensure_parallelism(enc).mapInPandas(
+        adc_part, "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("vec_id")
@@ -2088,16 +2126,12 @@ def ivfpq_topk(
         (q_ids, qc, probed, luts, rerank)
     )
 
-    # One partial emission per PARTITION, not per Arrow chunk: each
-    # query keeps a running top-``rerank`` (padded -inf/-1 rows) merged
-    # per chunk, so the global candidate window receives
-    # O(partitions x Q x rerank) rows instead of O(chunks x Q x rerank)
-    # — the same shuffle-volume argument as cosine_topk's partial stage
-    # (a production 128 MB partition holds ~50 Arrow chunks).
+    # One partial emission per PARTITION, not per Arrow chunk — the
+    # shared _RunningTopR contract (see its docstring for the
+    # shuffle-volume argument).
     def adc_part(batches):
         qids, qc_terms, probe_sets, tables, topr = side_bc.value
-        n_q = len(qids)
-        best_s = best_v = None
+        state = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -2105,9 +2139,8 @@ def ivfpq_topk(
             cells = pdf["cell"].to_numpy()
             ids = pdf["vec_id"].to_numpy()
             cols = np.arange(codes.shape[1])
-            if best_s is None:
-                best_s = np.full((n_q, topr), -np.inf)
-                best_v = np.full((n_q, topr), -1, dtype=np.int64)
+            if state is None:
+                state = _RunningTopR(len(qids), topr)
             for qi, qid in enumerate(qids):
                 mask = np.isin(cells, probe_sets[qi]) & (ids != qid)
                 if not mask.any():
@@ -2116,24 +2149,12 @@ def ivfpq_topk(
                     tables[qi][cols, codes[mask]].sum(axis=1)
                     + qc_terms[qi][cells[mask]]
                 )
-                ids_m = ids[mask]
-                r = min(topr, len(ids_m))
-                top = np.argpartition(-sims, r - 1)[:r]
-                s_all = np.concatenate([best_s[qi], sims[top]])
-                v_all = np.concatenate([best_v[qi], ids_m[top]])
-                sel = np.argpartition(-s_all, topr - 1)[:topr]
-                best_s[qi] = s_all[sel]
-                best_v[qi] = v_all[sel]
-        if best_s is None:
+                state.offer(qi, sims, ids[mask])
+        if state is None:
             return
-        keep = best_v.reshape(-1) >= 0  # drop -inf padding
-        yield pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, best_s.shape[1])[keep],
-                "vec_id": best_v.reshape(-1)[keep],
-                "adc_sim": best_s.reshape(-1)[keep],
-            }
-        )
+        out = state.flush(qids)
+        if out is not None:
+            yield out
 
     partial = ensure_parallelism(enc).mapInPandas(
         adc_part, "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE"
@@ -2411,43 +2432,41 @@ def ivfpq_topk_local(
         "qjd,cjkd->qcjk", q_lut.reshape(len(q_ids), m, dsub), books
     )
 
-    def adc_score(pdf: pd.DataFrame, side) -> pd.DataFrame:
-        qids, qc_terms, probe_sets, tables, topr = side
-        if len(pdf) == 0:
-            return None
-        codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
-        cells = pdf["cell"].to_numpy()
-        ids = pdf["vec_id"].to_numpy()
-        cols = np.arange(codes.shape[1])
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(qids):
-            mask = np.isin(cells, probe_sets[qi]) & (ids != qid)
-            if not mask.any():
-                continue
-            cells_m = cells[mask]
-            codes_m = codes[mask]
-            sims = (
-                tables[qi][cells_m[:, None], cols[None, :], codes_m].sum(axis=1)
-                + qc_terms[qi][cells_m]
-            )
-            ids_m = ids[mask]
-            r = min(topr, len(ids_m))
-            top = np.argpartition(-sims, r - 1)[:r]
-            out_q.extend([qid] * r)
-            out_v.extend(ids_m[top].tolist())
-            out_s.extend(sims[top].tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "vec_id": out_v, "adc_sim": out_s}
-        )
+    side_bc_local = vectors.sparkSession.sparkContext.broadcast(
+        (q_ids, qc, probed, luts, rerank)
+    )
 
-    # per-chunk partial emission kept for this demonstrative variant;
-    # the deployment path (ivfpq_topk) emits ONE partial per PARTITION —
-    # see its adc_part for the shuffle-volume argument
-    partial = stream(
-        ensure_parallelism(enc),
-        adc_score,
-        "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE",
-        side_input=(q_ids, qc, probed, luts, rerank),
+    def adc_part(batches):
+        qids, qc_terms, probe_sets, tables, topr = side_bc_local.value
+        state = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())  # (rows, m)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            cols = np.arange(codes.shape[1])
+            if state is None:
+                state = _RunningTopR(len(qids), topr)
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cells, probe_sets[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                cells_m = cells[mask]
+                codes_m = codes[mask]
+                sims = (
+                    tables[qi][cells_m[:, None], cols[None, :], codes_m].sum(axis=1)
+                    + qc_terms[qi][cells_m]
+                )
+                state.offer(qi, sims, ids[mask])
+        if state is None:
+            return
+        out = state.flush(qids)
+        if out is not None:
+            yield out
+
+    partial = ensure_parallelism(enc).mapInPandas(
+        adc_part, "query_id BIGINT, vec_id BIGINT, adc_sim DOUBLE"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("vec_id")
