@@ -18,6 +18,7 @@ Both are deterministic (fixed seeds, float64 accumulation).
 from __future__ import annotations
 
 import math
+from collections import deque
 
 import numpy as np
 import pandas as pd
@@ -44,6 +45,57 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
 
 def _matrix(pdf_vecs) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
+
+
+_LIVE_BROADCASTS: deque = deque()
+_MAX_LIVE_BROADCASTS = 16
+
+
+def _broadcast_bounded(sc, payload):
+    """``sc.broadcast`` with a bounded-lifetime registry: every top-k
+    call broadcasts its query payload (ids + LUTs/normalized matrix),
+    and a sweep like ann_tradeoff_curve (8 ivfpq calls) or a long
+    session would otherwise accumulate broadcast blocks on driver and
+    executors until the closures are GC'd.  Oldest entries beyond the
+    cap are ``unpersist``-ed (NOT destroyed): unpersist only drops the
+    cached executor copies — a still-lazy plan that references an
+    evicted broadcast transparently re-ships it from the driver on next
+    use, so eviction can never break a pending DataFrame."""
+    bc = sc.broadcast(payload)
+    _LIVE_BROADCASTS.append(bc)
+    while len(_LIVE_BROADCASTS) > _MAX_LIVE_BROADCASTS:
+        old = _LIVE_BROADCASTS.popleft()
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # a torn-down SparkContext has nothing left to free
+    return bc
+
+
+def _top_by_sim_then_id(sims: np.ndarray, ids: np.ndarray, r: int) -> np.ndarray:
+    """Indices of the EXACT top-``r`` of (sims, ids) under the global
+    (sim DESC, id ASC) total order — the tie-break every final window
+    and every DuckDB oracle in this module uses.  A bare argpartition on
+    sim keeps an ARBITRARY member of a tie straddling the r-th slot,
+    which diverges from that order precisely when the corpus contains
+    duplicate vectors (bit-identical sims — which dedup corpora contain
+    by construction).  Selection under a total order is mergeable, so
+    using this at every partial/compaction boundary makes the partial
+    stages exactly what the global window would keep.
+
+    O(n) in the candidate count (argpartition prefilter, then id-refine
+    only the entries tying the cut value) — no full sort."""
+    n = len(sims)
+    if r >= n:
+        return np.arange(n)
+    part = np.argpartition(-sims, r - 1)
+    cut = sims[part[r - 1]]  # the r-th largest sim value
+    gt = np.flatnonzero(sims > cut)
+    need = r - len(gt)  # >= 1: at most r-1 entries exceed the r-th largest
+    eq = np.flatnonzero(sims == cut)
+    if need < len(eq):  # boundary tie: keep the smallest ids
+        eq = eq[np.argpartition(ids[eq], need - 1)[:need]]
+    return np.concatenate([gt, eq])
 
 
 def cosine_topk(
@@ -73,7 +125,9 @@ def cosine_topk(
     # (at 1M x 64-dim: ~100 chunks -> 1.1M partial rows vs 32
     # partitions -> 35k).
 
-    q_bc = vectors.sparkSession.sparkContext.broadcast((q_ids, q_norm))
+    q_bc = _broadcast_bounded(
+        vectors.sparkSession.sparkContext, (q_ids, q_norm)
+    )
 
     def part_topk(batches):
         q_ids, q_norm = q_bc.value
@@ -93,11 +147,14 @@ def cosine_topk(
             # Q=1000, 10k-row chunks) — measured 10-40x slowdowns with
             # bimodal stalls when 32 workers churn those mmap-sized
             # blocks concurrently; the row loop peaks at one (rows,)
-            # scratch per call and runs ~2 s/corpus at 1M
+            # scratch per call and runs ~2 s/corpus at 1M.
+            # _top_by_sim_then_id keeps boundary ties deterministic:
+            # duplicate vectors tie bit-exactly, and the final window
+            # breaks ties by neighbor_id ASC — the partial must too.
             cand_s = np.empty((n_q, kk))
             cand_i = np.empty((n_q, kk), dtype=np.int64)
             for r in range(n_q):
-                ix = np.argpartition(-sims[r], kk - 1)[:kk]
+                ix = _top_by_sim_then_id(sims[r], ids, kk)
                 cand_i[r] = ix
                 cand_s[r] = sims[r, ix]
             cand_n = ids[cand_i]
@@ -107,9 +164,13 @@ def cosine_topk(
                 best_s = np.concatenate([best_s, cand_s], axis=1)
                 best_n = np.concatenate([best_n, cand_n], axis=1)
             if best_s.shape[1] > kk1:  # compact the running top-(k+1)
-                sel = np.argpartition(-best_s, kk1 - 1, axis=1)[:, :kk1]
-                best_s = np.take_along_axis(best_s, sel, axis=1)
-                best_n = np.take_along_axis(best_n, sel, axis=1)
+                new_s = np.empty((n_q, kk1))
+                new_n = np.empty((n_q, kk1), dtype=np.int64)
+                for r in range(n_q):  # width <= 2(k+1): trivially cheap
+                    sel = _top_by_sim_then_id(best_s[r], best_n[r], kk1)
+                    new_s[r] = best_s[r, sel]
+                    new_n[r] = best_n[r, sel]
+                best_s, best_n = new_s, new_n
         if best_s is None:
             return
         width = best_s.shape[1]
@@ -501,6 +562,9 @@ def ivf_assign(
         assign,
         schema,
         side_input=centroids,
+    ).withMetadata(
+        "cell",
+        {_ANN_FP_KEY: ann_quantizer_fingerprint(centroids=centroids)},
     )
 
 
@@ -542,11 +606,16 @@ def ivf_topk(
         if centroids is not None
         else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
     )
-    va = (
-        assigned
-        if assigned is not None
-        else ivf_assign(vectors, cent, vec_col=vec_col, nprobe=1)
-    )
+    if assigned is not None:
+        _check_staged_fingerprint(
+            assigned,
+            "cell",
+            ann_quantizer_fingerprint(centroids=cent),
+            "ivf_topk",
+        )
+        va = assigned
+    else:
+        va = ivf_assign(vectors, cent, vec_col=vec_col, nprobe=1)
     qa = ivf_assign(
         queries, cent, vec_col=vec_col, nprobe=nprobe, out_id="query_id"
     )
@@ -1842,7 +1911,15 @@ class _RunningTopR:
     argument as cosine_topk's partial stage (a production 128 MB
     partition holds ~50 Arrow chunks).  Padding rows carry sim = -inf;
     flush drops on NON-FINITE SIM, never on the id (a corpus is free to
-    use negative vec_ids)."""
+    use negative vec_ids).
+
+    Retention is DETERMINISTIC under the (sim DESC, vec_id ASC) total
+    order (_top_by_sim_then_id): ADC sims tie frequently — vectors
+    sharing PQ codes score identically — so an arbitrary argpartition
+    boundary would make the rerank candidate pool (and hence the
+    post-rerank top-k) depend on chunk arrival order; this way the
+    retained pool is exactly what the downstream window's
+    (adc_sim DESC, vec_id ASC) order would keep."""
 
     def __init__(self, n_q: int, topr: int):
         self.topr = topr
@@ -1853,10 +1930,10 @@ class _RunningTopR:
         r = min(self.topr, len(ids))
         if r == 0:
             return
-        top = np.argpartition(-sims, r - 1)[:r]
+        top = _top_by_sim_then_id(sims, ids, r)
         s_all = np.concatenate([self.s[qi], sims[top]])
         v_all = np.concatenate([self.v[qi], ids[top]])
-        sel = np.argpartition(-s_all, self.topr - 1)[: self.topr]
+        sel = _top_by_sim_then_id(s_all, v_all, self.topr)
         self.s[qi] = s_all[sel]
         self.v[qi] = v_all[sel]
 
@@ -1919,8 +1996,8 @@ def pq_topk(
     # subvector with every codebook entry
     luts = np.einsum("qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), books)
 
-    side_bc = vectors.sparkSession.sparkContext.broadcast(
-        (q_ids, luts, rerank)
+    side_bc = _broadcast_bounded(
+        vectors.sparkSession.sparkContext, (q_ids, luts, rerank)
     )
 
     def adc_part(batches):
@@ -2040,6 +2117,16 @@ def ivfpq_encode(
         encode,
         f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
         side_input=(centroids, codebooks, rotation),
+    ).withMetadata(
+        "codes",
+        {
+            # binds the staged code table to its quantizer; survives the
+            # parquet round-trip (Spark stores column metadata in the
+            # footer schema) and is validated by ivfpq_topk(encoded=)
+            _ANN_FP_KEY: ann_quantizer_fingerprint(
+                centroids=centroids, codebooks=codebooks, rotation=rotation
+            )
+        },
     )
 
 
@@ -2104,13 +2191,23 @@ def ivfpq_topk(
     # re-encodes nothing.  Codes are a deterministic function of
     # (vectors, centroids, codebooks, rotation), so the staged frame is
     # result-identical to inline encoding (pinned by test) — but it is
-    # only valid WITH the exact quantizer that produced it: pass the
-    # saved centroids/codebooks/rotation alongside, never retrain.
-    enc = (
-        encoded
-        if encoded is not None
-        else ivfpq_encode(vectors, cent, books, vec_col=vec_col, rotation=rotation)
-    )
+    # only valid WITH the exact quantizer that produced it: the encode
+    # map stamps a quantizer fingerprint into the staged column
+    # metadata and a mismatch is refused here, not silently served.
+    if encoded is not None:
+        _check_staged_fingerprint(
+            encoded,
+            "codes",
+            ann_quantizer_fingerprint(
+                centroids=cent, codebooks=books, rotation=rotation
+            ),
+            "ivfpq_topk",
+        )
+        enc = encoded
+    else:
+        enc = ivfpq_encode(
+            vectors, cent, books, vec_col=vec_col, rotation=rotation
+        )
 
     q_rows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
@@ -2119,11 +2216,25 @@ def ivfpq_topk(
     qc = q_mat @ cent.T  # (Q, n_cells): the q·c_cell scalar terms
     p = min(nprobe, cent.shape[0])
     probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]  # (Q, p)
+    # Scan-time cell pruning: restrict the index scan to the UNION of
+    # the batch's probed cells.  Semantically a no-op — the per-query
+    # in-map mask below already drops unprobed rows — but the filter
+    # reaches the SCAN: on a cell-PARTITIONED staged layout
+    # (write.partitionBy("cell"), cf. ann_topk_ivfpq_pruned) unprobed
+    # directories are never listed (partition pruning at planning
+    # time), and on a flat layout it still pushes to parquet row-group
+    # min/max stats.  This is the nprobe/n_cells I/O bound the inverted
+    # file exists for; skipped when the batch probes every cell.
+    probed_union = np.unique(probed)
+    if len(probed_union) < cent.shape[0]:
+        enc = enc.filter(
+            F.col("cell").isin([int(c) for c in probed_union])
+        )
     q_lut = q_mat if rotation is None else q_mat @ rotation
     luts = np.einsum("qjd,jkd->qjk", q_lut.reshape(len(q_ids), m, dsub), books)
 
-    side_bc = vectors.sparkSession.sparkContext.broadcast(
-        (q_ids, qc, probed, luts, rerank)
+    side_bc = _broadcast_bounded(
+        vectors.sparkSession.sparkContext, (q_ids, qc, probed, luts, rerank)
     )
 
     # One partial emission per PARTITION, not per Arrow chunk — the
@@ -2374,6 +2485,13 @@ def ivfpq_encode_local(
         encode,
         f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
         side_input=(centroids, local_books, rotation),
+    ).withMetadata(
+        "codes",
+        {
+            _ANN_FP_KEY: ann_quantizer_fingerprint(
+                centroids=centroids, codebooks=local_books, rotation=rotation
+            )
+        },
     )
 
 
@@ -2425,6 +2543,14 @@ def ivfpq_topk_local(
     qc = q_mat @ cent.T  # (Q, n_cells)
     p = min(nprobe, cent.shape[0])
     probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]
+    # batch-union scan pruning — same argument as ivfpq_topk: a no-op
+    # vs the per-query mask, but it reaches the scan (partition pruning
+    # on a cell-partitioned layout, row-group stats on a flat one)
+    probed_union = np.unique(probed)
+    if len(probed_union) < cent.shape[0]:
+        enc = enc.filter(
+            F.col("cell").isin([int(c) for c in probed_union])
+        )
     # per-(query, cell) LUTs: (Q, n_cells, m, ksub); with OPQ the LUT
     # side rotates the query (q.r = (Rq).(Rr)), the coarse term doesn't
     q_lut = q_mat if rotation is None else q_mat @ rotation
@@ -2432,8 +2558,8 @@ def ivfpq_topk_local(
         "qjd,cjkd->qcjk", q_lut.reshape(len(q_ids), m, dsub), books
     )
 
-    side_bc_local = vectors.sparkSession.sparkContext.broadcast(
-        (q_ids, qc, probed, luts, rerank)
+    side_bc_local = _broadcast_bounded(
+        vectors.sparkSession.sparkContext, (q_ids, qc, probed, luts, rerank)
     )
 
     def adc_part(batches):
@@ -2576,6 +2702,68 @@ def spherical_kmeans_full(
     return cent, assign
 
 
+def ann_quantizer_fingerprint(
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
+) -> str:
+    """Short deterministic fingerprint (16 hex chars of sha256) of a
+    trained quantizer — the binding between a STAGED index table
+    (ivf_assign / ivfpq_encode output persisted as parquet) and the
+    centroids/codebooks/rotation that produced it.  Staged codes are
+    meaningless under any other quantizer: serving a stale or
+    mismatched table would silently return wrong neighbors, so the
+    encode maps stamp this value into the staged frame's column
+    metadata and the serve paths (ivf_topk(assigned=), ivfpq_topk
+    (encoded=)) refuse a frame whose stamp disagrees with the quantizer
+    passed alongside.  Hashes the float64 bytes + shapes, so it is
+    exactly as strict as the bit-identity the ann_index_save round-trip
+    guarantees."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name, arr in (
+        ("centroids", centroids),
+        ("codebooks", codebooks),
+        ("rotation", rotation),
+    ):
+        h.update(name.encode())
+        if arr is None:
+            h.update(b"<none>")
+        else:
+            a = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+            h.update(repr(a.shape).encode())
+            h.update(a.tobytes())
+    return h.hexdigest()[:16]
+
+
+_ANN_FP_KEY = "streaming_spark.ann_fingerprint"
+
+
+def _check_staged_fingerprint(
+    staged: DataFrame, code_col: str, expected_fp: str, what: str
+) -> None:
+    """Refuse a pre-staged index frame stamped with a DIFFERENT
+    quantizer fingerprint.  Frames without a stamp (hand-built in a
+    test, produced by an older writer) pass unchecked — the docstring
+    warning still applies to them; frames produced by ivf_assign /
+    ivfpq_encode always carry one, so the mismatch check is active on
+    every artifact-served path."""
+    try:
+        meta = staged.schema[code_col].metadata or {}
+    except (KeyError, TypeError):
+        return
+    fp = meta.get(_ANN_FP_KEY)
+    if fp is not None and fp != expected_fp:
+        raise ValueError(
+            f"{what}: staged index fingerprint {fp!r} does not match the "
+            f"quantizer passed to this call ({expected_fp!r}) — the "
+            "staged codes were produced by a different quantizer; "
+            "serve with the exact centroids/codebooks/rotation saved "
+            "next to the staged table (ann_index_save)."
+        )
+
+
 def ann_index_save(
     path: str,
     *,
@@ -2605,6 +2793,12 @@ def ann_index_save(
         "version": 1,
         "dim": dim,
         "params": params or {},
+        # binds staged code tables to this quantizer — see
+        # ann_quantizer_fingerprint; float64 json round-trip is exact,
+        # so the fingerprint recomputed from a LOADED artifact matches
+        "fingerprint": ann_quantizer_fingerprint(
+            centroids=centroids, codebooks=codebooks, rotation=rotation
+        ),
         "centroids": None if centroids is None else centroids.tolist(),
         "codebooks": None if codebooks is None else codebooks.tolist(),
         "rotation": None if rotation is None else rotation.tolist(),
