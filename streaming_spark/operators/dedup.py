@@ -277,31 +277,76 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    band_bits: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
-    distance via xor + bit_count (all JVM-side).
+    """SimHash near-dup pairs: ``bands`` × ``band_bits``-bit band
+    blocking over the 64-bit signature, then exact Hamming distance via
+    xor + bit_count (all JVM-side).
+
+    **Choosing the knobs — measured recall envelope** (planted 3-of-60
+    -word mutations, scripts/stress_dedup.py protocol):
+
+    - Candidate generation is LOSSLESS for pairs within Hamming
+      distance ``bands − 1`` (pigeonhole: ≤ bands−1 flipped bits cannot
+      touch every band), so recall is governed by ``max_hamming``, not
+      by banding — pick ``bands ≥ max_hamming + 1`` and banding costs
+      nothing.  With ``bands · band_bits < 64`` the top bits are simply
+      never banded: the guarantee drops to flips-within-the-banded-
+      prefix, so prefer exact 64-bit coverage.
+    - The published default (4×16 bands, ham ≤ 3) has planted recall
+      **~0.24** on 3-of-60-word mutations — light word edits usually
+      flip MORE than 3 signature bits, and those pairs are excluded by
+      the RADIUS, with banding blameless (8×8 banding at the same
+      ham ≤ 3 measures the identical 0.24).  MinHash-LSH at the same
+      threshold intent measures ~0.995 (stress_dedup).
+    - Widening radius AND bands together moves recall the right way
+      (pinned by test_simhash_banding_recall_tradeoff): 8×8 bands with
+      ham ≤ 7 → **0.73**; 16×4 bands with ham ≤ 11 → **0.94**.  The
+      cost is the random-collision candidate floor, expected
+      ``bands · N²/2^(band_bits+1)``: N²/2¹⁷ at 4×16, N²/2⁸ at 8×8,
+      N²/2⁵ at 16×4 — so 8-bit bands suit corpora (or blocking keys)
+      up to ~10⁵–10⁶ docs and 4-bit bands only small blocked corpora;
+      beyond that, route light-mutation near-dup intent to MinHash-LSH
+      and keep SimHash for its actual regime, near-identical docs at
+      tight Hamming radii.
 
     The signature cache lifetime is bounded by this call (eager
     localCheckpoint of the result, then unpersist) — a lingering persist
     degrades later same-session queries 3-4× (measured; CLAUDE.md)."""
     sh = simhash64(df, text_col, id_col).persist()
     try:
-        result = _simhash_pairs_from(sh, max_hamming).localCheckpoint(eager=True)
+        result = _simhash_pairs_from(
+            sh, max_hamming, bands=bands, band_bits=band_bits
+        ).localCheckpoint(eager=True)
     finally:
         sh.unpersist()
     return result
 
 
-def _simhash_pairs_from(sh: DataFrame, max_hamming: int) -> DataFrame:
+def _simhash_pairs_from(
+    sh: DataFrame, max_hamming: int, bands: int = 4, band_bits: int = 16
+) -> DataFrame:
+    if bands < 1 or band_bits < 1 or bands * band_bits > 64:
+        raise ValueError(
+            f"simhash banding must satisfy 1 <= bands*band_bits <= 64; "
+            f"got {bands} bands x {band_bits} bits"
+        )
+    mask = (1 << band_bits) - 1
     banded = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(
+                        "simhash", band_bits * i
+                    ).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
                 ]
             )
         ).alias("band_id", "band_val"),

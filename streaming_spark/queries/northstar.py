@@ -1198,21 +1198,27 @@ _IVFPQ_BOOKS_CACHE: dict = {}
 
 
 def _ivfpq_books_cached(
-    spark, sf_dir, dim=64, n_cells=8, m=16, ksub=16,
-    rotation=None, rot_tag="",
+    spark, sf_dir, dim=64, n_cells=8, m=16, ksub=16, rotation=None,
 ):
     """Memoized residual PQ codebooks for the default IVF-PQ
     configuration — same determinism argument as the coarse quantizer
     below (bounded md5-ordered sample, fixed seed), so the cache can
     only change wall time, never results.  ``rotation`` trains in the
-    rotated residual space (OPQ); rotations are themselves memoized and
-    deterministic, so the caller's ``rot_tag`` string is a sound cache
-    key for the array."""
+    rotated residual space (OPQ); the cache key is derived from the
+    rotation's CONTENTS (quantizer fingerprint over its bytes), never
+    a caller-supplied tag — two different rotations can never collide
+    into one cache slot and silently serve codebooks trained in the
+    wrong rotated space."""
     from streaming_spark.operators.similarity import (
+        ann_quantizer_fingerprint,
         ivfpq_residual_codebooks,
     )
 
-    key = (sf_dir, dim, n_cells, m, ksub, rot_tag)
+    rot_key = (
+        None if rotation is None
+        else ann_quantizer_fingerprint(rotation=rotation)
+    )
+    key = (sf_dir, dim, n_cells, m, ksub, rot_key)
     if key not in _IVFPQ_BOOKS_CACHE:
         emb = T(spark, sf_dir, "embeddings")
         cent = _ivf_centroids_cached(spark, sf_dir, dim, n_cells)
@@ -2727,7 +2733,7 @@ def q_ann_index_artifact(spark, sf_dir):
     cent = _ivf_centroids_cached(spark, sf_dir)
     rot = _opq_residual_rot_cached(spark, sf_dir)
     books = _ivfpq_books_cached(
-        spark, sf_dir, rotation=rot, rot_tag="opq-residual"
+        spark, sf_dir, rotation=rot
     )
     d = scratch_dir("ann")
     path = os.path.join(d, "index.json")
@@ -2751,6 +2757,105 @@ def q_ann_index_artifact(spark, sf_dir):
         centroids=art["centroids"], rotation=art["rotation"],
         codebooks=art["codebooks"],
         encoded=spark.read.parquet(codes_dir),
+    )
+
+
+@query("ann_topk_ivfpq_pruned")  # rows-only: a layout/IO probe — the
+# two layouts' result_md5 equality and the partitioned files_read <
+# flat files_read contract are asserted in tests/test_operators.py::
+# test_ivfpq_cell_partitioned_layout (and visible in the emitted rows)
+def ann_topk_ivfpq_pruned(spark, sf_dir):
+    """IVF-PQ served from a CELL-PARTITIONED staged index — the layout
+    that turns probe masks into PARTITION PRUNING at scan time: the
+    same ivfpq_encode code table is staged twice (flat parquet vs
+    write.partitionBy("cell")), and ivfpq_topk's batch-union cell
+    filter (operators/similarity.py) reaches the scan, so on the
+    partitioned layout the unprobed cell DIRECTORIES are never listed —
+    I/O bounded by Σ probed-cell rows ≈ nprobe/n_cells of the table,
+    the saving the inverted file exists for (same planning-time
+    mechanism as layout_partitioned_pruning, queries/curation.py).  The
+    flat layout scans every file and drops unprobed rows after read
+    (row-group stats can't help: cells interleave within every file).
+
+    Emits one row per layout: files in the staged table, files the
+    pruned scan actually touched, rows scanned vs total, and the md5 of
+    the served top-k — identical across layouts, because layout never
+    changes semantics (the per-query in-map probe mask is the operator
+    contract; the scan filter is a strict superset of it)."""
+    import os
+
+    import numpy as np
+
+    from streaming_spark.operators.similarity import (
+        _matrix,
+        _norm_rows,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)  # small serve batch: the
+    # union of its probed cells is what the partitioned scan reads
+    nprobe, n_cells = 2, 8
+    cent = _ivf_centroids_cached(spark, sf_dir)
+    books = _ivfpq_books_cached(spark, sf_dir)
+    d = scratch_dir("annlayout")
+    flat_dir, part_dir = os.path.join(d, "flat"), os.path.join(d, "by_cell")
+    enc = ivfpq_encode(emb, cent, books)
+    enc.repartition(8).write.mode("overwrite").parquet(flat_dir)
+    enc.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(part_dir)
+
+    # the batch's probed-cell union, driver-side (same math as the
+    # operator's probe step — queries are bounded by contract)
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
+    qc = q_mat @ cent.T
+    probed = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+    union = [int(c) for c in np.unique(probed)]
+
+    def layout_row(path, layout):
+        scan = spark.read.parquet(path)
+
+        def files_rows(df):
+            # input_file_name must be PROJECTED before aggregating
+            # (non-deterministic expr — same probe as
+            # layout_partitioned_pruning)
+            return df.select(F.input_file_name().alias("f")).agg(
+                F.countDistinct("f").alias("files"),
+                F.count(F.lit(1)).alias("rows"),
+            ).first()
+
+        total = files_rows(scan)
+        pruned = files_rows(scan.filter(F.col("cell").isin(union)))
+        served = ivfpq_topk(
+            emb, queries, dim=64, k=5, n_cells=n_cells, nprobe=nprobe,
+            m=16, ksub=16, rerank=128, centroids=cent, codebooks=books,
+            encoded=scan,
+        )
+        md5 = (
+            served.select(
+                F.concat_ws(
+                    "|", "query_id", "neighbor_id", "sim", "rank"
+                ).alias("s")
+            )
+            .agg(
+                F.md5(
+                    F.concat_ws(";", F.sort_array(F.collect_list("s")))
+                ).alias("h")
+            )
+            .first()[0]
+        )
+        return (
+            layout, int(total["files"]), int(pruned["files"]),
+            int(total["rows"]), int(pruned["rows"]), md5,
+        )
+
+    return spark.createDataFrame(
+        [layout_row(flat_dir, "flat"), layout_row(part_dir, "cell_partitioned")],
+        "layout STRING, files_total INT, files_read INT, "
+        "rows_total BIGINT, rows_scanned BIGINT, result_md5 STRING",
     )
 
 

@@ -2908,3 +2908,325 @@ def test_semdedup_contract(spark):
     # vectors with no >= threshold neighbor in their cell all survive
     lonely = [r for i, r in out.items() if i >= 2]
     assert all(not r.dropped for r in lonely)
+
+
+def test_topk_tiebreak_helper_matches_lexsort():
+    """_top_by_sim_then_id must select the EXACT top-r under
+    (sim DESC, id ASC) — the total order every final window and DuckDB
+    oracle uses — including when ties straddle the r-th slot (duplicate
+    vectors produce bit-identical sims).  Randomized against the
+    lexsort ground truth, with heavy tie mass and -inf padding values
+    (the _RunningTopR state representation)."""
+    from streaming_spark.operators.similarity import _top_by_sim_then_id
+
+    rng = np.random.default_rng(20260815)
+    for _ in range(2000):
+        n = int(rng.integers(1, 40))
+        r = int(rng.integers(1, 12))
+        sims = rng.choice(
+            np.array([0.1, 0.5, 0.5, 0.9, -np.inf]), size=n
+        ).astype(float)
+        ids = (rng.permutation(1000)[:n] - 500).astype(np.int64)
+        sel = _top_by_sim_then_id(sims, ids, r)
+        order = np.lexsort((ids, -sims))[: min(r, n)]
+        assert sorted(zip(-sims[sel], ids[sel])) == sorted(
+            zip(-sims[order], ids[order])
+        )
+        assert len(set(sel.tolist())) == len(sel)  # real indices, no dups
+
+
+def test_cosine_topk_boundary_ties_deterministic(spark):
+    """Planted duplicate vectors tying EXACTLY at the k boundary: the
+    exact arm must return the oracle's (sim DESC, neighbor_id ASC)
+    selection — the smallest-id members of the tied group — regardless
+    of partitioning or chunk arrival order (ADVICE r10: an argpartition
+    on sim alone could keep an arbitrary tied member at the partial
+    boundary).  Duplicates are listed with DESCENDING ids in row order
+    so an insertion-order-biased compaction would keep the wrong ones,
+    and the corpus is spread over several partitions."""
+    dim = 8
+    q = [1.0] + [0.0] * (dim - 1)
+    rows = [(0, q)]  # the query itself lives in the corpus
+    # three distinct near neighbors (sim strictly above the tie group)
+    for i, eps in ((1, 0.10), (2, 0.11), (3, 0.12)):
+        v = np.array(q)
+        v[1] = eps
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # six bit-identical duplicates at a lower sim — ids DESCENDING
+    dup = np.array(q)
+    dup[2] = 0.9
+    dup = dup / np.linalg.norm(dup)
+    dup_ids = [900, 800, 700, 600, 500, 400]
+    for i in dup_ids:
+        rows.append((i, [float(x) for x in dup]))
+    # far-away filler so partitions are non-trivial
+    for i in range(50, 80):
+        v = np.zeros(dim)
+        v[3 + (i % (dim - 3))] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(6, "vec_id")
+    queries = df.filter(F.col("vec_id") == 0)
+    for _ in range(2):  # rerun-stable
+        got = [
+            (r.neighbor_id, r.rank)
+            for r in cosine_topk(df, queries, k=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        # top-3 are the distinct neighbors (smallest eps = highest sim
+        # first), then the k boundary falls INSIDE the tied duplicate
+        # group: ranks 4-5 must be the two SMALLEST ids of the group,
+        # not arbitrary members
+        assert [n for n, _ in got[:3]] == [1, 2, 3]
+        assert [n for n, _ in got[3:]] == [400, 500]
+
+
+def test_running_topr_tiebreak_order_invariant():
+    """_RunningTopR retains the exact top-r under (sim DESC, id ASC):
+    offering the same tied candidates in different chunk orders must
+    flush the identical set — ADC sims tie whenever vectors share PQ
+    codes, so an arrival-order-dependent rerank pool would make the
+    post-rerank top-k nondeterministic."""
+    from streaming_spark.operators.similarity import _RunningTopR
+
+    sims = np.array([0.5, 0.5, 0.5, 0.5, 0.9, 0.5])
+    ids = np.array([30, 10, 40, 20, 99, 15], dtype=np.int64)
+    perms = [
+        np.arange(6),
+        np.arange(6)[::-1],
+        np.array([2, 0, 5, 1, 4, 3]),
+    ]
+    flushes = []
+    for p in perms:
+        st = _RunningTopR(1, 3)
+        # two offers per run: split the permuted stream into chunks
+        st.offer(0, sims[p][:3], ids[p][:3])
+        st.offer(0, sims[p][3:], ids[p][3:])
+        out = st.flush(np.array([7]))
+        flushes.append(
+            sorted(zip(out["vec_id"].tolist(), out["adc_sim"].tolist()))
+        )
+    # ground truth: 0.9 first, then the two smallest tied ids
+    assert flushes[0] == [(10, 0.5), (15, 0.5), (99, 0.9)]
+    assert flushes[0] == flushes[1] == flushes[2]
+
+
+def test_ann_staged_fingerprint_refuses_mismatch(spark, tmp_path):
+    """A staged index table is only meaningful WITH the quantizer that
+    produced it.  The encode maps stamp a quantizer fingerprint into
+    the staged column metadata (surviving the parquet round-trip); the
+    serve paths must refuse a frame stamped by a DIFFERENT quantizer
+    instead of silently returning wrong neighbors — and keep serving
+    matching and unstamped frames."""
+    from streaming_spark.operators.similarity import (
+        _ANN_FP_KEY,
+        ann_index_load,
+        ann_index_save,
+        ann_quantizer_fingerprint,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+        ivfpq_encode,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    cent_a = ivf_centroids(df, 16, 4)
+    cent_b = ivf_centroids(df, 16, 5)  # a different quantizer
+    books_a = ivfpq_residual_codebooks(df, cent_a, 16, m=4, ksub=8)
+    books_b = ivfpq_residual_codebooks(df, cent_b, 16, m=4, ksub=8)
+
+    ivfpq_encode(df, cent_a, books_a).write.parquet(str(tmp_path / "pq"))
+    enc = spark.read.parquet(str(tmp_path / "pq"))
+    assert enc.schema["codes"].metadata[_ANN_FP_KEY] == (
+        ann_quantizer_fingerprint(centroids=cent_a, codebooks=books_a)
+    )
+    # matching quantizer serves
+    ivfpq_topk(
+        df, q, 16, k=3, n_cells=4, nprobe=2, m=4, ksub=8,
+        centroids=cent_a, codebooks=books_a, encoded=enc,
+    ).collect()
+    # mismatched quantizer is refused loudly
+    with pytest.raises(ValueError, match="fingerprint"):
+        ivfpq_topk(
+            df, q, 16, k=3, n_cells=5, nprobe=2, m=4, ksub=8,
+            centroids=cent_b, codebooks=books_b, encoded=enc,
+        )
+
+    ivf_assign(df, cent_a).write.parquet(str(tmp_path / "ivf"))
+    staged = spark.read.parquet(str(tmp_path / "ivf"))
+    ivf_topk(
+        df, q, 16, k=3, n_cells=4, nprobe=2,
+        centroids=cent_a, assigned=staged,
+    ).collect()
+    with pytest.raises(ValueError, match="fingerprint"):
+        ivf_topk(
+            df, q, 16, k=3, n_cells=5, nprobe=2,
+            centroids=cent_b, assigned=staged,
+        )
+    # an UNSTAMPED frame (hand-built, older writer) still serves
+    bare = staged.withMetadata("cell", {})
+    ivf_topk(
+        df, q, 16, k=3, n_cells=4, nprobe=2,
+        centroids=cent_a, assigned=bare,
+    ).collect()
+
+    # the saved artifact records the same binding, and it survives the
+    # json round-trip (float64 lists are exact)
+    path = str(tmp_path / "index.json")
+    ann_index_save(
+        path, dim=16, centroids=cent_a, codebooks=books_a
+    )
+    art = ann_index_load(path)
+    assert art["fingerprint"] == ann_quantizer_fingerprint(
+        centroids=art["centroids"], codebooks=art["codebooks"]
+    )
+
+
+def test_ivfpq_cell_partitioned_layout(spark):
+    """The registered layout probe's contract: the cell-partitioned
+    staged index serves a ROW-IDENTICAL top-k (layout never changes
+    semantics) while the pruned scan touches strictly fewer files than
+    the flat layout — the probe mask became partition pruning, the
+    nprobe/n_cells I/O bound the inverted file exists for.  Rows
+    scanned must equal the probed-cell populations on BOTH layouts
+    (the batch-union filter reaches the scan either way)."""
+    from streaming_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["ann_topk_ivfpq_pruned"](spark, SF_SMOKE).collect()
+    }
+    flat, part = rows["flat"], rows["cell_partitioned"]
+    assert flat["result_md5"] == part["result_md5"]
+    assert part["files_read"] < flat["files_read"]
+    assert flat["files_read"] == flat["files_total"]  # flat can't prune
+    assert part["rows_scanned"] == flat["rows_scanned"] < flat["rows_total"]
+
+
+def test_simhash_banding_recall_tradeoff(spark):
+    """The SimHash banding/radius knob must move recall the RIGHT way
+    on the stress corpus protocol (VERDICT r10 #3: the published 4×16 /
+    ham ≤ 3 operating point silently delivers ~0.24 recall on lightly
+    mutated near-dups, 4× worse than MinHash-LSH at the same threshold
+    intent).  Reuses scripts/stress_dedup.py's deterministic planted
+    corpus (every 5th doc a ~3-of-60-word mutation of its predecessor)
+    so the floors here are the documented envelope, not a new metric.
+
+    Pins: banding alone does NOT move recall (the radius governs — 8×8
+    at ham ≤ 3 equals 4×16 at ham ≤ 3 exactly), widening radius+bands
+    does (8×8/ham ≤ 7 ≥ 0.7, 16×4/ham ≤ 11 ≥ 0.8 — measured 0.728 /
+    0.944), and an invalid banding is refused."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from stress_dedup import _gen_texts
+
+    n = 2500
+    ids = np.arange(n)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "text": _gen_texts(ids)})
+    )
+    planted = n // 5
+
+    def recall(bands, band_bits, ham):
+        p = simhash_dedup_pairs(
+            docs, "text", "doc_id",
+            max_hamming=ham, bands=bands, band_bits=band_bits,
+        )
+        hit = p.filter(
+            (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 5 == 3)
+        ).count()
+        return hit / planted
+
+    base = recall(4, 16, 3)
+    assert 0.15 < base < 0.35  # the documented ~0.24 surprise
+    assert recall(8, 8, 3) == base  # radius governs; banding blameless
+    assert recall(8, 8, 7) >= 0.7
+    assert recall(16, 4, 11) >= 0.8
+
+    with pytest.raises(ValueError, match="bands"):
+        simhash_dedup_pairs(
+            docs, "text", "doc_id", bands=5, band_bits=16
+        )  # 80 > 64 bits
+
+
+@pytest.mark.slow  # ~85 s: 30k-vector build + exact baseline
+def test_ann_deploy_sizing_recall_floor(spark):
+    """Regression pin for the published-standard PQ deployment sizing
+    (VERDICT r10 #4): the r10 sweep (scripts/stress_ann.py) found the
+    fixture-sized codes (m=8, ksub=16) collapse recall to 0.05-0.22 on
+    clustered corpora, while the published standard (m=16, ksub=256,
+    sample_limit 16384, rerank >= 512) restores 0.98/0.89/0.82 at
+    100k/500k/1M.  This pins the deploy sizing on a clustered synthetic
+    slice so the published-standard path cannot silently regress —
+    the sweep ran once; this runs every suite.
+
+    Corpus/protocol reuse scripts/stress_ann.py verbatim (32 unit-norm
+    clusters, splitmix64 noise, strict identity recall@10 vs the exact
+    brute-force scan)."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from stress_ann import _centers, _gen_vectors
+
+    from streaming_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+
+    n, n_q, k = 30_000, 64, 10
+    centers = _centers()
+    ids = np.arange(n)
+    vecs = _gen_vectors(ids, "clustered", centers)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+        ),
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    ).repartition(8)
+    queries = corpus.filter(F.col("vec_id") < n_q)
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(corpus, queries, k=k).collect()
+    }
+
+    # deployment sizing per the sweep: coarse cells ~sqrt(N)/4, 8-bit
+    # codes, deep exact rerank
+    n_cells = max(16, int(n**0.5) // 4)
+    cent = ivf_centroids(corpus, 64, n_cells)
+    books = ivfpq_residual_codebooks(
+        corpus, cent, 64, m=16, ksub=256, sample_limit=16_384
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            corpus, queries, dim=64, k=k, n_cells=n_cells, nprobe=8,
+            m=16, ksub=256, rerank=512, centroids=cent, codebooks=books,
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"deploy-sized IVF-PQ recall@10 = {recall}"
