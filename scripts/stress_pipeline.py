@@ -32,6 +32,10 @@ Expected structure per N (the correctness-at-scale checks):
 
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_pipeline.py [max_n]
+    PYTHONPATH=/root/repo python scripts/stress_pipeline.py N streaming
+        # the foreachBatch ingest arm at one point N: per-doc stages in
+        # micro-batches, global tail over the sink, and an EXACT
+        # survivor-set equality assert against the batch pipeline
 """
 
 from __future__ import annotations
@@ -182,6 +186,152 @@ def run_point(spark, n: int) -> None:
     release(corpus_dir, d1, d2, d3, d4)
 
 
+def run_streaming_point(spark, n: int) -> None:
+    """STREAMING-INGEST arm (VERDICT r10 #5): the same composed
+    pipeline with the per-document stages (Gopher + C4 quality
+    filters) run AT INGEST inside foreachBatch micro-batches — the
+    q_streaming_curate_corpus division of labor — and the global
+    stages (line/exact dedup, near-dup keep-one, decontamination)
+    over the accumulated survivor sink.  Then the BATCH pipeline runs
+    over the same corpus and the two final survivor ID sets are
+    compared for EXACT equality: the landed stages are per-doc pure
+    and every global stage is deterministic in the ids (keep-first /
+    min-id rules), so incremental curation must reproduce the batch
+    run row for row — the contract that lets a production corpus be
+    curated as it arrives instead of in one monolithic job."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.text import c4_quality, gopher_quality
+
+    t_all = time.perf_counter()
+    corpus_dir, raw = stage_corpus(spark, n)
+
+    def report(op, seconds, rows, **extra):
+        print(
+            json.dumps(
+                {"op": op, "n": n, "seconds": round(seconds, 2),
+                 "rows": rows, **extra}
+            ),
+            flush=True,
+        )
+
+    # ---- streaming ingest: per-doc stages inside each micro-batch
+    t0 = time.perf_counter()
+    sink = scratch.scratch_dir(f"stress_pipe_stream_sink_{n}", pin=True)
+    ckpt = sink + "/ckpt"
+    n_batches = [0]
+
+    def land(batch_df, batch_id):
+        docs = batch_df.withColumn(
+            "source", (F.col("doc_id") % 4).cast("string")
+        )
+        keep_g = (
+            gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
+        )
+        keep_c = c4_quality(docs).filter("passes").select("doc_id")
+        (
+            docs.join(keep_g, "doc_id")
+            .join(keep_c, "doc_id")
+            .write.mode("append")
+            .parquet(sink + "/t")
+        )
+        n_batches[0] += 1
+
+    stream_docs = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 4)  # 32 staged files -> 8 batches
+        .parquet(corpus_dir + "/t")
+    )
+    q = (
+        stream_docs.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(sink + "/t")
+    rows_s = streamed.count()
+    report(
+        "pipe_streaming_ingest_filters",
+        time.perf_counter() - t0,
+        rows_s,
+        micro_batches=n_batches[0],
+    )
+
+    # ---- global stages over the accumulated survivors (shared tail)
+    t0 = time.perf_counter()
+    stream_ids = _pipeline_tail_ids(spark, streamed, raw, n, "stream")
+    report(
+        "pipe_streaming_global_tail", time.perf_counter() - t0, len(stream_ids)
+    )
+
+    # ---- the batch pipeline over the same corpus
+    t0 = time.perf_counter()
+    docs = raw.withColumn("source", (F.col("doc_id") % 4).cast("string"))
+    keep_g = gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
+    keep_c = c4_quality(docs).filter("passes").select("doc_id")
+    batch_filtered = docs.join(keep_g, "doc_id").join(keep_c, "doc_id")
+    batch_ids = _pipeline_tail_ids(spark, batch_filtered, raw, n, "batch")
+    report("pipe_batch_reference", time.perf_counter() - t0, len(batch_ids))
+
+    report(
+        "pipe_streaming_vs_batch",
+        time.perf_counter() - t_all,
+        len(stream_ids),
+        identical_survivors=stream_ids == batch_ids,
+        batch_rows=len(batch_ids),
+    )
+    assert stream_ids == batch_ids, (
+        "streaming and batch pipelines diverged: "
+        f"{len(stream_ids)} vs {len(batch_ids)} survivors"
+    )
+    scratch.unpin(sink)
+    shutil.rmtree(sink, ignore_errors=True)
+    release(corpus_dir)
+
+
+def _pipeline_tail_ids(spark, filtered, raw, n: int, tag: str) -> list:
+    """The pipeline's GLOBAL stages (cross-doc line dedup + exact dedup
+    → near-dup keep-one → decontamination), shared verbatim by the
+    batch and streaming arms; returns the sorted final survivor ids.
+    Stages are checkpointed to scratch like run_point's."""
+    from pyspark.sql import Window, functions as F
+
+    from streaming_spark.operators.dedup import (
+        dedup_keep_one,
+        minhash_dedup_pairs,
+    )
+    from streaming_spark.operators.text import line_dedup_clean
+    from streaming_spark.queries.curation import (
+        benchmark_grams,
+        decontaminate_against,
+    )
+
+    d1, filtered, _ = _stage(spark, f"{tag}_filtered", filtered, n)
+    cleaned = line_dedup_clean(filtered)
+    w = Window.partitionBy("cleaned_hash").orderBy("doc_id")
+    keep_ids = (
+        cleaned.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id")
+    )
+    d2, exact, _ = _stage(spark, f"{tag}_exact", filtered.join(keep_ids, "doc_id"), n)
+    pairs = minhash_dedup_pairs(exact, "text", "doc_id", threshold=0.5)
+    d3, survivors, _ = _stage(
+        spark, f"{tag}_neardup", dedup_keep_one(exact, pairs, "doc_id"), n
+    )
+    bench = raw.filter("doc_id % 97 = 0")
+    flags = decontaminate_against(survivors, benchmark_grams(bench))
+    clean = survivors.join(
+        flags.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+    )
+    ids = sorted(r.doc_id for r in clean.select("doc_id").collect())
+    release(d1, d2, d3)
+    return ids
+
+
 def main() -> None:
     max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     spark = get_spark(app_name="stress-pipeline")
@@ -194,6 +344,10 @@ def main() -> None:
 
     # warm the Arrow worker pools before timing (CLAUDE.md)
     run_point(spark, 1_000)
+
+    if len(sys.argv) > 2 and sys.argv[2] == "streaming":
+        run_streaming_point(spark, max_n)
+        return
 
     for n in (50_000, 200_000, 1_000_000):
         if n > max_n:

@@ -557,14 +557,19 @@ def ivf_assign(
         schema += ", cent_sim DOUBLE"
     if keep_vec is not None:
         schema += f", {keep_vec} ARRAY<DOUBLE>"
-    return stream(
-        df.select(id_col, vec_col),
-        assign,
-        schema,
-        side_input=centroids,
-    ).withMetadata(
-        "cell",
-        {_ANN_FP_KEY: ann_quantizer_fingerprint(centroids=centroids)},
+    # fingerprint on BOTH columns: a staged inverted file partitioned
+    # BY cell moves `cell` into directory names (column metadata lost
+    # there), so the id column carries a second copy
+    fp_meta = {_ANN_FP_KEY: ann_quantizer_fingerprint(centroids=centroids)}
+    return (
+        stream(
+            df.select(id_col, vec_col),
+            assign,
+            schema,
+            side_input=centroids,
+        )
+        .withMetadata("cell", fp_meta)
+        .withMetadata(out_id, fp_meta)
     )
 
 
@@ -609,7 +614,7 @@ def ivf_topk(
     if assigned is not None:
         _check_staged_fingerprint(
             assigned,
-            "cell",
+            ("cell", "vec_id"),
             ann_quantizer_fingerprint(centroids=cent),
             "ivf_topk",
         )
@@ -2160,13 +2165,16 @@ def ivfpq_topk(
     codebooks only have to cover centroid-local offsets.
 
     Physical plan: encode is a shuffle-free Arrow map; scoring is a
-    partition-parallel scan that masks to probed cells in-map (on a
-    cell-PARTITIONED index layout the mask becomes partition pruning —
-    same operator, the layout choice is orthogonal, cf.
-    layout_zorder_write); the only shuffles are the O(Q·rerank·
-    partitions) candidate window and the exact-rerank join.  Queries
-    collect driver-side under the same bounded-queries contract as
-    cosine_topk/pq_topk.
+    partition-parallel scan filtered at PLANNING time to the batch's
+    probed-cell union (on a cell-PARTITIONED staged layout —
+    ``encoded.write.partitionBy("cell")`` — unprobed directories are
+    never listed, bounding scan I/O at Σ probed-cell rows ≈
+    nprobe/n_cells of the table; demonstrated with files-read /
+    rows-scanned accounting by ann_topk_ivfpq_pruned and measured at
+    1M vectors in scripts/stress_ann.py) and masked per-query in-map;
+    the only shuffles are the O(Q·rerank·partitions) candidate window
+    and the exact-rerank join.  Queries collect driver-side under the
+    same bounded-queries contract as cosine_topk/pq_topk.
 
     ``rotation`` (see :func:`opq_train_residual`) composes OPQ into the
     index: residuals are rotated before quantization, and by q·r =
@@ -2197,7 +2205,7 @@ def ivfpq_topk(
     if encoded is not None:
         _check_staged_fingerprint(
             encoded,
-            "codes",
+            ("codes",),
             ann_quantizer_fingerprint(
                 centroids=cent, codebooks=books, rotation=rotation
             ),
@@ -2741,27 +2749,34 @@ _ANN_FP_KEY = "streaming_spark.ann_fingerprint"
 
 
 def _check_staged_fingerprint(
-    staged: DataFrame, code_col: str, expected_fp: str, what: str
+    staged: DataFrame, code_cols: tuple, expected_fp: str, what: str
 ) -> None:
     """Refuse a pre-staged index frame stamped with a DIFFERENT
-    quantizer fingerprint.  Frames without a stamp (hand-built in a
-    test, produced by an older writer) pass unchecked — the docstring
-    warning still applies to them; frames produced by ivf_assign /
-    ivfpq_encode always carry one, so the mismatch check is active on
-    every artifact-served path."""
-    try:
-        meta = staged.schema[code_col].metadata or {}
-    except (KeyError, TypeError):
+    quantizer fingerprint.  ``code_cols`` lists the columns that may
+    carry the stamp (ivf_assign stamps both `cell` and the id column —
+    a layout partitioned BY cell moves `cell` into directory names and
+    loses its column metadata).  Frames without any stamp (hand-built
+    in a test, produced by an older writer) pass unchecked — the
+    docstring warning still applies to them; frames produced by
+    ivf_assign / ivfpq_encode always carry one, so the mismatch check
+    is active on every artifact-served path."""
+    for col in code_cols:
+        try:
+            meta = staged.schema[col].metadata or {}
+        except (KeyError, TypeError):
+            continue
+        fp = meta.get(_ANN_FP_KEY)
+        if fp is None:
+            continue
+        if fp != expected_fp:
+            raise ValueError(
+                f"{what}: staged index fingerprint {fp!r} does not match "
+                f"the quantizer passed to this call ({expected_fp!r}) — "
+                "the staged codes were produced by a different quantizer; "
+                "serve with the exact centroids/codebooks/rotation saved "
+                "next to the staged table (ann_index_save)."
+            )
         return
-    fp = meta.get(_ANN_FP_KEY)
-    if fp is not None and fp != expected_fp:
-        raise ValueError(
-            f"{what}: staged index fingerprint {fp!r} does not match the "
-            f"quantizer passed to this call ({expected_fp!r}) — the "
-            "staged codes were produced by a different quantizer; "
-            "serve with the exact centroids/codebooks/rotation saved "
-            "next to the staged table (ann_index_save)."
-        )
 
 
 def ann_index_save(

@@ -2746,9 +2746,12 @@ def q_ann_index_artifact(spark, sf_dir):
         params={"n_cells": 8, "m": 16, "ksub": 16},
     )
     codes_dir = os.path.join(d, "codes")
-    ivfpq_encode(emb, cent, books, rotation=rot).write.mode(
-        "overwrite"
-    ).parquet(codes_dir)
+    # production layout: codes partitioned BY CELL, so the serve call's
+    # batch-union probe filter prunes unprobed directories at scan time
+    # (measured in ann_topk_ivfpq_pruned / scripts/stress_ann.py)
+    ivfpq_encode(emb, cent, books, rotation=rot).repartition(
+        "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(codes_dir)
     art = ann_index_load(path)
     return ivfpq_topk(
         emb, queries, dim=art["dim"], k=5,
@@ -2781,7 +2784,13 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
     pruned scan actually touched, rows scanned vs total, and the md5 of
     the served top-k — identical across layouts, because layout never
     changes semantics (the per-query in-map probe mask is the operator
-    contract; the scan filter is a strict superset of it)."""
+    contract; the scan filter is a strict superset of it).
+
+    Measured at 1M vectors / 250 cells / nprobe=8 (scripts/
+    stress_ann.py `ann_ivfpq_serve_bycell`): a Q=8 serve batch scans
+    25.8% of rows (59 probed cells) row-identically; larger batches
+    saturate the probed union and converge to the flat scan — small or
+    cell-routed batches are where the layout pays."""
     import os
 
     import numpy as np

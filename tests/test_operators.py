@@ -3073,12 +3073,25 @@ def test_ann_staged_fingerprint_refuses_mismatch(spark, tmp_path):
             df, q, 16, k=3, n_cells=5, nprobe=2,
             centroids=cent_b, assigned=staged,
         )
-    # an UNSTAMPED frame (hand-built, older writer) still serves
-    bare = staged.withMetadata("cell", {})
+    # an UNSTAMPED frame (hand-built, older writer) still serves —
+    # blank BOTH stamp carriers (ivf_assign stamps cell AND the id)
+    bare = staged.withMetadata("cell", {}).withMetadata("vec_id", {})
     ivf_topk(
         df, q, 16, k=3, n_cells=4, nprobe=2,
         centroids=cent_a, assigned=bare,
     ).collect()
+    # a CELL-PARTITIONED staged inverted file loses the cell column's
+    # metadata to directory names — the id-column stamp must still
+    # refuse a mismatched quantizer
+    ivf_assign(df, cent_a).write.partitionBy("cell").parquet(
+        str(tmp_path / "ivf_bycell")
+    )
+    staged_bycell = spark.read.parquet(str(tmp_path / "ivf_bycell"))
+    with pytest.raises(ValueError, match="fingerprint"):
+        ivf_topk(
+            df, q, 16, k=3, n_cells=5, nprobe=2,
+            centroids=cent_b, assigned=staged_bycell,
+        )
 
     # the saved artifact records the same binding, and it survives the
     # json round-trip (float64 lists are exact)
@@ -3230,3 +3243,32 @@ def test_ann_deploy_sizing_recall_floor(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"deploy-sized IVF-PQ recall@10 = {recall}"
+
+
+def test_broadcast_pool_eviction_never_breaks_lazy_plans(spark):
+    """The bounded broadcast registry UNPERSISTS (never destroys) the
+    oldest entries past its cap, and unpersist only drops the cached
+    executor copies — a still-lazy plan referencing an evicted
+    broadcast must transparently re-ship it on execution.  Build more
+    plans than the cap, executing NONE of them, then collect the
+    FIRST (whose broadcast is long since evicted): the rows must be
+    correct.  This is the contract that makes eviction safe to apply
+    to lazily-consumed query results."""
+    from streaming_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    plans = []
+    for qid in range(sim._MAX_LIVE_BROADCASTS + 4):
+        q = df.filter(F.col("vec_id") == qid % 10)
+        plans.append(cosine_topk(df, q, k=3))
+    assert len(sim._LIVE_BROADCASTS) <= sim._MAX_LIVE_BROADCASTS
+    first = plans[0].collect()  # its broadcast was evicted long ago
+    assert len(first) == 3
+    # correctness, not just survival: equals a fresh identical plan
+    fresh = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, fresh))
