@@ -66,9 +66,18 @@ def asof_join(
     unioned = lhs_aligned.unionByName(rhs.select(*keys, "__t", "__side", "__payload"), allowMissingColumns=True)
 
     # right rows sort before left rows at equal time → "at or before".
+    # __payload as the final sort key makes the pick among DUPLICATE
+    # (key, time) right rows deterministic — without it, which tied row
+    # `last` sees depends on the shuffle's arbitrary order within equal
+    # sort keys.  Spark compares structs field-wise, so the winner is
+    # the greatest (right_time, *value_cols) tuple — right_time ties by
+    # construction, leaving the greatest value fields; left rows' NULL
+    # payloads sort among themselves and are irrelevant (every right
+    # row at the time still precedes every left row, and `last`
+    # ignores nulls).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

@@ -178,6 +178,147 @@ def read_tar_members(
     )
 
 
+def fake_decode_image(
+    df: DataFrame, blob_col: str = "blob", height: int = 16, width: int = 16
+) -> DataFrame:
+    """Deterministic stand-in for blob→image DECODE: raster row ``r``'s
+    bytes are ``md5(blob + b"|" + str(r))`` tiled to ``width`` — a
+    ``height × width`` uint8 grayscale raster (flattened row-major,
+    plus shape columns) whose rows all differ, so downstream
+    interpolation is exercised in BOTH axes.  Same contract as
+    :func:`fake_decode_features` — only the codec is faked (PIL is
+    absent here; :func:`decode_image` is the env-gated real one); the
+    Spark-side plumbing (Arrow batching, schema, one-raster-per-row
+    array column) is exactly what a real decoder produces, so every
+    downstream image op (resize, feature extract) runs real math over
+    it.  The per-row digest construction is deliberately replayable in
+    ANSI SQL (``md5(text || '|' || r)`` + hex-substring byte extraction)
+    — the resize pipeline's DuckDB oracle recomputes every pixel."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        reps = width // 16 + 1
+        pixels = []
+        for blob in pdf[blob_col]:
+            b = bytes(blob)
+            rows = [
+                np.frombuffer(
+                    (hashlib.md5(b + b"|" + str(r).encode()).digest() * reps)[
+                        :width
+                    ],
+                    dtype=np.uint8,
+                )
+                for r in range(height)
+            ]
+            pixels.append(
+                np.concatenate(rows).astype(np.int32).tolist()
+            )
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "img": pixels,
+                "img_h": height,
+                "img_w": width,
+            }
+        )
+
+    return stream(
+        ensure_parallelism(df.select("id", blob_col)),
+        compute,
+        "id BIGINT, img ARRAY<INT>, img_h INT, img_w INT",
+    )
+
+
+def _bilinear_batch(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL vectorized bilinear resize of a batch of grayscale rasters
+    ``(n, H, W) float64 → (n, out_h, out_w)`` — the half-pixel-center
+    (align_corners=False) convention used by PIL/torch/TF defaults,
+    edge-replicate at the borders.  Pure numpy: four fancy-indexed
+    gathers + the two lerps, no per-pixel Python."""
+    n, H, W = imgs.shape
+    ys = (np.arange(out_h) + 0.5) * (H / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (W / out_w) - 0.5
+    y0f = np.floor(ys)
+    x0f = np.floor(xs)
+    wy = (ys - y0f)[None, :, None]  # (1, out_h, 1)
+    wx = (xs - x0f)[None, None, :]  # (1, 1, out_w)
+    y0 = np.clip(y0f.astype(np.int64), 0, H - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, H - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, W - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, W - 1)
+    tl = imgs[:, y0[:, None], x0[None, :]]
+    tr = imgs[:, y0[:, None], x1[None, :]]
+    bl = imgs[:, y1[:, None], x0[None, :]]
+    br = imgs[:, y1[:, None], x1[None, :]]
+    top = tl + (tr - tl) * wx
+    bot = bl + (br - bl) * wx
+    return top + (bot - top) * wy
+
+
+def resize_images(
+    df: DataFrame,
+    img_col: str = "img",
+    h_col: str = "img_h",
+    w_col: str = "img_w",
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "id",
+) -> DataFrame:
+    """Bilinear image resize over a raster column — the standard
+    image-preprocessing stage between decode and feature extraction
+    (train-set normalization to a fixed input size).  Input rows carry
+    a flattened row-major grayscale raster (``img_col``) plus its
+    ``h_col × w_col`` shape (the :func:`fake_decode_image` /
+    :func:`decode_image` contract); output replaces them with the
+    ``out_h × out_w`` resize as ``ARRAY<FLOAT>`` plus shape columns.
+
+    The resize MATH is real (vectorized half-pixel-center bilinear,
+    edge-replicate — contract-tested against constant / gradient /
+    exact-2x-box-mean identities); only the upstream image DECODE is
+    env-gated (PIL).  Plan shape: one narrow Arrow map, rasters grouped
+    by shape within each batch so every same-shape group resizes in one
+    (n, H, W) vectorized call; no shuffle, output rows = input rows.
+    At 100 TB the raster column dominates the batch bytes — size
+    ``arrow.maxRecordsPerBatch`` to the raster, not the row count."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.reset_index(drop=True)  # positions == labels even if
+        # an upstream chunk_rows slice handed us a shifted index
+        n = len(pdf)
+        out = np.empty((n, out_h * out_w), dtype=np.float32)
+        shapes = pd.DataFrame(
+            {"h": pdf[h_col].to_numpy(), "w": pdf[w_col].to_numpy()}
+        )
+        for (hh, ww), idx in shapes.groupby(["h", "w"]).groups.items():
+            rows = np.asarray(idx, dtype=np.int64)
+            imgs = np.stack(
+                [
+                    np.asarray(pdf[img_col].iloc[i], dtype=np.float64).reshape(
+                        hh, ww
+                    )
+                    for i in rows
+                ]
+            )
+            out[rows] = (
+                _bilinear_batch(imgs, out_h, out_w)
+                .reshape(len(rows), -1)
+                .astype(np.float32)
+            )
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "img": list(out),
+                "img_h": out_h,
+                "img_w": out_w,
+            }
+        )
+
+    return stream(
+        df.select(id_col, img_col, h_col, w_col),
+        compute,
+        f"{id_col} BIGINT, img ARRAY<FLOAT>, img_h INT, img_w INT",
+    )
+
+
 def frame_sample(
     df: DataFrame, blob_col: str = "blob", frame_bytes: int = 64, max_frames: int = 4
 ) -> DataFrame:

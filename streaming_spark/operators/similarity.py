@@ -18,7 +18,6 @@ Both are deterministic (fixed seeds, float64 accumulation).
 from __future__ import annotations
 
 import math
-from collections import deque
 
 import numpy as np
 import pandas as pd
@@ -26,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streaming_spark.operators.stream import ensure_parallelism, stream
+from streaming_spark.operators.stream import (
+    _broadcast_bounded,
+    ensure_parallelism,
+    stream,
+)
 from streaming_spark.telemetry import log_candidate_volume
 
 
@@ -45,31 +48,6 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
 
 def _matrix(pdf_vecs) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
-
-
-_LIVE_BROADCASTS: deque = deque()
-_MAX_LIVE_BROADCASTS = 16
-
-
-def _broadcast_bounded(sc, payload):
-    """``sc.broadcast`` with a bounded-lifetime registry: every top-k
-    call broadcasts its query payload (ids + LUTs/normalized matrix),
-    and a sweep like ann_tradeoff_curve (8 ivfpq calls) or a long
-    session would otherwise accumulate broadcast blocks on driver and
-    executors until the closures are GC'd.  Oldest entries beyond the
-    cap are ``unpersist``-ed (NOT destroyed): unpersist only drops the
-    cached executor copies — a still-lazy plan that references an
-    evicted broadcast transparently re-ships it from the driver on next
-    use, so eviction can never break a pending DataFrame."""
-    bc = sc.broadcast(payload)
-    _LIVE_BROADCASTS.append(bc)
-    while len(_LIVE_BROADCASTS) > _MAX_LIVE_BROADCASTS:
-        old = _LIVE_BROADCASTS.popleft()
-        try:
-            old.unpersist(False)
-        except Exception:
-            pass  # a torn-down SparkContext has nothing left to free
-    return bc
 
 
 def _top_by_sim_then_id(sims: np.ndarray, ids: np.ndarray, r: int) -> np.ndarray:
@@ -605,7 +583,16 @@ def ivf_topk(
     the dominant term of a cold call (measured in
     scripts/stress_ann.py).  Assignment is a deterministic function of
     (vectors, centroids), so passing the staged frame is result-
-    identical to inline assignment (pinned by test)."""
+    identical to inline assignment (pinned by test).
+
+    On a CELL-PARTITIONED staged layout (``assigned`` written with
+    ``partitionBy("cell")``) Spark inserts DYNAMIC PARTITION PRUNING on
+    the candidate join with no code here: the query side's probed
+    cells feed a runtime subquery that drops unprobed corpus
+    directories from the scan (pinned by
+    test_ivf_staged_join_gets_dynamic_partition_pruning) — the
+    candidate-join twin of ivfpq_topk's planning-time batch-union
+    filter."""
     cent = (
         centroids
         if centroids is not None

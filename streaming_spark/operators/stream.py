@@ -35,6 +35,7 @@ O(batch), not O(partition).  No driver-side collection anywhere.
 from __future__ import annotations
 
 import pickle
+from collections import deque
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -51,6 +52,32 @@ from pyspark.sql.types import (
 
 def _as_struct(schema: StructType | str) -> StructType | str:
     return schema
+
+
+_LIVE_BROADCASTS: deque = deque()
+_MAX_LIVE_BROADCASTS = 16
+
+
+def _broadcast_bounded(sc, payload):
+    """``sc.broadcast`` with a bounded-lifetime registry: every
+    ``stream(side_input=...)`` call (and the similarity module's query
+    payloads) broadcasts, and a long session or a multi-config sweep
+    would otherwise accumulate broadcast blocks on driver and executors
+    until the closures are GC'd.  Oldest entries beyond the cap are
+    ``unpersist``-ed (NOT destroyed): unpersist only drops the cached
+    executor copies — a still-lazy plan that references an evicted
+    broadcast transparently re-ships it from the driver on next use, so
+    eviction can never break a pending DataFrame (pinned by
+    test_broadcast_pool_eviction_never_breaks_lazy_plans)."""
+    bc = sc.broadcast(payload)
+    _LIVE_BROADCASTS.append(bc)
+    while len(_LIVE_BROADCASTS) > _MAX_LIVE_BROADCASTS:
+        old = _LIVE_BROADCASTS.popleft()
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # a torn-down SparkContext has nothing left to free
+    return bc
 
 
 _PROVENANCE_FIELDS = [
@@ -104,7 +131,9 @@ def stream(
     full_schema = _with_provenance_schema(out_schema) if provenance else out_schema
     spark = df.sparkSession
     side_bc = (
-        spark.sparkContext.broadcast(side_input) if side_input is not None else None
+        _broadcast_bounded(spark.sparkContext, side_input)
+        if side_input is not None
+        else None
     )
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

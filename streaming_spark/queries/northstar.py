@@ -440,6 +440,57 @@ def multimodal_fake_decode(spark, sf_dir):
     return feats.select("id", F.size("features").alias("dim"), "features")
 
 
+@query(
+    "multimodal_resize_pipeline",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(j.j AS INT) AS j, CAST(i.i AS INT) AS i
+      FROM (SELECT unnest(range(0, 8)) AS j) j,
+           (SELECT unnest(range(0, 8)) AS i) i),
+    b AS (
+      SELECT d.doc_id, p.j, p.i,
+        CAST(('0x' || substr(md5(d.text || '|' || CAST(2*p.j AS VARCHAR)),
+              2*(2*p.i) + 1, 2)) AS INT) AS tl,
+        CAST(('0x' || substr(md5(d.text || '|' || CAST(2*p.j AS VARCHAR)),
+              2*(2*p.i + 1) + 1, 2)) AS INT) AS tr,
+        CAST(('0x' || substr(md5(d.text || '|' || CAST(2*p.j + 1 AS VARCHAR)),
+              2*(2*p.i) + 1, 2)) AS INT) AS bl,
+        CAST(('0x' || substr(md5(d.text || '|' || CAST(2*p.j + 1 AS VARCHAR)),
+              2*(2*p.i + 1) + 1, 2)) AS INT) AS br
+      FROM documents d, pos p
+      WHERE d.text IS NOT NULL)
+    SELECT doc_id AS id, j*8 + i AS px_no,
+           (tl + tr + bl + br) / 4.0 AS px
+    FROM b ORDER BY id, px_no
+    """,
+)
+def multimodal_resize_pipeline(spark, sf_dir):
+    """Decode→RESIZE preprocessing, oracle-checked per PIXEL: blobs
+    fake-decode to 16×16 rasters (per-row md5 digests — deliberately
+    SQL-replayable; the real codec stays env-gated behind decode_image)
+    and resize_images runs REAL half-pixel-center bilinear down to 8×8.
+    An exact 2× reduction under that convention IS the 2×2 box mean
+    (output center 2j+0.5 sits exactly between input rows 2j and 2j+1,
+    so both lerp weights are 1/2), which the DuckDB oracle recomputes
+    from the same digests — every output pixel of every document equals
+    the oracle's value EXACTLY (sums of four <256 ints quartered are
+    dyadic rationals, exact in float32 and in SQL's /4.0; no rounding
+    anywhere).  The general non-integer-ratio bilinear path is pinned
+    by the operator contract tests (constant / gradient / box-mean
+    identities)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    blobs = multimodal.to_blob(docs, text_col="text", id_col="doc_id")
+    imgs = multimodal.fake_decode_image(blobs, height=16, width=16)
+    small = multimodal.resize_images(imgs, out_h=8, out_w=8)
+    return small.select(
+        "id", F.posexplode("img").alias("px_no", "px")
+    ).select(
+        "id",
+        F.col("px_no").cast("int").alias("px_no"),
+        F.col("px").cast("double").alias("px"),
+    )
+
+
 @query("multimodal_frame_sample")  # rows-only: frame digests engine-internal
 def multimodal_frame_sample(spark, sf_dir):
     """One-to-many frame sampling over blobs (video-pipeline shape)."""

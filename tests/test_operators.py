@@ -3254,7 +3254,7 @@ def test_broadcast_pool_eviction_never_breaks_lazy_plans(spark):
     FIRST (whose broadcast is long since evicted): the rows must be
     correct.  This is the contract that makes eviction safe to apply
     to lazily-consumed query results."""
-    from streaming_spark.operators import similarity as sim
+    from streaming_spark.operators import stream as stream_mod
 
     rng = np.random.default_rng(11)
     vecs = rng.standard_normal((60, 8))
@@ -3263,12 +3263,86 @@ def test_broadcast_pool_eviction_never_breaks_lazy_plans(spark):
         "vec_id BIGINT, embedding ARRAY<DOUBLE>",
     )
     plans = []
-    for qid in range(sim._MAX_LIVE_BROADCASTS + 4):
+    for qid in range(stream_mod._MAX_LIVE_BROADCASTS + 4):
         q = df.filter(F.col("vec_id") == qid % 10)
         plans.append(cosine_topk(df, q, k=3))
-    assert len(sim._LIVE_BROADCASTS) <= sim._MAX_LIVE_BROADCASTS
+    assert len(stream_mod._LIVE_BROADCASTS) <= stream_mod._MAX_LIVE_BROADCASTS
     first = plans[0].collect()  # its broadcast was evicted long ago
     assert len(first) == 3
     # correctness, not just survival: equals a fresh identical plan
     fresh = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, fresh))
+
+
+def test_asof_join_duplicate_time_right_rows_deterministic(spark):
+    """Among RIGHT rows duplicated at the same (key, time), the match
+    must be deterministic: the window's payload sort key picks the
+    greatest (time, *values) struct, independent of shuffle order.
+    Without the payload tiebreak, `last` returned whichever tied row
+    the exchange happened to emit later."""
+    from streaming_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10, "t")], "key INT, t INT, trade STRING"
+    )
+    quotes = spark.createDataFrame(
+        [(1, 10, 99.0), (1, 10, 101.0), (1, 10, 100.0)],
+        "key INT, qt INT, px DOUBLE",
+    ).repartition(3)
+    for _ in range(3):  # rerun-stable
+        out = asof_join(
+            trades, quotes, on="key", left_time="t", right_time="qt"
+        ).collect()
+        assert len(out) == 1
+        assert out[0].px_right == 101.0  # greatest payload wins, always
+
+
+def test_bilinear_resize_contracts(spark):
+    """resize_images' math is REAL (only the image decode is faked):
+    pin the half-pixel-center bilinear identities — constant images are
+    fixed points, an exact 2x reduction equals the 2x2 box mean, linear
+    gradients resample to their box means, edge-replicate never leaves
+    the input range — and the Spark plumbing resizes MIXED raster
+    shapes within one Arrow batch correctly."""
+    from streaming_spark.operators.multimodal import (
+        _bilinear_batch,
+        resize_images,
+    )
+
+    const = np.full((1, 6, 6), 7.0)
+    assert np.allclose(_bilinear_batch(const, 3, 5), 7.0)
+
+    grad = np.tile(np.arange(8, dtype=float), (8, 1))[None]  # (1, 8, 8)
+    out = _bilinear_batch(grad, 4, 4)
+    want_cols = np.arange(4) * 2 + 0.5
+    assert np.allclose(out, np.tile(want_cols, (4, 1))[None])
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (3, 16, 16)).astype(np.float64)
+    assert np.allclose(
+        _bilinear_batch(imgs, 8, 8),
+        imgs.reshape(3, 8, 2, 8, 2).mean(axis=(2, 4)),
+    )
+    up = _bilinear_batch(imgs, 23, 9)  # non-integer ratios, upscale in h
+    assert up.min() >= imgs.min() - 1e-9
+    assert up.max() <= imgs.max() + 1e-9
+
+    # Spark plumbing: two shapes in one frame, each resized per its own
+    # geometry and equal to the direct numpy call
+    rows = []
+    rasters = {}
+    for i, (hh, ww) in enumerate([(4, 6), (6, 4), (4, 6)]):
+        img = rng.integers(0, 256, (hh, ww)).astype(np.float64)
+        rasters[i] = img
+        rows.append((i, [int(v) for v in img.reshape(-1)], hh, ww))
+    df = spark.createDataFrame(
+        rows, "id BIGINT, img ARRAY<INT>, img_h INT, img_w INT"
+    ).coalesce(1)
+    got = {
+        r.id: np.array(r.img).reshape(3, 3)
+        for r in resize_images(df, out_h=3, out_w=3).collect()
+    }
+    for i, img in rasters.items():
+        assert np.allclose(
+            got[i], _bilinear_batch(img[None], 3, 3)[0], atol=1e-4
+        ), f"row {i} ({img.shape}) mismatch"

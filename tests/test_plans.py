@@ -548,3 +548,39 @@ def test_upsert_merge_plan_broadcast_anti(spark):
     plan = plan_of(spark, "q_upsert_merge")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_staged_join_gets_dynamic_partition_pruning(spark, tmp_path):
+    """A CELL-PARTITIONED staged inverted file gives ivf_topk's
+    candidate join dynamic partition pruning FOR FREE: the query side's
+    probed cells feed a runtime subquery that drops unprobed corpus
+    directories from the scan.  Pin that the physical plan contains the
+    dynamicpruning subquery on the staged scan — the candidate-join
+    twin of ivfpq_topk's planning-time batch-union filter, and the
+    property that makes partitionBy('cell') the production layout for
+    BOTH serve families."""
+    import numpy as np
+
+    from streaming_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((2000, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(2000)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cent = ivf_centroids(df, 8, 8)
+    ivf_assign(df, cent).write.partitionBy("cell").parquet(
+        str(tmp_path / "ivf")
+    )
+    staged = spark.read.parquet(str(tmp_path / "ivf"))
+    plan = ivf_topk(
+        df, df.filter("vec_id < 2"), 8, k=3, n_cells=8, nprobe=2,
+        centroids=cent, assigned=staged,
+    )
+    expl = str(plan._jdf.queryExecution().executedPlan())
+    assert "dynamicpruning" in expl.lower(), expl[:2000]

@@ -104,6 +104,7 @@ _NEWEST_SLUGS = (
     "dedup_embedding_cosine_blocked",
     "dedup_embedding_cosine_clustered",
     "q_exact_nn_blocked",
+    "ann_topk_ivfpq_pruned",  # r11: the layout/IO probe
 )
 
 _NEWEST_CASE = "newest-overweight"
