@@ -33,14 +33,18 @@ construction (neighbors are near-random; every published method pays
 there).
 
 The ann_ivfpq_serve_bycell arms (r11) stage the SAME code table
-write.partitionBy("cell") and measure the scan-time pruning law at
-several serve-batch sizes: scan I/O is bounded by the batch's
-probed-cell UNION (per query nprobe/n_cells; unions of clustered query
-batches saturate fast).  Measured at 1M/250 cells/np=8: Q=8 scans 25.8%
-of rows (59 probed cells, results row-identical, 2.0 vs 2.2 s); Q=100+
-saturates the union and the flat layout wins ~1.5× (many-files
-overhead with nothing pruned) — small or cell-routed batches are where
-the layout pays, which is the operational knob at 100 TB.
+repartition("cell") + write.partitionBy("cell") — the PRODUCTION
+layout, one file per cell directory — and measure the scan-time
+pruning law at several serve-batch sizes: scan I/O is bounded by the
+batch's probed-cell UNION (per query nprobe/n_cells; unions of
+clustered query batches saturate fast).  Measured at 1M/250 cells/
+np=8, results row-identical at every point: Q=8 scans 25.8% of rows
+(59 probed cells) and the by-cell layout is equal-or-faster than flat
+at EVERY batch size (5.1 vs 6.0 s at Q=8, 9.8 vs 11.4 s at Q=1000
+saturated).  Staging WITHOUT the repartition (input_partitions × cells
+tiny files) had shown flat winning ~1.5× at saturation — a staging
+artifact of the many-files layout, not a property of cell
+partitioning; the repartition is load-bearing.
 
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_ann.py [max_n]
@@ -284,9 +288,12 @@ def run_point(spark, kind: str, n: int) -> None:
     # small/routed batches are where layout pays; at batch sizes whose
     # union covers every cell the two layouts converge by construction.
     t0 = time.perf_counter()
-    ivfpq_encode(corpus, cent_pq, books).write.partitionBy("cell").parquet(
-        d + "/pq_bycell"
-    )
+    # repartition('cell') first — the PRODUCTION layout
+    # (q_ann_index_artifact / ann_topk_ivfpq_pruned): one file per cell
+    # directory, not input_partitions × cells tiny files
+    ivfpq_encode(corpus, cent_pq, books).repartition("cell").write.partitionBy(
+        "cell"
+    ).parquet(d + "/pq_bycell")
     enc_bycell = spark.read.parquet(d + "/pq_bycell")
     print(
         json.dumps(
@@ -298,14 +305,17 @@ def run_point(spark, kind: str, n: int) -> None:
         ),
         flush=True,
     )
-    from streaming_spark.operators.similarity import _matrix, _norm_rows
+    from streaming_spark.operators.similarity import (
+        _matrix,
+        _norm_rows,
+        probed_from_qc,
+    )
 
     for q_n in (8, 100, Q):
         qdf = corpus.filter(f"vec_id < {q_n}")
         q_rows = qdf.select("vec_id", "embedding").collect()
         q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
-        probed = np.argpartition(-(q_mat @ cent_pq.T), 7, axis=1)[:, :8]
-        union = np.unique(probed)
+        union = np.unique(probed_from_qc(q_mat @ cent_pq.T, 8))
         frac = (
             encoded.filter(
                 encoded.cell.isin([int(c) for c in union])

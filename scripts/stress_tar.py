@@ -205,6 +205,32 @@ def run_point(spark, n_shards: int, members_per_shard: int) -> None:
         ),
         flush=True,
     )
+
+    # 5. chain: decode→RESIZE preprocessing (r11) — 32×32 fake rasters
+    # bilinear-downsampled to 8×8; the sum guard forces full evaluation
+    from streaming_spark.operators.multimodal import (
+        fake_decode_image,
+        resize_images,
+    )
+
+    t0 = time.perf_counter()
+    imgs = fake_decode_image(blobs, height=32, width=32)
+    small = resize_images(imgs, out_h=8, out_w=8)
+    row = small.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at("img", 1)).alias("s"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "op": "tar_resize_32to8",
+                **tag,
+                "seconds": round(time.perf_counter() - t0, 2),
+                "rows": int(row["n"]),
+            }
+        ),
+        flush=True,
+    )
     release(d, members_dir)
 
 

@@ -21,7 +21,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 from pyspark.sql.window import Window
+
+
+def _orderable(dt) -> bool:
+    """Whether Spark can sort values of this type — MAP is not
+    orderable (AnalysisException in an ORDER BY), anywhere it nests."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def asof_join(
@@ -74,10 +87,15 @@ def asof_join(
     # construction, leaving the greatest value fields; left rows' NULL
     # payloads sort among themselves and are irrelevant (every right
     # row at the time still precedes every left row, and `last`
-    # ignores nulls).
+    # ignores nulls).  A payload carrying a non-ORDERABLE column (MAP,
+    # anywhere it nests) cannot be a sort key — those inputs keep the
+    # arbitrary-among-exact-ties pick rather than failing analysis.
+    order_keys = [F.col("__t").asc(), F.col("__side").asc()]
+    if _orderable(rhs.schema["__payload"].dataType):
+        order_keys.append(F.col("__payload").asc())
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__payload").asc())
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

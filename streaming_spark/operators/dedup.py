@@ -336,19 +336,17 @@ def _simhash_pairs_from(
             f"simhash banding must satisfy 1 <= bands*band_bits <= 64; "
             f"got {bands} bands x {band_bits} bits"
         )
-    mask = (1 << band_bits) - 1
+    def band_expr(i):
+        shifted = F.shiftrightunsigned("simhash", band_bits * i)
+        if band_bits == 64:  # the full hash IS the band; the 64-bit
+            return shifted  # mask literal would overflow a Java long
+        return shifted.bitwiseAND(F.lit((1 << band_bits) - 1))
+
     banded = sh.select(
         "id",
         "simhash",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(
-                        "simhash", band_bits * i
-                    ).bitwiseAND(F.lit(mask))
-                    for i in range(bands)
-                ]
-            )
+            F.array(*[band_expr(i) for i in range(bands)])
         ).alias("band_id", "band_val"),
     )
     a = banded.select(

@@ -62,10 +62,18 @@ def _top_by_sim_then_id(sims: np.ndarray, ids: np.ndarray, r: int) -> np.ndarray
     stages exactly what the global window would keep.
 
     O(n) in the candidate count (argpartition prefilter, then id-refine
-    only the entries tying the cut value) — no full sort."""
+    only the entries tying the cut value) — no full sort.
+
+    NaN sims (a NaN-poisoned upstream embedding — _norm_rows guards
+    exact zeros, not NaN components) select as -inf: never ahead of a
+    real candidate, and a chunk with fewer than r healthy rows still
+    returns exactly r indices instead of crashing the rectangular
+    partial buffers downstream."""
     n = len(sims)
     if r >= n:
         return np.arange(n)
+    if np.isnan(sims).any():
+        sims = np.where(np.isnan(sims), -np.inf, sims)
     part = np.argpartition(-sims, r - 1)
     cut = sims[part[r - 1]]  # the r-th largest sim value
     gt = np.flatnonzero(sims > cut)
@@ -173,6 +181,17 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+def probed_from_qc(qc: np.ndarray, nprobe: int) -> np.ndarray:
+    """(Q, p) probed-cell ids from a query×centroid similarity matrix —
+    THE probe rule, shared by the IVF-PQ serve paths and the layout
+    probes (ann_topk_ivfpq_pruned, scripts/stress_ann.py) so the
+    driver-side scan accounting can never diverge from what the
+    operator actually scans (including the min(nprobe, n_cells)
+    clamp)."""
+    p = min(nprobe, qc.shape[1])
+    return np.argpartition(-qc, p - 1, axis=1)[:, :p]
 
 
 def hyperplane_buckets(
@@ -2209,8 +2228,7 @@ def ivfpq_topk(
     q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
     dsub = dim // m
     qc = q_mat @ cent.T  # (Q, n_cells): the q·c_cell scalar terms
-    p = min(nprobe, cent.shape[0])
-    probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]  # (Q, p)
+    probed = probed_from_qc(qc, nprobe)  # (Q, p)
     # Scan-time cell pruning: restrict the index scan to the UNION of
     # the batch's probed cells.  Semantically a no-op — the per-query
     # in-map mask below already drops unprobed rows — but the filter
@@ -2536,8 +2554,7 @@ def ivfpq_topk_local(
     q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
     dsub = dim // m
     qc = q_mat @ cent.T  # (Q, n_cells)
-    p = min(nprobe, cent.shape[0])
-    probed = np.argpartition(-qc, p - 1, axis=1)[:, :p]
+    probed = probed_from_qc(qc, nprobe)
     # batch-union scan pruning — same argument as ivfpq_topk: a no-op
     # vs the per-query mask, but it reaches the scan (partition pruning
     # on a cell-partitioned layout, row-group stats on a flat one)

@@ -2839,9 +2839,12 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
 
     Measured at 1M vectors / 250 cells / nprobe=8 (scripts/
     stress_ann.py `ann_ivfpq_serve_bycell`): a Q=8 serve batch scans
-    25.8% of rows (59 probed cells) row-identically; larger batches
-    saturate the probed union and converge to the flat scan — small or
-    cell-routed batches are where the layout pays."""
+    25.8% of rows (59 probed cells) row-identically, and with the
+    production staging used here (repartition("cell") before
+    partitionBy — one file per cell, the load-bearing half of the
+    layout) by-cell serves equal-or-faster than flat at EVERY batch
+    size, even when a large batch's probed union saturates the cell
+    set."""
     import os
 
     import numpy as np
@@ -2851,6 +2854,7 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
         _norm_rows,
         ivfpq_encode,
         ivfpq_topk,
+        probed_from_qc,
     )
 
     emb = T(spark, sf_dir, "embeddings")
@@ -2871,8 +2875,8 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
     # operator's probe step — queries are bounded by contract)
     q_rows = queries.select("vec_id", "embedding").collect()
     q_mat = _norm_rows(_matrix([r[1] for r in q_rows]))
-    qc = q_mat @ cent.T
-    probed = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+    probed = probed_from_qc(q_mat @ cent.T, nprobe)  # THE probe rule —
+    # shared with the serve path, so this accounting cannot diverge
     union = [int(c) for c in np.unique(probed)]
 
     def layout_row(path, layout):

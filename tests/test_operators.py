@@ -3346,3 +3346,62 @@ def test_bilinear_resize_contracts(spark):
         assert np.allclose(
             got[i], _bilinear_batch(img[None], 3, 3)[0], atol=1e-4
         ), f"row {i} ({img.shape}) mismatch"
+
+
+def test_cosine_topk_nan_vector_does_not_crash(spark):
+    """A NaN-poisoned corpus embedding (_norm_rows guards exact zeros,
+    not NaN components) must degrade, not crash: the partial-selection
+    helper treats NaN sims as -inf, so a chunk with fewer healthy rows
+    than k still fills its rectangular buffers and the healthy top-k
+    comes back correct."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]
+    for i in range(1, 8):
+        v = [1.0, 0.1 * i, 0.0, 0.0]
+        n = float(np.linalg.norm(v))
+        rows.append((i, [x / n for x in v]))
+    rows.append((99, [float("nan"), 1.0, 0.0, 0.0]))  # poisoned row
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(4)
+    got = (
+        cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
+    assert all(np.isfinite(r.sim) for r in got)
+
+
+def test_simhash_full_width_band(spark):
+    """bands=1 × band_bits=64 is the declared-valid boundary (the whole
+    hash is one band; the 64-bit mask literal would overflow a Java
+    long, so the band expression must skip it): candidates are exactly
+    the equal-signature pairs, i.e. ham <= 0 blocking."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "x y z w q")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = simhash_dedup_pairs(
+        docs, "text", "doc_id", max_hamming=0, bands=1, band_bits=64
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+
+def test_asof_join_map_value_column_still_joins(spark):
+    """A right table carrying a MAP value column is not orderable, so
+    the duplicate-time determinism sort key must be skipped (pre-r11
+    behavior) rather than failing analysis — the match itself is still
+    correct."""
+    from streaming_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10, "t")], "key INT, t INT, trade STRING"
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, {"venue": "x"})],
+        "key INT, qt INT, attrs MAP<STRING,STRING>",
+    )
+    out = asof_join(
+        trades, quotes, on="key", left_time="t", right_time="qt"
+    ).collect()
+    assert out[0].qt_right == 5 and out[0].attrs_right == {"venue": "x"}

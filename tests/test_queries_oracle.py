@@ -105,6 +105,7 @@ _NEWEST_SLUGS = (
     "dedup_embedding_cosine_clustered",
     "q_exact_nn_blocked",
     "ann_topk_ivfpq_pruned",  # r11: the layout/IO probe
+    "multimodal_resize_pipeline",  # r11: per-pixel-oracled bilinear resize
 )
 
 _NEWEST_CASE = "newest-overweight"
