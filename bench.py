@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     # task-matmul pass A/B shape; the per-pair-join shape it replaced
     # measured 124 s at this N, the task shape ~3-8 s (ROADMAP r8)
     "q_exact_nn_blocked",
+    # round-11 addition: decode→bilinear-resize preprocessing, the
+    # multimodal train-set normalization stage (per-pixel oracle-checked
+    # in the gate; real vectorized resize math, fake decode)
+    "multimodal_resize_pipeline",
 ]
 
 
