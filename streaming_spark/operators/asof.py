@@ -21,20 +21,45 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DateType,
+    DayTimeIntervalType,
+    NumericType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+    YearMonthIntervalType,
+)
 from pyspark.sql.window import Window
+
+_ORDERABLE_LEAVES = (
+    NumericType,
+    StringType,
+    BinaryType,
+    BooleanType,
+    DateType,
+    TimestampType,
+    TimestampNTZType,
+    DayTimeIntervalType,
+    YearMonthIntervalType,
+)
 
 
 def _orderable(dt) -> bool:
-    """Whether Spark can sort values of this type — MAP is not
-    orderable (AnalysisException in an ORDER BY), anywhere it nests."""
-    if isinstance(dt, MapType):
-        return False
+    """Whether Spark can sort values of this type — an ALLOWLIST of the
+    known-orderable leaves plus struct/array recursion, so anything
+    unlisted (MAP, VARIANT, geospatial, future types) conservatively
+    skips the tie-break sort key instead of failing the join's analysis
+    with a not-orderable error."""
     if isinstance(dt, StructType):
         return all(_orderable(f.dataType) for f in dt.fields)
     if isinstance(dt, ArrayType):
         return _orderable(dt.elementType)
-    return True
+    return isinstance(dt, _ORDERABLE_LEAVES)
 
 
 def asof_join(

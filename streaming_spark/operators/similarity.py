@@ -64,16 +64,15 @@ def _top_by_sim_then_id(sims: np.ndarray, ids: np.ndarray, r: int) -> np.ndarray
     O(n) in the candidate count (argpartition prefilter, then id-refine
     only the entries tying the cut value) — no full sort.
 
-    NaN sims (a NaN-poisoned upstream embedding — _norm_rows guards
-    exact zeros, not NaN components) select as -inf: never ahead of a
-    real candidate, and a chunk with fewer than r healthy rows still
-    returns exactly r indices instead of crashing the rectangular
-    partial buffers downstream."""
+    CALLER CONTRACT: ``sims`` must be NaN-free (replace NaN with -inf
+    first — see :func:`_nan_to_neginf`; a NaN cut value would empty
+    both comparison masks and return fewer than r indices, crashing
+    the rectangular partial buffers downstream).  The sanitization
+    lives at the per-CHUNK call sites rather than here so the hot
+    per-query row loop doesn't pay a redundant isnan scan per call."""
     n = len(sims)
     if r >= n:
         return np.arange(n)
-    if np.isnan(sims).any():
-        sims = np.where(np.isnan(sims), -np.inf, sims)
     part = np.argpartition(-sims, r - 1)
     cut = sims[part[r - 1]]  # the r-th largest sim value
     gt = np.flatnonzero(sims > cut)
@@ -124,7 +123,8 @@ def cosine_topk(
             if len(pdf) == 0:
                 continue
             mat = _norm_rows(_matrix(pdf[vec_col]))
-            sims = q_norm @ mat.T  # (Q, rows)
+            sims = _nan_to_neginf(q_norm @ mat.T)  # (Q, rows); one
+            # chunk-level NaN scan — the selection helper requires it
             ids = pdf[id_col].to_numpy()
             kk = min(kk1, sims.shape[1])
             # per-ROW argpartition, deliberately not axis=1: the
@@ -133,7 +133,8 @@ def cosine_topk(
             # Q=1000, 10k-row chunks) — measured 10-40x slowdowns with
             # bimodal stalls when 32 workers churn those mmap-sized
             # blocks concurrently; the row loop peaks at one (rows,)
-            # scratch per call and runs ~2 s/corpus at 1M.
+            # scratch per call (measured ~2 s/corpus at 1M pre-r11; the
+            # exact tie-refine adds two comparison scans per row).
             # _top_by_sim_then_id keeps boundary ties deterministic:
             # duplicate vectors tie bit-exactly, and the final window
             # breaks ties by neighbor_id ASC — the partial must too.
@@ -183,6 +184,17 @@ def cosine_topk(
     )
 
 
+def _nan_to_neginf(sims: np.ndarray) -> np.ndarray:
+    """Replace NaN sims with -inf (one scan; returns the input when
+    clean): a NaN-poisoned upstream embedding (_norm_rows guards exact
+    zeros, not NaN components) must degrade — never selected ahead of a
+    real candidate — rather than crash the exact-selection helper.
+    Called once per CHUNK/offer, not per query row."""
+    if np.isnan(sims).any():
+        return np.where(np.isnan(sims), -np.inf, sims)
+    return sims
+
+
 def probed_from_qc(qc: np.ndarray, nprobe: int) -> np.ndarray:
     """(Q, p) probed-cell ids from a query×centroid similarity matrix —
     THE probe rule, shared by the IVF-PQ serve paths and the layout
@@ -192,6 +204,27 @@ def probed_from_qc(qc: np.ndarray, nprobe: int) -> np.ndarray:
     clamp)."""
     p = min(nprobe, qc.shape[1])
     return np.argpartition(-qc, p - 1, axis=1)[:, :p]
+
+
+def _prune_to_probed_cells(
+    enc: DataFrame, probed: np.ndarray, n_cells: int
+) -> DataFrame:
+    """Batch-union scan pruning, shared by both IVF-PQ serve paths:
+    restrict the code-table scan to the UNION of the batch's probed
+    cells.  Semantically a no-op — the per-query in-map mask drops
+    unprobed rows anyway — but the filter reaches the SCAN: on a
+    cell-PARTITIONED staged layout (write.partitionBy("cell"), cf.
+    ann_topk_ivfpq_pruned) unprobed directories are never listed
+    (partition pruning at planning time), and on a flat layout it still
+    pushes to parquet row-group min/max stats.  This is the
+    nprobe/n_cells I/O bound the inverted file exists for; skipped when
+    the batch probes every cell."""
+    probed_union = np.unique(probed)
+    if len(probed_union) < n_cells:
+        return enc.filter(
+            F.col("cell").isin([int(c) for c in probed_union])
+        )
+    return enc
 
 
 def hyperplane_buckets(
@@ -1941,6 +1974,8 @@ class _RunningTopR:
         r = min(self.topr, len(ids))
         if r == 0:
             return
+        sims = _nan_to_neginf(sims)  # state is NaN-free by induction,
+        # so sanitizing the incoming candidates once covers the merge
         top = _top_by_sim_then_id(sims, ids, r)
         s_all = np.concatenate([self.s[qi], sims[top]])
         v_all = np.concatenate([self.v[qi], ids[top]])
@@ -2229,20 +2264,7 @@ def ivfpq_topk(
     dsub = dim // m
     qc = q_mat @ cent.T  # (Q, n_cells): the q·c_cell scalar terms
     probed = probed_from_qc(qc, nprobe)  # (Q, p)
-    # Scan-time cell pruning: restrict the index scan to the UNION of
-    # the batch's probed cells.  Semantically a no-op — the per-query
-    # in-map mask below already drops unprobed rows — but the filter
-    # reaches the SCAN: on a cell-PARTITIONED staged layout
-    # (write.partitionBy("cell"), cf. ann_topk_ivfpq_pruned) unprobed
-    # directories are never listed (partition pruning at planning
-    # time), and on a flat layout it still pushes to parquet row-group
-    # min/max stats.  This is the nprobe/n_cells I/O bound the inverted
-    # file exists for; skipped when the batch probes every cell.
-    probed_union = np.unique(probed)
-    if len(probed_union) < cent.shape[0]:
-        enc = enc.filter(
-            F.col("cell").isin([int(c) for c in probed_union])
-        )
+    enc = _prune_to_probed_cells(enc, probed, cent.shape[0])
     q_lut = q_mat if rotation is None else q_mat @ rotation
     luts = np.einsum("qjd,jkd->qjk", q_lut.reshape(len(q_ids), m, dsub), books)
 
@@ -2555,14 +2577,7 @@ def ivfpq_topk_local(
     dsub = dim // m
     qc = q_mat @ cent.T  # (Q, n_cells)
     probed = probed_from_qc(qc, nprobe)
-    # batch-union scan pruning — same argument as ivfpq_topk: a no-op
-    # vs the per-query mask, but it reaches the scan (partition pruning
-    # on a cell-partitioned layout, row-group stats on a flat one)
-    probed_union = np.unique(probed)
-    if len(probed_union) < cent.shape[0]:
-        enc = enc.filter(
-            F.col("cell").isin([int(c) for c in probed_union])
-        )
+    enc = _prune_to_probed_cells(enc, probed, cent.shape[0])
     # per-(query, cell) LUTs: (Q, n_cells, m, ksub); with OPQ the LUT
     # side rotates the query (q.r = (Rq).(Rr)), the coarse term doesn't
     q_lut = q_mat if rotation is None else q_mat @ rotation

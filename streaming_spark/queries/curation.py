@@ -439,15 +439,15 @@ def layout_zorder_pruning(spark, sf_dir):
     lo, hi = mm.lo + int(0.40 * span), mm.lo + int(0.55 * span)
 
     def probe(path, layout):
-        hits = (
-            spark.read.parquet(path)
-            .filter(F.col("l_suppkey").between(lo, hi))
-            .select(F.input_file_name().alias("f"))
+        from streaming_spark.telemetry import scan_files_rows
+
+        hits = spark.read.parquet(path).filter(
+            F.col("l_suppkey").between(lo, hi)
         )
-        return hits.agg(
+        return scan_files_rows(hits).select(
             F.lit(layout).alias("layout"),
-            F.countDistinct("f").alias("files_with_matches"),
-            F.count(F.lit(1)).alias("rows_matched"),
+            F.col("files").alias("files_with_matches"),
+            F.col("rows").alias("rows_matched"),
         )
 
     return probe(lin_dir, "linear").unionByName(probe(z_dir, "zorder"))
@@ -1232,15 +1232,15 @@ def layout_partitioned_pruning(spark, sf_dir):
     target = ev.groupBy("event_type").count().orderBy("event_type").first()[0]
 
     def probe(path, layout):
-        hits = (
-            spark.read.parquet(path)
-            .filter(F.col("event_type") == target)
-            .select(F.input_file_name().alias("f"))
+        from streaming_spark.telemetry import scan_files_rows
+
+        hits = spark.read.parquet(path).filter(
+            F.col("event_type") == target
         )
-        return hits.agg(
+        return scan_files_rows(hits).select(
             F.lit(layout).alias("layout"),
-            F.countDistinct("f").alias("files_read"),
-            F.count(F.lit(1)).alias("rows_matched"),
+            F.col("files").alias("files_read"),
+            F.col("rows").alias("rows_matched"),
         )
 
     return probe(flat_dir, "flat").unionByName(probe(part_dir, "partitioned"))

@@ -2880,19 +2880,13 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
     union = [int(c) for c in np.unique(probed)]
 
     def layout_row(path, layout):
+        from streaming_spark.telemetry import scan_files_rows
+
         scan = spark.read.parquet(path)
-
-        def files_rows(df):
-            # input_file_name must be PROJECTED before aggregating
-            # (non-deterministic expr — same probe as
-            # layout_partitioned_pruning)
-            return df.select(F.input_file_name().alias("f")).agg(
-                F.countDistinct("f").alias("files"),
-                F.count(F.lit(1)).alias("rows"),
-            ).first()
-
-        total = files_rows(scan)
-        pruned = files_rows(scan.filter(F.col("cell").isin(union)))
+        total = scan_files_rows(scan).first()
+        pruned = scan_files_rows(
+            scan.filter(F.col("cell").isin(union))
+        ).first()
         served = ivfpq_topk(
             emb, queries, dim=64, k=5, n_cells=n_cells, nprobe=nprobe,
             m=16, ksub=16, rerank=128, centroids=cent, codebooks=books,

@@ -107,3 +107,17 @@ def log_candidate_volume(
             QuadraticCandidateVolumeWarning,
             stacklevel=3,
         )
+
+
+def scan_files_rows(df: DataFrame) -> DataFrame:
+    """One-row (files, rows) accounting of what ``df``'s scan actually
+    touched — the layout-probe primitive behind
+    layout_partitioned_pruning / layout_zorder_pruning /
+    ann_topk_ivfpq_pruned.  The load-bearing subtlety lives HERE once:
+    ``input_file_name()`` is non-deterministic, so it must be PROJECTED
+    before any aggregate (an agg over it directly fails analysis with
+    AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION)."""
+    return df.select(F.input_file_name().alias("__f")).agg(
+        F.countDistinct("__f").alias("files"),
+        F.count(F.lit(1)).alias("rows"),
+    )
