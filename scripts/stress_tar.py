@@ -24,8 +24,9 @@ What the sweep measures / exposes:
   blob that came back through tar + binaryFile + Arrow; the JSON line
   reports mismatches (must be 0) — the correctness-at-scale number.
 - Downstream chaining: fake_decode_features (Arrow-batched feature UDF
-  stand-in) and frame_sample (one-to-many explode) timed over the full
-  member table.
+  stand-in), frame_sample (one-to-many explode), and the r11
+  decode→resize_images preprocessing (32×32 fake rasters bilinear-
+  downsampled to 8×8) timed over the full member table.
 
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_tar.py [max_total_mb]

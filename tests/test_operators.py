@@ -3405,3 +3405,62 @@ def test_asof_join_map_value_column_still_joins(spark):
         trades, quotes, on="key", left_time="t", right_time="qt"
     ).collect()
     assert out[0].qt_right == 5 and out[0].attrs_right == {"venue": "x"}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized ground truth for the union-and-carry-forward asof
+    join: on right tables with UNIQUE (key, time) rows (ties have no
+    canonical answer across engines — our tie rule is pinned
+    separately) the result must equal pandas.merge_asof
+    (direction='backward', allow_exact_matches=True) for every left
+    row, including unmatched NULLs, across several seeds."""
+    import pandas as pd
+
+    from streaming_spark.operators.asof import asof_join
+
+    for seed in (17, 23, 91):
+        rng = np.random.default_rng(seed)
+        right_pairs = {
+            (int(k), int(t)): float(v)
+            for k, t, v in zip(
+                rng.integers(0, 5, 80),
+                rng.integers(0, 1000, 80),
+                rng.normal(size=80),
+            )
+        }
+        rpd = pd.DataFrame(
+            [(k, t, v) for (k, t), v in sorted(right_pairs.items())],
+            columns=["key", "qt", "px"],
+        )
+        lpd = pd.DataFrame(
+            {
+                "lid": range(120),
+                "key": rng.integers(0, 5, 120),
+                "t": rng.integers(0, 1000, 120),
+            }
+        )
+        want_df = pd.merge_asof(
+            lpd.sort_values("t", kind="stable"),
+            rpd.sort_values("qt"),
+            left_on="t",
+            right_on="qt",
+            by="key",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): None if pd.isna(r.px) else float(r.px)
+            for r in want_df.itertuples()
+        }
+        out = asof_join(
+            spark.createDataFrame(lpd).repartition(5),
+            spark.createDataFrame(rpd).repartition(3),
+            on="key",
+            left_time="t",
+            right_time="qt",
+        ).collect()
+        got = {
+            int(r.lid): None if r.px_right is None else float(r.px_right)
+            for r in out
+        }
+        assert got == want, f"seed {seed}"
