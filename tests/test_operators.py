@@ -3158,13 +3158,19 @@ def test_simhash_banding_recall_tradeoff(spark):
     planted = n // 5
 
     def recall(bands, band_bits, ham):
-        p = simhash_dedup_pairs(
+        rows = simhash_dedup_pairs(
             docs, "text", "doc_id",
             max_hamming=ham, bands=bands, band_bits=band_bits,
+        ).collect()
+        hit = sum(
+            1 for r in rows if r.id_b == r.id_a + 1 and r.id_a % 5 == 3
         )
-        hit = p.filter(
-            (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 5 == 3)
-        ).count()
+        # every VERIFIED pair is a planted one: unrelated 60-word docs
+        # sit ~32 bits apart, so even the widest radius here (ham <= 11)
+        # admits no random pair — the candidate floor the wider banding
+        # pays (bands*N^2/2^(band_bits+1) internal candidates) is fully
+        # absorbed by the exact Hamming verify, never leaked as output
+        assert len(rows) == hit, (len(rows), hit)
         return hit / planted
 
     base = recall(4, 16, 3)
