@@ -2543,6 +2543,8 @@ def ivfpq_topk_local(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     rotation: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k with PER-CELL residual codebooks
     (:func:`ivfpq_local_codebooks`).  The scoring identity is unchanged
@@ -2558,18 +2560,39 @@ def ivfpq_topk_local(
     subspace boundaries for every cell at once, and per-cell codebooks
     then adapt to each cell's rotated local geometry — rotation fixes
     the subspace SPLIT, local books fix the cell SHAPE; the two
-    refinements are orthogonal and multiply."""
+    refinements are orthogonal and multiply.
+
+    ``codebooks`` (the (n_cells, m, ksub, dsub) local books) and
+    ``encoded`` (the staged :func:`ivfpq_encode_local` frame) give this
+    variant the same train-once / encode-once / query-many deployment
+    boundary as ivf_topk(assigned=) / ivfpq_topk(encoded=) — the staged
+    frame's quantizer fingerprint is validated before serving."""
     cent = (
         centroids
         if centroids is not None
         else ivf_centroids(vectors, dim, n_cells, vec_col=vec_col)
     )
-    books = ivfpq_local_codebooks(
-        vectors, cent, dim, m, ksub, vec_col=vec_col, rotation=rotation
+    books = (
+        codebooks
+        if codebooks is not None
+        else ivfpq_local_codebooks(
+            vectors, cent, dim, m, ksub, vec_col=vec_col, rotation=rotation
+        )
     )
-    enc = ivfpq_encode_local(
-        vectors, cent, books, vec_col=vec_col, rotation=rotation
-    )
+    if encoded is not None:
+        _check_staged_fingerprint(
+            encoded,
+            ("codes",),
+            ann_quantizer_fingerprint(
+                centroids=cent, codebooks=books, rotation=rotation
+            ),
+            "ivfpq_topk_local",
+        )
+        enc = encoded
+    else:
+        enc = ivfpq_encode_local(
+            vectors, cent, books, vec_col=vec_col, rotation=rotation
+        )
 
     q_rows = queries.select("vec_id", vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])

@@ -3470,3 +3470,49 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in out
         }
         assert got == want, f"seed {seed}"
+
+
+def test_ivfpq_local_prestaged_serve_agrees_and_validates(spark, tmp_path):
+    """The per-cell-codebook variant now has the same deployment
+    boundary as its siblings: serving from a staged
+    ivfpq_encode_local frame (codebooks= + encoded=) is row-identical
+    to the inline build, and a frame staged under a different
+    quantizer is refused by its fingerprint."""
+    from streaming_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_encode_local,
+        ivfpq_local_codebooks,
+        ivfpq_topk_local,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    cent = ivf_centroids(df, 16, 4)
+    books = ivfpq_local_codebooks(df, cent, 16, m=4, ksub=8)
+    kw = dict(
+        dim=16, k=3, n_cells=4, nprobe=2, m=4, ksub=8, rerank=32,
+        centroids=cent, codebooks=books,
+    )
+    inline = sorted(map(tuple, ivfpq_topk_local(df, q, **kw).collect()))
+    ivfpq_encode_local(df, cent, books).write.parquet(
+        str(tmp_path / "pql")
+    )
+    staged = spark.read.parquet(str(tmp_path / "pql"))
+    prestaged = sorted(
+        map(tuple, ivfpq_topk_local(df, q, encoded=staged, **kw).collect())
+    )
+    assert inline == prestaged
+
+    cent_b = ivf_centroids(df, 16, 5)
+    books_b = ivfpq_local_codebooks(df, cent_b, 16, m=4, ksub=8)
+    with pytest.raises(ValueError, match="fingerprint"):
+        ivfpq_topk_local(
+            df, q, dim=16, k=3, n_cells=5, nprobe=2, m=4, ksub=8,
+            rerank=32, centroids=cent_b, codebooks=books_b,
+            encoded=staged,
+        )
