@@ -51,14 +51,19 @@ _ORDERABLE_LEAVES = (
 
 def _orderable(dt) -> bool:
     """Whether Spark can sort values of this type — an ALLOWLIST of the
-    known-orderable leaves plus struct/array recursion, so anything
-    unlisted (MAP, VARIANT, geospatial, future types) conservatively
-    skips the tie-break sort key instead of failing the join's analysis
-    with a not-orderable error."""
+    known-orderable leaves plus struct/array recursion (and UDTs via
+    their sql storage type, which is how Spark itself orders them), so
+    anything unlisted (MAP, VARIANT, geospatial, future types)
+    conservatively skips the tie-break sort key instead of failing the
+    join's analysis with a not-orderable error."""
+    from pyspark.sql.types import UserDefinedType
+
     if isinstance(dt, StructType):
         return all(_orderable(f.dataType) for f in dt.fields)
     if isinstance(dt, ArrayType):
         return _orderable(dt.elementType)
+    if isinstance(dt, UserDefinedType):
+        return _orderable(dt.sqlType())
     return isinstance(dt, _ORDERABLE_LEAVES)
 
 

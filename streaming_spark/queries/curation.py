@@ -434,13 +434,13 @@ def layout_zorder_pruning(spark, sf_dir):
         li, z_dir, "l_partkey", "l_suppkey", n_files=16
     )
     # a ~15%-of-domain suppkey band — selective on the y dim, at any SF
+    from streaming_spark.telemetry import scan_files_rows
+
     mm = li.agg(F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi")).first()
     span = max(mm.hi - mm.lo, 1)
     lo, hi = mm.lo + int(0.40 * span), mm.lo + int(0.55 * span)
 
     def probe(path, layout):
-        from streaming_spark.telemetry import scan_files_rows
-
         hits = spark.read.parquet(path).filter(
             F.col("l_suppkey").between(lo, hi)
         )
@@ -1229,11 +1229,11 @@ def layout_partitioned_pruning(spark, sf_dir):
         .partitionBy("event_type")
         .parquet(part_dir)
     )
+    from streaming_spark.telemetry import scan_files_rows
+
     target = ev.groupBy("event_type").count().orderBy("event_type").first()[0]
 
     def probe(path, layout):
-        from streaming_spark.telemetry import scan_files_rows
-
         hits = spark.read.parquet(path).filter(
             F.col("event_type") == target
         )

@@ -2856,6 +2856,7 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
         ivfpq_topk,
         probed_from_qc,
     )
+    from streaming_spark.telemetry import scan_files_rows
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 2)  # small serve batch: the
@@ -2880,8 +2881,6 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
     union = [int(c) for c in np.unique(probed)]
 
     def layout_row(path, layout):
-        from streaming_spark.telemetry import scan_files_rows
-
         scan = spark.read.parquet(path)
         total = scan_files_rows(scan).first()
         pruned = scan_files_rows(

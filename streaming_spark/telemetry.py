@@ -20,6 +20,11 @@ So candidate volume is a first-class, OBSERVABLE contract:
   dedup it) but it is the exact JOIN volume, which is what the shuffle
   pays for.  Tests gate each family: estimate ≥ actual always, and
   estimate ≤ 2× actual on the fixture (tests/test_candidates.py).
+- ``scan_files_rows`` is the SCAN-accounting primitive behind the
+  layout probes (layout_partitioned_pruning, layout_zorder_pruning,
+  ann_topk_ivfpq_pruned): one row of (files, rows) a frame's scan
+  actually touched, with the project-input_file_name-before-aggregating
+  subtlety owned in one place.
 - ``log_candidate_volume`` records the volume against the all-pairs
   ceiling and raises :class:`QuadraticCandidateVolumeWarning` when the
   blocking kept ≥ ``warn_fraction`` of all pairs — the loud signal
