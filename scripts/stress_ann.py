@@ -354,6 +354,104 @@ def run_point(spark, kind: str, n: int) -> None:
             ),
             flush=True,
         )
+    # MAINTENANCE arm (r11): grow + retire + compact against the staged
+    # by-cell index — the lifecycle ann_index_maintenance demonstrates
+    # at fixture scale, measured here at corpus scale.  Append cost must
+    # track the DELTA (files land only under the delta's cells), compact
+    # cost the tombstones' cell footprint — never N.
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_compact,
+        ann_tombstone_filter,
+        ivfpq_encode as _enc,
+    )
+
+    delta_n = 10_000
+    d_ids = np.arange(n, n + delta_n, dtype=np.int64)
+    delta_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": d_ids,
+                "embedding": _gen_vectors(d_ids, kind, _centers()).tolist(),
+            }
+        ),
+        schema="vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    all_vecs = corpus.unionByName(delta_df)
+    kw = dict(
+        dim=DIM, k=K, n_cells=c_pq, nprobe=8, m=16, ksub=256,
+        rerank=512, centroids=cent_pq, codebooks=books,
+    )
+    qdf = corpus.filter("vec_id < 100")
+    t0 = time.perf_counter()
+    ann_index_append(d + "/pq_bycell", delta_df, cent_pq, books)
+    t_append = time.perf_counter() - t0
+    grown = spark.read.parquet(d + "/pq_bycell")
+    # witness: serving the appended table == serving base codes ∪ a
+    # fresh inline encode of the delta (encoding is per-row)
+    ref = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                all_vecs, qdf,
+                encoded=enc_bycell.unionByName(
+                    _enc(delta_df, cent_pq, books).select(
+                        "vec_id", "codes", "cell"
+                    )
+                ),
+                **kw,
+            ).collect(),
+        )
+    )
+    after_append = sorted(
+        map(tuple, ivfpq_topk(all_vecs, qdf, encoded=grown, **kw).collect())
+    )
+    # retire ids the index is actually serving (rank-1 neighbors of
+    # the first 100 queries — a PARTIAL cell footprint at the larger
+    # points, so the cells_touched/cells_total ratio measures what
+    # compaction actually rewrites) — merge-on-read first, then fold in
+    tomb = sorted({t[1] for t in bycell_rows if t[3] == 1 and t[0] < 100})
+    t0 = time.perf_counter()
+    mor = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                all_vecs, qdf,
+                encoded=ann_tombstone_filter(grown, tomb), **kw
+            ).collect(),
+        )
+    )
+    t_mor = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stats = ann_index_compact(spark, d + "/pq_bycell", tomb)
+    t_compact = time.perf_counter() - t0
+    after_compact = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                all_vecs, qdf,
+                encoded=spark.read.parquet(d + "/pq_bycell"), **kw
+            ).collect(),
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "op": f"ann_ivfpq_maintenance(delta={delta_n},tomb={len(tomb)})",
+                **tag,
+                "seconds_append": round(t_append, 2),
+                "seconds_serve_mor": round(t_mor, 2),
+                "seconds_compact": round(t_compact, 2),
+                "cells_total": stats["cells_total"],
+                "cells_touched": stats["cells_rewritten"]
+                + stats["cells_removed"],
+                "rows_removed": stats["rows_removed"],
+                "append_identical": after_append == ref,
+                "compact_identical": after_compact == mor,
+            }
+        ),
+        flush=True,
+    )
     scratch.unpin(d)
     shutil.rmtree(d, ignore_errors=True)
 

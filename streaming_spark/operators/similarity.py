@@ -2885,6 +2885,208 @@ def ann_index_load(path: str) -> dict:
     return artifact
 
 
+def _tombstone_df(spark, tombstones, id_col: str) -> DataFrame:
+    """Normalize a tombstone spec (DataFrame with ``id_col``, or a
+    driver-side id list) to a distinct single-column DataFrame.  The
+    ledger is small by contract — it broadcasts into every consumer —
+    so a list is a legitimate input shape."""
+    if isinstance(tombstones, DataFrame):
+        return tombstones.select(id_col).distinct()
+    return spark.createDataFrame(
+        [(int(t),) for t in tombstones], f"{id_col} BIGINT"
+    ).distinct()
+
+
+def _restamp(frame: DataFrame, source: DataFrame, cols: tuple) -> DataFrame:
+    """Re-apply the quantizer fingerprint metadata of ``source``'s
+    ``cols`` onto ``frame`` — joins/filters usually carry column
+    metadata through, but the staged-index binding is load-bearing
+    (serve paths REFUSE on mismatch), so the maintenance ops re-stamp
+    explicitly rather than rely on plan-shape behavior."""
+    for col in cols:
+        try:
+            meta = source.schema[col].metadata or {}
+        except (KeyError, TypeError):
+            continue
+        if _ANN_FP_KEY in meta and col in frame.columns:
+            frame = frame.withMetadata(col, meta)
+    return frame
+
+
+def ann_index_append(
+    staged_dir: str,
+    delta: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_out: dict | None = None,
+) -> None:
+    """Delta ingest into a staged, cell-partitioned index table — the
+    maintenance half of the train-once / encode-once / query-many
+    boundary: a 100 TB corpus GROWS, and re-encoding it per ingest batch
+    is exactly the rebuild the staged index exists to avoid.  With
+    ``codebooks`` the delta becomes IVF-PQ code rows (ivfpq_encode, for
+    ``ivfpq_topk(encoded=)``); without, plain IVF inverted-file rows
+    (ivf_assign, for ``ivf_topk(assigned=)``).  Either way the delta is
+    encoded with the SAME quantizer (fingerprint-validated against any
+    existing staged stamp — appending rows keyed by a different
+    quantizer would silently corrupt every later serve) and appended
+    with ``partitionBy("cell")``: parquet append only writes files under
+    the delta's OWN cell directories, so an ingest batch touches
+    O(delta cells), never the base table.
+
+    Contract: delta ids must be NEW.  An upsert is tombstone-the-old-id
+    (:func:`ann_tombstone_filter` at serve time, merge-on-read) followed
+    by an append of the new row; :func:`ann_index_compact` folds the
+    ledger into the files.  Serving the appended table is row-identical
+    to a full rebuild over base ∪ delta because encoding is a per-row
+    deterministic function of (vector, quantizer) — pinned by
+    test_ann_index_append_serve_equals_rebuild.
+
+    ``stats_out`` (rows_appended / cells_touched) runs a second encode
+    pass over the delta for the counts — fine for the bounded ingest
+    batches this is for; skip it when the delta is huge."""
+    from pyspark.errors import AnalysisException
+
+    spark = delta.sparkSession
+    expected = ann_quantizer_fingerprint(
+        centroids=centroids, codebooks=codebooks, rotation=rotation
+    )
+    try:
+        existing = spark.read.parquet(staged_dir)
+    except AnalysisException:
+        existing = None  # first write: append below creates the layout
+    if existing is not None:
+        _check_staged_fingerprint(
+            existing, ("codes", "cell", id_col), expected, "ann_index_append"
+        )
+    if codebooks is None:
+        enc = ivf_assign(delta, centroids, id_col=id_col, vec_col=vec_col)
+    else:
+        enc = ivfpq_encode(
+            delta, centroids, codebooks,
+            id_col=id_col, vec_col=vec_col, rotation=rotation,
+        )
+    if stats_out is not None:
+        cells = enc.groupBy("cell").count().collect()
+        stats_out["rows_appended"] = int(sum(r["count"] for r in cells))
+        stats_out["cells_touched"] = len(cells)
+    enc.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(staged_dir)
+
+
+def ann_tombstone_filter(
+    encoded: DataFrame, tombstones, id_col: str = "vec_id"
+) -> DataFrame:
+    """Merge-on-read deletes for a staged index: drop tombstoned ids
+    from the code table BEFORE serving (``ivfpq_topk(encoded=...)`` /
+    ``ivf_topk(assigned=...)``).  Deletes are the other half of
+    maintenance — dedup keep-one and takedown pipelines both retire
+    vectors — and rewriting index files per delete batch is as
+    untenable at scale as re-encoding per ingest batch, so deletes
+    accumulate in a small ledger that broadcast-anti-joins here and is
+    folded into the files by :func:`ann_index_compact` when it grows.
+
+    Serving the filtered table is row-identical to a rebuild over
+    corpus-minus-tombstones: codes are per-row, so removing rows
+    changes no other row's code or ADC score (a deleted id simply stops
+    appearing as a neighbor).  The quantizer fingerprint stamp is
+    re-applied to the filtered frame, keeping the serve-path mismatch
+    gate active."""
+    tomb = _tombstone_df(encoded.sparkSession, tombstones, id_col)
+    out = encoded.join(F.broadcast(tomb), id_col, "left_anti")
+    return _restamp(out, encoded, ("codes", "cell", id_col))
+
+
+def ann_index_compact(
+    spark,
+    staged_dir: str,
+    tombstones,
+    id_col: str = "vec_id",
+) -> dict:
+    """Fold a tombstone ledger into a cell-partitioned staged code
+    table by rewriting ONLY the cells that contain tombstoned ids —
+    the compaction a merge-on-read index needs once its delete ledger
+    stops being small.  Unaffected cell directories are never read for
+    data nor rewritten (their files are untouched — pinned by
+    test_ann_index_compact), so compaction cost scales with the
+    tombstones' cell footprint, not the table.
+
+    Mechanics (the local-filesystem stand-in for an object-store
+    manifest commit): survivors of the affected cells are written to
+    scratch with the same by-cell layout, then each affected cell
+    directory is swapped in whole — a cell whose every row was
+    tombstoned is simply removed.  Finding the affected cells scans the
+    table's (id, cell) columns only (column pruning keeps the codes
+    unread).  Returns stats: ``cells_total``, ``cells_rewritten``,
+    ``cells_removed``, ``rows_before``, ``rows_removed``."""
+    import os
+    import shutil
+
+    from streaming_spark.scratch import scratch_dir
+
+    if not any(
+        e.startswith("cell=") for e in os.listdir(staged_dir)
+    ):
+        raise ValueError(
+            "ann_index_compact requires the cell-partitioned staged "
+            f"layout (write.partitionBy('cell')); {staged_dir!r} has no "
+            "cell= directories — compaction rewrites whole cell "
+            "partitions, which a flat layout does not have."
+        )
+    staged = spark.read.parquet(staged_dir)
+    tomb = _tombstone_df(spark, tombstones, id_col)
+    affected = sorted(
+        r[0]
+        for r in staged.join(F.broadcast(tomb), id_col, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    cells_total = sum(
+        1 for e in os.listdir(staged_dir) if e.startswith("cell=")
+    )
+    stats = {
+        "cells_total": cells_total,
+        "cells_rewritten": 0,
+        "cells_removed": 0,
+        "rows_before": 0,
+        "rows_removed": 0,
+    }
+    if not affected:
+        return stats
+    hit = staged.filter(F.col("cell").isin([int(c) for c in affected]))
+    survivors = _restamp(
+        hit.join(F.broadcast(tomb), id_col, "left_anti"),
+        staged,
+        ("codes", "cell", id_col),
+    )
+    tmp = os.path.join(scratch_dir("compact"), "rewrite")
+    survivors.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    rows_before = hit.count()
+    rows_after = spark.read.parquet(tmp).count() if any(
+        e.startswith("cell=") for e in os.listdir(tmp)
+    ) else 0
+    for cell in affected:
+        dst = os.path.join(staged_dir, f"cell={cell}")
+        src = os.path.join(tmp, f"cell={cell}")
+        shutil.rmtree(dst)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+            stats["cells_rewritten"] += 1
+        else:
+            stats["cells_removed"] += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats["rows_before"] = int(rows_before)
+    stats["rows_removed"] = int(rows_before - rows_after)
+    return stats
+
+
 def semdedup(
     vectors: DataFrame,
     dim: int,

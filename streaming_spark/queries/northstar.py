@@ -2916,6 +2916,153 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
     )
 
 
+@query("ann_index_maintenance")  # rows-only: a lifecycle probe — every
+# served_md5 == rebuild_md5 equality is visible in the emitted rows, and
+# the untouched-files / emptied-cell / mismatched-quantizer contracts
+# are pinned in tests/test_operators.py::test_ann_index_append_* /
+# test_ann_index_compact_*
+def ann_index_maintenance(spark, sf_dir):
+    """The staged ANN index MAINTENANCE lifecycle — the half of a
+    deployment that round 10's build/serve boundary left open: a 100 TB
+    corpus grows and retires vectors, and neither re-encoding per ingest
+    batch nor rewriting index files per delete is tenable.  Four
+    maintenance moves, each with its serve-identity witness emitted as a
+    row:
+
+    - base build + DELTA APPEND (ann_index_append): the delta is encoded
+      with the same fingerprint-validated quantizer and parquet-appended
+      under ``partitionBy("cell")`` — an ingest batch writes files only
+      under its own cells.  Serving the appended table is row-identical
+      to a full rebuild over base ∪ delta (encoding is per-row
+      deterministic), witnessed by served_md5 == rebuild_md5.
+    - MERGE-ON-READ DELETES (ann_tombstone_filter): retired ids live in
+      a small broadcast ledger anti-joined ahead of the serve; identical
+      to rebuilding over corpus-minus-tombstones, witnessed the same
+      way.
+    - COMPACTION (ann_index_compact): the ledger folds into the files by
+      rewriting ONLY the cells that contain tombstoned ids (emptied
+      cells are dropped whole); unaffected cell directories are never
+      rewritten.  The compacted table serves identically to the
+      merge-on-read view — same rebuild_md5.
+
+    Together with q_ann_index_artifact (train-once/encode-once/serve),
+    ann_topk_ivfpq_pruned (cell-partitioned scan pruning), and
+    q_streaming_ann_index (continuous per-micro-batch encode ingest,
+    queries/windows.py) this completes the index story: build → serve
+    → grow → retire → compact, all bound to one quantizer
+    fingerprint."""
+    import os
+
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_compact,
+        ann_tombstone_filter,
+        ivfpq_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    base = emb.filter(F.col("vec_id") >= 24)
+    delta = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+    full = emb.filter(F.col("vec_id") >= 8)
+    cent = _ivf_centroids_cached(spark, sf_dir)
+    books = _ivfpq_books_cached(spark, sf_dir)
+    serve_kw = dict(
+        dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16, rerank=128,
+        centroids=cent, codebooks=books,
+    )
+    codes_dir = os.path.join(scratch_dir("annmaint"), "codes")
+
+    def served_md5(encoded):
+        df = ivfpq_topk(full, queries, encoded=encoded, **serve_kw)
+        return (
+            df.select(
+                F.concat_ws(
+                    "|", "query_id", "neighbor_id", "sim", "rank"
+                ).alias("s")
+            )
+            .agg(
+                F.md5(
+                    F.concat_ws(";", F.sort_array(F.collect_list("s")))
+                ).alias("h")
+            )
+            .first()[0]
+        )
+
+    rows = []
+    st: dict = {}
+    ann_index_append(codes_dir, base, cent, books, stats_out=st)
+    rows.append(("base_build", st["rows_appended"], st["cells_touched"],
+                 None, None))
+    st = {}
+    ann_index_append(codes_dir, delta, cent, books, stats_out=st)
+    rows.append(("delta_append", st["rows_appended"], st["cells_touched"],
+                 None, None))
+
+    appended = spark.read.parquet(codes_dir)
+    rebuild_full = served_md5(None)  # inline encode over base ∪ delta
+    rows.append((
+        "serve_after_append",
+        appended.count(),
+        None,
+        served_md5(appended),
+        rebuild_full,
+    ))
+
+    # retire vectors the index is actually SERVING — the rank-1
+    # neighbors of the first queries — so the delete visibly changes
+    # the answer (serve_merge_on_read.served_md5 differs from
+    # serve_after_append's in the emitted rows) and the
+    # equals-rebuild witness is non-vacuous.  Deterministic: a pure
+    # function of the deterministic served top-k.
+    tomb = sorted(
+        {
+            int(r[0])
+            for r in ivfpq_topk(full, queries, encoded=appended, **serve_kw)
+            .filter(F.col("rank") == 1)
+            .select("neighbor_id")
+            .collect()
+        }
+    )[:3]
+    alive = emb.filter((F.col("vec_id") >= 8) & ~F.col("vec_id").isin(tomb))
+    rebuild_alive = (
+        ivfpq_topk(alive, queries, **serve_kw)
+        .select(F.concat_ws("|", "query_id", "neighbor_id", "sim", "rank")
+                .alias("s"))
+        .agg(F.md5(F.concat_ws(";", F.sort_array(F.collect_list("s"))))
+             .alias("h"))
+        .first()[0]
+    )
+    rows.append((
+        "serve_merge_on_read",
+        len(tomb),
+        None,
+        served_md5(ann_tombstone_filter(appended, tomb)),
+        rebuild_alive,
+    ))
+
+    stats = ann_index_compact(spark, codes_dir, tomb)
+    rows.append((
+        "compact",
+        stats["rows_removed"],
+        stats["cells_rewritten"] + stats["cells_removed"],
+        None,
+        None,
+    ))
+    rows.append((
+        "serve_after_compact",
+        spark.read.parquet(codes_dir).count(),
+        None,
+        served_md5(spark.read.parquet(codes_dir)),
+        rebuild_alive,
+    ))
+    return spark.createDataFrame(
+        rows,
+        "phase STRING, rows BIGINT, cells INT, "
+        "served_md5 STRING, rebuild_md5 STRING",
+    )
+
+
 _UNIGRAM_CACHE: dict = {}
 
 

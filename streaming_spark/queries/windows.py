@@ -1683,7 +1683,9 @@ def q_streaming_ann_index(spark, sf_dir):
     number of disagreeing rows (must be 0) between the streamed index
     and a batch encode of the same corpus.  At deployment the quantizer
     refreshes on a slow cadence (retrain → re-encode) while ingest
-    stays on this fast path."""
+    stays on this fast path — per-batch ann_index_append into the
+    cell-partitioned serve layout, with deletes and compaction covered
+    by ann_index_maintenance (queries/northstar.py)."""
 
     from streaming_spark.operators.similarity import (
         ivfpq_encode,

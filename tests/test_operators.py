@@ -1601,6 +1601,208 @@ def test_ann_prestaged_index_agrees(spark, tmp_path):
     assert inline_pq == prestaged_pq
 
 
+def test_ann_index_append_serve_equals_rebuild(spark, tmp_path):
+    """Delta ingest contract: serving a staged code table built as base
+    append + delta append is row-identical to a full inline rebuild
+    over base ∪ delta (encoding is a per-row deterministic function of
+    (vector, quantizer)), the append stats account for the delta, and
+    an append keyed by a DIFFERENT quantizer is refused — appending
+    foreign codes would silently corrupt every later serve."""
+    import pytest
+
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ivf_centroids,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    base = emb.filter(F.col("vec_id") >= 24)
+    delta = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+    full = emb.filter(F.col("vec_id") >= 8)
+    cent = ivf_centroids(emb, 64, 8)
+    books = ivfpq_residual_codebooks(emb, cent, 64, m=16, ksub=16)
+    kw = dict(
+        dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16, rerank=128,
+        centroids=cent, codebooks=books,
+    )
+    d = str(tmp_path / "codes")
+    st: dict = {}
+    ann_index_append(d, base, cent, books, stats_out=st)
+    assert st["rows_appended"] == base.count()
+    st = {}
+    ann_index_append(d, delta, cent, books, stats_out=st)
+    assert st["rows_appended"] == 16 and st["cells_touched"] >= 1
+
+    staged = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                full, queries, encoded=spark.read.parquet(d), **kw
+            ).collect(),
+        )
+    )
+    rebuilt = sorted(map(tuple, ivfpq_topk(full, queries, **kw).collect()))
+    assert staged == rebuilt
+
+    with pytest.raises(ValueError, match="fingerprint"):
+        ann_index_append(d, delta, cent + 1e-3, books)
+
+
+def test_ann_index_maintenance_ivf_arm(spark, tmp_path):
+    """The maintenance family on a PLAIN-IVF staged inverted file
+    (codebooks=None → ivf_assign rows): append-then-serve equals
+    rebuild, merge-on-read tombstones equal rebuild-minus-tombstones,
+    and compaction preserves the serve — ivf_topk(assigned=) still
+    validates the quantizer stamp after every maintenance move."""
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_compact,
+        ann_tombstone_filter,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    base = emb.filter(F.col("vec_id") >= 24)
+    delta = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+    full = emb.filter(F.col("vec_id") >= 8)
+    cent = ivf_centroids(emb, 64, 8)
+    kw = dict(dim=64, k=5, n_cells=8, nprobe=4, centroids=cent)
+    d = str(tmp_path / "ivf")
+    ann_index_append(d, base, cent)
+    ann_index_append(d, delta, cent)
+    staged = spark.read.parquet(d)
+    assert sorted(
+        map(tuple, ivf_topk(full, queries, assigned=staged, **kw).collect())
+    ) == sorted(map(tuple, ivf_topk(full, queries, **kw).collect()))
+
+    tomb = [
+        int(r[0])
+        for r in ivf_topk(full, queries, assigned=staged, **kw)
+        .filter(F.col("rank") == 1)
+        .select("neighbor_id")
+        .distinct()
+        .collect()
+    ][:2]
+    alive = full.filter(~F.col("vec_id").isin(tomb))
+    rebuilt = sorted(map(tuple, ivf_topk(alive, queries, **kw).collect()))
+    mor = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                full, queries,
+                assigned=ann_tombstone_filter(staged, tomb), **kw
+            ).collect(),
+        )
+    )
+    assert mor == rebuilt
+    stats = ann_index_compact(spark, d, tomb)
+    assert stats["rows_removed"] == len(tomb)
+    compacted = spark.read.parquet(d)
+    assert sorted(
+        map(
+            tuple,
+            ivf_topk(full, queries, assigned=compacted, **kw).collect(),
+        )
+    ) == rebuilt
+
+
+def test_ann_index_compact_rewrites_only_affected_cells(spark, tmp_path):
+    """Compaction contract: tombstoned rows leave the files, ONLY the
+    cells containing tombstones are rewritten (unaffected cell
+    directories keep their exact file lists), a fully-tombstoned cell's
+    directory is removed whole, and the compacted table serves
+    identically to both the merge-on-read view and an inline rebuild
+    over the surviving corpus."""
+    import os
+
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_compact,
+        ann_tombstone_filter,
+        ivf_centroids,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    cent = ivf_centroids(emb, 64, 8)
+    books = ivfpq_residual_codebooks(emb, cent, 64, m=16, ksub=16)
+    kw = dict(
+        dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16, rerank=128,
+        centroids=cent, codebooks=books,
+    )
+    d = str(tmp_path / "codes")
+    ann_index_append(d, corpus, cent, books)
+    staged = spark.read.parquet(d)
+    per_cell = {
+        r["cell"]: r["ids"]
+        for r in staged.groupBy("cell")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .collect()
+    }
+    # empty the smallest cell entirely, and hit one more cell partially
+    empty_cell = min(per_cell, key=lambda c: len(per_cell[c]))
+    partial_cell = next(
+        c for c in sorted(per_cell) if c != empty_cell and len(per_cell[c]) > 1
+    )
+    tomb = sorted(per_cell[empty_cell]) + sorted(per_cell[partial_cell])[:1]
+    rows_total = sum(len(v) for v in per_cell.values())
+
+    listing = {
+        e: sorted(os.listdir(os.path.join(d, e)))
+        for e in os.listdir(d)
+        if e.startswith("cell=")
+    }
+    mor = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                corpus, queries,
+                encoded=ann_tombstone_filter(staged, tomb), **kw
+            ).collect(),
+        )
+    )
+
+    stats = ann_index_compact(spark, d, tomb)
+    assert stats["rows_removed"] == len(tomb)
+    assert stats["cells_removed"] == 1
+    assert stats["cells_rewritten"] == 1
+    assert not os.path.isdir(os.path.join(d, f"cell={empty_cell}"))
+    for e, files in listing.items():
+        cell = int(e.split("=", 1)[1])
+        if cell not in (empty_cell, partial_cell):
+            assert sorted(os.listdir(os.path.join(d, e))) == files
+
+    compacted = spark.read.parquet(d)
+    assert compacted.count() == rows_total - len(tomb)
+    # the stamp survived the rewrite: the serve path still validates it
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_topk(corpus, queries, encoded=compacted, **kw).collect(),
+        )
+    )
+    alive = corpus.filter(~F.col("vec_id").isin([int(t) for t in tomb]))
+    rebuilt = sorted(map(tuple, ivfpq_topk(alive, queries, **kw).collect()))
+    assert served == mor == rebuilt
+    from streaming_spark.operators.similarity import _ANN_FP_KEY
+
+    assert _ANN_FP_KEY in (compacted.schema["codes"].metadata or {})
+
+
 def test_bloom_no_false_negatives_and_fp_bound(spark):
     """Bloom contract: every indexed value probes present (one-sided
     error — NEVER a false negative), and the observed false-positive
