@@ -2959,11 +2959,25 @@ def ann_index_append(
     except AnalysisException:
         existing = None  # first write: append below creates the layout
     if existing is not None:
+        import os
+
+        if not any(
+            e.startswith("cell=") for e in os.listdir(staged_dir)
+        ):
+            raise ValueError(
+                "ann_index_append requires the cell-partitioned staged "
+                f"layout (write.partitionBy('cell')); {staged_dir!r} is "
+                "a flat table — appending cell= directories next to its "
+                "root-level files would leave a mixed-depth layout that "
+                "parquet refuses to read.  Re-stage it by cell first."
+            )
         _check_staged_fingerprint(
             existing, ("codes", "cell", id_col), expected, "ann_index_append"
         )
     if codebooks is None:
-        enc = ivf_assign(delta, centroids, id_col=id_col, vec_col=vec_col)
+        enc = ivf_assign(
+            delta, centroids, id_col=id_col, vec_col=vec_col, out_id=id_col
+        )
     else:
         enc = ivfpq_encode(
             delta, centroids, codebooks,

@@ -2973,10 +2973,17 @@ def ann_index_maintenance(spark, sf_dir):
     )
     codes_dir = os.path.join(scratch_dir("annmaint"), "codes")
 
-    def served_md5(encoded):
-        df = ivfpq_topk(full, queries, encoded=encoded, **serve_kw)
+    def serve(vectors, encoded):
+        # each index view is served ONCE; the collected top-k feeds
+        # both its md5 witness and the tombstone derivation below
+        return ivfpq_topk(vectors, queries, encoded=encoded, **serve_kw).collect()
+
+    def topk_md5(collected):
+        # same JVM-side digest for every arm (double→string formatting
+        # must match across md5s); the re-created frame is Q·k rows
         return (
-            df.select(
+            spark.createDataFrame(collected)
+            .select(
                 F.concat_ws(
                     "|", "query_id", "neighbor_id", "sim", "rank"
                 ).alias("s")
@@ -3000,13 +3007,13 @@ def ann_index_maintenance(spark, sf_dir):
                  None, None))
 
     appended = spark.read.parquet(codes_dir)
-    rebuild_full = served_md5(None)  # inline encode over base ∪ delta
+    served_full = serve(full, appended)
     rows.append((
         "serve_after_append",
         appended.count(),
         None,
-        served_md5(appended),
-        rebuild_full,
+        topk_md5(served_full),
+        topk_md5(serve(full, None)),  # inline encode over base ∪ delta
     ))
 
     # retire vectors the index is actually SERVING — the rank-1
@@ -3015,29 +3022,14 @@ def ann_index_maintenance(spark, sf_dir):
     # serve_after_append's in the emitted rows) and the
     # equals-rebuild witness is non-vacuous.  Deterministic: a pure
     # function of the deterministic served top-k.
-    tomb = sorted(
-        {
-            int(r[0])
-            for r in ivfpq_topk(full, queries, encoded=appended, **serve_kw)
-            .filter(F.col("rank") == 1)
-            .select("neighbor_id")
-            .collect()
-        }
-    )[:3]
+    tomb = sorted({int(r.neighbor_id) for r in served_full if r.rank == 1})[:3]
     alive = emb.filter((F.col("vec_id") >= 8) & ~F.col("vec_id").isin(tomb))
-    rebuild_alive = (
-        ivfpq_topk(alive, queries, **serve_kw)
-        .select(F.concat_ws("|", "query_id", "neighbor_id", "sim", "rank")
-                .alias("s"))
-        .agg(F.md5(F.concat_ws(";", F.sort_array(F.collect_list("s"))))
-             .alias("h"))
-        .first()[0]
-    )
+    rebuild_alive = topk_md5(serve(alive, None))
     rows.append((
         "serve_merge_on_read",
         len(tomb),
         None,
-        served_md5(ann_tombstone_filter(appended, tomb)),
+        topk_md5(serve(full, ann_tombstone_filter(appended, tomb))),
         rebuild_alive,
     ))
 
@@ -3049,11 +3041,12 @@ def ann_index_maintenance(spark, sf_dir):
         None,
         None,
     ))
+    compacted = spark.read.parquet(codes_dir)
     rows.append((
         "serve_after_compact",
-        spark.read.parquet(codes_dir).count(),
+        compacted.count(),
         None,
-        served_md5(spark.read.parquet(codes_dir)),
+        topk_md5(serve(full, compacted)),
         rebuild_alive,
     ))
     return spark.createDataFrame(

@@ -1652,6 +1652,16 @@ def test_ann_index_append_serve_equals_rebuild(spark, tmp_path):
     with pytest.raises(ValueError, match="fingerprint"):
         ann_index_append(d, delta, cent + 1e-3, books)
 
+    # refuse to append into a FLAT staged table: cell= directories next
+    # to root-level part files leave a mixed-depth layout parquet
+    # cannot read — the corruption must fail loudly at write time
+    from streaming_spark.operators.similarity import ivfpq_encode
+
+    flat = str(tmp_path / "flat")
+    ivfpq_encode(base, cent, books).write.parquet(flat)
+    with pytest.raises(ValueError, match="cell-partitioned"):
+        ann_index_append(flat, delta, cent, books)
+
 
 def test_ann_index_maintenance_ivf_arm(spark, tmp_path):
     """The maintenance family on a PLAIN-IVF staged inverted file
@@ -1713,6 +1723,26 @@ def test_ann_index_maintenance_ivf_arm(spark, tmp_path):
             ivf_topk(full, queries, assigned=compacted, **kw).collect(),
         )
     ) == rebuilt
+
+    # custom id_col: the IVF arm must emit the caller's id column (the
+    # stamp rides on it — `cell` loses its metadata to the directory
+    # name), so the second append's quantizer gate stays armed
+    import pytest
+
+    named = emb.withColumnRenamed("vec_id", "doc_id")
+    d2 = str(tmp_path / "ivf_named")
+    ann_index_append(
+        d2, named.filter("doc_id >= 250"), cent, id_col="doc_id"
+    )
+    staged2 = spark.read.parquet(d2)
+    assert "doc_id" in staged2.columns
+    from streaming_spark.operators.similarity import _ANN_FP_KEY
+
+    assert _ANN_FP_KEY in (staged2.schema["doc_id"].metadata or {})
+    with pytest.raises(ValueError, match="fingerprint"):
+        ann_index_append(
+            d2, named.filter("doc_id < 250"), cent + 1e-3, id_col="doc_id"
+        )
 
 
 def test_ann_index_compact_rewrites_only_affected_cells(spark, tmp_path):
