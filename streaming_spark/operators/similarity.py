@@ -2992,6 +2992,52 @@ def ann_index_append(
     ).parquet(staged_dir)
 
 
+def ann_index_refresh(
+    staged_dir: str,
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Re-key the staged index under a NEW quantizer — the slow-cadence
+    counterpart to :func:`ann_index_append`'s fast ingest path: after
+    enough drift the quantizer retrains, and every stored row must be
+    re-encoded (codes are meaningless across quantizers, which is why
+    append REFUSES a fingerprint mismatch rather than mixing).  The full
+    corpus is encoded into a SIBLING directory and swapped in whole
+    (``os.replace``-style directory swap — the local stand-in for an
+    object-store manifest commit, same posture as ann_index_compact), so
+    a concurrently-failing refresh never leaves a half-keyed table: the
+    old index stays serveable until the swap, and after it the old
+    quantizer's serve calls refuse the new stamp loudly.  Save the new
+    quantizer alongside with :func:`ann_index_save`."""
+    import os
+    import shutil
+
+    tmp = staged_dir.rstrip("/") + ".refresh"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if codebooks is None:
+        enc = ivf_assign(
+            vectors, centroids, id_col=id_col, vec_col=vec_col, out_id=id_col
+        )
+    else:
+        enc = ivfpq_encode(
+            vectors, centroids, codebooks,
+            id_col=id_col, vec_col=vec_col, rotation=rotation,
+        )
+    enc.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    old = staged_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(staged_dir):
+        os.rename(staged_dir, old)
+    os.rename(tmp, staged_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ann_tombstone_filter(
     encoded: DataFrame, tombstones, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -2949,8 +2949,10 @@ def ann_index_maintenance(spark, sf_dir):
     ann_topk_ivfpq_pruned (cell-partitioned scan pruning), and
     q_streaming_ann_index (continuous per-micro-batch encode ingest,
     queries/windows.py) this completes the index story: build → serve
-    → grow → retire → compact, all bound to one quantizer
-    fingerprint."""
+    → grow → retire → compact, all bound to one quantizer fingerprint
+    — and re-keyed wholesale on quantizer retrain by ann_index_refresh
+    (full re-encode + atomic directory swap, pinned by
+    test_ann_index_refresh_rekeys_whole_table)."""
     import os
 
     from streaming_spark.operators.similarity import (

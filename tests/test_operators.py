@@ -1663,6 +1663,63 @@ def test_ann_index_append_serve_equals_rebuild(spark, tmp_path):
         ann_index_append(flat, delta, cent, books)
 
 
+def test_ann_index_refresh_rekeys_whole_table(spark, tmp_path):
+    """Quantizer refresh contract: after ann_index_refresh the staged
+    table serves identically to an inline encode under the NEW
+    quantizer, appends under the new quantizer are accepted, and the
+    OLD quantizer's serve/append calls refuse the new stamp — a
+    half-migrated deployment fails loudly instead of mixing keys."""
+    import pytest
+
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_refresh,
+        ivf_centroids,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    cent_old = ivf_centroids(emb, 64, 8)
+    books_old = ivfpq_residual_codebooks(emb, cent_old, 64, m=16, ksub=16)
+    d = str(tmp_path / "codes")
+    ann_index_append(d, corpus, cent_old, books_old)
+
+    # "retrained" quantizer: different cell count → different stamp
+    cent_new = ivf_centroids(emb, 64, 4)
+    books_new = ivfpq_residual_codebooks(emb, cent_new, 64, m=16, ksub=16)
+    ann_index_refresh(d, corpus, cent_new, books_new)
+
+    kw_new = dict(
+        dim=64, k=5, n_cells=4, nprobe=2, m=16, ksub=16, rerank=128,
+        centroids=cent_new, codebooks=books_new,
+    )
+    refreshed = spark.read.parquet(d)
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_topk(corpus, queries, encoded=refreshed, **kw_new).collect(),
+        )
+    ) == sorted(map(tuple, ivfpq_topk(corpus, queries, **kw_new).collect()))
+
+    kw_old = dict(
+        dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16, rerank=128,
+        centroids=cent_old, codebooks=books_old,
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        ivfpq_topk(corpus, queries, encoded=refreshed, **kw_old).collect()
+    with pytest.raises(ValueError, match="fingerprint"):
+        ann_index_append(d, queries, cent_old, books_old)
+    # the new quantizer's ingest path is open
+    ann_index_append(
+        d, emb.filter(F.col("vec_id") < 4), cent_new, books_new
+    )
+
+
 def test_ann_index_maintenance_ivf_arm(spark, tmp_path):
     """The maintenance family on a PLAIN-IVF staged inverted file
     (codebooks=None → ivf_assign rows): append-then-serve equals

@@ -106,6 +106,7 @@ _NEWEST_SLUGS = (
     "q_exact_nn_blocked",
     "ann_topk_ivfpq_pruned",  # r11: the layout/IO probe
     "multimodal_resize_pipeline",  # r11: per-pixel-oracled bilinear resize
+    "ann_index_maintenance",  # r11: append/tombstone/compact lifecycle
 )
 
 _NEWEST_CASE = "newest-overweight"
