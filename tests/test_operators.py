@@ -1663,6 +1663,70 @@ def test_ann_index_append_serve_equals_rebuild(spark, tmp_path):
         ann_index_append(flat, delta, cent, books)
 
 
+def test_ann_index_maintenance_randomized_identity(spark, tmp_path):
+    """Seeded random splits and tombstone sets: for any partition of the
+    corpus into base/delta and any tombstone choice, append + merge-on-
+    read must serve exactly what a from-scratch rebuild over the
+    surviving corpus serves — the per-row-determinism argument the
+    fixed-split tests pin, exercised at arbitrary boundaries."""
+    import numpy as np
+
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_tombstone_filter,
+        ivf_centroids,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = ivf_centroids(emb, 64, 8)
+    books = ivfpq_residual_codebooks(emb, cent, 64, m=16, ksub=16)
+    kw = dict(
+        dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16, rerank=128,
+        centroids=cent, codebooks=books,
+    )
+    for seed in (7, 2026):
+        rng = np.random.default_rng(seed)
+        in_base = rng.random(500) < rng.uniform(0.3, 0.9)
+        base_ids = [int(i) for i in np.flatnonzero(in_base) if i >= 8]
+        delta_ids = [int(i) for i in np.flatnonzero(~in_base) if i >= 8]
+        tomb = [
+            int(t)
+            for t in rng.choice(
+                base_ids + delta_ids, size=rng.integers(1, 30), replace=False
+            )
+        ]
+        d = str(tmp_path / f"codes_{seed}")
+        ann_index_append(
+            d, emb.filter(F.col("vec_id").isin(base_ids)), cent, books
+        )
+        ann_index_append(
+            d, emb.filter(F.col("vec_id").isin(delta_ids)), cent, books
+        )
+        corpus = emb.filter(F.col("vec_id") >= 8)
+        alive = corpus.filter(~F.col("vec_id").isin(tomb))
+        mor = sorted(
+            map(
+                tuple,
+                ivfpq_topk(
+                    corpus, queries,
+                    encoded=ann_tombstone_filter(
+                        spark.read.parquet(d), tomb
+                    ),
+                    **kw,
+                ).collect(),
+            )
+        )
+        rebuilt = sorted(
+            map(tuple, ivfpq_topk(alive, queries, **kw).collect())
+        )
+        assert mor == rebuilt, f"seed {seed}"
+
+
 def test_ann_index_refresh_rekeys_whole_table(spark, tmp_path):
     """Quantizer refresh contract: after ann_index_refresh the staged
     table serves identically to an inline encode under the NEW
