@@ -3011,8 +3011,10 @@ def ann_index_refresh(
     object-store manifest commit, same posture as ann_index_compact), so
     a concurrently-failing refresh never leaves a half-keyed table: the
     old index stays serveable until the swap, and after it the old
-    quantizer's serve calls refuse the new stamp loudly.  Save the new
-    quantizer alongside with :func:`ann_index_save`."""
+    quantizer's serve calls refuse the new stamp loudly.  A crash
+    BETWEEN the two renames leaves the table at ``<staged_dir>.old``
+    intact (never half-keyed) — recovery is renaming it back.  Save the
+    new quantizer alongside with :func:`ann_index_save`."""
     import os
     import shutil
 
