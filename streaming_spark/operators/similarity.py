@@ -2913,6 +2913,45 @@ def _restamp(frame: DataFrame, source: DataFrame, cols: tuple) -> DataFrame:
     return frame
 
 
+def _encode_index_rows(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray | None,
+    rotation: np.ndarray | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One quantizer dispatch for every staged-index writer: with
+    ``codebooks`` the rows are IVF-PQ codes (ivfpq_encode), without,
+    plain-IVF inverted rows (ivf_assign with the CALLER's id column —
+    the stamp rides on it, since a by-cell layout loses `cell`'s
+    metadata to the directory name).  ann_index_append and
+    ann_index_refresh must key rows identically or a refreshed table
+    would drift from appended ones."""
+    if codebooks is None:
+        return ivf_assign(
+            df, centroids, id_col=id_col, vec_col=vec_col, out_id=id_col
+        )
+    return ivfpq_encode(
+        df, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col, rotation=rotation,
+    )
+
+
+def _require_bycell_layout(staged_dir: str, what: str) -> None:
+    """Refuse a staged dir without cell= partition directories — append
+    would corrupt a flat table into a mixed-depth layout parquet cannot
+    read, and compact has no whole-partition unit to rewrite."""
+    import os
+
+    if not any(e.startswith("cell=") for e in os.listdir(staged_dir)):
+        raise ValueError(
+            f"{what} requires the cell-partitioned staged layout "
+            f"(write.partitionBy('cell')); {staged_dir!r} has no cell= "
+            "directories — re-stage the table by cell first."
+        )
+
+
 def ann_index_append(
     staged_dir: str,
     delta: DataFrame,
@@ -2959,30 +2998,13 @@ def ann_index_append(
     except AnalysisException:
         existing = None  # first write: append below creates the layout
     if existing is not None:
-        import os
-
-        if not any(
-            e.startswith("cell=") for e in os.listdir(staged_dir)
-        ):
-            raise ValueError(
-                "ann_index_append requires the cell-partitioned staged "
-                f"layout (write.partitionBy('cell')); {staged_dir!r} is "
-                "a flat table — appending cell= directories next to its "
-                "root-level files would leave a mixed-depth layout that "
-                "parquet refuses to read.  Re-stage it by cell first."
-            )
+        _require_bycell_layout(staged_dir, "ann_index_append")
         _check_staged_fingerprint(
             existing, ("codes", "cell", id_col), expected, "ann_index_append"
         )
-    if codebooks is None:
-        enc = ivf_assign(
-            delta, centroids, id_col=id_col, vec_col=vec_col, out_id=id_col
-        )
-    else:
-        enc = ivfpq_encode(
-            delta, centroids, codebooks,
-            id_col=id_col, vec_col=vec_col, rotation=rotation,
-        )
+    enc = _encode_index_rows(
+        delta, centroids, codebooks, rotation, id_col, vec_col
+    )
     if stats_out is not None:
         cells = enc.groupBy("cell").count().collect()
         stats_out["rows_appended"] = int(sum(r["count"] for r in cells))
@@ -3007,7 +3029,7 @@ def ann_index_refresh(
     re-encoded (codes are meaningless across quantizers, which is why
     append REFUSES a fingerprint mismatch rather than mixing).  The full
     corpus is encoded into a SIBLING directory and swapped in whole
-    (``os.replace``-style directory swap — the local stand-in for an
+    (a two-rename directory swap — the local stand-in for an
     object-store manifest commit, same posture as ann_index_compact), so
     a concurrently-failing refresh never leaves a half-keyed table: the
     old index stays serveable until the swap, and after it the old
@@ -3020,18 +3042,19 @@ def ann_index_refresh(
 
     tmp = staged_dir.rstrip("/") + ".refresh"
     shutil.rmtree(tmp, ignore_errors=True)
-    if codebooks is None:
-        enc = ivf_assign(
-            vectors, centroids, id_col=id_col, vec_col=vec_col, out_id=id_col
-        )
-    else:
-        enc = ivfpq_encode(
-            vectors, centroids, codebooks,
-            id_col=id_col, vec_col=vec_col, rotation=rotation,
-        )
-    enc.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(tmp)
+    enc = _encode_index_rows(
+        vectors, centroids, codebooks, rotation, id_col, vec_col
+    )
+    try:
+        enc.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(tmp)
+    except Exception:
+        # the re-encode is the expensive step and tmp is caller-owned
+        # (outside the scratch sweep): never leave a half-written
+        # table-sized sibling behind
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     old = staged_dir.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(staged_dir):
@@ -3090,15 +3113,7 @@ def ann_index_compact(
 
     from streaming_spark.scratch import scratch_dir
 
-    if not any(
-        e.startswith("cell=") for e in os.listdir(staged_dir)
-    ):
-        raise ValueError(
-            "ann_index_compact requires the cell-partitioned staged "
-            f"layout (write.partitionBy('cell')); {staged_dir!r} has no "
-            "cell= directories — compaction rewrites whole cell "
-            "partitions, which a flat layout does not have."
-        )
+    _require_bycell_layout(staged_dir, "ann_index_compact")
     staged = spark.read.parquet(staged_dir)
     tomb = _tombstone_df(spark, tombstones, id_col)
     affected = sorted(

@@ -2951,7 +2951,8 @@ def ann_index_maintenance(spark, sf_dir):
     queries/windows.py) this completes the index story: build → serve
     → grow → retire → compact, all bound to one quantizer fingerprint
     — and re-keyed wholesale on quantizer retrain by ann_index_refresh
-    (full re-encode + atomic directory swap, pinned by
+    (full re-encode + two-rename directory swap, old table preserved at
+    .old on a crash; pinned by
     test_ann_index_refresh_rekeys_whole_table)."""
     import os
 

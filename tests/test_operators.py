@@ -1689,11 +1689,12 @@ def test_ann_index_maintenance_randomized_identity(spark, tmp_path):
         dim=64, k=5, n_cells=8, nprobe=4, m=16, ksub=16, rerank=128,
         centroids=cent, codebooks=books,
     )
+    all_ids = sorted(r[0] for r in emb.select("vec_id").collect())
     for seed in (7, 2026):
         rng = np.random.default_rng(seed)
-        in_base = rng.random(500) < rng.uniform(0.3, 0.9)
-        base_ids = [int(i) for i in np.flatnonzero(in_base) if i >= 8]
-        delta_ids = [int(i) for i in np.flatnonzero(~in_base) if i >= 8]
+        in_base = rng.random(len(all_ids)) < rng.uniform(0.3, 0.9)
+        base_ids = [i for i, b in zip(all_ids, in_base) if b and i >= 8]
+        delta_ids = [i for i, b in zip(all_ids, in_base) if not b and i >= 8]
         tomb = [
             int(t)
             for t in rng.choice(
