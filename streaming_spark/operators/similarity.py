@@ -2986,7 +2986,13 @@ def ann_index_append(
 
     ``stats_out`` (rows_appended / cells_touched) runs a second encode
     pass over the delta for the counts — fine for the bounded ingest
-    batches this is for; skip it when the delta is huge."""
+    batches this is for; skip it when the delta is huge.
+
+    Measured (scripts/stress_ann.py maintenance arm, clustered 64-dim):
+    appending a 10k delta into a staged 250-cell index costs 2.0 / 2.9
+    / 4.4 s at N = 100k / 500k / 1M — delta-bound, vs 62–106 s for the
+    full re-encode at 1M — with serve identity holding at every
+    point."""
     from pyspark.errors import AnalysisException
 
     spark = delta.sparkSession
@@ -3107,7 +3113,12 @@ def ann_index_compact(
     tombstoned is simply removed.  Finding the affected cells scans the
     table's (id, cell) columns only (column pruning keeps the codes
     unread).  Returns stats: ``cells_total``, ``cells_rewritten``,
-    ``cells_removed``, ``rows_before``, ``rows_removed``."""
+    ``cells_removed``, ``rows_before``, ``rows_removed``.
+
+    Measured (scripts/stress_ann.py maintenance arm): compacting 100
+    tombstones out of a staged index costs 2.3 / 2.5 / 3.5 s at
+    N = 100k / 500k / 1M, rewriting only the 52 / 75 / 69 cells they
+    touch of 77 / 176 / 250 total — footprint-bound, not N-bound."""
     import os
     import shutil
 
