@@ -259,6 +259,78 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
             flush=True,
         )
 
+    # --- stream-stream interval join (the state-heaviest primitive:
+    # FOUR stores per partition per side) — inner join, so availableNow
+    # needs no sentinel flush; watermark + the 1h time bound keep join
+    # state at the lateness horizon (~hours of events), never O(N)
+    for sp in parts_ab:
+        sink = scratch.scratch_dir("ssink") + "/join"
+        src = real(_read_stream(spark, schema, stream_dir, fpt))
+        left = (
+            src.filter(F.col("event_id") % 2 == 0)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("event_id").alias("l_event"),
+                F.col("ts").alias("l_ts"),
+            )
+        )
+        right = (
+            real(_read_stream(spark, schema, stream_dir, fpt))
+            .filter(F.col("event_id") % 2 == 1)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("event_id").alias("r_event"),
+                F.col("ts").alias("r_ts"),
+            )
+        )
+        cond = (
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        t0 = time.perf_counter()
+        _run_foreach_batch(
+            left.join(right, cond, "inner"),
+            lambda df, bid: _land_batch(df, bid, sink),
+            "stress_join",
+            timeout_s=timeout_s,
+            state_partitions=sp,
+        )
+        streamed = spark.read.parquet(sink)
+        pairs_out = streamed.count()
+        elapsed = time.perf_counter() - t0
+        b = real(batch)
+        bl = b.filter(F.col("event_id") % 2 == 0).select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+        br = b.filter(F.col("event_id") % 2 == 1).select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+        twin_pairs = bl.join(br, cond, "inner").select("l_event", "r_event")
+        got_pairs = streamed.select("l_event", "r_event")
+        bad = (
+            got_pairs.exceptAll(twin_pairs).count()
+            + twin_pairs.exceptAll(got_pairs).count()
+        )
+        print(
+            json.dumps(
+                {
+                    "op": f"stream_stream_join(p={sp})",
+                    **tag,
+                    "seconds": round(elapsed, 2),
+                    "pairs_out": pairs_out,
+                    "mismatch": int(bad),
+                }
+            ),
+            flush=True,
+        )
+
     # --- watermarked tumbling-window aggregate (append mode) --------
     t0 = time.perf_counter()
     agg = (
