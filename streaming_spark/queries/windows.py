@@ -502,11 +502,15 @@ def _stream_conf(spark, state_partitions: int | None):
     oracle-parity contracts of every streaming twin are content-
     deterministic — so this is a physical knob only.
 
-    The trade INVERTS at volume (scripts/stress_streaming.py): at 1M/4M
-    events the stateful rolling mean runs ~2x FASTER at 32 state
-    partitions than at 8 (21 vs 39 s, 59 vs 143 s) — once per-batch row
-    volume dominates the per-partition store overhead, parallelism
-    wins.  Size state partitions to rows-per-batch; the 8 here is
+    The knob is PER-OPERATOR (scripts/stress_streaming.py): the
+    stateful rolling MAP inverts at volume — at 1M/4M events it runs
+    ~2x faster at 32 state partitions than at 8 (21 vs 39 s, 59 vs
+    143 s), because its compute scales with rows and amortizes the
+    per-partition store cost — while the stream-stream JOIN stays
+    faster at 8 even at 4M (15 vs 37 s): its state is bounded by the
+    watermark horizon, not N, so the four-stores-per-partition-per-side
+    overhead never amortizes.  Size state partitions to per-batch
+    state+compute volume, not to a global rule; the 8 here is
     fixture-sized by design."""
     key = "spark.sql.shuffle.partitions"
     if state_partitions is None:
