@@ -20,9 +20,8 @@ twin:
   Run at BOTH the fixture-sized state-partition count (8) and the
   default 32 at the largest point — the knob the stream runners size
   (state-store cost is per partition per batch, not per row).
-  Row-for-row equality against the batch keyed-window twin at N ≤ 1M
-  (join on (user_id, event_id), max |Δ| must be 0 within 1e-9);
-  count-only above.
+  Row-for-row equality against the batch keyed-window twin at EVERY
+  point (join on (user_id, event_id), max |Δ| must be 0 within 1e-9).
 - ``stream_windowed_agg`` (watermark spine): withWatermark("ts", "2
   hours") + tumbling 1-hour window in APPEND mode, run with a sentinel
   file that drives the watermark past everything real so every window
@@ -66,7 +65,14 @@ def stage_events(spark, n: int, shards: int) -> tuple[str, str]:
     event-time order — the same per-key in-order contract the fixture
     streams document), plus a sentinel file (user_id = -1, ts one week
     past the end) for the watermark arm.  Returns (stream_dir,
-    batch_table_dir)."""
+    batch_table_dir).
+
+    The mtime/sentinel mechanics mirror windows.py's
+    _stage_stream_dir (ascending utimes ending near NOW so the LRU
+    scratch sweep never victimizes live stream input; far-future
+    sentinel row to drive the watermark) — kept separate because that
+    helper re-materializes FIXTURE tables while this stages a generated
+    corpus; a contract change there must be mirrored here."""
     d = scratch.scratch_dir(f"stress_stream_{n}", pin=True)
     t = d + "/t"
     n_keys = max(1, n // KEY_DIV)
@@ -167,22 +173,24 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
         .groupBy("user_id")
         .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
     )
+    # the clock covers the stream run + materializing the streamed
+    # RESULT; batch-twin verification runs strictly after it (one
+    # timer boundary for every arm — the cross-arm table depends on it)
+    keys_out = merged.count()
+    elapsed = time.perf_counter() - t0
     twin = real(batch).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("s")
     )
-    diff = (
+    bad = (
         merged.alias("m")
         .join(twin.alias("b"), "user_id", "full")
-        .select(
-            (
-                (F.col("m.cnt") != F.col("b.cnt"))
-                | F.col("m.cnt").isNull()
-                | F.col("b.cnt").isNull()
-                | (F.abs(F.col("m.s") - F.col("b.s")) > 1e-6)
-            ).cast("int").alias("bad")
+        .filter(
+            (F.col("m.cnt") != F.col("b.cnt"))
+            | F.col("m.cnt").isNull()
+            | F.col("b.cnt").isNull()
+            | (F.abs(F.col("m.s") - F.col("b.s")) > 1e-6)
         )
-        .agg(F.sum("bad").alias("bad"), F.count(F.lit(1)).alias("rows"))
-        .first()
+        .count()
     )
     n_batches = spark.read.parquet(sink).select("__batch").distinct().count()
     print(
@@ -190,10 +198,10 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
             {
                 "op": "stream_rollup_partials",
                 **tag,
-                "seconds": round(time.perf_counter() - t0, 2),
+                "seconds": round(elapsed, 2),
                 "batches": n_batches,
-                "keys_out": int(diff["rows"]),
-                "mismatch": int(diff["bad"]),
+                "keys_out": keys_out,
+                "mismatch": int(bad),
             }
         ),
         flush=True,
@@ -216,35 +224,32 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
         streamed = spark.read.parquet(sink)
         rows_out = streamed.count()
         elapsed = time.perf_counter() - t0
-        if n <= 1_000_000:
-            from pyspark.sql import Window
+        from pyspark.sql import Window
 
-            w = (
-                Window.partitionBy("user_id")
-                .orderBy("ts", "event_id")
-                .rowsBetween(-2, 0)
-            )
-            twin = real(batch).select(
-                "user_id",
-                "event_id",
-                F.avg("value").over(w).alias("rolling_mean"),
-            )
-            bad = (
-                streamed.select("user_id", "event_id", "rolling_mean")
-                .alias("s")
-                .join(twin.alias("b"), ["user_id", "event_id"], "full")
-                .filter(
-                    F.col("s.rolling_mean").isNull()
-                    | F.col("b.rolling_mean").isNull()
-                    | (
-                        F.abs(F.col("s.rolling_mean") - F.col("b.rolling_mean"))
-                        > 1e-9
-                    )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-2, 0)
+        )
+        twin = real(batch).select(
+            "user_id",
+            "event_id",
+            F.avg("value").over(w).alias("rolling_mean"),
+        )
+        bad = (
+            streamed.select("user_id", "event_id", "rolling_mean")
+            .alias("s")
+            .join(twin.alias("b"), ["user_id", "event_id"], "full")
+            .filter(
+                F.col("s.rolling_mean").isNull()
+                | F.col("b.rolling_mean").isNull()
+                | (
+                    F.abs(F.col("s.rolling_mean") - F.col("b.rolling_mean"))
+                    > 1e-9
                 )
-                .count()
             )
-        else:
-            bad = 0 if rows_out == n else -1  # count witness only
+            .count()
+        )
         print(
             json.dumps(
                 {
@@ -253,7 +258,6 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
                     "seconds": round(elapsed, 2),
                     "rows_out": rows_out,
                     "mismatch": int(bad),
-                    "full_compare": n <= 1_000_000,
                 }
             ),
             flush=True,
@@ -263,11 +267,35 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
     # FOUR stores per partition per side) — inner join, so availableNow
     # needs no sentinel flush; watermark + the 1h time bound keep join
     # state at the lateness horizon (~hours of events), never O(N)
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    # the batch twin is state-partition-independent: compute its pair
+    # set ONCE (bounded: ~events/user per hour x keys, ~90k here)
+    b = real(batch)
+    bl = b.filter(F.col("event_id") % 2 == 0).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    br = b.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    twin_pairs = {
+        (r[0], r[1])
+        for r in bl.join(br, cond, "inner")
+        .select("l_event", "r_event")
+        .collect()
+    }
     for sp in parts_ab:
         sink = scratch.scratch_dir("ssink") + "/join"
-        src = real(_read_stream(spark, schema, stream_dir, fpt))
         left = (
-            src.filter(F.col("event_id") % 2 == 0)
+            real(_read_stream(spark, schema, stream_dir, fpt))
+            .filter(F.col("event_id") % 2 == 0)
             .withWatermark("ts", "2 hours")
             .select(
                 F.col("user_id").alias("l_user"),
@@ -285,11 +313,6 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
                 F.col("ts").alias("r_ts"),
             )
         )
-        cond = (
-            (F.col("l_user") == F.col("r_user"))
-            & (F.col("r_ts") >= F.col("l_ts"))
-            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
-        )
         t0 = time.perf_counter()
         _run_foreach_batch(
             left.join(right, cond, "inner"),
@@ -298,34 +321,21 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
             timeout_s=timeout_s,
             state_partitions=sp,
         )
-        streamed = spark.read.parquet(sink)
-        pairs_out = streamed.count()
+        got_pairs = {
+            (r[0], r[1])
+            for r in spark.read.parquet(sink)
+            .select("l_event", "r_event")
+            .collect()
+        }
         elapsed = time.perf_counter() - t0
-        b = real(batch)
-        bl = b.filter(F.col("event_id") % 2 == 0).select(
-            F.col("user_id").alias("l_user"),
-            F.col("event_id").alias("l_event"),
-            F.col("ts").alias("l_ts"),
-        )
-        br = b.filter(F.col("event_id") % 2 == 1).select(
-            F.col("user_id").alias("r_user"),
-            F.col("event_id").alias("r_event"),
-            F.col("ts").alias("r_ts"),
-        )
-        twin_pairs = bl.join(br, cond, "inner").select("l_event", "r_event")
-        got_pairs = streamed.select("l_event", "r_event")
-        bad = (
-            got_pairs.exceptAll(twin_pairs).count()
-            + twin_pairs.exceptAll(got_pairs).count()
-        )
         print(
             json.dumps(
                 {
                     "op": f"stream_stream_join(p={sp})",
                     **tag,
                     "seconds": round(elapsed, 2),
-                    "pairs_out": pairs_out,
-                    "mismatch": int(bad),
+                    "pairs_out": len(got_pairs),
+                    "mismatch": len(got_pairs ^ twin_pairs),
                 }
             ),
             flush=True,
@@ -342,13 +352,16 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
     out = _run_until_watermark(
         agg,
         f"stress_win_{n}",
-        dt.datetime.utcfromtimestamp(BASE_EPOCH + n + 1),
+        dt.datetime.fromtimestamp(
+            BASE_EPOCH + n + 1, dt.timezone.utc
+        ).replace(tzinfo=None),
         timeout_s=timeout_s,
     )
     got = {
         (r["window"]["start"], r["cnt"])
         for r in out.filter("r").collect()
     }
+    elapsed = time.perf_counter() - t0
     want = {
         (r["window"]["start"], r["cnt"])
         for r in real(batch)
@@ -361,7 +374,7 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
             {
                 "op": "stream_windowed_agg",
                 **tag,
-                "seconds": round(time.perf_counter() - t0, 2),
+                "seconds": round(elapsed, 2),
                 "windows": len(want),
                 "mismatch": len(got ^ want),
             }
@@ -377,7 +390,8 @@ def run_point(spark, n: int, shards: int, timeout_s: int = 1200) -> None:
 def main() -> None:
     max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     spark = get_spark(app_name="stress-streaming")
-    run_point(spark, 20_000, 8)  # warm pools + checkpoint machinery
+    # warm pools + checkpoint machinery, bounded by the caller's cap
+    run_point(spark, min(20_000, max_n), 8)
     for n, shards in ((100_000, 16), (1_000_000, 32), (4_000_000, 64)):
         if n > max_n:
             continue
