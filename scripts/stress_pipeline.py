@@ -224,6 +224,8 @@ def run_streaming_point(spark, n: int) -> None:
     n_batches = [0]
 
     def land(batch_df, batch_id):
+        from streaming_spark.queries.windows import _land_batch
+
         docs = batch_df.withColumn(
             "source", (F.col("doc_id") % 4).cast("string")
         )
@@ -231,11 +233,14 @@ def run_streaming_point(spark, n: int) -> None:
             gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
         )
         keep_c = c4_quality(docs).filter("passes").select("doc_id")
-        (
-            docs.join(keep_g, "doc_id")
-            .join(keep_c, "doc_id")
-            .write.mode("append")
-            .parquet(sink + "/t")
+        # idempotent batch-keyed landing (the engine's sink discipline):
+        # a replayed micro-batch after checkpoint recovery overwrites
+        # its own partition instead of appending duplicate doc rows,
+        # which would poison the stream-vs-batch survivor-set equality
+        _land_batch(
+            docs.join(keep_g, "doc_id").join(keep_c, "doc_id"),
+            batch_id,
+            sink + "/t",
         )
         n_batches[0] += 1
 

@@ -53,6 +53,13 @@ KEY_DIV = 100  # U = N/100 keys -> ~100 events/key
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
+    # deliberately a LOCAL copy of stress_ann._mix64 (same constants):
+    # the generator closure ships to Python workers, and a function
+    # pickled by reference to the `stress_ann` module fails there with
+    # ModuleNotFoundError (measured) — __main__-defined functions
+    # pickle by value and ship fine.  The alternative is
+    # sc.addPyFile("stress_ann.py") à la stress_pipeline; a one-liner
+    # copy is simpler than coupling this sweep's workers to that file.
     with np.errstate(over="ignore"):
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)

@@ -3107,10 +3107,17 @@ def ann_index_compact(
     tombstones' cell footprint, not the table.
 
     Mechanics (the local-filesystem stand-in for an object-store
-    manifest commit): survivors of the affected cells are written to
-    scratch with the same by-cell layout, then each affected cell
-    directory is swapped in whole — a cell whose every row was
-    tombstoned is simply removed.  Finding the affected cells scans the
+    manifest commit): survivors of the affected cells are written to a
+    caller-owned ``<staged_dir>.compact`` sibling with the same by-cell
+    layout, then each affected cell directory is PARKED at
+    ``<staged_dir>.compact_old`` and the rewrite renamed in — a cell
+    whose every row was tombstoned is simply parked without a
+    replacement.  Nothing ever exists only in process-scoped scratch,
+    so a crash at ANY point leaves every row on disk: before the swap
+    loop the table is untouched; mid-loop a missing cell's old contents
+    sit intact under ``.compact_old`` (recovery is renaming them back)
+    and its rewrite under ``.compact``.  Both siblings are removed only
+    after the loop completes.  Finding the affected cells scans the
     table's (id, cell) columns only (column pruning keeps the codes
     unread).  Returns stats: ``cells_total``, ``cells_rewritten``,
     ``cells_removed``, ``rows_before``, ``rows_removed``.
@@ -3121,8 +3128,6 @@ def ann_index_compact(
     touch of 77 / 176 / 250 total — footprint-bound, not N-bound."""
     import os
     import shutil
-
-    from streaming_spark.scratch import scratch_dir
 
     _require_bycell_layout(staged_dir, "ann_index_compact")
     staged = spark.read.parquet(staged_dir)
@@ -3152,23 +3157,35 @@ def ann_index_compact(
         staged,
         ("codes", "cell", id_col),
     )
-    tmp = os.path.join(scratch_dir("compact"), "rewrite")
-    survivors.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(tmp)
+    # caller-owned siblings (same filesystem, outside the scratch
+    # sweep/atexit): survivors must never exist ONLY in process-scoped
+    # scratch while live cell directories are being replaced
+    tmp = staged_dir.rstrip("/") + ".compact"
+    park = staged_dir.rstrip("/") + ".compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(park, ignore_errors=True)
+    try:
+        survivors.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     rows_before = hit.count()
     rows_after = spark.read.parquet(tmp).count() if any(
         e.startswith("cell=") for e in os.listdir(tmp)
     ) else 0
+    os.makedirs(park)
     for cell in affected:
         dst = os.path.join(staged_dir, f"cell={cell}")
         src = os.path.join(tmp, f"cell={cell}")
-        shutil.rmtree(dst)
+        os.rename(dst, os.path.join(park, f"cell={cell}"))
         if os.path.isdir(src):
-            shutil.move(src, dst)
+            os.rename(src, dst)
             stats["cells_rewritten"] += 1
         else:
             stats["cells_removed"] += 1
+    shutil.rmtree(park, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     stats["rows_before"] = int(rows_before)
     stats["rows_removed"] = int(rows_before - rows_after)

@@ -2814,6 +2814,27 @@ def q_ann_index_artifact(spark, sf_dir):
     )
 
 
+def _topk_digest(df) -> str:
+    """md5 over the sorted ``query_id|neighbor_id|sim|rank`` lines of a
+    served top-k — ONE definition (same JVM-side double→string
+    formatting) so every serve-identity witness in this module
+    (ann_topk_ivfpq_pruned's layout rows, ann_index_maintenance's
+    lifecycle rows) compares the same digest."""
+    return (
+        df.select(
+            F.concat_ws("|", "query_id", "neighbor_id", "sim", "rank").alias(
+                "s"
+            )
+        )
+        .agg(
+            F.md5(F.concat_ws(";", F.sort_array(F.collect_list("s")))).alias(
+                "h"
+            )
+        )
+        .first()[0]
+    )
+
+
 @query("ann_topk_ivfpq_pruned")  # rows-only: a layout/IO probe — the
 # two layouts' result_md5 equality and the partitioned files_read <
 # flat files_read contract are asserted in tests/test_operators.py::
@@ -2832,10 +2853,16 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
     (row-group stats can't help: cells interleave within every file).
 
     Emits one row per layout: files in the staged table, files the
-    pruned scan actually touched, rows scanned vs total, and the md5 of
-    the served top-k — identical across layouts, because layout never
-    changes semantics (the per-query in-map probe mask is the operator
-    contract; the scan filter is a strict superset of it).
+    pruned scan actually touched, rows MATCHING the probe filter vs
+    total, and the md5 of the served top-k — identical across layouts,
+    because layout never changes semantics (the per-query in-map probe
+    mask is the operator contract; the scan filter is a strict superset
+    of it).  `files_read` is the I/O discriminator: on the by-cell
+    layout rows READ == rows matched (unprobed directories are never
+    listed), while the flat layout READS every row (interleaved cells
+    defeat row-group stats) and drops non-matching ones after — so its
+    rows-read is `rows_total` even though `rows_matched` equals the
+    by-cell number.
 
     Measured at 1M vectors / 250 cells / nprobe=8 (scripts/
     stress_ann.py `ann_ivfpq_serve_bycell`): a Q=8 serve batch scans
@@ -2891,19 +2918,7 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
             m=16, ksub=16, rerank=128, centroids=cent, codebooks=books,
             encoded=scan,
         )
-        md5 = (
-            served.select(
-                F.concat_ws(
-                    "|", "query_id", "neighbor_id", "sim", "rank"
-                ).alias("s")
-            )
-            .agg(
-                F.md5(
-                    F.concat_ws(";", F.sort_array(F.collect_list("s")))
-                ).alias("h")
-            )
-            .first()[0]
-        )
+        md5 = _topk_digest(served)
         return (
             layout, int(total["files"]), int(pruned["files"]),
             int(total["rows"]), int(pruned["rows"]), md5,
@@ -2912,7 +2927,7 @@ def ann_topk_ivfpq_pruned(spark, sf_dir):
     return spark.createDataFrame(
         [layout_row(flat_dir, "flat"), layout_row(part_dir, "cell_partitioned")],
         "layout STRING, files_total INT, files_read INT, "
-        "rows_total BIGINT, rows_scanned BIGINT, result_md5 STRING",
+        "rows_total BIGINT, rows_matched BIGINT, result_md5 STRING",
     )
 
 
@@ -2982,22 +2997,9 @@ def ann_index_maintenance(spark, sf_dir):
         return ivfpq_topk(vectors, queries, encoded=encoded, **serve_kw).collect()
 
     def topk_md5(collected):
-        # same JVM-side digest for every arm (double→string formatting
-        # must match across md5s); the re-created frame is Q·k rows
-        return (
-            spark.createDataFrame(collected)
-            .select(
-                F.concat_ws(
-                    "|", "query_id", "neighbor_id", "sim", "rank"
-                ).alias("s")
-            )
-            .agg(
-                F.md5(
-                    F.concat_ws(";", F.sort_array(F.collect_list("s")))
-                ).alias("h")
-            )
-            .first()[0]
-        )
+        # the shared digest over a re-created Q·k-row frame (same
+        # JVM-side double→string formatting as every other witness)
+        return _topk_digest(spark.createDataFrame(collected))
 
     rows = []
     st: dict = {}

@@ -3478,7 +3478,7 @@ def test_ivfpq_cell_partitioned_layout(spark):
     assert flat["result_md5"] == part["result_md5"]
     assert part["files_read"] < flat["files_read"]
     assert flat["files_read"] == flat["files_total"]  # flat can't prune
-    assert part["rows_scanned"] == flat["rows_scanned"] < flat["rows_total"]
+    assert part["rows_matched"] == flat["rows_matched"] < flat["rows_total"]
 
 
 def test_simhash_banding_recall_tradeoff(spark):
