@@ -1784,6 +1784,30 @@ def test_ann_index_refresh_rekeys_whole_table(spark, tmp_path):
         d, emb.filter(F.col("vec_id") < 4), cent_new, books_new
     )
 
+    # the plain-IVF arm shares _encode_index_rows: refresh an inverted
+    # file (codebooks=None) and the re-keyed table must serve
+    # identically to inline assignment under the new centroids while
+    # refusing the old quantizer's serve
+    from streaming_spark.operators.similarity import ivf_topk
+
+    d_ivf = str(tmp_path / "ivf")
+    ann_index_append(d_ivf, corpus, cent_old)
+    ann_index_refresh(d_ivf, corpus, cent_new)
+    kw_ivf = dict(dim=64, k=5, n_cells=4, nprobe=2, centroids=cent_new)
+    refreshed_ivf = spark.read.parquet(d_ivf)
+    assert sorted(
+        map(
+            tuple,
+            ivf_topk(corpus, queries, assigned=refreshed_ivf, **kw_ivf)
+            .collect(),
+        )
+    ) == sorted(map(tuple, ivf_topk(corpus, queries, **kw_ivf).collect()))
+    with pytest.raises(ValueError, match="fingerprint"):
+        ivf_topk(
+            corpus, queries, assigned=refreshed_ivf,
+            dim=64, k=5, n_cells=8, nprobe=4, centroids=cent_old,
+        ).collect()
+
 
 def test_ann_index_maintenance_ivf_arm(spark, tmp_path):
     """The maintenance family on a PLAIN-IVF staged inverted file
