@@ -1694,9 +1694,12 @@ def q_streaming_ann_index(spark, sf_dir):
     number of disagreeing rows (must be 0) between the streamed index
     and a batch encode of the same corpus.  At deployment the quantizer
     refreshes on a slow cadence (retrain → re-encode) while ingest
-    stays on this fast path — per-batch ann_index_append into the
-    cell-partitioned serve layout, with deletes and compaction covered
-    by ann_index_maintenance (queries/northstar.py)."""
+    stays on this fast path — there the per-batch landing would be
+    ann_index_append into the cell-partitioned serve layout; this query
+    lands batch-keyed partitions (idempotent replay via _land_batch) and
+    verifies encode equality, with the serve-layout lifecycle (append /
+    delete / compact) covered by ann_index_maintenance
+    (queries/northstar.py)."""
 
     from streaming_spark.operators.similarity import (
         ivfpq_encode,
