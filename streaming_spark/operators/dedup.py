@@ -87,12 +87,15 @@ def minhash_signatures(
             sigs.append(sig.astype(np.int64).tolist())
         return pd.DataFrame({"id": ids, "shingles": shingle_lists, "sig": sigs})
 
+    # id type follows the input (string doc ids are first-class in
+    # curation pipelines); every existing bigint caller is unchanged
+    id_type = df.schema[id_col].dataType.simpleString()
     return stream(
         ensure_parallelism(
             df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
         ),
         compute,
-        "id BIGINT, shingles ARRAY<BIGINT>, sig ARRAY<BIGINT>",
+        f"id {id_type}, shingles ARRAY<BIGINT>, sig ARRAY<BIGINT>",
     )
 
 

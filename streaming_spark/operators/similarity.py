@@ -582,7 +582,10 @@ def ivf_assign(
             ]
         return frame
 
-    schema = f"{out_id} BIGINT, cell INT"
+    # id type follows the input (string doc ids are first-class in
+    # curation pipelines); every existing bigint caller is unchanged
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{out_id} {id_type}, cell INT"
     if with_sim:
         schema += ", cent_sim DOUBLE"
     if keep_vec is not None:
@@ -2158,10 +2161,11 @@ def ivfpq_encode(
             }
         )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return stream(
         df.select(id_col, vec_col),
         encode,
-        f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
+        f"{id_col} {id_type}, cell INT, codes ARRAY<INT>",
         side_input=(centroids, codebooks, rotation),
     ).withMetadata(
         "codes",
@@ -2515,10 +2519,11 @@ def ivfpq_encode_local(
             }
         )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return stream(
         df.select(id_col, vec_col),
         encode,
-        f"{id_col} BIGINT, cell INT, codes ARRAY<INT>",
+        f"{id_col} {id_type}, cell INT, codes ARRAY<INT>",
         side_input=(centroids, local_books, rotation),
     ).withMetadata(
         "codes",
@@ -2885,15 +2890,23 @@ def ann_index_load(path: str) -> dict:
     return artifact
 
 
-def _tombstone_df(spark, tombstones, id_col: str) -> DataFrame:
+def _tombstone_df(spark, tombstones, id_col: str, id_type=None) -> DataFrame:
     """Normalize a tombstone spec (DataFrame with ``id_col``, or a
     driver-side id list) to a distinct single-column DataFrame.  The
     ledger is small by contract — it broadcasts into every consumer —
-    so a list is a legitimate input shape."""
+    so a list is a legitimate input shape.  ``id_type`` is the staged
+    table's id column type (callers derive it from the frame they hold)
+    so a list of string doc ids builds a string-typed ledger instead of
+    raising or mis-joining against a non-bigint index."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     if isinstance(tombstones, DataFrame):
         return tombstones.select(id_col).distinct()
+    schema = StructType(
+        [StructField(id_col, id_type or LongType(), False)]
+    )
     return spark.createDataFrame(
-        [(int(t),) for t in tombstones], f"{id_col} BIGINT"
+        [(t,) for t in tombstones], schema
     ).distinct()
 
 
@@ -2938,18 +2951,74 @@ def _encode_index_rows(
     )
 
 
+def _check_index_siblings(staged_dir: str, what: str) -> None:
+    """Refuse to touch (or serve) a staged index whose on-disk state
+    says a maintenance move crashed mid-swap — the data is all still on
+    disk, but NOT all under ``staged_dir``, so proceeding would silently
+    serve or extend a partial table:
+
+    - a ``<staged_dir>.compact_old`` sibling means ann_index_compact
+      crashed mid-swap: some affected cells are PARKED there and absent
+      from the table.  Recovery: move each ``cell=*`` under it back into
+      ``staged_dir`` (its rewrite, if any, sits under ``.compact``),
+      then delete both siblings and re-run the compact.
+    - a ``<staged_dir>.old`` sibling next to a MISSING ``staged_dir``
+      means ann_index_refresh crashed between its two renames: the real
+      table is the ``.old`` one.  Recovery: rename it back.  (``.old``
+      NEXT TO a complete ``staged_dir`` is the harmless
+      crashed-after-swap leftover and passes.)
+
+    Without this gate a post-crash ann_index_append would hit the
+    missing dir, treat it as a first write, and silently start a fresh
+    index with the fingerprint gate bypassed while the data sits at
+    ``.old``."""
+    import os
+
+    base = staged_dir.rstrip("/")
+    park = base + ".compact_old"
+    if os.path.isdir(park):
+        raise RuntimeError(
+            f"{what}: {park!r} exists — a previous ann_index_compact "
+            "crashed mid-swap and some cells are parked there (absent "
+            "from the table).  Recover first: move each cell= directory "
+            "under it back into the staged dir, remove the .compact/"
+            ".compact_old siblings, then re-run the compact."
+        )
+    old = base + ".old"
+    if os.path.isdir(old) and not os.path.isdir(base):
+        raise RuntimeError(
+            f"{what}: staged dir {base!r} is missing but {old!r} exists "
+            "— a previous ann_index_refresh crashed between its two "
+            "renames.  Recover first: rename the .old directory back to "
+            "the staged path."
+        )
+
+
 def _require_bycell_layout(staged_dir: str, what: str) -> None:
     """Refuse a staged dir without cell= partition directories — append
     would corrupt a flat table into a mixed-depth layout parquet cannot
-    read, and compact has no whole-partition unit to rewrite."""
+    read, and compact has no whole-partition unit to rewrite.  Also
+    refuses mid-crash sibling states (see _check_index_siblings)."""
     import os
 
+    _check_index_siblings(staged_dir, what)
     if not any(e.startswith("cell=") for e in os.listdir(staged_dir)):
         raise ValueError(
             f"{what} requires the cell-partitioned staged layout "
             f"(write.partitionBy('cell')); {staged_dir!r} has no cell= "
             "directories — re-stage the table by cell first."
         )
+
+
+def ann_index_open(spark, staged_dir: str) -> DataFrame:
+    """Serve-side read of a staged index table that REFUSES a
+    mid-crash on-disk state (a ``.compact_old`` park, or a table left
+    at ``.old`` by a crashed refresh) instead of silently serving a
+    table with parked cells missing — the read-path counterpart to the
+    write-path gates in ann_index_append/compact.  Use this instead of
+    a bare ``spark.read.parquet`` when the path is a maintained index."""
+    _check_index_siblings(staged_dir, "ann_index_open")
+    return spark.read.parquet(staged_dir)
 
 
 def ann_index_append(
@@ -2996,6 +3065,12 @@ def ann_index_append(
     from pyspark.errors import AnalysisException
 
     spark = delta.sparkSession
+    # refuse a mid-crash sibling state BEFORE the read: a table parked
+    # at .old by a crashed refresh makes the read fail and would
+    # otherwise be treated as a first write — a fresh index silently
+    # started with the fingerprint gate bypassed while the data sits
+    # in the sibling
+    _check_index_siblings(staged_dir, "ann_index_append")
     expected = ann_quantizer_fingerprint(
         centroids=centroids, codebooks=codebooks, rotation=rotation
     )
@@ -3046,6 +3121,9 @@ def ann_index_refresh(
     import os
     import shutil
 
+    # a parked .compact_old (or a table left wholly at .old) must be
+    # recovered before a refresh discards the old table's directories
+    _check_index_siblings(staged_dir, "ann_index_refresh")
     tmp = staged_dir.rstrip("/") + ".refresh"
     shutil.rmtree(tmp, ignore_errors=True)
     enc = _encode_index_rows(
@@ -3087,7 +3165,10 @@ def ann_tombstone_filter(
     appearing as a neighbor).  The quantizer fingerprint stamp is
     re-applied to the filtered frame, keeping the serve-path mismatch
     gate active."""
-    tomb = _tombstone_df(encoded.sparkSession, tombstones, id_col)
+    tomb = _tombstone_df(
+        encoded.sparkSession, tombstones, id_col,
+        encoded.schema[id_col].dataType,
+    )
     out = encoded.join(F.broadcast(tomb), id_col, "left_anti")
     return _restamp(out, encoded, ("codes", "cell", id_col))
 
@@ -3131,7 +3212,9 @@ def ann_index_compact(
 
     _require_bycell_layout(staged_dir, "ann_index_compact")
     staged = spark.read.parquet(staged_dir)
-    tomb = _tombstone_df(spark, tombstones, id_col)
+    tomb = _tombstone_df(
+        spark, tombstones, id_col, staged.schema[id_col].dataType
+    )
     affected = sorted(
         r[0]
         for r in staged.join(F.broadcast(tomb), id_col, "left_semi")

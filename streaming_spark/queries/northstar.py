@@ -2974,6 +2974,7 @@ def ann_index_maintenance(spark, sf_dir):
     from streaming_spark.operators.similarity import (
         ann_index_append,
         ann_index_compact,
+        ann_index_open,
         ann_tombstone_filter,
         ivfpq_topk,
     )
@@ -3011,7 +3012,7 @@ def ann_index_maintenance(spark, sf_dir):
     rows.append(("delta_append", st["rows_appended"], st["cells_touched"],
                  None, None))
 
-    appended = spark.read.parquet(codes_dir)
+    appended = ann_index_open(spark, codes_dir)
     served_full = serve(full, appended)
     rows.append((
         "serve_after_append",
@@ -3046,7 +3047,7 @@ def ann_index_maintenance(spark, sf_dir):
         None,
         None,
     ))
-    compacted = spark.read.parquet(codes_dir)
+    compacted = ann_index_open(spark, codes_dir)
     rows.append((
         "serve_after_compact",
         compacted.count(),

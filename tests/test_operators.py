@@ -1891,6 +1891,114 @@ def test_ann_index_maintenance_ivf_arm(spark, tmp_path):
         )
 
 
+def test_ann_index_crash_sibling_recovery_gates(spark, tmp_path):
+    """A maintenance move that crashes mid-swap leaves a sibling
+    directory — ``.old`` from a refresh that died between its two
+    renames (table absent, data intact at the sibling), ``.compact_old``
+    from a compact that died mid-swap (some cells parked, absent from
+    the table).  Every entry point that would write to or serve the
+    index must refuse those states with a recovery hint: the append
+    first-write branch would otherwise silently start a FRESH index
+    with the fingerprint gate bypassed, and a serve would silently drop
+    the parked cells' rows."""
+    import os
+
+    import pytest
+
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_compact,
+        ann_index_open,
+        ann_index_refresh,
+        ivf_centroids,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    delta = emb.filter(F.col("vec_id") < 8)
+    cent = ivf_centroids(emb, 64, 8)
+    d = str(tmp_path / "codes")
+    ann_index_append(d, corpus, cent)
+    n_rows = ann_index_open(spark, d).count()
+
+    # crashed refresh: table wholly at .old, staged path missing
+    os.rename(d, d + ".old")
+    for blocked in (
+        lambda: ann_index_append(d, delta, cent),
+        lambda: ann_index_open(spark, d),
+        lambda: ann_index_refresh(d, corpus, cent),
+    ):
+        with pytest.raises(RuntimeError, match="renames"):
+            blocked()
+    os.rename(d + ".old", d)  # the documented recovery
+    assert ann_index_open(spark, d).count() == n_rows
+
+    # crashed compact: one cell parked at .compact_old, gone from the
+    # table — reads and every write path must refuse until recovered
+    park = d + ".compact_old"
+    os.makedirs(park)
+    cell = next(e for e in sorted(os.listdir(d)) if e.startswith("cell="))
+    os.rename(os.path.join(d, cell), os.path.join(park, cell))
+    for blocked in (
+        lambda: ann_index_open(spark, d),
+        lambda: ann_index_append(d, delta, cent),
+        lambda: ann_index_compact(spark, d, [8]),
+        lambda: ann_index_refresh(d, corpus, cent),
+    ):
+        with pytest.raises(RuntimeError, match="mid-swap"):
+            blocked()
+    os.rename(os.path.join(park, cell), os.path.join(d, cell))
+    os.rmdir(park)  # the documented recovery
+    assert ann_index_open(spark, d).count() == n_rows
+
+    # a .old sibling NEXT TO a complete table is the harmless
+    # crashed-after-swap leftover and must NOT block anything
+    os.makedirs(d + ".old")
+    assert ann_index_open(spark, d).count() == n_rows
+
+
+def test_ann_tombstone_list_matches_staged_id_type(spark, tmp_path):
+    """A tombstone LIST builds its ledger with the staged table's own id
+    type: string doc ids filter a string-keyed index correctly (the old
+    hardcoded int()/BIGINT form raised on them), the fingerprint stamp
+    survives the filter, and compact accepts the same list form."""
+    from streaming_spark.operators.similarity import (
+        _ANN_FP_KEY,
+        ann_index_append,
+        ann_index_compact,
+        ann_index_open,
+        ann_tombstone_filter,
+        ivf_centroids,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    named = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("doc_id"),
+        "embedding",
+    )
+    cent = ivf_centroids(emb, 64, 8)
+    d = str(tmp_path / "codes")
+    ann_index_append(d, named, cent, id_col="doc_id")
+    staged = ann_index_open(spark, d)
+    n_rows = staged.count()
+
+    tomb = ["doc-10", "doc-11", "doc-999999"]  # last one absent: no-op
+    filtered = ann_tombstone_filter(staged, tomb, id_col="doc_id")
+    kept = {r[0] for r in filtered.select("doc_id").collect()}
+    assert kept == {
+        r[0] for r in staged.select("doc_id").collect()
+    } - {"doc-10", "doc-11"}
+    assert _ANN_FP_KEY in (filtered.schema["doc_id"].metadata or {})
+
+    stats = ann_index_compact(spark, d, ["doc-20"], id_col="doc_id")
+    assert stats["rows_removed"] == 1
+    assert ann_index_open(spark, d).count() == n_rows - 1
+
+
 def test_ann_index_compact_rewrites_only_affected_cells(spark, tmp_path):
     """Compaction contract: tombstoned rows leave the files, ONLY the
     cells containing tombstones are rewritten (unaffected cell
