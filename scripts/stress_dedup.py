@@ -32,6 +32,16 @@ Scale notes the sweep exposes (document next to the table in ROADMAP):
 
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_dedup.py [max_n]
+    PYTHONPATH=/root/repo python scripts/stress_dedup.py maint [max_n]
+
+``maint`` runs the INDEX-MAINTENANCE arm (operators/neardup_index.py):
+at each N it builds the staged near-dup index once, appends a fixed
+10k-doc delta, and times the append against the accumulated re-join
+(``minhash_dedup_pairs`` over base ∪ delta — the cost every ingest
+batch pays WITHOUT the index), asserting the maintained pair set is
+EXACTLY the batch arm's.  The claim under measurement: append cost is
+DELTA-bound (flat in N) while the re-join is N-bound; plus takedown +
+compact cost points (the dedup analog of stress_ann's maintenance arm).
 """
 
 from __future__ import annotations
@@ -117,6 +127,95 @@ def release(*dirs: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _maint_main(max_n: int) -> None:
+    """Index-maintenance sweep: build once, append a 10k delta, compare
+    against the accumulated re-join, then take down 100 docs and
+    compact.  One JSON line per measurement."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.dedup import minhash_dedup_pairs
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_append,
+        neardup_index_build,
+        neardup_index_compact,
+        neardup_index_pairs,
+        neardup_index_tombstone,
+    )
+
+    DELTA = 10_000
+    spark = get_spark(app_name="stress-dedup-maint")
+    warm_dir, warm = stage_corpus(spark, 1_000)
+    minhash_dedup_pairs(warm, "text", "doc_id").count()
+    release(warm_dir)
+
+    for n in (100_000, 500_000, 1_000_000):
+        if n > max_n:
+            break
+        d, df = stage_corpus(spark, n + DELTA)
+        base = df.filter(F.col("doc_id") < n)
+        delta = df.filter(F.col("doc_id") >= n)
+        idx = scratch.scratch_dir(f"ndmaint_{n}", pin=True) + "/idx"
+
+        t0 = time.perf_counter()
+        st: dict = {}
+        neardup_index_build(
+            idx, base, n_id_buckets=16, n_band_prefixes=16, stats_out=st
+        )
+        print(json.dumps({
+            "op": "neardup_build", "n": n,
+            "seconds": round(time.perf_counter() - t0, 2),
+            "pairs": st["new_pairs"],
+        }), flush=True)
+
+        t0 = time.perf_counter()
+        st = {}
+        neardup_index_append(idx, delta, stats_out=st)
+        append_s = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        batch = minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5)
+        batch_rows = batch.count()
+        rejoin_s = round(time.perf_counter() - t0, 2)
+
+        live = neardup_index_pairs(spark, idx)
+        extra = live.subtract(batch).count()
+        missing = batch.subtract(live).count()
+        print(json.dumps({
+            "op": "neardup_append_10k", "n": n, "seconds": append_s,
+            "new_pairs": st["new_pairs"],
+            "crossed_buckets": st["crossed_buckets"],
+            "retracted_pairs": st["retracted_pairs"],
+            "accumulated_rejoin_seconds": rejoin_s,
+            "batch_rows": batch_rows,
+            "pair_set_exactly_equal": extra == 0 and missing == 0,
+        }), flush=True)
+
+        # takedown + compact cost (fixed 100 victims → footprint-bound)
+        rng = np.random.default_rng(n)
+        victims = [int(v) for v in rng.choice(n, size=100, replace=False)]
+        t0 = time.perf_counter()
+        st = {}
+        neardup_index_tombstone(spark, idx, victims, stats_out=st)
+        tomb_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cstats = neardup_index_compact(spark, idx)
+        print(json.dumps({
+            "op": "neardup_takedown_compact", "n": n,
+            "tombstone_seconds": tomb_s,
+            "compact_seconds": round(time.perf_counter() - t0, 2),
+            "readmitted_pairs": st["readmitted_pairs"],
+            "sig_parts_rewritten": cstats["sig_parts_rewritten"],
+            "band_parts_rewritten": cstats["band_parts_rewritten"],
+            "rows_removed": cstats["sig_rows_removed"],
+        }), flush=True)
+
+        release(d)
+        scratch.unpin(idx.rsplit("/", 1)[0])
+        shutil.rmtree(idx.rsplit("/", 1)[0], ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     from streaming_spark.operators.dedup import (
         connected_components,
@@ -124,7 +223,11 @@ def main() -> None:
         simhash_dedup_pairs,
     )
 
-    max_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    args = sys.argv[1:]
+    if args and args[0] == "maint":
+        _maint_main(int(args[1]) if len(args) > 1 else 1_000_000)
+        return
+    max_n = int(args[0]) if args else 1_000_000
     spark = get_spark(app_name="stress-dedup")
 
     # warm the Arrow worker pool + JVM before timing (CLAUDE.md)

@@ -210,6 +210,8 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 9,
+    max_bucket: int = 200,
+    seed: int = 42,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact verification.
 
@@ -218,9 +220,11 @@ def minhash_dedup_pairs(
     lingering cache degrades later queries in the same session.  The
     verified pairs are materialized eagerly so the cache lifetime is
     bounded by this call."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, seed
+    ).persist()
     try:
-        pairs = lsh_candidate_pairs(sigs, bands)
+        pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
         # localCheckpoint (eager) materializes while sigs are cached AND
         # leaves no cache-manager entry behind — a lingering persist()
         # both degrades later queries and silently serves identical

