@@ -268,6 +268,69 @@ def test_neardup_probe_reads_are_partition_pruned(spark, tmp_path):
     assert 0 < files_pruned < files_total
 
 
+def test_neardup_crashed_append_recovery(spark, tmp_path):
+    """The append is three writes (sigs, bands, pairs); a crash after
+    the first leaves a sigs-only ORPHAN batch.  Contract under test:
+    (1) the orphan is inert — candidates and bucket sizes derive from
+    the BAND table, so the live pair set still equals the batch arm
+    over the real corpus; (2) tombstoning the orphan ids contributes
+    ZERO removals (counts come from the victims' ACTUAL band rows, not
+    their sigs-derived buckets — phantom removals would spuriously
+    down-cross an over-cap bucket and re-admit its pairs); (3) after
+    compact, re-ingesting the batch under the same ids lands cleanly
+    and batch equality holds over the union."""
+    same = "she sells sea shells by the sea shore every single day"
+    base = _word_docs(
+        spark,
+        [(i, same) for i in range(1, 6)]
+        + [(100 + i, t) for i, t in _synth_corpus(8, seed=3)],
+    )
+    kw = dict(max_bucket=3)
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, base, max_bucket=3)
+    base_pairs = _batch(base, **kw)
+    assert _pairs(neardup_index_pairs(spark, d)) == base_pairs
+    # the five identical docs never pair: their buckets are over cap
+    assert all(a > 5 for a, _, _ in base_pairs)
+
+    # simulate the crash: land ONLY the sigs of a 2-doc batch
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from streaming_spark.operators.dedup import minhash_signatures
+    from streaming_spark.operators.neardup_index import (
+        _dir,
+        _load_params,
+        _sb_expr,
+    )
+
+    delta = _word_docs(spark, [(6, same), (7, same)])
+    p = _load_params(d)
+    sigs = minhash_signatures(
+        delta, p["text_col"], p["id_col"], p["num_perm"], p["shingle_k"],
+        p["seed"],
+    )
+    sigs.withColumn("sb", _sb_expr(F.col("id"), p["n_id_buckets"])).write.mode(
+        "append"
+    ).partitionBy("sb").parquet(_dir(d, "sigs"))
+
+    assert _pairs(neardup_index_pairs(spark, d)) == base_pairs  # inert
+
+    # recovery step 1: tombstone the orphan ids — MUST be a no-op on
+    # the pair set (the identical docs' bucket holds 5 > cap live
+    # members; phantom sigs-derived removals would claim n_after=3 and
+    # wrongly re-admit the 10 within-bucket pairs)
+    st: dict = {}
+    neardup_index_tombstone(spark, d, [6, 7], stats_out=st)
+    assert st["readmitted_pairs"] == 0 and st["resurrected_pairs"] == 0
+    assert _pairs(neardup_index_pairs(spark, d)) == base_pairs
+
+    # recovery step 2: fold the ledger, then re-ingest the same ids
+    neardup_index_compact(spark, d)
+    neardup_index_append(d, delta)
+    union = base.union(delta)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(union, **kw)
+
+
 def test_neardup_index_refusals(spark, tmp_path):
     """Loud failure modes: appending to a non-index path, re-building
     over an existing index, operating on an index with a crashed-compact
