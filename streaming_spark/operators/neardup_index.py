@@ -135,6 +135,25 @@ def _check_siblings(index_dir: str, what: str) -> None:
             "directory back, remove the .compact/.compact_old siblings, "
             "then re-run the compact."
         )
+    marker = os.path.join(index_dir, ".takedown_pending")
+    if os.path.isfile(marker):
+        raise RuntimeError(
+            f"{what}: {marker!r} exists — a previous "
+            "neardup_index_tombstone crashed mid-mutation (the pair set "
+            "may be between states).  Recover first: re-run "
+            "neardup_index_tombstone with the ids recorded in the marker "
+            "(every step is idempotent); it clears the marker on "
+            "completion."
+        )
+
+
+def _check_compact_park(index_dir: str, what: str) -> None:
+    """The compact-park half of :func:`_check_siblings` alone — the
+    takedown's resume path must pass its own pending marker but still
+    refuse a crashed compact's parked partitions."""
+    park = os.path.join(index_dir, ".compact_old")
+    if os.path.isdir(park):
+        _check_siblings(index_dir, what)  # raises the park message
 
 
 # ------------------------------------------------------------- sub-tables
@@ -218,12 +237,14 @@ def _pair_tombs(spark, index_dir: str, p: dict) -> DataFrame:
     ).distinct()
 
 
-def _sigs_for_ids(spark, index_dir: str, p: dict, ids: DataFrame) -> DataFrame:
+def _sigs_for_ids(
+    spark, index_dir: str, p: dict, ids: DataFrame, sbs=None
+) -> DataFrame:
     """Signature rows of the given ids — the read is pruned to the ids'
     ``sb=`` partitions (their hash buckets are computed driver-side from
-    a bounded id frame), so a delta-bound candidate set never scans the
-    whole signature table."""
-    sbs = sorted(
+    a bounded id frame, or passed precomputed via ``sbs``), so a
+    delta-bound candidate set never scans the whole signature table."""
+    sbs = sbs if sbs is not None else sorted(
         r[0]
         for r in ids.select(
             _sb_expr(F.col("id"), p["n_id_buckets"]).alias("sb")
@@ -392,6 +413,8 @@ def neardup_index_append(
         delta, p["text_col"], p["id_col"], p["num_perm"], p["shingle_k"],
         p["seed"],
     ).persist()
+    caches = [delta_sigs]  # every persist() releases in the finally —
+    # a leaked cache degrades later same-session queries (CLAUDE.md)
     try:
         n_delta = delta_sigs.count()  # materialize the bounded cache
         if n_delta == 0:
@@ -406,6 +429,7 @@ def neardup_index_append(
             .withColumn("pb", _pb_expr(F.col("bh"), p["n_band_prefixes"]))
             .persist()
         )
+        caches.append(delta_bands)
         delta_bands.count()
         first_ingest = not os.path.isdir(_dir(index_dir, "bands"))
 
@@ -449,7 +473,6 @@ def neardup_index_append(
                     crossed_buckets=0,
                     retracted_pairs=0,
                 )
-            delta_bands.unpersist()
             return
 
         # pruned probe: only the delta's (band_id, pb) partitions are
@@ -532,9 +555,9 @@ def neardup_index_append(
                 crossed_buckets=n_crossed,
                 retracted_pairs=n_retracted,
             )
-        delta_bands.unpersist()
     finally:
-        delta_sigs.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def _retract_unsupported(
@@ -630,9 +653,21 @@ def neardup_index_tombstone(
     resurrected by dropping its pair-tombstone row), keeping the live
     pair set exactly the batch arm's over the surviving corpus.  Cost is
     bounded by the tombstoned docs' bucket footprint (pruned reads
-    throughout)."""
+    throughout).
+
+    Crash-safe by MARKER + IDEMPOTENT RESUME: the mutation sequence
+    (re-admit pairs → rewrite the pair-tombstone ledger → land the doc
+    tombstones) cannot be atomic across three tables, so a
+    ``.takedown_pending`` marker recording the victim ids is written
+    first and removed last; while it exists every other operation
+    refuses the index, and re-running the takedown with the SAME ids
+    resumes safely — re-admissions anti-join what already landed, the
+    ledger rewrite parks the old ledger until the swap completes, the
+    doc-ledger append deduplicates, and every size computation excludes
+    the in-flight victims from the "previous tombstones" set so it is
+    stable whether or not the final landing already happened."""
     p = _load_params(index_dir)
-    _check_siblings(index_dir, "neardup_index_tombstone")
+    _check_compact_park(index_dir, "neardup_index_tombstone")
     cap = p["max_bucket"]
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
@@ -641,6 +676,40 @@ def neardup_index_tombstone(
             [(i,) for i in ids], f"id {p['id_type']}"
         ).distinct()
     tomb = tomb.localCheckpoint(eager=True)
+    id_list = sorted(r["id"] for r in tomb.collect())  # ledger-small
+
+    marker = _dir(index_dir, ".takedown_pending")
+    if os.path.isfile(marker):
+        with open(marker, encoding="utf-8") as f:
+            pending = json.load(f).get("ids", [])
+        if sorted(pending) != id_list:
+            raise RuntimeError(
+                f"neardup_index_tombstone: {marker!r} records a pending "
+                f"takedown of different ids ({pending[:5]}…) — finish it "
+                "first by re-running with exactly those ids."
+            )
+    else:
+        with open(marker, "w", encoding="utf-8") as f:
+            json.dump({"ids": id_list}, f)
+
+    # heal a ledger swap the previous attempt may have left mid-flight:
+    # ledger parked but the rewrite not yet renamed in → restore the
+    # park (the recompute below reproduces the same rewrite); a stale
+    # park next to a complete ledger just gets dropped
+    ledger_dir = _dir(index_dir, "pair_tombstones")
+    old_ledger = ledger_dir + ".old"
+    new_ledger = ledger_dir + ".new"
+    if os.path.isdir(old_ledger) and not os.path.isdir(ledger_dir):
+        os.rename(old_ledger, ledger_dir)
+    shutil.rmtree(old_ledger, ignore_errors=True)
+    shutil.rmtree(new_ledger, ignore_errors=True)
+
+    # sizes use the PREVIOUS tombstone set (ledger minus the in-flight
+    # victims): stable across a resume whether or not the final doc-
+    # ledger landing already happened
+    prev_tombs = _doc_tombs(spark, index_dir, p).join(
+        tomb, "id", "left_anti"
+    )
 
     # buckets hit by the takedown: the victims' sigs give the bucket
     # SUPERSET for partition pruning, but the removal COUNTS come from
@@ -660,7 +729,11 @@ def neardup_index_tombstone(
     n_readmitted = 0
     n_resurrected = 0
     if hit_combos:
-        pruned = _live_bands(spark, index_dir, p, _combo_filter(hit_combos))
+        pruned = (
+            _read_or_empty(spark, _dir(index_dir, "bands"), _bands_schema(p))
+            .filter(_combo_filter(hit_combos))
+            .join(F.broadcast(prev_tombs), "id", "left_anti")
+        )
         hit = (
             pruned.join(F.broadcast(tomb), "id", "left_semi")
             .groupBy("band_id", "bh")
@@ -714,8 +787,11 @@ def neardup_index_tombstone(
                     _dir(index_dir, "pairs")
                 )
             # a pair that was cap-retracted earlier and is valid again
-            # is resurrected by dropping its ledger row (the ledger is
-            # small by contract: collected, filtered, rewritten whole)
+            # is resurrected by dropping its ledger row — the ledger is
+            # small by contract and rewritten whole, through a
+            # park-then-swap so the retraction rows are never only in
+            # memory: stage the rewrite at .new, park the old ledger,
+            # rename the rewrite in, drop the park
             ptombs = _pair_tombs(spark, index_dir, p)
             resurrect = ptombs.join(
                 verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
@@ -724,17 +800,20 @@ def neardup_index_tombstone(
             if n_resurrected:
                 keep = ptombs.join(
                     resurrect, ["id_a", "id_b"], "left_anti"
-                ).toPandas()
-                ledger_dir = _dir(index_dir, "pair_tombstones")
-                shutil.rmtree(ledger_dir)
-                if len(keep):
-                    spark.createDataFrame(
-                        keep, f"id_a {p['id_type']}, id_b {p['id_type']}"
-                    ).write.parquet(ledger_dir)
-    tomb.write.mode("append").parquet(_dir(index_dir, "doc_tombstones"))
+                ).localCheckpoint(eager=True)
+                keep.coalesce(1).write.mode("overwrite").parquet(new_ledger)
+                os.rename(ledger_dir, old_ledger)
+                os.rename(new_ledger, ledger_dir)
+                shutil.rmtree(old_ledger, ignore_errors=True)
+    # the doc-ledger landing is last (one coalesced file; a resume's
+    # duplicate append is collapsed by the reader's distinct)
+    tomb.coalesce(1).write.mode("append").parquet(
+        _dir(index_dir, "doc_tombstones")
+    )
+    os.remove(marker)
     if stats_out is not None:
         stats_out.update(
-            tombstoned=tomb.count(),
+            tombstoned=len(id_list),
             readmitted_pairs=n_readmitted,
             resurrected_pairs=n_resurrected,
         )
@@ -776,7 +855,8 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
     shutil.rmtree(comp, ignore_errors=True)
     swaps: list[tuple[str, str]] = []  # (relative part dir, has rewrite)
 
-    victim_sigs = _sigs_for_ids(spark, index_dir, p, doc_t)
+    # one driver-side sb derivation shared by the pruned victim-sig
+    # read and the partition list
     sbs = sorted(
         r[0]
         for r in doc_t.select(
@@ -785,6 +865,7 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
         .distinct()
         .collect()
     )
+    victim_sigs = _sigs_for_ids(spark, index_dir, p, doc_t, sbs=sbs)
     sig_parts = [
         f"sigs/sb={sb}"
         for sb in sbs

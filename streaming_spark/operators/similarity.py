@@ -3160,9 +3160,12 @@ def _cell_stats(
     quantizer, plus the overall mean residual norm — ONE ivf_assign pass
     (the same shuffle-free map an append's encode runs, so a deployment
     computes these in that pass).  Residual norm is exact:
-    ``|v̂ − c|² = 1 + |c|² − 2·cos(v̂,c)·|c|`` with v̂ the normalized
-    vector ivf_assign scores — per-cell ``|c|`` joins in from a
-    broadcast centroid-norm table."""
+    ``|v̂ − c|² = 1 + |c|² − 2·(v̂·c)`` with v̂ the normalized vector and
+    ``cent_sim`` ivf_assign's score, which is the DOT against the raw
+    centroid (``mat @ cent.T`` — equal to the cosine only for unit
+    centroids); per-cell ``|c|²`` joins in from a broadcast
+    centroid-norm table.  Pinned against a direct numpy computation on
+    non-unit centroids (test_ann_index_drift_trigger)."""
     spark = vectors.sparkSession
     n_cells = len(centroids)
     cnorm = np.linalg.norm(np.asarray(centroids, dtype=np.float64), axis=1)
@@ -3175,7 +3178,7 @@ def _cell_stats(
             F.lit(0.0),
             F.lit(1.0)
             + F.col("cnorm") * F.col("cnorm")
-            - 2.0 * F.col("cent_sim") * F.col("cnorm"),
+            - 2.0 * F.col("cent_sim"),
         )
     )
     rows = (
@@ -3209,7 +3212,10 @@ def ann_training_snapshot(
     quantizer — ``ann_index_save(..., params={"snapshot": snap})`` —
     so every later ingest batch can measure how far it has drifted from
     what the quantizer saw (:func:`ann_index_drift`).  JSON-safe
-    (plain floats/lists)."""
+    (plain floats/lists).  The snapshot carries the quantizer's
+    fingerprint — a snapshot is only meaningful against the centroids
+    it was measured under, and a same-cell-count retrain would
+    otherwise slip past a shape check silently."""
     counts, _, overall = _cell_stats(vectors, centroids, vec_col)
     total = counts.sum()
     frac = (counts / total) if total else counts
@@ -3217,6 +3223,7 @@ def ann_training_snapshot(
         "cell_frac": [float(x) for x in frac],
         "mean_resid": overall,
         "n_vectors": int(total),
+        "fingerprint": ann_quantizer_fingerprint(centroids=centroids),
     }
 
 
@@ -3253,6 +3260,17 @@ def ann_index_drift(
     delta (same generating distribution) stays under both thresholds, a
     deliberately shifted one trips them
     (tests/test_operators.py::test_ann_index_drift_trigger)."""
+    snap_fp = snapshot.get("fingerprint")
+    if snap_fp is not None:
+        expected = ann_quantizer_fingerprint(centroids=centroids)
+        if snap_fp != expected:
+            raise ValueError(
+                f"ann_index_drift: snapshot fingerprint {snap_fp!r} does "
+                f"not match the quantizer passed ({expected!r}) — the "
+                "snapshot was measured under different centroids (a "
+                "same-cell-count retrain is the common case); rebuild it "
+                "with ann_training_snapshot after every refresh."
+            )
     counts, _, overall = _cell_stats(delta, centroids, vec_col)
     total = counts.sum()
     if total == 0:

@@ -331,6 +331,64 @@ def test_neardup_crashed_append_recovery(spark, tmp_path):
     assert _pairs(neardup_index_pairs(spark, d)) == _batch(union, **kw)
 
 
+def test_neardup_takedown_marker_resume(spark, tmp_path):
+    """Takedown crash-safety: the mutation sequence is guarded by a
+    ``.takedown_pending`` marker — while it exists every other op
+    refuses the index, a takedown with DIFFERENT ids refuses, and
+    re-running with the SAME ids resumes idempotently (including
+    healing a pair-tombstone ledger parked mid-swap) and clears the
+    marker, landing exactly the batch arm's pair set."""
+    import json
+    import os
+
+    same = "how vexingly quick daft zebras jump over the fence today"
+    base = _word_docs(
+        spark,
+        [(1, same), (2, same), (3, same)]
+        + [(100 + i, t) for i, t in _synth_corpus(8, seed=5)],
+    )
+    kw = dict(max_bucket=3)
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, base, max_bucket=3)
+    neardup_index_append(d, _word_docs(spark, [(4, same)]))
+    # state: pairs among 1-3 retracted (ledger non-empty)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(
+        base.union(_word_docs(spark, [(4, same)])), **kw
+    )
+
+    # simulate a takedown of doc 4 that crashed mid-ledger-swap: marker
+    # present, ledger parked at .old
+    marker = os.path.join(d, ".takedown_pending")
+    with open(marker, "w") as f:
+        json.dump({"ids": [4]}, f)
+    os.rename(
+        os.path.join(d, "pair_tombstones"),
+        os.path.join(d, "pair_tombstones.old"),
+    )
+
+    for blocked in (
+        lambda: neardup_index_pairs(spark, d),
+        lambda: neardup_index_append(d, _word_docs(spark, [(9, "x y z")])),
+        lambda: neardup_index_compact(spark, d),
+    ):
+        with pytest.raises(RuntimeError, match="takedown"):
+            blocked()
+    with pytest.raises(RuntimeError, match="different ids"):
+        neardup_index_tombstone(spark, d, [1])
+
+    # resume with the recorded ids: heals the parked ledger, resurrects
+    # the three pairs, clears the marker
+    st: dict = {}
+    neardup_index_tombstone(spark, d, [4], stats_out=st)
+    assert st["resurrected_pairs"] == 3
+    assert not os.path.exists(marker)
+    assert not os.path.isdir(os.path.join(d, "pair_tombstones.old"))
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(base, **kw)
+    assert {(1, 2), (1, 3), (2, 3)} <= {
+        (a, b) for a, b, _ in _pairs(neardup_index_pairs(spark, d))
+    }
+
+
 def test_neardup_index_refusals(spark, tmp_path):
     """Loud failure modes: appending to a non-index path, re-building
     over an existing index, operating on an index with a crashed-compact

@@ -2063,10 +2063,64 @@ def test_ann_index_drift_trigger(spark, tmp_path):
         stationary, cent, snap2, resid_threshold=d_stat["resid_ratio"] - 0.01
     )["drifted"]
 
+    # the RESIDUAL signal needs a corpus the quantizer actually fits
+    # (the fixture is near-uniform on the sphere, so residuals start
+    # near-max): train on tight clusters, then feed a uniform-noise
+    # delta — representation shift inflates the mean residual past the
+    # 1.25 trip threshold while a same-distribution delta stays flat
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    def clustered(n, seed):
+        r = np.random.default_rng(seed)
+        pts = centers[r.integers(0, 4, n)] + 0.05 * r.normal(size=(n, 16))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+    train_c = clustered(400, 1)
+    cent_c = ivf_centroids(train_c, 16, 4)
+    snap_c = ann_training_snapshot(train_c, cent_c)
+    same_dist = ann_index_drift(clustered(200, 2), cent_c, snap_c)
+    assert not same_dist["drifted"], same_dist
+    noise = np.random.default_rng(3).normal(size=(200, 16))
+    noise_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(noise)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    d_noise = ann_index_drift(noise_df, cent_c, snap_c)
+    assert d_noise["resid_ratio"] > 1.25, d_noise
+    assert d_noise["drifted"]
+
     cent4 = ivf_centroids(emb, 64, 4)
-    with pytest.raises(ValueError, match="different quantizer"):
+    with pytest.raises(ValueError, match="ann_index_drift"):
         ann_index_drift(stationary, cent4, snap2)
+    # the sharp case a shape check cannot catch: a SAME-cell-count
+    # retrain — the snapshot's quantizer fingerprint refuses it
+    with pytest.raises(ValueError, match="fingerprint"):
+        ann_index_drift(stationary, cent + 1e-3, snap2)
     os.remove(path)
+
+    # residual formula pinned against numpy on NON-UNIT centroids:
+    # cent_sim is the dot v-hat . c (raw centroid), so |v-hat − c|² =
+    # 1 + |c|² − 2·cent_sim — a uniform 2x centroid scale keeps the
+    # argmax assignment and must reproduce the direct computation
+    import numpy as np
+
+    pts = np.asarray(
+        [r["embedding"] for r in train.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    pts_n = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    cent2x = np.asarray(cent, dtype=np.float64) * 2.0
+    snap_2x = ann_training_snapshot(train, cent2x)
+    assign = np.argmax(pts_n @ cent2x.T, axis=1)
+    expected = float(
+        np.linalg.norm(pts_n - cent2x[assign], axis=1).mean()
+    )
+    assert snap_2x["mean_resid"] == pytest.approx(expected, rel=1e-9)
 
 
 def test_ann_index_compact_rewrites_only_affected_cells(spark, tmp_path):
