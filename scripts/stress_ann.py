@@ -386,6 +386,31 @@ def run_point(spark, kind: str, n: int) -> None:
     t0 = time.perf_counter()
     ann_index_append(d + "/pq_bycell", delta_df, cent_pq, books)
     t_append = time.perf_counter() - t0
+    # drift trigger at ingest (r12): score the same delta against the
+    # training snapshot — one extra ivf_assign pass over the DELTA (a
+    # fused deployment folds it into the append's encode); the delta is
+    # same-distribution by construction, so drifted must be False
+    from streaming_spark.operators.similarity import (
+        ann_index_drift,
+        ann_training_snapshot,
+    )
+
+    snap = ann_training_snapshot(corpus, cent_pq)
+    t0 = time.perf_counter()
+    drift = ann_index_drift(delta_df, cent_pq, snap)
+    t_drift = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "op": f"ann_index_drift(delta={delta_n})",
+                **tag,
+                "seconds": round(t_drift, 2),
+                **{k: drift[k] for k in
+                   ("assignment_tv", "resid_ratio", "drifted")},
+            }
+        ),
+        flush=True,
+    )
     grown = spark.read.parquet(d + "/pq_bycell")
     # witness: serving the appended table == serving base codes ∪ a
     # fresh inline encode of the delta (encoding is per-row)
