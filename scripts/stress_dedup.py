@@ -127,10 +127,22 @@ def release(*dirs: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def _maint_main(max_n: int) -> None:
+def _maint_main(
+    max_n: int, n_band_prefixes: int = 16, n_id_buckets: int = 16
+) -> None:
     """Index-maintenance sweep: build once, append a 10k delta, compare
-    against the accumulated re-join, then take down 100 docs and
-    compact.  One JSON line per measurement."""
+    against the accumulated re-join, then a 100-doc trickle append,
+    then take down 100 docs and compact.  One JSON line per
+    measurement.  The partition-granularity knobs are argv-settable;
+    the 100k comparison they enabled (idle box) is a NEGATIVE result
+    worth keeping: 256 prefixes × 64 id-buckets ran 3-4× slower than
+    16 × 16 on every move (build 18 vs 13 s, append_10k 44 vs 12,
+    append_100 31 vs 11, compact 19 vs 8) — 4096 tiny band files cost
+    more in listing/write overhead than their pruning saves at this
+    corpus size, and a 100-doc trickle append costs about the same as a
+    10k one either way (job + digest-scan overhead dominates the delta
+    axis).  Partition count is a data-volume knob (~128 MB/partition),
+    not a delta-size knob."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -149,21 +161,28 @@ def _maint_main(max_n: int) -> None:
     minhash_dedup_pairs(warm, "text", "doc_id").count()
     release(warm_dir)
 
+    SMALL = 100  # trickle-ingest point: the delta axis of append cost
     for n in (100_000, 500_000, 1_000_000):
         if n > max_n:
             break
-        d, df = stage_corpus(spark, n + DELTA)
+        d, df = stage_corpus(spark, n + DELTA + SMALL)
         base = df.filter(F.col("doc_id") < n)
-        delta = df.filter(F.col("doc_id") >= n)
+        delta = df.filter(
+            (F.col("doc_id") >= n) & (F.col("doc_id") < n + DELTA)
+        )
+        small = df.filter(F.col("doc_id") >= n + DELTA)
         idx = scratch.scratch_dir(f"ndmaint_{n}", pin=True) + "/idx"
 
         t0 = time.perf_counter()
         st: dict = {}
         neardup_index_build(
-            idx, base, n_id_buckets=16, n_band_prefixes=16, stats_out=st
+            idx, base, n_id_buckets=n_id_buckets,
+            n_band_prefixes=n_band_prefixes, stats_out=st,
         )
         print(json.dumps({
             "op": "neardup_build", "n": n,
+            "n_band_prefixes": n_band_prefixes,
+            "n_id_buckets": n_id_buckets,
             "seconds": round(time.perf_counter() - t0, 2),
             "pairs": st["new_pairs"],
         }), flush=True)
@@ -174,7 +193,10 @@ def _maint_main(max_n: int) -> None:
         append_s = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
-        batch = minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5)
+        batch = minhash_dedup_pairs(
+            df.filter(F.col("doc_id") < n + DELTA),
+            "text", "doc_id", threshold=0.5,
+        )
         batch_rows = batch.count()
         rejoin_s = round(time.perf_counter() - t0, 2)
 
@@ -189,6 +211,19 @@ def _maint_main(max_n: int) -> None:
             "accumulated_rejoin_seconds": rejoin_s,
             "batch_rows": batch_rows,
             "pair_set_exactly_equal": extra == 0 and missing == 0,
+        }), flush=True)
+
+        # the delta axis: a 100-doc trickle append into the same index —
+        # probe, candidates and verify all shrink with the delta (the
+        # re-join alternative would still pay the full O(N) re-hash)
+        t0 = time.perf_counter()
+        st = {}
+        neardup_index_append(idx, small, stats_out=st)
+        print(json.dumps({
+            "op": "neardup_append_100", "n": n,
+            "seconds": round(time.perf_counter() - t0, 2),
+            "new_pairs": st["new_pairs"],
+            "buckets_touched": st["buckets_touched"],
         }), flush=True)
 
         # takedown + compact cost (fixed 100 victims → footprint-bound)
@@ -225,7 +260,11 @@ def main() -> None:
 
     args = sys.argv[1:]
     if args and args[0] == "maint":
-        _maint_main(int(args[1]) if len(args) > 1 else 1_000_000)
+        _maint_main(
+            int(args[1]) if len(args) > 1 else 1_000_000,
+            int(args[2]) if len(args) > 2 else 16,
+            int(args[3]) if len(args) > 3 else 16,
+        )
         return
     max_n = int(args[0]) if args else 1_000_000
     spark = get_spark(app_name="stress-dedup")

@@ -385,9 +385,16 @@ def neardup_index_append(
     pays one column-pruned scan of the BAND table (~0.3% of corpus
     bytes — digest rows, never text) plus the candidates' signature
     partitions — sub-linear in N (2.2× cost for 10× N) versus the
-    re-join's linear re-hash of the text.  Small deltas (takedowns,
-    trickle ingest) keep the pruning; size ``n_band_prefixes`` /
-    ``n_id_buckets`` to the deployment's delta:corpus ratio.
+    re-join's linear re-hash of the text.  The partition knobs are a
+    DATA-VOLUME sizing (target ~128 MB per partition), not a delta-size
+    one: a measured 100k-doc comparison (stress_dedup maint, idle box)
+    found 256 prefixes × 64 id-buckets 3-4× SLOWER than 16×16 across
+    every move — 4096 tiny band files cost more in listing/write
+    overhead than their pruning saves, the classic small-files trap —
+    and a 100-doc trickle append costs about the same as a 10k one at
+    this scale (job + digest-scan overhead dominates the delta axis;
+    delta-boundedness shows on the N axis).  Pruning pays once
+    partitions hold real data volume.
 
     Exactness including cap crossings is maintained as described in the
     module docstring: buckets whose live size crosses ``max_bucket``

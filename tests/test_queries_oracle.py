@@ -107,6 +107,8 @@ _NEWEST_SLUGS = (
     "ann_topk_ivfpq_pruned",  # r11: the layout/IO probe
     "multimodal_resize_pipeline",  # r11: per-pixel-oracled bilinear resize
     "ann_index_maintenance",  # r11: append/tombstone/compact lifecycle
+    "neardup_index_maintenance",  # r12: near-dup index lifecycle
+    "ann_index_drift",  # r12: quantizer refresh trigger
 )
 
 _NEWEST_CASE = "newest-overweight"
