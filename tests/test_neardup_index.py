@@ -209,6 +209,72 @@ def test_neardup_index_randomized_equality(spark, tmp_path, seed):
     assert _pairs(neardup_index_pairs(spark, d)) == before
 
 
+@pytest.mark.slow
+def test_neardup_index_random_walk(spark, tmp_path):
+    """Long-horizon exactness: a seeded random WALK of interleaved
+    appends (5-15 docs, drawn from a pool heavy in identical and
+    near-identical texts so buckets cross the cap in both directions
+    repeatedly), takedowns (1-3 live docs) and compacts, asserting the
+    live pair set equals the batch arm over the live corpus after
+    EVERY operation.  This exercises the interactions the scenario
+    tests cannot enumerate — retract→resurrect→retract cycles on the
+    same pair, re-admission into buckets later re-crossed, compaction
+    between transitions."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    templates = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet black white gray",
+    ]
+    synth = _synth_corpus(200, seed=77)
+    kw = dict(max_bucket=2)
+    d = str(tmp_path / "idx")
+
+    next_id = [0]
+    live: dict[int, str] = {}
+
+    def make_batch(k):
+        rows = []
+        for _ in range(k):
+            r = rng.random()
+            if r < 0.5:  # identical-template doc: drives cap crossings
+                text = templates[int(rng.integers(0, len(templates)))]
+            else:  # unique filler with planted near-dups
+                text = synth[int(rng.integers(0, len(synth)))][1]
+            rows.append((next_id[0], text))
+            live[next_id[0]] = text
+            next_id[0] += 1
+        return rows
+
+    def check():
+        corpus = _word_docs(spark, sorted(live.items()))
+        assert _pairs(neardup_index_pairs(spark, d)) == _batch(corpus, **kw)
+
+    neardup_index_build(d, _word_docs(spark, make_batch(12)), max_bucket=2)
+    check()
+    for step in range(9):
+        op = rng.random()
+        if op < 0.55 or len(live) < 6:
+            neardup_index_append(
+                d, _word_docs(spark, make_batch(int(rng.integers(5, 16))))
+            )
+        elif op < 0.85:
+            victims = [
+                int(v)
+                for v in rng.choice(
+                    sorted(live), size=int(rng.integers(1, 4)), replace=False
+                )
+            ]
+            neardup_index_tombstone(spark, d, victims)
+            for v in victims:
+                live.pop(v)
+        else:
+            neardup_index_compact(spark, d)
+        check()
+
+
 def test_neardup_index_string_ids(spark, tmp_path):
     """String doc ids are first-class end to end: the id type is frozen
     into the index params from the input frame, pair ids come back as
