@@ -615,9 +615,16 @@ def _retract_unsupported(
         .localCheckpoint(eager=True)
     )
     need = shared.select("band_id", "bh").distinct()
+    # combos reduce IN SPARK: the driver list is bounded by
+    # bands × n_band_prefixes no matter how many buckets the
+    # retraction touches
     need_combos = [
-        (r["band_id"], int(r["bh"]) % p["n_band_prefixes"])
-        for r in need.collect()
+        (r["band_id"], r["pb"])
+        for r in need.select(
+            "band_id", _pb_expr(F.col("bh"), p["n_band_prefixes"]).alias("pb")
+        )
+        .distinct()
+        .collect()
     ]
     bsizes = (
         _live_bands(spark, index_dir, p, _combo_filter(need_combos))
@@ -728,10 +735,12 @@ def neardup_index_tombstone(
         _sigs_for_ids(spark, index_dir, p, tomb), p["bands"]
     )
     hit_combos = sorted(
-        {
-            (int(r["band_id"]), int(r["bh"]) % p["n_band_prefixes"])
-            for r in expected.select("band_id", "bh").collect()
-        }
+        (r["band_id"], r["pb"])
+        for r in expected.select(
+            "band_id", _pb_expr(F.col("bh"), p["n_band_prefixes"]).alias("pb")
+        )
+        .distinct()
+        .collect()
     )
     n_readmitted = 0
     n_resurrected = 0
@@ -891,10 +900,12 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
 
     victim_bands = _banded(victim_sigs, p["bands"])
     combos = sorted(
-        {
-            (int(r["band_id"]), int(r["bh"]) % p["n_band_prefixes"])
-            for r in victim_bands.select("band_id", "bh").collect()
-        }
+        (r["band_id"], r["pb"])
+        for r in victim_bands.select(
+            "band_id", _pb_expr(F.col("bh"), p["n_band_prefixes"]).alias("pb")
+        )
+        .distinct()
+        .collect()
     )
     band_parts = [
         f"bands/band_id={b}/pb={pb}"
