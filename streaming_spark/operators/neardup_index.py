@@ -147,13 +147,35 @@ def _check_siblings(index_dir: str, what: str) -> None:
         )
 
 
+def _pb_combos(df: DataFrame, p: dict) -> list:
+    """ONE definition of the driver-side (band_id, prefix) combo list
+    for partition-pruned band reads: distinct on the prefix expression
+    IN SPARK, so the collected list is bounded by
+    bands × n_band_prefixes regardless of how many buckets ``df``
+    (a band-rows frame) touches."""
+    return sorted(
+        (r["band_id"], r["pb"])
+        for r in df.select(
+            "band_id", _pb_expr(F.col("bh"), p["n_band_prefixes"]).alias("pb")
+        )
+        .distinct()
+        .collect()
+    )
+
+
 def _check_compact_park(index_dir: str, what: str) -> None:
     """The compact-park half of :func:`_check_siblings` alone — the
     takedown's resume path must pass its own pending marker but still
     refuse a crashed compact's parked partitions."""
     park = os.path.join(index_dir, ".compact_old")
     if os.path.isdir(park):
-        _check_siblings(index_dir, what)  # raises the park message
+        raise RuntimeError(
+            f"{what}: {park!r} exists — a previous neardup_index_compact "
+            "crashed mid-swap and some partitions are parked there "
+            "(absent from the index).  Recover first: move each parked "
+            "directory back, remove the .compact/.compact_old siblings, "
+            "then re-run the compact."
+        )
 
 
 # ------------------------------------------------------------- sub-tables
@@ -615,17 +637,7 @@ def _retract_unsupported(
         .localCheckpoint(eager=True)
     )
     need = shared.select("band_id", "bh").distinct()
-    # combos reduce IN SPARK: the driver list is bounded by
-    # bands × n_band_prefixes no matter how many buckets the
-    # retraction touches
-    need_combos = [
-        (r["band_id"], r["pb"])
-        for r in need.select(
-            "band_id", _pb_expr(F.col("bh"), p["n_band_prefixes"]).alias("pb")
-        )
-        .distinct()
-        .collect()
-    ]
+    need_combos = _pb_combos(need, p)
     bsizes = (
         _live_bands(spark, index_dir, p, _combo_filter(need_combos))
         .join(need, ["band_id", "bh"], "left_semi")
@@ -673,13 +685,17 @@ def neardup_index_tombstone(
     (re-admit pairs → rewrite the pair-tombstone ledger → land the doc
     tombstones) cannot be atomic across three tables, so a
     ``.takedown_pending`` marker recording the victim ids is written
-    first and removed last; while it exists every other operation
-    refuses the index, and re-running the takedown with the SAME ids
-    resumes safely — re-admissions anti-join what already landed, the
-    ledger rewrite parks the old ledger until the swap completes, the
-    doc-ledger append deduplicates, and every size computation excludes
-    the in-flight victims from the "previous tombstones" set so it is
-    stable whether or not the final landing already happened."""
+    (atomically, tmp + rename) immediately BEFORE the first mutation —
+    the whole probe/verify phase ahead of it is read-only, so a
+    transient Spark failure there leaves the index untouched and
+    serving — and removed after the last; while it exists every other
+    operation refuses the index, and re-running the takedown with the
+    SAME ids resumes safely — re-admissions anti-join what already
+    landed, the ledger rewrite parks the old ledger until the swap
+    completes, the doc-ledger append deduplicates, and every size
+    computation excludes the in-flight victims from the "previous
+    tombstones" set so it is stable whether or not the final landing
+    already happened."""
     p = _load_params(index_dir)
     _check_compact_park(index_dir, "neardup_index_tombstone")
     cap = p["max_bucket"]
@@ -702,9 +718,6 @@ def neardup_index_tombstone(
                 f"takedown of different ids ({pending[:5]}…) — finish it "
                 "first by re-running with exactly those ids."
             )
-    else:
-        with open(marker, "w", encoding="utf-8") as f:
-            json.dump({"ids": id_list}, f)
 
     # heal a ledger swap the previous attempt may have left mid-flight:
     # ledger parked but the rewrite not yet renamed in → restore the
@@ -734,14 +747,7 @@ def neardup_index_tombstone(
     expected = _banded(
         _sigs_for_ids(spark, index_dir, p, tomb), p["bands"]
     )
-    hit_combos = sorted(
-        (r["band_id"], r["pb"])
-        for r in expected.select(
-            "band_id", _pb_expr(F.col("bh"), p["n_band_prefixes"]).alias("pb")
-        )
-        .distinct()
-        .collect()
-    )
+    hit_combos = _pb_combos(expected, p)
     n_readmitted = 0
     n_resurrected = 0
     if hit_combos:
@@ -798,10 +804,6 @@ def neardup_index_tombstone(
                 existing, ["id_a", "id_b"], "left_anti"
             ).localCheckpoint(eager=True)
             n_readmitted = to_append.count()
-            if n_readmitted:
-                to_append.write.mode("append").parquet(
-                    _dir(index_dir, "pairs")
-                )
             # a pair that was cap-retracted earlier and is valid again
             # is resurrected by dropping its ledger row — the ledger is
             # small by contract and rewritten whole, through a
@@ -817,10 +819,23 @@ def neardup_index_tombstone(
                 keep = ptombs.join(
                     resurrect, ["id_a", "id_b"], "left_anti"
                 ).localCheckpoint(eager=True)
-                keep.coalesce(1).write.mode("overwrite").parquet(new_ledger)
-                os.rename(ledger_dir, old_ledger)
-                os.rename(new_ledger, ledger_dir)
-                shutil.rmtree(old_ledger, ignore_errors=True)
+
+    # ---- mutation phase: everything above was read-only (eager
+    # checkpoints), so the marker lands only now — atomically (tmp +
+    # rename: a torn marker would brick the index with an unreadable
+    # recovery hint)
+    if not os.path.isfile(marker):
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w", encoding="utf-8") as f:
+            json.dump({"ids": id_list}, f)
+        os.rename(tmp_marker, marker)
+    if n_readmitted:
+        to_append.write.mode("append").parquet(_dir(index_dir, "pairs"))
+    if n_resurrected:
+        keep.coalesce(1).write.mode("overwrite").parquet(new_ledger)
+        os.rename(ledger_dir, old_ledger)
+        os.rename(new_ledger, ledger_dir)
+        shutil.rmtree(old_ledger, ignore_errors=True)
     # the doc-ledger landing is last (one coalesced file; a resume's
     # duplicate append is collapsed by the reader's distinct)
     tomb.coalesce(1).write.mode("append").parquet(
@@ -899,14 +914,7 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
         swaps += sig_parts
 
     victim_bands = _banded(victim_sigs, p["bands"])
-    combos = sorted(
-        (r["band_id"], r["pb"])
-        for r in victim_bands.select(
-            "band_id", _pb_expr(F.col("bh"), p["n_band_prefixes"]).alias("pb")
-        )
-        .distinct()
-        .collect()
-    )
+    combos = _pb_combos(victim_bands, p)
     band_parts = [
         f"bands/band_id={b}/pb={pb}"
         for b, pb in combos

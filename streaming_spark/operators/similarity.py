@@ -548,10 +548,16 @@ def ivf_assign(
     narrow Arrow-batch map against broadcast centroids, no shuffle.
     ``nprobe=1`` for indexing; queries probe several cells.
 
-    ``with_sim=True`` adds the cosine to the assigned centroid
-    (``cent_sim``) — the per-cell minimum of that column is the cell's
-    angular radius, the quantity the blocked-exact pair primitive's
-    triangle-inequality pruning needs (``_block_pair_allowlist``).
+    ``with_sim=True`` adds ``cent_sim`` — the DOT of the normalized
+    vector against the RAW assigned centroid (``v̂ · c``), which equals
+    the cosine only when the centroid is unit-norm (spherical-kmeans
+    centroids are; an externally supplied quantizer's may not be —
+    divide by |c| before trusting it as an angle, the exact misreading
+    that once broke _cell_stats' residual formula).  The per-cell
+    minimum of that column is the cell's angular radius for
+    internally-trained unit centroids, the quantity the blocked-exact
+    pair primitive's triangle-inequality pruning needs
+    (``_block_pair_allowlist``).
     ``keep_vec`` passes the RAW input vector through under that name as
     ``array<double>`` (float32→float64 upcast is exact, so downstream
     normalize/matmul math is bit-identical to reading the source) —

@@ -2068,8 +2068,6 @@ def test_ann_index_drift_trigger(spark, tmp_path):
     # near-max): train on tight clusters, then feed a uniform-noise
     # delta — representation shift inflates the mean residual past the
     # 1.25 trip threshold while a same-distribution delta stays flat
-    import numpy as np
-
     rng = np.random.default_rng(12)
     centers = rng.normal(size=(4, 16))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -2107,8 +2105,6 @@ def test_ann_index_drift_trigger(spark, tmp_path):
     # cent_sim is the dot v-hat . c (raw centroid), so |v-hat − c|² =
     # 1 + |c|² − 2·cent_sim — a uniform 2x centroid scale keeps the
     # argmax assignment and must reproduce the direct computation
-    import numpy as np
-
     pts = np.asarray(
         [r["embedding"] for r in train.select("embedding").collect()],
         dtype=np.float64,
