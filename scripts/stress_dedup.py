@@ -47,6 +47,7 @@ compact cost points (the dedup analog of stress_ann's maintenance arm).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -251,6 +252,236 @@ def _maint_main(
     spark.stop()
 
 
+def _scan_stats(df) -> tuple[int, int, int]:
+    """(files, rows, bytes) actually touched by ``df``'s scan — files
+    and rows from the executed plan (so a partition filter's pruning is
+    measured AT THE SCAN, not assumed), bytes by sizing the listed
+    files driver-side.  Bounded: the collect is one row per FILE."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    per_file = (
+        df.select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    n_bytes = sum(
+        os.path.getsize(urllib.parse.unquote(r["f"]).replace("file://", ""))
+        for r in per_file
+    )
+    return len(per_file), sum(r["count"] for r in per_file), n_bytes
+
+
+def _tree_bytes(root: str) -> tuple[int, int]:
+    """(files, bytes) of every parquet part under ``root`` — the
+    whole-table denominator for the pruning ratios."""
+    files = 0
+    total = 0
+    for dirpath, _dirs, names in os.walk(root):
+        for f in names:
+            if f.endswith(".parquet"):
+                files += 1
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return files, total
+
+
+def _prune_main(
+    max_n: int, n_band_prefixes: int = 64, n_id_buckets: int = 16,
+    n_eff_m: int = 20,
+) -> None:
+    """Production-volume probe-pruning measurement (VERDICT r12 #3):
+    does the (band_id, bucket-prefix) partition pruning actually cut
+    probe BYTES once band partitions hold real data volume — the regime
+    the fixture pins (test_neardup_probe_reads_are_partition_pruned)
+    cannot reach, and the r12 maintenance sweep deliberately avoided
+    (its small partition counts follow the measured small-files law)?
+
+    Two arms, one law:
+
+    - REAL arm: the full operator lifecycle on a 1M-doc corpus with
+      n_band_prefixes=64 (1024 band partitions — 16× the r12 sweep's),
+      trickle deltas of 1 / 10 / 100 docs.  After each append the
+      probe's own combo filter is re-derived and its band-table read
+      measured (files / rows / bytes, from the EXECUTED scan) against
+      the whole table; pair-set equality against the batch re-join is
+      asserted at the end, so every pruning number comes from an index
+      whose answers are proven exact.
+    - SYNTHETIC arm: band rows alone for an N_eff = ``n_eff_m``·1M doc
+      corpus (N_eff × 16 rows, same layout, partitions ~100× the real
+      arm's fill — as close to the ~128 MB deployment sizing as this
+      box gets), same trickle probes, no pairs (rows are synthetic).
+
+    The law both arms express: the probe lists hit_combos /
+    (bands × n_band_prefixes) of the table — per band a delta of k docs
+    hits ≤ min(k, n_band_prefixes) prefixes, so pruning pays exactly
+    while the delta is smaller than the prefix count and saturates
+    smoothly past it (the append docstring's residual guarantee).  The
+    RATIO is decided at planning time from directory names — partition
+    size never enters — so bytes cut scales linearly from the measured
+    ~8 MB partitions to the 128 MB deployment sizing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.dedup import (
+        _banded,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+    from streaming_spark.operators.neardup_index import (
+        _bands_schema,
+        _combo_filter,
+        _load_params,
+        _pb_expr,
+        _read_or_empty,
+        neardup_index_append,
+        neardup_index_build,
+        neardup_index_pairs,
+    )
+
+    spark = get_spark(app_name="stress-dedup-prune")
+    warm_dir, warm = stage_corpus(spark, 1_000)
+    minhash_dedup_pairs(warm, "text", "doc_id").count()
+    release(warm_dir)
+
+    # ---- REAL arm: operator lifecycle + executed-scan measurement
+    n = min(max_n, 1_000_000)
+    trickles = (1, 10, 100)
+    d, df = stage_corpus(spark, n + sum(trickles))
+    base = df.filter(F.col("doc_id") < n)
+    idx_root = scratch.scratch_dir(f"ndprune_{n}", pin=True)
+    idx = idx_root + "/idx"
+
+    t0 = time.perf_counter()
+    neardup_index_build(
+        idx, base, n_band_prefixes=n_band_prefixes,
+        n_id_buckets=n_id_buckets,
+    )
+    print(json.dumps({
+        "op": "prune_build", "n": n,
+        "n_band_prefixes": n_band_prefixes,
+        "seconds": round(time.perf_counter() - t0, 2),
+    }), flush=True)
+    p = _load_params(idx)
+
+    lo = n
+    for k in trickles:
+        delta = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + k))
+        lo += k
+        t0 = time.perf_counter()
+        st: dict = {}
+        neardup_index_append(idx, delta, stats_out=st)
+        dt = round(time.perf_counter() - t0, 2)
+        # re-derive the combo filter the append probed with (post-
+        # landing, exactly what its pruned read saw) and measure the
+        # EXECUTED scan against the whole band table
+        dbands = _banded(
+            minhash_signatures(
+                delta, p["text_col"], p["id_col"], p["num_perm"],
+                p["shingle_k"], p["seed"],
+            ),
+            p["bands"],
+        ).withColumn("pb", _pb_expr(F.col("bh"), p["n_band_prefixes"]))
+        combos = [
+            (r["band_id"], r["pb"])
+            for r in dbands.select("band_id", "pb").distinct().collect()
+        ]
+        full = _read_or_empty(spark, idx + "/bands", _bands_schema(p))
+        pf, pr, pb_ = _scan_stats(full.filter(_combo_filter(combos)))
+        tf, tb = _tree_bytes(idx + "/bands")
+        print(json.dumps({
+            "op": "prune_probe_real", "n": n, "delta": k,
+            "append_seconds": dt,
+            "hit_combos": len(combos),
+            "combos_total": p["bands"] * p["n_band_prefixes"],
+            "probe_files": pf, "probe_rows": pr, "probe_bytes": pb_,
+            "table_files": tf, "table_bytes": tb,
+            "bytes_frac": round(pb_ / tb, 4) if tb else None,
+            "new_pairs": st["new_pairs"],
+        }), flush=True)
+
+    # equality over everything ingested: the pruning numbers above are
+    # only worth reporting for an index that is still exactly the batch
+    # pipeline
+    t0 = time.perf_counter()
+    batch = minhash_dedup_pairs(
+        df.filter(F.col("doc_id") < lo), "text", "doc_id", threshold=0.5
+    )
+    live = neardup_index_pairs(spark, idx)
+    extra = live.subtract(batch).count()
+    missing = batch.subtract(live).count()
+    print(json.dumps({
+        "op": "prune_equality", "n": n,
+        "rejoin_seconds": round(time.perf_counter() - t0, 2),
+        "pair_set_exactly_equal": extra == 0 and missing == 0,
+    }), flush=True)
+    release(d, idx_root)
+
+    # ---- SYNTHETIC arm: the same layout at ~20× the row volume
+    n_eff = n_eff_m * 1_000_000
+    bands = 16
+    sdir = scratch.scratch_dir(f"ndprune_synth_{n_eff_m}m", pin=True)
+    t0 = time.perf_counter()
+    synth = (
+        spark.range(n_eff)
+        .select(
+            F.col("id"),
+            F.explode(
+                F.array(*[F.lit(b) for b in range(bands)])
+            ).alias("band_id"),
+        )
+        .select(
+            "id",
+            F.xxhash64(F.concat_ws("|", "id", "band_id")).alias("bh"),
+            "band_id",
+        )
+        .withColumn("pb", _pb_expr(F.col("bh"), n_band_prefixes))
+    )
+    synth.repartition("band_id", "pb").write.partitionBy(
+        "band_id", "pb"
+    ).parquet(sdir + "/bands")
+    tf, tb = _tree_bytes(sdir + "/bands")
+    print(json.dumps({
+        "op": "prune_synth_stage", "n_eff": n_eff,
+        "seconds": round(time.perf_counter() - t0, 2),
+        "table_files": tf, "table_bytes": tb,
+        "partitions": bands * n_band_prefixes,
+    }), flush=True)
+
+    stable = spark.read.parquet(sdir + "/bands")
+    rng = np.random.default_rng(7)
+    for k in trickles:
+        ids = rng.integers(n_eff, n_eff * 2, size=k, dtype=np.int64)
+        ddf = spark.createDataFrame([(int(i),) for i in ids], "id BIGINT")
+        dbands = ddf.select(
+            "id",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(bands)])
+            ).alias("band_id"),
+        ).select(
+            F.xxhash64(F.concat_ws("|", "id", "band_id")).alias("bh"),
+            "band_id",
+        ).withColumn("pb", _pb_expr(F.col("bh"), n_band_prefixes))
+        combos = [
+            (r["band_id"], r["pb"])
+            for r in dbands.select("band_id", "pb").distinct().collect()
+        ]
+        t0 = time.perf_counter()
+        pf, pr, pb_ = _scan_stats(stable.filter(_combo_filter(combos)))
+        print(json.dumps({
+            "op": "prune_probe_synth", "n_eff": n_eff, "delta": k,
+            "probe_scan_seconds": round(time.perf_counter() - t0, 2),
+            "hit_combos": len(combos),
+            "combos_total": bands * n_band_prefixes,
+            "probe_files": pf, "probe_rows": pr, "probe_bytes": pb_,
+            "table_files": tf, "table_bytes": tb,
+            "bytes_frac": round(pb_ / tb, 4) if tb else None,
+        }), flush=True)
+    release(sdir)
+    spark.stop()
+
+
 def main() -> None:
     from streaming_spark.operators.dedup import (
         connected_components,
@@ -264,6 +495,14 @@ def main() -> None:
             int(args[1]) if len(args) > 1 else 1_000_000,
             int(args[2]) if len(args) > 2 else 16,
             int(args[3]) if len(args) > 3 else 16,
+        )
+        return
+    if args and args[0] == "prune":
+        _prune_main(
+            int(args[1]) if len(args) > 1 else 1_000_000,
+            int(args[2]) if len(args) > 2 else 64,
+            int(args[3]) if len(args) > 3 else 16,
+            int(args[4]) if len(args) > 4 else 20,
         )
         return
     max_n = int(args[0]) if args else 1_000_000

@@ -305,43 +305,6 @@ def run_streaming_point(spark, n: int) -> None:
     release(corpus_dir)
 
 
-def _probe_and_append(spark, idx_dir: str, digests, col: str,
-                      n_prefixes: int = 16):
-    """Digest-membership index for the incremental tail: return the
-    subset of this batch's ``digests`` already present in the staged
-    index, then append the new ones under their digest-prefix
-    partitions.  The probe reads only the batch's prefix partitions
-    (planning-time pruning) and broadcasts the batch side — the same
-    delta-vs-index discipline as the band table in
-    operators/neardup_index.py, at membership granularity.  Exact under
-    the arm's ordered-ingest contract (ids assigned at ingest, so
-    first-seen == min-id)."""
-    from pyspark.errors import AnalysisException
-    from pyspark.sql import functions as F
-
-    batch = (
-        digests.select(col)
-        .distinct()
-        .withColumn("pb", F.pmod(F.xxhash64(col), F.lit(n_prefixes)).cast("int"))
-        .localCheckpoint(eager=True)
-    )
-    pbs = [r["pb"] for r in batch.select("pb").distinct().collect()]
-    try:
-        idx = spark.read.parquet(idx_dir).filter(F.col("pb").isin(pbs))
-    except AnalysisException:
-        idx = spark.createDataFrame([], f"{col} STRING, pb INT")
-    seen = (
-        idx.join(F.broadcast(batch.select(col)), col, "left_semi")
-        .select(col)
-        .localCheckpoint(eager=True)
-    )
-    new = batch.join(seen, col, "left_anti")
-    new.repartition("pb").write.mode("append").partitionBy("pb").parquet(
-        idx_dir
-    )
-    return seen
-
-
 def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     """DELTA-BOUND incremental tail (VERDICT r11 #3): the streaming arm
     proved ingest-time curation reproduces the batch pipeline exactly,
@@ -349,12 +312,14 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     every time — O(N) per refresh.  This arm maintains every global
     stage incrementally per ingest batch:
 
-    - cross-doc line dedup: a staged line-digest membership index; a
-      batch occurrence is removed iff its digest was seen in an earlier
+    - cross-doc line dedup: a staged line-digest occurrence index
+      (operators/digest_index.py, promoted from this script's private
+      helper per VERDICT r12 #1); a batch occurrence is removed iff the
+      append's returned decision flags it — digest seen in an earlier
       batch OR earlier within this batch (the batch arm's keep-first
       window rule, split at the batch boundary);
-    - exact dedup on the cleaned-text digest: a second membership
-      index, same split of the keep-min-id window;
+    - exact dedup on the cleaned-text digest: a second digest index,
+      same split of the keep-min-id window;
     - near-dup: neardup_index_append — signatures computed once per
       batch, banded join delta-vs-index + delta-vs-delta only;
     - decontamination: per-doc 5-gram overlap against the static
@@ -377,9 +342,13 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     the batch pipeline's."""
     import shutil
 
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
     from streaming_spark.operators.dedup import connected_components
+    from streaming_spark.operators.digest_index import (
+        digest_index_append,
+        digest_index_build,
+    )
     from streaming_spark.operators.neardup_index import (
         neardup_index_append,
         neardup_index_build,
@@ -437,22 +406,20 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
             .localCheckpoint(eager=True)
         )
 
-        # line dedup: removed iff digest seen in an earlier batch, or
-        # not first within this batch (global keep-first, split at the
-        # batch boundary — exact under ordered ingest)
-        dig = line_digests(filtered).localCheckpoint(eager=True)
-        seen_h = _probe_and_append(spark, lines_idx, dig, "h")
-        wl = Window.partitionBy("h").orderBy("doc_id", "line_no")
-        intra = dig.withColumn("rk", F.row_number().over(wl))
-        rm_occ = (
-            dig.join(F.broadcast(seen_h), "h", "left_semi")
-            .select("doc_id", "line_no")
-            .union(
-                intra.filter("rk > 1").select("doc_id", "line_no")
+        # line dedup: the digest index's append returns the keep-first
+        # decisions directly — removed iff digest seen in an earlier
+        # batch, or not first within this batch (global keep-first,
+        # split at the batch boundary — exact under ordered ingest)
+        dig = line_digests(filtered)
+        if b == 0:
+            dec_l = digest_index_build(
+                lines_idx, dig, digest_col="h",
+                order_cols=("doc_id", "line_no"),
+                n_prefixes=16, n_id_buckets=4,
             )
-            .distinct()
-        )
-        removals = rm_occ.groupBy("doc_id").agg(
+        else:
+            dec_l = digest_index_append(lines_idx, dig)
+        removals = dec_l.filter("is_dup").groupBy("doc_id").agg(
             F.collect_list("line_no").alias("removed"),
             F.count(F.lit(1)).alias("n_rm"),
         )
@@ -462,14 +429,14 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
 
         # exact dedup on the cleaned digest: same split of the
         # keep-min-id window
-        seen_ch = _probe_and_append(spark, hashes_idx, cleaned, "cleaned_hash")
-        we = Window.partitionBy("cleaned_hash").orderBy("doc_id")
-        keep_ids = (
-            cleaned.join(F.broadcast(seen_ch), "cleaned_hash", "left_anti")
-            .withColumn("rn", F.row_number().over(we))
-            .filter("rn = 1")
-            .select("doc_id")
-        )
+        if b == 0:
+            dec_e = digest_index_build(
+                hashes_idx, cleaned, digest_col="cleaned_hash",
+                n_prefixes=16, n_id_buckets=4,
+            )
+        else:
+            dec_e = digest_index_append(hashes_idx, cleaned)
+        keep_ids = dec_e.filter("NOT is_dup").select("doc_id")
         exact_batch = filtered.join(keep_ids, "doc_id").localCheckpoint(
             eager=True
         )

@@ -145,6 +145,18 @@ def _check_siblings(index_dir: str, what: str) -> None:
             "(every step is idempotent); it clears the marker on "
             "completion."
         )
+    pending = os.path.join(index_dir, ".append_pending")
+    if os.path.isfile(pending):
+        raise RuntimeError(
+            f"{what}: {pending!r} exists — a previous "
+            "neardup_index_append crashed mid-landing (band rows may be "
+            "live without their batch's pairs, so the pair set has "
+            "silently diverged from the batch arm).  Recover first: run "
+            "neardup_index_tombstone with the ids recorded in the marker "
+            "(it clears this marker on completion), then "
+            "neardup_index_compact, then re-ingest the batch under the "
+            "same ids."
+        )
 
 
 def _pb_combos(df: DataFrame, p: dict) -> list:
@@ -195,7 +207,12 @@ def _pb_expr(bh_col, n_prefixes: int):
 
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     """Read a sub-table, or an empty frame with the right schema when it
-    does not exist yet (fresh index / empty ledger)."""
+    does not exist yet (fresh index / empty ledger).  The isdir
+    short-circuit (indexes are local-dir-managed by contract) keeps a
+    fresh index's first reads from logging Spark's missing-path WARN
+    stack traces into every gate run."""
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
     from pyspark.errors import AnalysisException
 
     try:
@@ -424,15 +441,30 @@ def neardup_index_append(
     retracted to the pair-tombstone ledger when no ≤cap shared bucket
     remains.  Delta ids must be NEW.
 
-    Not atomic: the landing is three writes (sigs, bands, pairs).  A
-    crash mid-append leaves a partial batch on disk — recover by
-    tombstoning the batch's ids and compacting (a sigs-only orphan is
-    inert meanwhile: candidates and sizes derive from the BAND table,
-    so rows without band rows can never pair or count), then re-ingest
-    the batch under the same ids.
+    Not atomic: the landing is three writes (sigs, bands, pairs), so an
+    ``.append_pending`` marker (atomic tmp + rename, recording the
+    batch's ids) is written before the first landing and cleared after
+    the pairs/retraction step — while it exists every other operation
+    REFUSES the index (a half-landed batch's band rows are otherwise
+    live and silently divergent from the batch arm).  Recovery:
+    ``neardup_index_tombstone`` with the marker's ids (it clears the
+    marker), then compact, then re-ingest under the same ids.  The
+    recovery is EXACT: a sigs-only orphan is inert (candidates and
+    sizes derive from the band table), a bands-landed orphan's rows
+    vanish merge-on-read once tombstoned, and an un-run cap-crossing
+    retraction is moot once the delta that caused the crossing is
+    tombstoned (sizes drop back, so the would-be-retracted pairs are
+    valid again).
 
     ``stats_out`` keys: rows_appended, buckets_touched, new_pairs,
-    crossed_buckets, retracted_pairs."""
+    crossed_buckets, retracted_pairs — plus the saturation telemetry
+    ``saturated_buckets`` (touched buckets whose live size now exceeds
+    ``max_bucket``) and ``saturation_frac``: the near-dup analog of
+    ann_index_drift's re-shard signal.  A rising fraction means hot
+    content is concentrating into over-cap buckets — candidate
+    generation silently skips those (the batch arm's own cap contract),
+    so recall decays; the remedy is re-banding or raising the cap via a
+    rebuild."""
     p = _load_params(index_dir)
     _check_siblings(index_dir, "neardup_index_append")
     spark = delta.sparkSession
@@ -461,6 +493,23 @@ def neardup_index_append(
         caches.append(delta_bands)
         delta_bands.count()
         first_ingest = not os.path.isdir(_dir(index_dir, "bands"))
+
+        # pending marker BEFORE the first landing (atomic tmp+rename,
+        # same posture as .takedown_pending): a crash anywhere in the
+        # three-write landing leaves the marker on disk and every other
+        # operation refuses the index until the batch is recovered —
+        # nothing proceeds silently over a half-landed batch.  Ids are
+        # recorded (bounded) so the recovery tombstone can be verified.
+        pending = _dir(index_dir, ".append_pending")
+        batch_ids = (
+            sorted(r["id"] for r in delta_sigs.select("id").collect())
+            if n_delta <= 100_000
+            else None
+        )
+        tmp_pending = pending + ".tmp"
+        with open(tmp_pending, "w", encoding="utf-8") as f:
+            json.dump({"ids": batch_ids, "n": n_delta}, f)
+        os.rename(tmp_pending, pending)
 
         # land FIRST: the probe below then reads the post-append band
         # table, so every bucket size it sees is already the
@@ -492,15 +541,27 @@ def neardup_index_append(
                 new_pairs.write.mode("append").parquet(
                     _dir(index_dir, "pairs")
                 )
+            os.remove(pending)
             if stats_out is not None:
+                bsz = delta_bands.groupBy("band_id", "bh").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+                n_touched, n_sat = bsz.select(
+                    F.count(F.lit(1)),
+                    F.sum((F.col("n") > cap).cast("long")),
+                ).first()
                 stats_out.update(
                     rows_appended=n_delta,
-                    buckets_touched=delta_bands.select("band_id", "bh")
-                    .distinct()
-                    .count(),
+                    buckets_touched=n_touched,
                     new_pairs=n_new,
                     crossed_buckets=0,
                     retracted_pairs=0,
+                    saturated_buckets=int(n_sat or 0),
+                    saturation_frac=(
+                        round(int(n_sat or 0) / n_touched, 6)
+                        if n_touched
+                        else 0.0
+                    ),
                 )
             return
 
@@ -576,13 +637,24 @@ def neardup_index_append(
             n_retracted = _retract_unsupported(
                 spark, index_dir, p, crossed
             )
+        os.remove(pending)  # landing complete — the index is consistent
         if stats_out is not None:
+            n_touched, n_sat = grouped.select(
+                F.count(F.lit(1)),
+                F.sum((F.col("n_total") > cap).cast("long")),
+            ).first()
             stats_out.update(
                 rows_appended=n_delta,
-                buckets_touched=grouped.count(),
+                buckets_touched=n_touched,
                 new_pairs=n_new,
                 crossed_buckets=n_crossed,
                 retracted_pairs=n_retracted,
+                saturated_buckets=int(n_sat or 0),
+                saturation_frac=(
+                    round(int(n_sat or 0) / n_touched, 6)
+                    if n_touched
+                    else 0.0
+                ),
             )
     finally:
         for c in caches:
@@ -707,6 +779,33 @@ def neardup_index_tombstone(
         ).distinct()
     tomb = tomb.localCheckpoint(eager=True)
     id_list = sorted(r["id"] for r in tomb.collect())  # ledger-small
+
+    # crashed-append recovery entry point: a takedown covering ALL of a
+    # pending append's ids is exactly the documented recovery (the
+    # half-landed rows vanish merge-on-read; see neardup_index_append),
+    # so it proceeds and clears the append marker on completion.  Any
+    # other takedown is refused while the marker exists.
+    append_marker = _dir(index_dir, ".append_pending")
+    if os.path.isfile(append_marker):
+        with open(append_marker, encoding="utf-8") as f:
+            am = json.load(f)
+        am_ids = am.get("ids")
+        if am_ids is None:
+            raise RuntimeError(
+                f"neardup_index_tombstone: {append_marker!r} exists but "
+                f"the crashed batch was too large ({am.get('n')} rows) "
+                "for its ids to be recorded — recover manually: tombstone "
+                "the batch's ids (caller-known), delete the marker file, "
+                "compact, then re-ingest."
+            )
+        if not set(am_ids) <= set(id_list):
+            raise RuntimeError(
+                f"neardup_index_tombstone: {append_marker!r} exists — a "
+                "previous neardup_index_append crashed mid-landing.  "
+                "Recover first: re-run the takedown including ALL the "
+                "ids recorded in the marker (it clears the marker), then "
+                "compact, then re-ingest the batch."
+            )
 
     marker = _dir(index_dir, ".takedown_pending")
     if os.path.isfile(marker):
@@ -842,6 +941,8 @@ def neardup_index_tombstone(
         _dir(index_dir, "doc_tombstones")
     )
     os.remove(marker)
+    if os.path.isfile(append_marker):
+        os.remove(append_marker)  # crashed-append recovery complete
     if stats_out is not None:
         stats_out.update(
             tombstoned=len(id_list),
@@ -970,9 +1071,17 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
             os.rename(src, dst)
     stats["sig_parts_rewritten"] = len(sig_parts)
     stats["band_parts_rewritten"] = len(band_parts)
+    # park FIRST, ledgers second: once every swap has landed the park is
+    # dead weight, so removing it before the ledgers makes the remaining
+    # crash window harmless — a park-less index with ledgers still
+    # present serves correctly (merge-on-read excludes the already-
+    # folded rows) and a re-run compact is idempotent.  The reverse
+    # order had a window where the recovery hint ("move parked
+    # directories back") would silently resurrect tombstoned rows with
+    # the ledgers already gone.
+    shutil.rmtree(park, ignore_errors=True)
     for ledger in ("doc_tombstones", "pair_tombstones"):
         shutil.rmtree(_dir(index_dir, ledger), ignore_errors=True)
-    shutil.rmtree(park, ignore_errors=True)
     shutil.rmtree(comp, ignore_errors=True)
     return stats
 

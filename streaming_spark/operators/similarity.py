@@ -3187,8 +3187,22 @@ def _cell_stats(
             - 2.0 * F.col("cent_sim"),
         )
     )
+    # ids are never consumed here (only cell + cent_sim are), so a
+    # synthesized id keeps the pass independent of how the caller's
+    # frame is keyed (string doc_id corpora work) AND prunes the scan
+    # to the vector column alone
     rows = (
-        ivf_assign(vectors, centroids, vec_col=vec_col, with_sim=True)
+        ivf_assign(
+            vectors.select(
+                F.monotonically_increasing_id().alias("__drift_id"),
+                F.col(vec_col),
+            ),
+            centroids,
+            id_col="__drift_id",
+            vec_col=vec_col,
+            with_sim=True,
+            out_id="__drift_id",
+        )
         .join(F.broadcast(norm_df), "cell")
         .groupBy("cell")
         .agg(

