@@ -243,6 +243,21 @@ def digest_index_append(
     _check_siblings(index_dir, "digest_index_append")
     spark = delta.sparkSession
     dcol, ocols = p["digest_col"], p["order_cols"]
+    # loud type gate: the partition exprs hash the VALUES, so a delta
+    # whose column types drift from the frozen params (int vs bigint,
+    # string keys) would land under — and probe — the WRONG partitions
+    # silently; refuse instead (same frozen-params ethos as the ANN
+    # fingerprint binding)
+    for c, t in zip(
+        [dcol, *ocols], [p["digest_type"], *p["order_types"]]
+    ):
+        actual = delta.schema[c].dataType.simpleString()
+        if actual != t:
+            raise ValueError(
+                f"digest_index_append: column {c!r} is {actual}, index "
+                f"froze {t} — cast the delta (a mixed-type index would "
+                "hash to the wrong partitions)."
+            )
 
     d = delta.select(dcol, *ocols).localCheckpoint(eager=True)
     n_delta = d.count()
@@ -351,8 +366,13 @@ def digest_index_tombstone(
             "crashed compact first (see digest_index_compact)."
         )
     if isinstance(ids, DataFrame):
+        # cast to the index's frozen id type: the ib partition expr
+        # hashes the value, and xxhash64(int) != xxhash64(bigint) — an
+        # uncast frame would prune to the wrong partitions silently
         tomb = ids.select(
-            F.col(ids.columns[0]).alias(p["order_cols"][0])
+            F.col(ids.columns[0])
+            .cast(p["order_types"][0])
+            .alias(p["order_cols"][0])
         ).distinct()
     else:
         tomb = spark.createDataFrame(

@@ -433,7 +433,13 @@ def neardup_index_append(
     and a 100-doc trickle append costs about the same as a 10k one at
     this scale (job + digest-scan overhead dominates the delta axis;
     delta-boundedness shows on the N axis).  Pruning pays once
-    partitions hold real data volume.
+    partitions hold real data volume — measured (stress_dedup ``prune``
+    mode, r13): with 64 prefixes a 1-doc trickle probe reads 1.56% of
+    band-table bytes, 10 docs ~14%, 100 docs ~75% (per band the delta
+    hits ≤ min(delta_docs, n_prefixes) prefixes), the fraction
+    byte-identical from a 208 MB real table (pair-set equality held) to
+    a 3.9 GB synthetic one — the ratio is planning-time, so it
+    extrapolates to deployment partition sizes unchanged.
 
     Exactness including cap crossings is maintained as described in the
     module docstring: buckets whose live size crosses ``max_bucket``
@@ -469,6 +475,17 @@ def neardup_index_append(
     _check_siblings(index_dir, "neardup_index_append")
     spark = delta.sparkSession
     cap = p["max_bucket"]
+    # loud type gate (mirrors digest_index_append): the sb partition
+    # expr hashes the id VALUE, and xxhash64(int) != xxhash64(bigint) —
+    # a delta whose id type drifts from the frozen params would land
+    # under and probe the wrong partitions silently
+    actual = delta.schema[p["id_col"]].dataType.simpleString()
+    if actual != p["id_type"]:
+        raise ValueError(
+            f"neardup_index_append: id column {p['id_col']!r} is "
+            f"{actual}, index froze {p['id_type']} — cast the delta (a "
+            "mixed-type index would hash to the wrong partitions)."
+        )
 
     delta_sigs = minhash_signatures(
         delta, p["text_col"], p["id_col"], p["num_perm"], p["shingle_k"],
@@ -772,7 +789,12 @@ def neardup_index_tombstone(
     _check_compact_park(index_dir, "neardup_index_tombstone")
     cap = p["max_bucket"]
     if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+        # cast to the index's frozen id type: the sb partition expr
+        # hashes the value, and xxhash64(int) != xxhash64(bigint) — an
+        # uncast frame would prune to the wrong partitions silently
+        tomb = ids.select(
+            F.col(ids.columns[0]).cast(p["id_type"]).alias("id")
+        ).distinct()
     else:
         tomb = spark.createDataFrame(
             [(i,) for i in ids], f"id {p['id_type']}"

@@ -221,6 +221,13 @@ def test_digest_index_refusals_and_append_marker(spark, tmp_path):
     digest_index_build(d, occ, digest_col="h")
     with pytest.raises(ValueError, match="already exists"):
         digest_index_build(d, occ, digest_col="h")
+    # type drift is refused loudly: the partition exprs hash the VALUE,
+    # so an int-typed delta against a bigint index would land under the
+    # wrong partitions silently
+    with pytest.raises(ValueError, match="froze bigint"):
+        digest_index_append(
+            d, occ.select("h", F.col("doc_id").cast("int").alias("doc_id"))
+        )
 
     os.makedirs(os.path.join(d, ".compact_old"))
     for blocked in (
@@ -260,3 +267,37 @@ def test_digest_index_refusals_and_append_marker(spark, tmp_path):
     assert st["rows_appended"] == 1 and not os.path.exists(marker)
     assert [r["is_dup"] for r in dec.collect()] == [False]
     assert sorted(_owners(spark, d)) == sorted(before + [("zzz", 9001)])
+
+
+def test_digest_index_owners_exact_under_out_of_order_ingest(
+    spark, tmp_path
+):
+    """The owners view is ingest-order-INDEPENDENT: appending a backfill
+    batch whose ids are SMALLER than already-indexed ones still yields
+    exactly the batch argmin (ownership transfers to the backfilled
+    min-id occurrence).  The ingest-time decisions are where order
+    matters — the backfilled row reads is_dup=true against the larger
+    indexed id, the documented ordered-ingest caveat — which this test
+    also pins so the contract stays visible."""
+    docs = _docs_with_dups(spark).localCheckpoint(eager=True)
+    occ = _occ(docs)
+    # ingest the LARGE-id half first, then backfill the small-id half
+    cut = 100_000
+    late, early = occ.filter(f"doc_id >= {cut}"), occ.filter(
+        f"doc_id < {cut}"
+    )
+    d = str(tmp_path / "idx")
+    digest_index_build(d, late, digest_col="h")
+    dec = digest_index_append(d, early)
+    # owners: exactly the batch argmin over everything, despite order
+    assert _owners(spark, d) == _batch_owners(occ)
+    # the caveat, pinned: a backfilled copy of an indexed digest is
+    # flagged dup at ingest even though it now OWNS the digest
+    dup_h = occ.groupBy("h").count().filter("count > 1").first()["h"]
+    flagged = {
+        r["doc_id"]: r["is_dup"]
+        for r in dec.filter(F.col("h") == dup_h).collect()
+    }
+    assert all(flagged.values())  # decisions said dup…
+    owner = dict(_owners(spark, d))[dup_h]
+    assert owner in flagged  # …but the owners view serves the backfill

@@ -469,6 +469,12 @@ def test_neardup_index_refusals(spark, tmp_path):
         neardup_index_build(d, docs)
     with pytest.raises(ValueError, match="cannot fill"):
         neardup_index_build(str(tmp_path / "bad"), docs, num_perm=8, bands=16)
+    # type drift is refused loudly (the sb partition expr hashes the
+    # id VALUE, so a mistyped delta would probe the wrong partitions)
+    with pytest.raises(ValueError, match="froze bigint"):
+        neardup_index_append(
+            d, docs.select(F.col("doc_id").cast("int").alias("doc_id"), "text")
+        )
 
     os.makedirs(os.path.join(d, ".compact_old"))
     for blocked in (

@@ -109,6 +109,7 @@ _NEWEST_SLUGS = (
     "ann_index_maintenance",  # r11: append/tombstone/compact lifecycle
     "neardup_index_maintenance",  # r12: near-dup index lifecycle
     "ann_index_drift",  # r12: quantizer refresh trigger
+    "digest_index_maintenance",  # r13: exact-dedup index lifecycle
 )
 
 _NEWEST_CASE = "newest-overweight"
