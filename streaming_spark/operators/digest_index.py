@@ -261,6 +261,22 @@ def digest_index_append(
 
     d = delta.select(dcol, *ocols).localCheckpoint(eager=True)
     n_delta = d.count()
+    # refuse ids still live in the tombstone ledger: re-ingesting a
+    # crashed batch BEFORE the compact step of the recovery sequence
+    # would land rows that merge-on-read immediately hides (decisions
+    # say kept, owners serve nothing) and that the eventual compact
+    # folds away — data loss, silently.  The ledger is small by
+    # contract, so this is one broadcast semi-join probe.
+    tombs = _doc_tombs(spark, index_dir, p)
+    if not d.join(
+        F.broadcast(tombs), p["order_cols"][0], "left_semi"
+    ).isEmpty():
+        raise ValueError(
+            "digest_index_append: the delta contains ids that are "
+            "still in the tombstone ledger — run digest_index_compact "
+            "first (re-ingesting before the fold would land rows the "
+            "compact then removes)."
+        )
     if n_delta == 0:
         if stats_out is not None:
             stats_out.update(
@@ -306,14 +322,14 @@ def digest_index_append(
     )
 
     # pending marker BEFORE the landing (same posture and recovery
-    # contract as neardup_index_append's)
+    # contract as neardup_index_append's).  The recording bound is on
+    # DISTINCT order ids, not occurrence rows: the line family lands
+    # many rows per doc, and the recovery tombstone needs the doc ids
+    # (limit+1 keeps the collect bounded without a separate count job).
     pending = _dir(index_dir, ".append_pending")
+    id_rows = d.select(ocols[0]).distinct().limit(100_001).collect()
     batch_ids = (
-        sorted(
-            r[0] for r in d.select(ocols[0]).distinct().collect()
-        )
-        if n_delta <= 100_000
-        else None
+        sorted(r[0] for r in id_rows) if len(id_rows) <= 100_000 else None
     )
     tmp_pending = pending + ".tmp"
     with open(tmp_pending, "w", encoding="utf-8") as f:
@@ -391,9 +407,10 @@ def digest_index_tombstone(
             raise RuntimeError(
                 f"digest_index_tombstone: {append_marker!r} exists but "
                 f"the crashed batch was too large ({am.get('n')} rows) "
-                "for its ids to be recorded — recover manually: "
-                "tombstone the batch's ids (caller-known), delete the "
-                "marker file, compact, then re-ingest."
+                "for its ids to be recorded — recover manually: DELETE "
+                "the marker file first (this takedown refuses while it "
+                "exists), then tombstone the batch's ids "
+                "(caller-known), compact, then re-ingest."
             )
         if not set(am_ids) <= set(id_list):
             raise RuntimeError(

@@ -500,8 +500,23 @@ def neardup_index_append(
                 stats_out.update(
                     rows_appended=0, buckets_touched=0, new_pairs=0,
                     crossed_buckets=0, retracted_pairs=0,
+                    saturated_buckets=0, saturation_frac=0.0,
                 )
             return
+        # refuse ids still live in the tombstone ledger: re-ingesting a
+        # crashed batch BEFORE the compact step of the recovery
+        # sequence would land rows merge-on-read hides and the eventual
+        # compact REMOVES (same-id fold) — silent data loss.  The
+        # ledger is small by contract; one broadcast semi-join probe.
+        if not delta_sigs.select("id").join(
+            F.broadcast(_doc_tombs(spark, index_dir, p)), "id", "left_semi"
+        ).isEmpty():
+            raise ValueError(
+                "neardup_index_append: the delta contains ids that are "
+                "still in the tombstone ledger — run "
+                "neardup_index_compact first (re-ingesting before the "
+                "fold would land rows the compact then removes)."
+            )
         delta_bands = (
             _banded(delta_sigs, p["bands"])
             .withColumn("pb", _pb_expr(F.col("bh"), p["n_band_prefixes"]))
@@ -816,8 +831,9 @@ def neardup_index_tombstone(
             raise RuntimeError(
                 f"neardup_index_tombstone: {append_marker!r} exists but "
                 f"the crashed batch was too large ({am.get('n')} rows) "
-                "for its ids to be recorded — recover manually: tombstone "
-                "the batch's ids (caller-known), delete the marker file, "
+                "for its ids to be recorded — recover manually: DELETE "
+                "the marker file first (this takedown refuses while it "
+                "exists), then tombstone the batch's ids (caller-known), "
                 "compact, then re-ingest."
             )
         if not set(am_ids) <= set(id_list):

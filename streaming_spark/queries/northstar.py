@@ -2814,18 +2814,14 @@ def q_ann_index_artifact(spark, sf_dir):
     )
 
 
-def _topk_digest(df) -> str:
-    """md5 over the sorted ``query_id|neighbor_id|sim|rank`` lines of a
-    served top-k — ONE definition (same JVM-side double→string
-    formatting) so every serve-identity witness in this module
-    (ann_topk_ivfpq_pruned's layout rows, ann_index_maintenance's
-    lifecycle rows) compares the same digest."""
+def _rows_digest(df, *cols) -> str:
+    """md5 over the sorted ``|``-joined lines of the given columns —
+    THE single digest definition behind every index-vs-batch and
+    serve-identity witness in this module (same JVM-side double→string
+    formatting on both sides of each comparison, so a formatting change
+    can never make two witnesses compare different digests)."""
     return (
-        df.select(
-            F.concat_ws("|", "query_id", "neighbor_id", "sim", "rank").alias(
-                "s"
-            )
-        )
+        df.select(F.concat_ws("|", *cols).alias("s"))
         .agg(
             F.md5(F.concat_ws(";", F.sort_array(F.collect_list("s")))).alias(
                 "h"
@@ -2833,6 +2829,12 @@ def _topk_digest(df) -> str:
         )
         .first()[0]
     )
+
+
+def _topk_digest(df) -> str:
+    """Served top-k witness digest (ann_topk_ivfpq_pruned's layout rows,
+    ann_index_maintenance's lifecycle rows)."""
+    return _rows_digest(df, "query_id", "neighbor_id", "sim", "rank")
 
 
 @query("ann_topk_ivfpq_pruned")  # rows-only: a layout/IO probe — the
@@ -3111,19 +3113,9 @@ def q_ann_index_drift(spark, sf_dir):
 
 
 def _pairs_digest(df) -> str:
-    """md5 over the sorted ``id_a|id_b|jaccard`` lines of a verified
-    near-dup pair set — ONE definition (same JVM-side double→string
-    formatting on both sides) so neardup_index_maintenance's
-    index-vs-batch witnesses compare the same digest."""
-    return (
-        df.select(F.concat_ws("|", "id_a", "id_b", "jaccard").alias("s"))
-        .agg(
-            F.md5(F.concat_ws(";", F.sort_array(F.collect_list("s")))).alias(
-                "h"
-            )
-        )
-        .first()[0]
-    )
+    """Verified near-dup pair-set witness digest
+    (neardup_index_maintenance's index-vs-batch rows)."""
+    return _rows_digest(df, "id_a", "id_b", "jaccard")
 
 
 @query("neardup_index_maintenance")  # rows-only: a lifecycle probe —
@@ -3245,19 +3237,9 @@ def neardup_index_maintenance(spark, sf_dir):
 
 
 def _owners_digest(df) -> str:
-    """md5 over the sorted ``h|doc_id`` lines of a digest→owner frame —
-    ONE definition (same JVM-side formatting both sides) so
-    digest_index_maintenance's index-vs-batch witnesses compare the
-    same digest."""
-    return (
-        df.select(F.concat_ws("|", "h", "doc_id").alias("s"))
-        .agg(
-            F.md5(F.concat_ws(";", F.sort_array(F.collect_list("s")))).alias(
-                "h"
-            )
-        )
-        .first()[0]
-    )
+    """Digest→owner witness digest (digest_index_maintenance's
+    index-vs-batch rows)."""
+    return _rows_digest(df, "h", "doc_id")
 
 
 @query("digest_index_maintenance")  # rows-only: a lifecycle probe —

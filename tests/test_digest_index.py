@@ -257,6 +257,15 @@ def test_digest_index_refusals_and_append_marker(spark, tmp_path):
     # the documented recovery sequence clears the marker
     digest_index_tombstone(spark, d, [9001, 9002])
     assert not os.path.exists(marker)
+    # re-ingesting BEFORE the compact is refused: the landed rows would
+    # be hidden merge-on-read and then REMOVED by the eventual fold
+    with pytest.raises(ValueError, match="tombstone ledger"):
+        digest_index_append(
+            d,
+            spark.createDataFrame(
+                [("zzz", 9001)], "h STRING, doc_id BIGINT"
+            ),
+        )
     digest_index_compact(spark, d)
     st: dict = {}
     dec = digest_index_append(

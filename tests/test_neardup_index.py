@@ -390,6 +390,11 @@ def test_neardup_crashed_append_recovery(spark, tmp_path):
     assert st["readmitted_pairs"] == 0 and st["resurrected_pairs"] == 0
     assert _pairs(neardup_index_pairs(spark, d)) == base_pairs
 
+    # re-ingesting BEFORE the compact is refused: the landed rows would
+    # be hidden merge-on-read and then REMOVED by the eventual fold
+    with pytest.raises(ValueError, match="tombstone ledger"):
+        neardup_index_append(d, delta)
+
     # recovery step 2: fold the ledger, then re-ingest the same ids
     neardup_index_compact(spark, d)
     neardup_index_append(d, delta)
