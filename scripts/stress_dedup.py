@@ -33,6 +33,8 @@ Scale notes the sweep exposes (document next to the table in ROADMAP):
 Usage:
     PYTHONPATH=/root/repo python scripts/stress_dedup.py [max_n]
     PYTHONPATH=/root/repo python scripts/stress_dedup.py maint [max_n]
+    PYTHONPATH=/root/repo python scripts/stress_dedup.py digmaint [max_n]
+    PYTHONPATH=/root/repo python scripts/stress_dedup.py prune [max_n]
 
 ``maint`` runs the INDEX-MAINTENANCE arm (operators/neardup_index.py):
 at each N it builds the staged near-dup index once, appends a fixed
@@ -42,6 +44,14 @@ batch pays WITHOUT the index), asserting the maintained pair set is
 EXACTLY the batch arm's.  The claim under measurement: append cost is
 DELTA-bound (flat in N) while the re-join is N-bound; plus takedown +
 compact cost points (the dedup analog of stress_ann's maintenance arm).
+
+``digmaint`` is the same protocol for the EXACT-dedup digest index
+(operators/digest_index.py): build / 10k append vs full batch digest
+recompute / trickle append / takedown (owners equality asserted — heir
+promotion at scale) / compact.  ``prune`` measures the (band, prefix)
+partition pruning's probe-bytes cut at production-like partition fill
+(real 1M-doc lifecycle with pair-set equality + an N_eff=20M synthetic
+band table); both documented in ROADMAP r13.
 """
 
 from __future__ import annotations
@@ -482,6 +492,136 @@ def _prune_main(
     spark.stop()
 
 
+def _digmaint_main(max_n: int, n_prefixes: int = 16,
+                   n_id_buckets: int = 16) -> None:
+    """Digest-index maintenance sweep — the exact-dedup analog of the
+    near-dup ``maint`` mode: build once, append a 10k delta and compare
+    its cost against the full batch recompute (re-scan the corpus text,
+    re-digest, re-window — what a pipeline without the index pays per
+    refresh), then a 100-doc trickle append, a 100-doc takedown, and a
+    compact.  Owners-view equality against the batch argmin is asserted
+    after the append AND after the takedown (heir promotion at scale).
+    The honest cost framing: exact dedup's batch recompute is ONE digest
+    shuffle — cheap in compute, linear in corpus BYTES (the text
+    re-scan); the index's append is delta-bound in both, and its probe
+    reads only the delta's digest-prefix partitions (measured in the
+    ``prune`` mode)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.digest_index import (
+        digest_index_append,
+        digest_index_build,
+        digest_index_compact,
+        digest_index_owners,
+        digest_index_tombstone,
+    )
+
+    DELTA, SMALL = 10_000, 100
+    spark = get_spark(app_name="stress-dedup-digmaint")
+    warm_dir, warm = stage_corpus(spark, 1_000)
+    warm.select(F.md5("text").alias("h"), "doc_id").groupBy("h").agg(
+        F.min("doc_id")
+    ).count()
+    release(warm_dir)
+
+    def occ(df):
+        return df.select(F.md5("text").alias("h"), "doc_id")
+
+    def batch_owners_count(df):
+        return occ(df).groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+
+    for n in (100_000, 500_000, 1_000_000):
+        if n > max_n:
+            break
+        d, df = stage_corpus(spark, n + DELTA + SMALL)
+        base = df.filter(F.col("doc_id") < n)
+        delta = df.filter(
+            (F.col("doc_id") >= n) & (F.col("doc_id") < n + DELTA)
+        )
+        small = df.filter(F.col("doc_id") >= n + DELTA)
+        idx_root = scratch.scratch_dir(f"digmaint_{n}", pin=True)
+        idx = idx_root + "/idx"
+
+        t0 = time.perf_counter()
+        digest_index_build(
+            idx, occ(base), digest_col="h",
+            n_prefixes=n_prefixes, n_id_buckets=n_id_buckets,
+        )
+        print(json.dumps({
+            "op": "digest_build", "n": n,
+            "n_prefixes": n_prefixes, "n_id_buckets": n_id_buckets,
+            "seconds": round(time.perf_counter() - t0, 2),
+        }), flush=True)
+
+        t0 = time.perf_counter()
+        st: dict = {}
+        digest_index_append(idx, occ(delta), stats_out=st)
+        append_s = round(time.perf_counter() - t0, 2)
+
+        # the alternative a pipeline without the index pays: re-scan
+        # the accumulated corpus text, re-digest, re-window
+        t0 = time.perf_counter()
+        upto = df.filter(F.col("doc_id") < n + DELTA)
+        batch_rows = batch_owners_count(upto).count()
+        recompute_s = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        idx_rows = digest_index_owners(spark, idx).count()
+        owners_scan_s = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "op": "digest_append_10k", "n": n, "seconds": append_s,
+            "digests_seen": st["digests_seen"],
+            "prefixes_probed": st["prefixes_probed"],
+            "batch_recompute_seconds": recompute_s,
+            "owners_scan_seconds": owners_scan_s,
+            "owners_equal_batch": idx_rows == batch_rows,
+        }), flush=True)
+
+        t0 = time.perf_counter()
+        st = {}
+        digest_index_append(idx, occ(small), stats_out=st)
+        print(json.dumps({
+            "op": "digest_append_100", "n": n,
+            "seconds": round(time.perf_counter() - t0, 2),
+            "prefixes_probed": st["prefixes_probed"],
+        }), flush=True)
+
+        # takedown 100 random docs, half of them planted-dup BASES so
+        # heir promotion happens at scale, then verify owners equality
+        # against the batch argmin over the live corpus
+        rng = np.random.default_rng(n)
+        victims = sorted(
+            int(v) for v in rng.choice(n, size=SMALL, replace=False)
+        )
+        t0 = time.perf_counter()
+        st = {}
+        digest_index_tombstone(spark, idx, victims, stats_out=st)
+        tomb_s = round(time.perf_counter() - t0, 2)
+        live = df.filter(~F.col("doc_id").isin(victims))
+        t0 = time.perf_counter()
+        live_batch = batch_owners_count(live)
+        idx_owners = digest_index_owners(spark, idx)
+        diff = idx_owners.exceptAll(live_batch).count() + live_batch.exceptAll(
+            idx_owners
+        ).count()
+        verify_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        cstats = digest_index_compact(spark, idx)
+        print(json.dumps({
+            "op": "digest_takedown_compact", "n": n,
+            "tombstone_seconds": tomb_s,
+            "owners_exactly_equal_after_takedown": diff == 0,
+            "verify_seconds": verify_s,
+            "compact_seconds": round(time.perf_counter() - t0, 2),
+            "occ_rows_removed": cstats["occ_rows_removed"],
+            "parts_rewritten": cstats["parts_rewritten"],
+        }), flush=True)
+
+        release(d, idx_root)
+    spark.stop()
+
+
 def main() -> None:
     from streaming_spark.operators.dedup import (
         connected_components,
@@ -490,6 +630,13 @@ def main() -> None:
     )
 
     args = sys.argv[1:]
+    if args and args[0] == "digmaint":
+        _digmaint_main(
+            int(args[1]) if len(args) > 1 else 1_000_000,
+            int(args[2]) if len(args) > 2 else 16,
+            int(args[3]) if len(args) > 3 else 16,
+        )
+        return
     if args and args[0] == "maint":
         _maint_main(
             int(args[1]) if len(args) > 1 else 1_000_000,
