@@ -310,7 +310,10 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     proved ingest-time curation reproduces the batch pipeline exactly,
     but its tail RECOMPUTES the global stages over the accumulated sink
     every time — O(N) per refresh.  This arm maintains every global
-    stage incrementally per ingest batch:
+    stage incrementally per ingest batch, through the COMPOSED library
+    operator (operators/curation_incremental.py — this script is now a
+    thin timer around curation_ingest_batch/curation_survivors, per the
+    same promotion discipline as the digest index):
 
     - cross-doc line dedup: a staged line-digest occurrence index
       (operators/digest_index.py, promoted from this script's private
@@ -344,26 +347,12 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
 
     from pyspark.sql import functions as F
 
-    from streaming_spark.operators.dedup import connected_components
-    from streaming_spark.operators.digest_index import (
-        digest_index_append,
-        digest_index_build,
+    from streaming_spark.operators.curation_incremental import (
+        curation_ingest_batch,
+        curation_survivors,
     )
-    from streaming_spark.operators.neardup_index import (
-        neardup_index_append,
-        neardup_index_build,
-        neardup_index_pairs,
-    )
-    from streaming_spark.operators.text import (
-        apply_line_removals,
-        c4_quality,
-        gopher_quality,
-        line_digests,
-    )
-    from streaming_spark.queries.curation import (
-        benchmark_grams,
-        decontaminate_against,
-    )
+    from streaming_spark.operators.text import c4_quality, gopher_quality
+    from streaming_spark.queries.curation import benchmark_grams
 
     t_all = time.perf_counter()
     corpus_dir, raw = stage_corpus(spark, n)
@@ -383,11 +372,15 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     grams = benchmark_grams(bench).localCheckpoint(eager=True)
 
     work = scratch.scratch_dir(f"stress_pipe_incr_{n}", pin=True)
-    lines_idx = work + "/lines"
-    hashes_idx = work + "/hashes"
-    nd_idx = work + "/ndidx"
-    exact_sink = work + "/exact_ids"
-    contam_sink = work + "/contam_ids"
+
+    def quality(docs, id_col="doc_id"):
+        # the sweep's gate: Gopher (min_stop=0 — synthetic vocab has no
+        # stopwords) ∧ C4, per-doc pure
+        keep_g = (
+            gopher_quality(docs, min_stop=0).filter("passes").select(id_col)
+        )
+        keep_c = c4_quality(docs).filter("passes").select(id_col)
+        return docs.join(keep_g, id_col).join(keep_c, id_col)
 
     width = n // n_batches
     batch_secs = []
@@ -397,86 +390,25 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
         docs = raw.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).withColumn("source", (F.col("doc_id") % 4).cast("string"))
-        keep_g = (
-            gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
+        st: dict = {}
+        curation_ingest_batch(
+            docs, work, b, bench_grams=grams, quality_filter=quality,
+            digest_kwargs=dict(n_prefixes=16, n_id_buckets=4),
+            neardup_kwargs=dict(n_id_buckets=16, n_band_prefixes=16),
+            stats_out=st,
         )
-        keep_c = c4_quality(docs).filter("passes").select("doc_id")
-        filtered = (
-            docs.join(keep_g, "doc_id").join(keep_c, "doc_id")
-            .localCheckpoint(eager=True)
-        )
-
-        # line dedup: the digest index's append returns the keep-first
-        # decisions directly — removed iff digest seen in an earlier
-        # batch, or not first within this batch (global keep-first,
-        # split at the batch boundary — exact under ordered ingest)
-        dig = line_digests(filtered)
-        if b == 0:
-            dec_l = digest_index_build(
-                lines_idx, dig, digest_col="h",
-                order_cols=("doc_id", "line_no"),
-                n_prefixes=16, n_id_buckets=4,
-            )
-        else:
-            dec_l = digest_index_append(lines_idx, dig)
-        removals = dec_l.filter("is_dup").groupBy("doc_id").agg(
-            F.collect_list("line_no").alias("removed"),
-            F.count(F.lit(1)).alias("n_rm"),
-        )
-        cleaned = apply_line_removals(filtered, removals).localCheckpoint(
-            eager=True
-        )
-
-        # exact dedup on the cleaned digest: same split of the
-        # keep-min-id window
-        if b == 0:
-            dec_e = digest_index_build(
-                hashes_idx, cleaned, digest_col="cleaned_hash",
-                n_prefixes=16, n_id_buckets=4,
-            )
-        else:
-            dec_e = digest_index_append(hashes_idx, cleaned)
-        keep_ids = dec_e.filter("NOT is_dup").select("doc_id")
-        exact_batch = filtered.join(keep_ids, "doc_id").localCheckpoint(
-            eager=True
-        )
-        exact_batch.select("doc_id").write.mode("append").parquet(exact_sink)
-
-        # near-dup: the staged index's delta probe
-        if b == 0:
-            neardup_index_build(
-                nd_idx, exact_batch, n_id_buckets=16, n_band_prefixes=16
-            )
-        else:
-            neardup_index_append(nd_idx, exact_batch)
-
-        # decontamination flags are per-doc pure: flag at ingest
-        flags = decontaminate_against(exact_batch, grams)
-        flags.filter("contaminated").select("doc_id").write.mode(
-            "append"
-        ).parquet(contam_sink)
-
         dt = time.perf_counter() - t0
         batch_secs.append(round(dt, 2))
         report(
-            "pipe_incr_batch", dt, exact_batch.count(),
+            "pipe_incr_batch", dt, st["rows_exact"],
             batch=b, accumulated_hi=hi,
         )
 
     # the end-of-stream fold: pairs -> components -> keep-one -> final
     t0 = time.perf_counter()
-    exact_ids = spark.read.parquet(exact_sink)
-    pairs = neardup_index_pairs(spark, nd_idx)
-    comp = connected_components(pairs)
-    drops = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
+    incr_ids = sorted(
+        r.doc_id for r in curation_survivors(spark, work).collect()
     )
-    contam = spark.read.parquet(contam_sink)
-    final = (
-        exact_ids.join(drops, "doc_id", "left_anti")
-        .join(contam, "doc_id", "left_anti")
-    )
-    incr_ids = sorted(r.doc_id for r in final.collect())
     fold_s = time.perf_counter() - t0
     report("pipe_incr_final_fold", fold_s, len(incr_ids))
 

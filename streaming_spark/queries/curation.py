@@ -2544,3 +2544,125 @@ def pipeline_training_order(spark, sf_dir):
     return dense_index(keyed, ["ord"], index_col="global_step").select(
         "global_step", "doc_id", "source", "epoch", "n_tokens"
     )
+
+
+@query("incremental_curation_maintenance")  # rows-only: a composed
+# lifecycle probe — the incremental-vs-batch survivor md5 equality is
+# visible in the emitted fold row; the composition's exactness is
+# additionally pinned (with takedown-free ordered-ingest contract) in
+# tests/test_curation_incremental.py and measured flat at 200k/1M in
+# scripts/stress_pipeline.py's incremental arm
+def incremental_curation_maintenance(spark, sf_dir):
+    """The DELTA-BOUND curation tail as a library composition
+    (operators/curation_incremental.py — promoted from
+    stress_pipeline's incremental arm the same way the digest index was
+    promoted from its private helper): quality gate → cross-doc line
+    dedup (line-digest index) → exact dedup on the cleaned digest
+    (second digest index) → near-dup signature landing
+    (neardup_index_append) → decontamination flags, per ingest batch;
+    then one metadata-scale fold (components over the MAINTAINED pair
+    table → keep-one → minus contaminated).  The witness: the fold's
+    survivor id set must be EXACTLY the batch pipeline's over the whole
+    corpus — every global stage's keep-first/keep-min-id window splits
+    exactly at the batch boundary under ordered ingest.
+
+    Scale story: per-batch cost is delta-bound (digest probes read only
+    the batch's prefix partitions, the banded join runs delta-vs-index
+    only, decontamination is per-doc pure) — measured FLAT at 20.8-25.4
+    s/batch while the corpus grows 8× at 200k (ROADMAP r13); the batch
+    alternative re-runs every global stage over the accumulated corpus
+    per refresh."""
+    from streaming_spark.operators.curation_incremental import (
+        curation_ingest_batch,
+        curation_survivors,
+    )
+    from streaming_spark.operators.dedup import (
+        dedup_keep_one,
+        minhash_dedup_pairs,
+    )
+    from streaming_spark.operators.text import (
+        line_dedup_clean,
+        token_count,
+        with_lang_scores,
+    )
+    from streaming_spark.queries.northstar import _rows_digest
+
+    # half the fixture (deterministic id slice): the witness semantics
+    # are size-independent and the entry is a multi-stage lifecycle
+    # probe — gate-cost discipline, same rationale as the other
+    # maintenance entries' fixture-sized knobs
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        "doc_id < 250"
+    )
+    bench = docs.filter("doc_id % 97 = 0")
+    grams = benchmark_grams(bench).localCheckpoint(eager=True)
+
+    def qf(d, id_col="doc_id"):
+        # per-doc-pure gate, non-vacuous on the fixture (the
+        # pipeline_curate_corpus rule set): english stopword vote +
+        # a token floor
+        return (
+            with_lang_scores(d, "text")
+            .filter(F.col("pred_lang") == "en")
+            .filter(token_count("text") >= 20)
+            .select(id_col, "text")
+        )
+
+    cut = int(docs.selectExpr("percentile(doc_id, 0.5)").first()[0])
+    work = scratch_dir("curincr")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        rows = []
+        for b, cond in enumerate(
+            (f"doc_id <= {cut}", f"doc_id > {cut}")
+        ):
+            st: dict = {}
+            curation_ingest_batch(
+                docs.filter(cond), work, b, bench_grams=grams,
+                quality_filter=qf,
+                digest_kwargs=dict(n_prefixes=2, n_id_buckets=2),
+                neardup_kwargs=dict(n_id_buckets=2, n_band_prefixes=2),
+                stats_out=st,
+            )
+            rows.append((
+                f"ingest_{b}", st["rows_in"], st["rows_exact"],
+                None, None,
+            ))
+
+        incr = curation_survivors(spark, work).localCheckpoint(eager=True)
+
+        # the batch pipeline over the whole corpus, same stages
+        filtered = qf(docs)
+        cleaned = line_dedup_clean(filtered)
+        w = Window.partitionBy("cleaned_hash").orderBy("doc_id")
+        keep = (
+            cleaned.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("doc_id")
+        )
+        exact = filtered.join(keep, "doc_id")
+        pairs = minhash_dedup_pairs(exact, "text", "doc_id")
+        survivors = dedup_keep_one(exact, pairs, "doc_id")
+        flags = decontaminate_against(
+            survivors.withColumn("source", F.lit("")), grams
+        )
+        clean = survivors.join(
+            flags.filter("contaminated").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id")
+
+        rows.append((
+            "fold", incr.count(), clean.count(),
+            _rows_digest(incr, "doc_id"),
+            _rows_digest(clean, "doc_id"),
+        ))
+    finally:
+        spark.conf.set(key, prev)
+    return spark.createDataFrame(
+        rows,
+        "phase STRING, rows BIGINT, info BIGINT, "
+        "incremental_md5 STRING, batch_md5 STRING",
+    )

@@ -110,6 +110,7 @@ _NEWEST_SLUGS = (
     "neardup_index_maintenance",  # r12: near-dup index lifecycle
     "ann_index_drift",  # r12: quantizer refresh trigger
     "digest_index_maintenance",  # r13: exact-dedup index lifecycle
+    "incremental_curation_maintenance",  # r13: composed delta-bound tail
 )
 
 _NEWEST_CASE = "newest-overweight"
