@@ -347,11 +347,13 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
 
     from pyspark.sql import functions as F
 
+    import functools
+
     from streaming_spark.operators.curation_incremental import (
         curation_ingest_batch,
         curation_survivors,
+        default_quality_filter,
     )
-    from streaming_spark.operators.text import c4_quality, gopher_quality
     from streaming_spark.queries.curation import benchmark_grams
 
     t_all = time.perf_counter()
@@ -372,15 +374,9 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     grams = benchmark_grams(bench).localCheckpoint(eager=True)
 
     work = scratch.scratch_dir(f"stress_pipe_incr_{n}", pin=True)
-
-    def quality(docs, id_col="doc_id"):
-        # the sweep's gate: Gopher (min_stop=0 — synthetic vocab has no
-        # stopwords) ∧ C4, per-doc pure
-        keep_g = (
-            gopher_quality(docs, min_stop=0).filter("passes").select(id_col)
-        )
-        keep_c = c4_quality(docs).filter("passes").select(id_col)
-        return docs.join(keep_g, id_col).join(keep_c, id_col)
+    # the library's standard gate with the synthetic-vocab calibration
+    # (min_stop=0 — no stopwords in the generated corpus)
+    quality = functools.partial(default_quality_filter, min_stop=0)
 
     width = n // n_batches
     batch_secs = []
@@ -412,12 +408,10 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     fold_s = time.perf_counter() - t0
     report("pipe_incr_final_fold", fold_s, len(incr_ids))
 
-    # the batch reference over the same corpus
+    # the batch reference over the same corpus (same quality partial)
     t0 = time.perf_counter()
     docs = raw.withColumn("source", (F.col("doc_id") % 4).cast("string"))
-    keep_g = gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
-    keep_c = c4_quality(docs).filter("passes").select("doc_id")
-    batch_filtered = docs.join(keep_g, "doc_id").join(keep_c, "doc_id")
+    batch_filtered = quality(docs)
     batch_ids = _pipeline_tail_ids(spark, batch_filtered, raw, n, "incrref")
     report("pipe_incr_batch_reference", time.perf_counter() - t0, len(batch_ids))
 

@@ -104,33 +104,39 @@ def _write_json_atomic(path: str, payload: dict) -> None:
 
 
 def default_quality_filter(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
                            min_stop: int = 2) -> DataFrame:
     """The standard per-doc quality gate: Gopher ∧ C4 rule sets (both
     codegen'd scan expressions).  Per-doc pure, so it composes with any
     batching.  ``min_stop=0`` for synthetic corpora without stopwords
-    (see gopher_quality)."""
-    keep_g = (
-        gopher_quality(docs, min_stop=min_stop)
-        .filter("passes")
-        .select(id_col)
+    (see gopher_quality).  The rule operators' own contract is
+    (doc_id, text), so custom column names normalize in and rename back
+    out here."""
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    keep_c = c4_quality(docs).filter("passes").select(id_col)
+    keep_g = (
+        gopher_quality(norm, min_stop=min_stop)
+        .filter("passes")
+        .select(F.col("doc_id").alias(id_col))
+    )
+    keep_c = c4_quality(norm).filter("passes").select(
+        F.col("doc_id").alias(id_col)
+    )
     return docs.join(keep_g, id_col).join(keep_c, id_col)
 
 
 def _land_ids(ids: DataFrame, batch_id: int, sink: str) -> None:
     """Batch-keyed idempotent landing (the engine's sink discipline —
     same idiom as queries/windows._land_batch): a replayed batch
-    overwrites its own partition, never double-appends."""
-    spark = ids.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        ids.withColumn("batch", F.lit(int(batch_id))).repartition(
-            1
-        ).write.mode("overwrite").partitionBy("batch").parquet(sink)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    overwrites its own partition, never double-appends.  The overwrite
+    mode is scoped to THIS writer via .option — mutating the session
+    conf would leak dynamic semantics to concurrent writers."""
+    ids.withColumn("batch", F.lit(int(batch_id))).repartition(
+        1
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch").parquet(sink)
 
 
 def curation_ingest_batch(
@@ -199,7 +205,7 @@ def curation_ingest_batch(
         pending, {"batch_id": int(batch_id), "ids": batch_ids}
     )
     filtered = (
-        quality_filter(docs, id_col=id_col)
+        quality_filter(docs, id_col=id_col, text_col=text_col)
         if quality_filter is not None
         else docs
     ).localCheckpoint(eager=True)
@@ -271,8 +277,12 @@ def curation_ingest_batch(
             ),
         )
         flags = decontaminate_against(corpus, bench_grams)
-        contam = flags.filter("contaminated").select(
-            F.col("doc_id").alias(id_col)
+        # checkpoint: the landing AND the stats count both consume it —
+        # without this the gram explode+join runs twice per batch
+        contam = (
+            flags.filter("contaminated")
+            .select(F.col("doc_id").alias(id_col))
+            .localCheckpoint(eager=True)
         )
         _land_ids(
             contam, batch_id, os.path.join(work_dir, _CONTAM_SINK)
@@ -376,20 +386,27 @@ def curation_survivors(spark, work_dir: str) -> DataFrame:
     corpus.  Returns one ``id_col`` column; under ordered ingest the
     set EXACTLY equals the batch pipeline's (the registered
     ``incremental_curation_maintenance`` witness)."""
-    from streaming_spark.operators.dedup import connected_components
+    from streaming_spark.operators.dedup import dedup_keep_one
 
-    id_col = _dig_params(os.path.join(work_dir, _HASHES))["order_cols"][0]
-    exact_ids = spark.read.parquet(
-        os.path.join(work_dir, _EXACT_SINK)
-    ).select(id_col)
+    p = _dig_params(os.path.join(work_dir, _HASHES))
+    id_col, id_type = p["order_cols"][0], p["order_types"][0]
+
+    def sink_ids(name: str) -> DataFrame:
+        # a sink whose every batch landed zero rows is a DIRECTORY with
+        # no files — spark.read.parquet cannot infer a schema from it
+        # (empirically: AnalysisException UNABLE_TO_INFER_SCHEMA), so
+        # read through the same or-empty guard the index tables use
+        path = os.path.join(work_dir, name)
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path).select(id_col)
+        except AnalysisException:
+            return spark.createDataFrame([], f"{id_col} {id_type}")
+
+    exact_ids = sink_ids(_EXACT_SINK)
     pairs = neardup_index_pairs(spark, os.path.join(work_dir, _ND))
-    comp = connected_components(pairs)
-    drops = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
-    out = exact_ids.join(drops, id_col, "left_anti")
-    contam_sink = os.path.join(work_dir, _CONTAM_SINK)
-    if os.path.isdir(contam_sink):
-        contam = spark.read.parquet(contam_sink).select(id_col)
-        out = out.join(contam, id_col, "left_anti")
+    out = dedup_keep_one(exact_ids, pairs, id_col)
+    if os.path.isdir(os.path.join(work_dir, _CONTAM_SINK)):
+        out = out.join(sink_ids(_CONTAM_SINK), id_col, "left_anti")
     return out

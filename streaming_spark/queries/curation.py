@@ -2597,15 +2597,15 @@ def incremental_curation_maintenance(spark, sf_dir):
     bench = docs.filter("doc_id % 97 = 0")
     grams = benchmark_grams(bench).localCheckpoint(eager=True)
 
-    def qf(d, id_col="doc_id"):
+    def qf(d, id_col="doc_id", text_col="text"):
         # per-doc-pure gate, non-vacuous on the fixture (the
         # pipeline_curate_corpus rule set): english stopword vote +
         # a token floor
         return (
-            with_lang_scores(d, "text")
+            with_lang_scores(d, text_col)
             .filter(F.col("pred_lang") == "en")
-            .filter(token_count("text") >= 20)
-            .select(id_col, "text")
+            .filter(token_count(text_col) >= 20)
+            .select(id_col, text_col)
         )
 
     cut = int(docs.selectExpr("percentile(doc_id, 0.5)").first()[0])
@@ -2623,7 +2623,13 @@ def incremental_curation_maintenance(spark, sf_dir):
                 docs.filter(cond), work, b, bench_grams=grams,
                 quality_filter=qf,
                 digest_kwargs=dict(n_prefixes=2, n_id_buckets=2),
-                neardup_kwargs=dict(n_id_buckets=2, n_band_prefixes=2),
+                # fixture-sized minhash (32 perms / 8 bands) — gate-cost
+                # discipline; BOTH arms use the same params, so the
+                # equality witness is unchanged in meaning
+                neardup_kwargs=dict(
+                    num_perm=32, bands=8, n_id_buckets=2,
+                    n_band_prefixes=2,
+                ),
                 stats_out=st,
             )
             rows.append((
@@ -2643,16 +2649,24 @@ def incremental_curation_maintenance(spark, sf_dir):
             .select("doc_id")
         )
         exact = filtered.join(keep, "doc_id")
-        pairs = minhash_dedup_pairs(exact, "text", "doc_id")
+        pairs = minhash_dedup_pairs(exact, "text", "doc_id", num_perm=32,
+                                    bands=8)
         survivors = dedup_keep_one(exact, pairs, "doc_id")
         flags = decontaminate_against(
             survivors.withColumn("source", F.lit("")), grams
         )
-        clean = survivors.join(
-            flags.filter("contaminated").select("doc_id"),
-            "doc_id",
-            "left_anti",
-        ).select("doc_id")
+        # checkpoint: count() and _rows_digest() both consume the full
+        # batch arm (minhash + components + decontamination) — without
+        # this the expensive half of the query runs twice
+        clean = (
+            survivors.join(
+                flags.filter("contaminated").select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
 
         rows.append((
             "fold", incr.count(), clean.count(),

@@ -157,3 +157,26 @@ def test_curation_crashed_batch_refuses_and_recovers(spark, tmp_path):
     curation_recover_batch(spark, work, stats_out=st)
     assert st["completed"] is True
     assert _incr_ids(spark, work) == _batch_tail_ids(docs, grams)
+
+
+def test_curation_survivors_with_zero_row_sinks(spark, tmp_path):
+    """A sink whose every batch landed ZERO rows is a directory with no
+    parquet files — spark.read.parquet cannot infer a schema from it,
+    so curation_survivors must read through an or-empty guard (the
+    review-confirmed crash: an empty benchmark flags nothing, leaving
+    contam_ids/ file-less)."""
+    from streaming_spark.queries.curation import benchmark_grams
+
+    docs = _docs(spark).filter("doc_id < 40").localCheckpoint(eager=True)
+    grams = benchmark_grams(docs.filter("doc_id < 0")).localCheckpoint(
+        eager=True
+    )  # empty benchmark: zero contamination, a file-less contam sink
+    work = str(tmp_path / "work")
+    curation_ingest_batch(
+        docs, work, 0, bench_grams=grams, quality_filter=None,
+        digest_kwargs=dict(n_prefixes=2, n_id_buckets=2),
+        neardup_kwargs=dict(n_id_buckets=2, n_band_prefixes=2),
+    )
+    got = _incr_ids(spark, work)
+    assert got == _batch_tail_ids(docs, grams)
+    assert len(got) > 0
