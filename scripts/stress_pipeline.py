@@ -59,6 +59,20 @@ from stress_dedup import release, stage_corpus  # noqa: E402
 from streaming_spark import get_spark, scratch  # noqa: E402
 
 
+def _quality(docs, id_col="doc_id", text_col="text"):
+    """The library's standard Gopher ∧ C4 gate with the synthetic-vocab
+    calibration (min_stop=0 — the generated corpus has no stopwords) —
+    ONE definition for every arm, so the identical-survivors assertions
+    always compare the same rule set."""
+    from streaming_spark.operators.curation_incremental import (
+        default_quality_filter,
+    )
+
+    return default_quality_filter(
+        docs, id_col=id_col, text_col=text_col, min_stop=0
+    )
+
+
 def _stage(spark, name: str, df, n: int):
     """Checkpoint a stage to scratch parquet; return (dir, df, rows)."""
     d = scratch.scratch_dir(f"stress_pipe_{name}_{n}", pin=True)
@@ -76,8 +90,6 @@ def run_point(spark, n: int) -> None:
     )
     from streaming_spark.operators.text import (
         bpe_ish_token_count,
-        c4_quality,
-        gopher_quality,
         line_dedup_clean,
         token_count,
     )
@@ -104,12 +116,12 @@ def run_point(spark, n: int) -> None:
             flush=True,
         )
 
-    # 1. quality filters — Gopher + C4 rule sets, both codegen'd scan
-    # expressions (min_stop=0: the synthetic vocab has no stopwords)
+    # 1. quality filters — the library's standard Gopher ∧ C4 gate
+    # (min_stop=0: the synthetic vocab has no stopwords); ONE
+    # definition shared by every arm so the identical-survivors
+    # assertions always compare the same rule set
     t0 = time.perf_counter()
-    keep_g = gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
-    keep_c = c4_quality(docs).filter("passes").select("doc_id")
-    filtered = docs.join(keep_g, "doc_id").join(keep_c, "doc_id")
+    filtered = _quality(docs)
     d1, filtered, rows1 = _stage(spark, "filtered", filtered, n)
     report("pipe_quality_filters", time.perf_counter() - t0, rows1)
 
@@ -211,8 +223,6 @@ def run_streaming_point(spark, n: int) -> None:
 
     from pyspark.sql import functions as F
 
-    from streaming_spark.operators.text import c4_quality, gopher_quality
-
     t_all = time.perf_counter()
     corpus_dir, raw = stage_corpus(spark, n)
 
@@ -237,19 +247,11 @@ def run_streaming_point(spark, n: int) -> None:
         docs = batch_df.withColumn(
             "source", (F.col("doc_id") % 4).cast("string")
         )
-        keep_g = (
-            gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
-        )
-        keep_c = c4_quality(docs).filter("passes").select("doc_id")
         # idempotent batch-keyed landing (the engine's sink discipline):
         # a replayed micro-batch after checkpoint recovery overwrites
         # its own partition instead of appending duplicate doc rows,
         # which would poison the stream-vs-batch survivor-set equality
-        _land_batch(
-            docs.join(keep_g, "doc_id").join(keep_c, "doc_id"),
-            batch_id,
-            sink + "/t",
-        )
+        _land_batch(_quality(docs), batch_id, sink + "/t")
         n_batches[0] += 1
 
     stream_docs = (
@@ -283,9 +285,7 @@ def run_streaming_point(spark, n: int) -> None:
     # ---- the batch pipeline over the same corpus
     t0 = time.perf_counter()
     docs = raw.withColumn("source", (F.col("doc_id") % 4).cast("string"))
-    keep_g = gopher_quality(docs, min_stop=0).filter("passes").select("doc_id")
-    keep_c = c4_quality(docs).filter("passes").select("doc_id")
-    batch_filtered = docs.join(keep_g, "doc_id").join(keep_c, "doc_id")
+    batch_filtered = _quality(docs)
     batch_ids = _pipeline_tail_ids(spark, batch_filtered, raw, n, "batch")
     report("pipe_batch_reference", time.perf_counter() - t0, len(batch_ids))
 
@@ -347,12 +347,9 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
 
     from pyspark.sql import functions as F
 
-    import functools
-
     from streaming_spark.operators.curation_incremental import (
         curation_ingest_batch,
         curation_survivors,
-        default_quality_filter,
     )
     from streaming_spark.queries.curation import benchmark_grams
 
@@ -374,9 +371,6 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     grams = benchmark_grams(bench).localCheckpoint(eager=True)
 
     work = scratch.scratch_dir(f"stress_pipe_incr_{n}", pin=True)
-    # the library's standard gate with the synthetic-vocab calibration
-    # (min_stop=0 — no stopwords in the generated corpus)
-    quality = functools.partial(default_quality_filter, min_stop=0)
 
     width = n // n_batches
     batch_secs = []
@@ -388,7 +382,7 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
         ).withColumn("source", (F.col("doc_id") % 4).cast("string"))
         st: dict = {}
         curation_ingest_batch(
-            docs, work, b, bench_grams=grams, quality_filter=quality,
+            docs, work, b, bench_grams=grams, quality_filter=_quality,
             digest_kwargs=dict(n_prefixes=16, n_id_buckets=4),
             neardup_kwargs=dict(n_id_buckets=16, n_band_prefixes=16),
             stats_out=st,
@@ -408,10 +402,10 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     fold_s = time.perf_counter() - t0
     report("pipe_incr_final_fold", fold_s, len(incr_ids))
 
-    # the batch reference over the same corpus (same quality partial)
+    # the batch reference over the same corpus (same shared gate)
     t0 = time.perf_counter()
     docs = raw.withColumn("source", (F.col("doc_id") % 4).cast("string"))
-    batch_filtered = quality(docs)
+    batch_filtered = _quality(docs)
     batch_ids = _pipeline_tail_ids(spark, batch_filtered, raw, n, "incrref")
     report("pipe_incr_batch_reference", time.perf_counter() - t0, len(batch_ids))
 

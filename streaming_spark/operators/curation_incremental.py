@@ -103,7 +103,7 @@ def _write_json_atomic(path: str, payload: dict) -> None:
     os.rename(tmp, path)
 
 
-def default_quality_filter(docs: DataFrame, id_col: str = "doc_id",
+def default_quality_filter(docs: DataFrame, id_col: str = "doc_id", *,
                            text_col: str = "text",
                            min_stop: int = 2) -> DataFrame:
     """The standard per-doc quality gate: Gopher ∧ C4 rule sets (both
@@ -111,7 +111,9 @@ def default_quality_filter(docs: DataFrame, id_col: str = "doc_id",
     batching.  ``min_stop=0`` for synthetic corpora without stopwords
     (see gopher_quality).  The rule operators' own contract is
     (doc_id, text), so custom column names normalize in and rename back
-    out here."""
+    out here.  ``text_col``/``min_stop`` are keyword-only: a positional
+    third argument intended as min_stop would otherwise silently become
+    the text column."""
     norm = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -156,8 +158,10 @@ def curation_ingest_batch(
     idempotent); batches must arrive in ascending ``id_col`` ranges for
     the survivor-set-equals-batch-pipeline contract.  ``bench_grams``
     (from queries.curation.benchmark_grams) enables decontamination;
-    ``quality_filter`` is any per-doc-pure DataFrame→DataFrame gate
-    (None to skip).  ``digest_kwargs`` / ``neardup_kwargs`` are
+    ``quality_filter`` is any per-doc-pure gate with the signature
+    ``gate(docs, id_col=..., text_col=...) -> DataFrame`` — it is
+    always invoked with both keywords (None to skip the stage).
+    ``digest_kwargs`` / ``neardup_kwargs`` are
     partition-granularity knobs frozen into the indexes on the first
     batch (data-volume sizing — see the index docstrings).
 
@@ -277,13 +281,14 @@ def curation_ingest_batch(
             ),
         )
         flags = decontaminate_against(corpus, bench_grams)
-        # checkpoint: the landing AND the stats count both consume it —
-        # without this the gram explode+join runs twice per batch
-        contam = (
-            flags.filter("contaminated")
-            .select(F.col("doc_id").alias(id_col))
-            .localCheckpoint(eager=True)
+        contam = flags.filter("contaminated").select(
+            F.col("doc_id").alias(id_col)
         )
+        if stats_out is not None:
+            # checkpoint only when the landing AND the stats count both
+            # consume it — without stats there is a single consumer and
+            # the eager materialization would be pure overhead
+            contam = contam.localCheckpoint(eager=True)
         _land_ids(
             contam, batch_id, os.path.join(work_dir, _CONTAM_SINK)
         )
@@ -388,6 +393,19 @@ def curation_survivors(spark, work_dir: str) -> DataFrame:
     ``incremental_curation_maintenance`` witness)."""
     from streaming_spark.operators.dedup import dedup_keep_one
 
+    # a crashed mid-ingest work dir must refuse loudly, not fold a
+    # partial state into a silently smaller survivor set (the or-empty
+    # sink guard below would otherwise mask exactly that)
+    pending = os.path.join(work_dir, _PENDING)
+    if os.path.isfile(pending):
+        with open(pending, encoding="utf-8") as f:
+            pb = json.load(f)
+        raise RuntimeError(
+            f"curation_survivors: {pending!r} exists — batch "
+            f"{pb.get('batch_id')} crashed mid-ingest.  Recover first "
+            "with curation_recover_batch(spark, work_dir)."
+        )
+
     p = _dig_params(os.path.join(work_dir, _HASHES))
     id_col, id_type = p["order_cols"][0], p["order_types"][0]
 
@@ -395,14 +413,17 @@ def curation_survivors(spark, work_dir: str) -> DataFrame:
         # a sink whose every batch landed zero rows is a DIRECTORY with
         # no files — spark.read.parquet cannot infer a schema from it
         # (empirically: AnalysisException UNABLE_TO_INFER_SCHEMA), so
-        # read through the same or-empty guard the index tables use
+        # the READ goes through an or-empty guard; the column selection
+        # stays OUTSIDE the try so schema drift surfaces loudly instead
+        # of being swallowed into an empty frame
         path = os.path.join(work_dir, name)
         from pyspark.errors import AnalysisException
 
         try:
-            return spark.read.parquet(path).select(id_col)
+            df = spark.read.parquet(path)
         except AnalysisException:
             return spark.createDataFrame([], f"{id_col} {id_type}")
+        return df.select(id_col)
 
     exact_ids = sink_ids(_EXACT_SINK)
     pairs = neardup_index_pairs(spark, os.path.join(work_dir, _ND))

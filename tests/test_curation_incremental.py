@@ -138,6 +138,11 @@ def test_curation_crashed_batch_refuses_and_recovers(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="crashed mid-ingest"):
         curation_ingest_batch(b1, work, 1, **kw)
+    # the fold refuses too: folding a partial state would silently
+    # return a smaller survivor set (the or-empty sink guard must not
+    # mask a crash)
+    with pytest.raises(RuntimeError, match="crashed mid-ingest"):
+        curation_survivors(spark, work)
 
     st: dict = {}
     curation_recover_batch(spark, work, stats_out=st)
