@@ -86,6 +86,7 @@ from streaming_spark.operators.text import (
 _LINES, _HASHES, _ND = "lines_idx", "hashes_idx", "nd_idx"
 _EXACT_SINK, _CONTAM_SINK = "exact_ids", "contam_ids"
 _META, _PENDING = "_meta.json", ".batch_pending"
+_PARAMS = "_params.json"
 
 
 def _last_batch_id(work_dir: str) -> int:
@@ -406,7 +407,16 @@ def curation_survivors(spark, work_dir: str) -> DataFrame:
             "with curation_recover_batch(spark, work_dir)."
         )
 
-    p = _dig_params(os.path.join(work_dir, _HASHES))
+    # an empty work dir would otherwise surface digest_index's internal
+    # "not a digest index" error, misdirecting the caller toward
+    # digest_index_build when the fix is ingesting a batch (ADVICE r13)
+    hashes_idx = os.path.join(work_dir, _HASHES)
+    if not os.path.isfile(os.path.join(hashes_idx, _PARAMS)):
+        raise ValueError(
+            f"curation_survivors: no batches ingested under {work_dir!r} "
+            "— run curation_ingest_batch first."
+        )
+    p = _dig_params(hashes_idx)
     id_col, id_type = p["order_cols"][0], p["order_types"][0]
 
     def sink_ids(name: str) -> DataFrame:

@@ -295,6 +295,37 @@ def digest_index_append(
                 new_digests=0, prefixes_probed=0, dup_rows=0,
             )
         return d.withColumn("is_dup", F.lit(False))
+    # enforce the 'delta ids are NEW' contract (ADVICE r13, parity with
+    # neardup_index_append): a replay of a committed batch would
+    # double-land occurrence rows and flip its decisions to is_dup —
+    # at-least-once ingest makes this reachable, so refuse.  The probe
+    # reads the occ table pruned to the delta ids' ib= partitions.
+    id0 = ocols[0]
+    delta_ids = d.select(id0).distinct().localCheckpoint(eager=True)
+    n_ids = delta_ids.count()
+    ibs = sorted(
+        r[0]
+        for r in delta_ids.select(
+            _ib_expr(F.col(id0), p["n_id_buckets"]).alias("ib")
+        )
+        .distinct()
+        .collect()
+    )
+    mb0 = F.broadcast if n_ids <= 50_000 else (lambda x: x)
+    if not (
+        _read_or_empty(spark, _dir(index_dir, "occ"), _occ_schema(p))
+        .filter(F.col("ib").isin(ibs))
+        .select(id0)
+        .join(mb0(delta_ids), id0, "left_semi")
+        .isEmpty()
+    ):
+        raise ValueError(
+            "digest_index_append: the delta contains ids that are "
+            "already indexed — delta ids must be NEW (a replayed batch "
+            "would double-land occurrence rows and flip its decisions "
+            "to is_dup); an upsert is digest_index_tombstone + compact "
+            "+ re-append under the same ids."
+        )
 
     batch_digests = (
         d.select(dcol)

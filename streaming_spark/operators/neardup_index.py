@@ -67,8 +67,9 @@ precisely the batch arm's definition evaluated on the live corpus.
   partitions that contain tombstoned rows; the live pair set is
   unchanged by construction.
 
-Contracts: delta ids are NEW (an upsert is tombstone-then-append with a
-fresh id — re-using a tombstoned id is undefined); ledgers are small
+Contracts: delta ids are NEW — ENFORCED: an append refuses ids already
+in the sig table or still in the tombstone ledger (an upsert is
+tombstone → compact → re-append); ledgers are small
 (they broadcast and, for pruning bookkeeping, collect); one writer at a
 time (the directory swaps are the local-filesystem stand-in for an
 object-store manifest commit, same posture as ann_index_compact).
@@ -445,7 +446,9 @@ def neardup_index_append(
     module docstring: buckets whose live size crosses ``max_bucket``
     this batch get their old members' pairs support-rechecked and
     retracted to the pair-tombstone ledger when no ≤cap shared bucket
-    remains.  Delta ids must be NEW.
+    remains.  Delta ids must be NEW — enforced: ids already indexed (or
+    still in the tombstone ledger) refuse loudly, so an at-least-once
+    replay of a committed batch cannot silently double-land.
 
     Not atomic: the landing is three writes (sigs, bands, pairs), so an
     ``.append_pending`` marker (atomic tmp + rename, recording the
@@ -516,6 +519,37 @@ def neardup_index_append(
                 "still in the tombstone ledger — run "
                 "neardup_index_compact first (re-ingesting before the "
                 "fold would land rows the compact then removes)."
+            )
+        # enforce the 'delta ids are NEW' contract (ADVICE r13): a
+        # replay of a fully-committed batch would double-land its
+        # sig/band rows, inflating bucket sizes past max_bucket and
+        # flipping decisions — at-least-once ingest (foreachBatch)
+        # makes this reachable, so refuse instead of documenting.  The
+        # probe reads the sig table's id column pruned to the delta's
+        # sb= partitions (any non-tombstoned id present in sigs is
+        # indexed: orphan states are marker-refused above).
+        delta_sbs = sorted(
+            r[0]
+            for r in delta_sigs.select(
+                _sb_expr(F.col("id"), p["n_id_buckets"]).alias("sb")
+            )
+            .distinct()
+            .collect()
+        )
+        mb0 = F.broadcast if n_delta <= 50_000 else (lambda df: df)
+        if not (
+            _read_or_empty(spark, _dir(index_dir, "sigs"), _sigs_schema(p))
+            .filter(F.col("sb").isin(delta_sbs))
+            .select("id")
+            .join(mb0(delta_sigs.select("id")), "id", "left_semi")
+            .isEmpty()
+        ):
+            raise ValueError(
+                "neardup_index_append: the delta contains ids that are "
+                "already indexed — delta ids must be NEW (a replayed "
+                "batch would double-land band rows and corrupt bucket "
+                "sizes); an upsert is neardup_index_tombstone + compact "
+                "+ re-append under the same ids."
             )
         delta_bands = (
             _banded(delta_sigs, p["bands"])

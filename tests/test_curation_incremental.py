@@ -185,3 +185,16 @@ def test_curation_survivors_with_zero_row_sinks(spark, tmp_path):
     got = _incr_ids(spark, work)
     assert got == _batch_tail_ids(docs, grams)
     assert len(got) > 0
+
+
+def test_curation_survivors_empty_work_dir_message(spark, tmp_path):
+    """A work dir with no ingested batches must raise a curation-level
+    message pointing at curation_ingest_batch — not digest_index's
+    internal 'not a digest index ... digest_index_build' error, which
+    misdirects the caller (ADVICE r13)."""
+    work = str(tmp_path / "empty_work")
+    with pytest.raises(ValueError, match="no batches ingested"):
+        curation_survivors(spark, work)
+    os.makedirs(work)  # an existing-but-empty dir behaves the same
+    with pytest.raises(ValueError, match="curation_ingest_batch first"):
+        curation_survivors(spark, work)

@@ -310,3 +310,33 @@ def test_digest_index_owners_exact_under_out_of_order_ingest(
     assert all(flagged.values())  # decisions said dup…
     owner = dict(_owners(spark, d))[dup_h]
     assert owner in flagged  # …but the owners view serves the backfill
+
+
+def test_digest_append_refuses_already_indexed_ids(spark, tmp_path):
+    """The 'delta ids are NEW' contract is ENFORCED (ADVICE r13, parity
+    with the near-dup index): replaying a committed batch refuses
+    loudly instead of double-landing occurrence rows (which would flip
+    the replay's decisions to is_dup); fresh ids still append, and the
+    upsert path (tombstone -> compact -> re-append) still works."""
+    docs = _docs_with_dups(spark).localCheckpoint(eager=True)
+    occ = _occ(docs)
+    base = occ.filter("doc_id < 100")
+    d = str(tmp_path / "idx")
+    digest_index_build(d, base, digest_col="h")
+    before = _owners(spark, d)
+
+    with pytest.raises(ValueError, match="already indexed"):
+        digest_index_append(d, base)
+    with pytest.raises(ValueError, match="already indexed"):
+        digest_index_append(d, occ.filter("doc_id >= 90 AND doc_id < 120"))
+    assert not os.path.exists(os.path.join(d, ".append_pending"))
+    assert _owners(spark, d) == before
+
+    digest_index_append(d, occ.filter("doc_id >= 100 AND doc_id < 150"))
+    assert _owners(spark, d) == _batch_owners(occ.filter("doc_id < 150"))
+
+    # the documented upsert sequence passes the guard after the fold
+    digest_index_tombstone(spark, d, [0])
+    digest_index_compact(spark, d)
+    digest_index_append(d, occ.filter("doc_id = 0"))
+    assert _owners(spark, d) == _batch_owners(occ.filter("doc_id < 150"))

@@ -568,3 +568,34 @@ def test_neardup_append_saturation_telemetry(spark, tmp_path):
     neardup_index_append(d, _word_docs(spark, uniq), stats_out=st)
     assert st["saturated_buckets"] == 0
     assert st["saturation_frac"] == 0.0
+
+
+def test_neardup_append_refuses_already_indexed_ids(spark, tmp_path):
+    """The 'delta ids are NEW' contract is ENFORCED (ADVICE r13): a
+    replay of a fully-committed batch — reachable under at-least-once
+    foreachBatch ingest — refuses loudly instead of double-landing
+    band rows (which would inflate bucket sizes past the cap and flip
+    decisions to is_dup).  Fresh ids still append normally after the
+    refusal."""
+    docs = T(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    base = docs.filter("doc_id < 40")
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, base)
+    before = _pairs(neardup_index_pairs(spark, d))
+
+    # full replay and partial overlap both refuse
+    with pytest.raises(ValueError, match="already indexed"):
+        neardup_index_append(d, base)
+    with pytest.raises(ValueError, match="already indexed"):
+        neardup_index_append(
+            d, docs.filter("doc_id >= 30 AND doc_id < 50")
+        )
+    # the refusal happened before any landing: state unchanged, no
+    # pending marker left behind
+    assert not os.path.exists(os.path.join(d, ".append_pending"))
+    assert _pairs(neardup_index_pairs(spark, d)) == before
+
+    neardup_index_append(d, docs.filter("doc_id >= 40 AND doc_id < 60"))
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(
+        docs.filter("doc_id < 60")
+    )
