@@ -66,6 +66,9 @@ precisely the batch arm's definition evaluated on the live corpus.
 - COMPACT folds both ledgers into the files, rewriting only the
   partitions that contain tombstoned rows; the live pair set is
   unchanged by construction.
+- RESHARD rebuilds bands/pairs from the staged signatures under new
+  banding/cap/partition knobs (the saturation-signal action; two-rename
+  swap) — afterwards the invariant holds under the NEW parameters.
 
 Contracts: delta ids are NEW — ENFORCED: an append refuses ids already
 in the sig table or still in the tombstone ledger (an upsert is
@@ -108,6 +111,15 @@ def _params_path(index_dir: str) -> str:
 def _load_params(index_dir: str) -> dict:
     path = _params_path(index_dir)
     if not os.path.isfile(path):
+        old = index_dir.rstrip("/") + ".old"
+        if os.path.isfile(os.path.join(old, _PARAMS_NAME)):
+            raise RuntimeError(
+                f"{index_dir!r} is missing but {old!r} is a complete "
+                "index — a neardup_index_reshard crashed between its two "
+                "renames.  Recover: rename the .old directory back to "
+                f"{index_dir!r} (it was never half-written), then re-run "
+                "the reshard."
+            )
         raise ValueError(
             f"{index_dir!r} is not a near-dup index (no {_PARAMS_NAME}) — "
             "create one with neardup_index_build first."
@@ -472,8 +484,9 @@ def neardup_index_append(
     ann_index_drift's re-shard signal.  A rising fraction means hot
     content is concentrating into over-cap buckets — candidate
     generation silently skips those (the batch arm's own cap contract),
-    so recall decays; the remedy is re-banding or raising the cap via a
-    rebuild."""
+    so recall decays; the action is :func:`neardup_index_reshard` —
+    re-band / raise the cap from the staged signatures, no corpus
+    re-scan."""
     p = _load_params(index_dir)
     _check_siblings(index_dir, "neardup_index_append")
     spark = delta.sparkSession
@@ -1156,6 +1169,159 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
         shutil.rmtree(_dir(index_dir, ledger), ignore_errors=True)
     shutil.rmtree(comp, ignore_errors=True)
     return stats
+
+
+def neardup_index_reshard(
+    spark,
+    index_dir: str,
+    bands: int | None = None,
+    max_bucket: int | None = None,
+    threshold: float | None = None,
+    n_band_prefixes: int | None = None,
+    n_id_buckets: int | None = None,
+    stats_out: dict | None = None,
+) -> None:
+    """Re-band / re-partition the index under new banding knobs — the
+    ACTION for the saturation signal :func:`neardup_index_append` emits
+    (``saturated_buckets``/``saturation_frac``): when hot content
+    concentrates into over-cap buckets, candidate generation silently
+    skips them and recall decays; the remedies are a higher cap, more
+    (narrower) bands, or finer partitioning — all of which change how
+    signatures are BUCKETED, not the signatures themselves.  Banding is
+    a pure function of the stored signature, so the reshard rebuilds
+    ``bands/`` and ``pairs/`` from the staged ``sigs/`` table without
+    re-scanning the corpus: the O(N·len·num_perm) signature map — the
+    dominant cost of a from-scratch rebuild — is never re-paid.  This is
+    the near-dup analog of :func:`ann_index_refresh` (similarity.py):
+    re-key the derived tables under new parameters, park-then-swap.
+
+    Re-shardable knobs: ``bands`` (must still divide into ``num_perm``
+    signature values), ``max_bucket``, ``threshold``, and the partition
+    granularity knobs ``n_band_prefixes`` / ``n_id_buckets``.  The
+    signature-frozen parameters (``num_perm``, ``shingle_k``, ``seed``)
+    CANNOT change here — they are functions of the text, so changing
+    them is a corpus re-scan, i.e. ``neardup_index_build`` into a fresh
+    directory.  Omitted knobs keep their frozen values (so a no-change
+    reshard is a whole-index compact: both ledgers fold by
+    construction, since every table is rebuilt from live rows only).
+
+    After the swap the live pair set is EXACTLY batch
+    ``dedup_minhash_lsh`` over the live corpus under the NEW parameters
+    (pinned by tests), and subsequent appends/takedowns maintain that
+    under the new params — the ``_params.json`` staged alongside the
+    rebuilt tables is what they re-load.
+
+    Crash posture (same two-rename discipline as ann_index_refresh):
+    the whole new index stages under ``<index_dir>.reshard``; a crash
+    while staging leaves the live index untouched (the half-written
+    sibling is removed and re-staged on retry); a crash BETWEEN the two
+    renames leaves the complete old index at ``<index_dir>.old`` and
+    every subsequent operation refuses with the rename-back recovery
+    hint (see ``_load_params``).  Refuses an index with a pending
+    append/takedown marker or a parked compact.
+
+    Cost shape: one column-pruned scan of the sig table (signature
+    rows, never text) + the banded candidate join + verification over
+    the whole live corpus — table-footprint-bound, the slow-cadence
+    maintenance move, exactly like the ANN refresh; the fast path stays
+    the delta-bound append.
+
+    ``stats_out`` keys: rows_live, pairs_after, folded_doc_tombstones,
+    folded_pair_tombstones, plus the new parameter values."""
+    p = _load_params(index_dir)
+    _check_siblings(index_dir, "neardup_index_reshard")
+    new_p = dict(p)
+    for key, val in (
+        ("bands", bands),
+        ("max_bucket", max_bucket),
+        ("threshold", threshold),
+        ("n_band_prefixes", n_band_prefixes),
+        ("n_id_buckets", n_id_buckets),
+    ):
+        if val is not None:
+            new_p[key] = val
+    if new_p["num_perm"] < new_p["bands"]:
+        raise ValueError(
+            f"neardup_index_reshard: num_perm={new_p['num_perm']} cannot "
+            f"fill {new_p['bands']} bands — bands is re-shardable only "
+            "within the frozen signature width (a wider signature is a "
+            "corpus re-scan: build a fresh index)."
+        )
+
+    tmp = index_dir.rstrip("/") + ".reshard"
+    shutil.rmtree(tmp, ignore_errors=True)
+    doc_t = _doc_tombs(spark, index_dir, p).localCheckpoint(eager=True)
+    pair_t_n = _pair_tombs(spark, index_dir, p).count()
+    live_sigs = (
+        _read_or_empty(spark, _dir(index_dir, "sigs"), _sigs_schema(p))
+        .join(F.broadcast(doc_t), "id", "left_anti")
+        .select("id", "shingles", "sig")
+        .persist()
+    )
+    try:
+        n_live = live_sigs.count()
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, _PARAMS_NAME), "w", encoding="utf-8") as f:
+            json.dump(new_p, f)
+        live_sigs.withColumn(
+            "sb", _sb_expr(F.col("id"), new_p["n_id_buckets"])
+        ).repartition("sb").write.mode("overwrite").partitionBy("sb").parquet(
+            os.path.join(tmp, "sigs")
+        )
+        new_bands = (
+            _banded(live_sigs, new_p["bands"])
+            .withColumn("pb", _pb_expr(F.col("bh"), new_p["n_band_prefixes"]))
+            if n_live
+            else spark.createDataFrame([], _bands_schema(new_p))
+        )
+        new_bands.repartition("band_id", "pb").write.mode(
+            "overwrite"
+        ).partitionBy("band_id", "pb").parquet(os.path.join(tmp, "bands"))
+        # the whole-corpus candidate pass under the new banding — the
+        # same grouped single-shuffle expansion the batch arm runs
+        # (lsh_candidate_pairs), reusing this module's bucket helpers
+        members = new_bands.select(
+            "band_id", "bh", "id", F.lit(False).alias("d")
+        )
+        cand = _expand_pairs(
+            _group_buckets(members).filter(
+                (F.col("n_total") >= 2)
+                & (F.col("n_total") <= new_p["max_bucket"])
+            ),
+            require_delta=False,
+        )
+        new_pairs = verify_jaccard(
+            cand, live_sigs, new_p["threshold"]
+        ).localCheckpoint(eager=True)
+        n_pairs = new_pairs.count()
+        new_pairs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "pairs")
+        )
+    except Exception:
+        # staging is the expensive phase and tmp is caller-visible:
+        # never leave a half-written index-sized sibling behind
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        live_sigs.unpersist()
+
+    old = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    if stats_out is not None:
+        stats_out.update(
+            rows_live=n_live,
+            pairs_after=n_pairs,
+            folded_doc_tombstones=doc_t.count(),
+            folded_pair_tombstones=pair_t_n,
+            bands=new_p["bands"],
+            max_bucket=new_p["max_bucket"],
+            threshold=new_p["threshold"],
+            n_band_prefixes=new_p["n_band_prefixes"],
+            n_id_buckets=new_p["n_id_buckets"],
+        )
 
 
 def neardup_index_pairs(spark, index_dir: str) -> DataFrame:

@@ -2566,6 +2566,15 @@ def incremental_curation_maintenance(spark, sf_dir):
     corpus — every global stage's keep-first/keep-min-id window splits
     exactly at the batch boundary under ordered ingest.
 
+    Gate-cost discipline (the carried trim rule, VERDICT r13 #3): the
+    REGISTERED witness runs only the GLOBAL stages — line dedup, exact
+    dedup, near-dup, fold — whose batch-boundary splitting is the
+    composition's actual claim; the per-doc-pure stages (quality gate,
+    decontamination) commute with any batching by construction and are
+    pinned with the full stage set in
+    tests/test_curation_incremental.py and measured at 200k/1M in
+    scripts/stress_pipeline.py's incremental arm.
+
     Scale story: per-batch cost is delta-bound (digest probes read only
     the batch's prefix partitions, the banded join runs delta-vs-index
     only, decontamination is per-doc pure) — measured FLAT at 20.8-25.4
@@ -2580,11 +2589,7 @@ def incremental_curation_maintenance(spark, sf_dir):
         dedup_keep_one,
         minhash_dedup_pairs,
     )
-    from streaming_spark.operators.text import (
-        line_dedup_clean,
-        token_count,
-        with_lang_scores,
-    )
+    from streaming_spark.operators.text import line_dedup_clean
     from streaming_spark.queries.northstar import _rows_digest
 
     # half the fixture (deterministic id slice): the witness semantics
@@ -2594,19 +2599,6 @@ def incremental_curation_maintenance(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").select("doc_id", "text").filter(
         "doc_id < 250"
     )
-    bench = docs.filter("doc_id % 97 = 0")
-    grams = benchmark_grams(bench).localCheckpoint(eager=True)
-
-    def qf(d, id_col="doc_id", text_col="text"):
-        # per-doc-pure gate, non-vacuous on the fixture (the
-        # pipeline_curate_corpus rule set): english stopword vote +
-        # a token floor
-        return (
-            with_lang_scores(d, text_col)
-            .filter(F.col("pred_lang") == "en")
-            .filter(token_count(text_col) >= 20)
-            .select(id_col, text_col)
-        )
 
     cut = int(docs.selectExpr("percentile(doc_id, 0.5)").first()[0])
     work = scratch_dir("curincr")
@@ -2620,8 +2612,8 @@ def incremental_curation_maintenance(spark, sf_dir):
         ):
             st: dict = {}
             curation_ingest_batch(
-                docs.filter(cond), work, b, bench_grams=grams,
-                quality_filter=qf,
+                docs.filter(cond), work, b,
+                quality_filter=None,
                 digest_kwargs=dict(n_prefixes=2, n_id_buckets=2),
                 # fixture-sized minhash (32 perms / 8 bands) — gate-cost
                 # discipline; BOTH arms use the same params, so the
@@ -2639,31 +2631,22 @@ def incremental_curation_maintenance(spark, sf_dir):
 
         incr = curation_survivors(spark, work).localCheckpoint(eager=True)
 
-        # the batch pipeline over the whole corpus, same stages
-        filtered = qf(docs)
-        cleaned = line_dedup_clean(filtered)
+        # the batch pipeline over the whole corpus, same global stages
+        cleaned = line_dedup_clean(docs)
         w = Window.partitionBy("cleaned_hash").orderBy("doc_id")
         keep = (
             cleaned.withColumn("rn", F.row_number().over(w))
             .filter("rn = 1")
             .select("doc_id")
         )
-        exact = filtered.join(keep, "doc_id")
+        exact = docs.join(keep, "doc_id")
         pairs = minhash_dedup_pairs(exact, "text", "doc_id", num_perm=32,
                                     bands=8)
-        survivors = dedup_keep_one(exact, pairs, "doc_id")
-        flags = decontaminate_against(
-            survivors.withColumn("source", F.lit("")), grams
-        )
         # checkpoint: count() and _rows_digest() both consume the full
-        # batch arm (minhash + components + decontamination) — without
-        # this the expensive half of the query runs twice
+        # batch arm (minhash + components) — without this the expensive
+        # half of the query runs twice
         clean = (
-            survivors.join(
-                flags.filter("contaminated").select("doc_id"),
-                "doc_id",
-                "left_anti",
-            )
+            dedup_keep_one(exact, pairs, "doc_id")
             .select("doc_id")
             .localCheckpoint(eager=True)
         )

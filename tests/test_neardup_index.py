@@ -599,3 +599,144 @@ def test_neardup_append_refuses_already_indexed_ids(spark, tmp_path):
     assert _pairs(neardup_index_pairs(spark, d)) == _batch(
         docs.filter("doc_id < 60")
     )
+
+
+def test_neardup_reshard_saturation_signal_drives_recovery(spark, tmp_path):
+    """The signal→action loop (VERDICT r13 #1/#5): a skew-planted
+    append trips the saturation telemetry; neardup_index_reshard with a
+    raised cap rebuilds bands/pairs from the STAGED signatures (no
+    corpus re-scan) and the live pair set equals the batch arm under
+    the NEW parameters — including the pairs the old cap was silently
+    suppressing.  Subsequent appends and takedowns maintain equality
+    under the new params."""
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_reshard,
+    )
+
+    same = "sphinx of black quartz judge my vow tonight and every night"
+    fillers = [(100 + i, t) for i, t in _synth_corpus(10, seed=21)]
+    base = _word_docs(spark, [(1, same), (2, same), (3, same)] + fillers)
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, base, max_bucket=3)
+
+    # skew delta saturates the identical-doc buckets: telemetry trips,
+    # and the five copies pair with NOBODY (cap suppression)
+    st: dict = {}
+    neardup_index_append(
+        d, _word_docs(spark, [(4, same), (5, same)]), stats_out=st
+    )
+    assert st["saturation_frac"] > 0
+    live = base.union(_word_docs(spark, [(4, same), (5, same)]))
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(
+        live, max_bucket=3
+    )
+    assert all(a > 5 for a, _, _ in _pairs(neardup_index_pairs(spark, d)))
+
+    # the action: raise the cap (the policy the telemetry calls for)
+    st = {}
+    neardup_index_reshard(spark, d, max_bucket=10, stats_out=st)
+    assert st["rows_live"] == live.count() and st["max_bucket"] == 10
+    after = _pairs(neardup_index_pairs(spark, d))
+    assert after == _batch(live, max_bucket=10)
+    # the suppressed copy-pairs are now served: C(5,2) = 10 of them
+    assert {(a, b) for a, b, _ in after} >= {
+        (a, b) for a in range(1, 6) for b in range(a + 1, 6)
+    }
+
+    # the maintained lifecycle continues under the NEW params
+    delta2 = _word_docs(spark, [(6, same)] + [(300, "brand new words only")])
+    neardup_index_append(d, delta2)
+    live2 = live.union(delta2)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(
+        live2, max_bucket=10
+    )
+    neardup_index_tombstone(spark, d, [1, 300])
+    alive = live2.filter(~F.col("doc_id").isin([1, 300]))
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(
+        alive, max_bucket=10
+    )
+
+
+def test_neardup_reshard_rebands_and_folds_ledgers(spark, tmp_path):
+    """A reshard that changes the banding geometry and partition knobs:
+    the on-disk layout reflects the new (bands, n_band_prefixes), both
+    tombstone ledgers fold away (every table is rebuilt from live rows
+    only — a no-change reshard is a whole-index compact), and the pair
+    set equals the batch arm under the new banding."""
+    from streaming_spark.operators.neardup_index import (
+        _load_params,
+        neardup_index_reshard,
+    )
+
+    rows = _synth_corpus(60, seed=13, dup_every=3)
+    docs = _word_docs(spark, rows)
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, docs, n_band_prefixes=2)
+    # leave an unfolded doc tombstone AND (via a cap crossing) pair
+    # retractions in the ledgers
+    neardup_index_tombstone(spark, d, [0, 3])
+    assert os.path.isdir(os.path.join(d, "doc_tombstones"))
+
+    st: dict = {}
+    neardup_index_reshard(
+        spark, d, bands=8, n_band_prefixes=4, n_id_buckets=2, stats_out=st
+    )
+    assert st["folded_doc_tombstones"] == 2
+    p = _load_params(d)
+    assert (p["bands"], p["n_band_prefixes"], p["n_id_buckets"]) == (8, 4, 2)
+    band_dirs = [
+        e for e in os.listdir(os.path.join(d, "bands"))
+        if e.startswith("band_id=")
+    ]
+    assert len(band_dirs) == 8
+    assert not os.path.isdir(os.path.join(d, "doc_tombstones"))
+    assert not os.path.isdir(os.path.join(d, "pair_tombstones"))
+
+    alive = docs.filter(~F.col("doc_id").isin([0, 3]))
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(alive, bands=8)
+    # appends keep working against the re-sharded layout
+    delta = _word_docs(spark, [(200 + i, t) for i, t in rows[:5]])
+    neardup_index_append(d, delta)
+    assert _pairs(neardup_index_pairs(spark, d)) == _batch(
+        alive.union(delta), bands=8
+    )
+
+
+def test_neardup_reshard_refusals_and_crash_recovery(spark, tmp_path):
+    """Reshard guard rails: a banding the frozen signature cannot fill
+    refuses; pending markers refuse; a crash between the two renames
+    (old index parked whole at .old) makes EVERY operation refuse with
+    the rename-back hint, and the rename-back recovery restores exact
+    service."""
+    import json as _json
+
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_reshard,
+    )
+
+    docs = _word_docs(spark, _synth_corpus(30, seed=5, dup_every=3))
+    d = str(tmp_path / "idx")
+    neardup_index_build(d, docs)
+    before = _pairs(neardup_index_pairs(spark, d))
+
+    with pytest.raises(ValueError, match="cannot fill"):
+        neardup_index_reshard(spark, d, bands=128)
+
+    marker = os.path.join(d, ".append_pending")
+    with open(marker, "w") as f:
+        _json.dump({"ids": [1], "n": 1}, f)
+    with pytest.raises(RuntimeError, match="append"):
+        neardup_index_reshard(spark, d)
+    os.remove(marker)
+
+    # crash between the renames: index dir gone, .old complete
+    os.rename(d, d + ".old")
+    for blocked in (
+        lambda: neardup_index_pairs(spark, d),
+        lambda: neardup_index_append(d, docs),
+        lambda: neardup_index_reshard(spark, d),
+    ):
+        with pytest.raises(RuntimeError, match="rename"):
+            blocked()
+    os.rename(d + ".old", d)  # the documented recovery
+    assert _pairs(neardup_index_pairs(spark, d)) == before
