@@ -17,6 +17,12 @@ library.  This module is that composition as two calls:
   exact-dedup survivors minus near-dup keep-one drops (components over
   the MAINTAINED pair table → min-id per component) minus contaminated.
 
+- :func:`curation_backfill` — the OUT-OF-ORDER path: a late batch is
+  ingested and every survivor sink is resynced from the indexes'
+  ARGMIN owners views (delta-bound cascade recompute, roll-forward
+  crash posture) — afterwards the survivor set is the batch pipeline's
+  over the full corpus under ANY arrival order.
+
 Exactness contract (witnessed by the registered
 ``incremental_curation_maintenance`` query and
 tests/test_curation_incremental.py): under ordered ingest (batches
@@ -24,9 +30,8 @@ arrive in ascending ``id_col`` ranges — ids assigned at ingest, the
 production shape) the final survivor set EXACTLY equals the batch
 pipeline run once over the whole corpus — every global stage's
 keep-first / keep-min-id window splits exactly at the batch boundary.
-Out-of-order backfill needs the digest indexes' ARGMIN owners view and
-the near-dup tombstone ledger (both exist; recompute survivor sinks
-from them after a backfill).
+An out-of-order batch goes through :func:`curation_backfill`, which
+restores the same equality from the owners views.
 
 Scale shape: per-batch cost is DELTA-bound — the digest probes read
 only the batch's digest-prefix partitions, the banded join runs
@@ -356,6 +361,20 @@ def curation_recover_batch(spark, work_dir: str,
         pb = json.load(f)
     batch_id, ids = int(pb["batch_id"]), pb.get("ids")
     completed = batch_id <= _last_batch_id(work_dir)
+    if pb.get("mode") == "backfill" and not completed:
+        # a crashed backfill's recovery is ROLL-FORWARD, not rollback:
+        # its mid-flight mutations (re-keyed hashes, membership churn)
+        # are already part of the owners-derived target state, and
+        # tombstoning the late ids would destroy legitimate re-keys of
+        # UNRELATED affected docs — re-running the backfill resumes
+        # every diff safely (see curation_backfill's crash posture)
+        raise RuntimeError(
+            f"curation_recover_batch: {pending!r} records a crashed "
+            f"BACKFILL (batch {batch_id}) — recovery is re-running "
+            "curation_backfill with the same late batch and batch_id "
+            "(every step is a resumable diff); rollback would corrupt "
+            "the re-keyed state."
+        )
     if not completed:
         if ids is None:
             raise RuntimeError(
@@ -382,6 +401,493 @@ def curation_recover_batch(spark, work_dir: str,
     os.remove(pending)
     if stats_out is not None:
         stats_out.update(batch_id=batch_id, completed=completed)
+
+
+def _heal_digest_index(spark, idx: str, expected_ids) -> None:
+    """Automated per-index recovery ahead of a backfill mutation: a
+    crashed append from a PREVIOUS backfill attempt leaves the index's
+    own ``.append_pending`` marker — the documented recovery (a
+    covering takedown, which clears the marker, then a compact) is run
+    here so the resume can proceed; any takedown a previous attempt
+    issued but did not fold is compacted too (the re-append's
+    tombstone-conflict gate requires an empty ledger, and ``_live_occ``
+    reads must not exclude ids the resume is about to re-key).
+    ``expected_ids`` is the containment guard for a FRESH backfill — a
+    marker outside it is a different crashed batch, which
+    curation_recover_batch owns; a RESUME passes None (its own
+    ``.batch_pending`` marker already proves no other batch can have
+    been mid-flight, so any sub-marker is its own)."""
+    from streaming_spark.operators.digest_index import (
+        digest_index_compact,
+        digest_index_tombstone,
+    )
+
+    marker = os.path.join(idx, ".append_pending")
+    if os.path.isfile(marker):
+        with open(marker, encoding="utf-8") as f:
+            ids = json.load(f).get("ids")
+        if ids is None or (
+            expected_ids is not None and not set(ids) <= expected_ids
+        ):
+            raise RuntimeError(
+                f"curation_backfill: {marker!r} records a crashed append "
+                "outside this backfill's id set — recover it first "
+                "(curation_recover_batch for a crashed ordered ingest, "
+                "or the index docstring's manual recovery)."
+            )
+        digest_index_tombstone(spark, idx, ids)
+        digest_index_compact(spark, idx)
+    elif os.path.isdir(os.path.join(idx, "doc_tombstones")):
+        digest_index_compact(spark, idx)
+
+
+def _heal_neardup_index(spark, idx: str, expected_ids) -> None:
+    """The near-dup analog of :func:`_heal_digest_index`: complete a
+    previous attempt's crashed takedown (same-ids resume is idempotent
+    and clears the marker), recover a crashed append by the covering
+    takedown, then fold the ledgers so re-appends pass the
+    tombstone-conflict gate and membership reads see no half-landed
+    rows."""
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_compact,
+        neardup_index_tombstone,
+    )
+
+    takedown = os.path.join(idx, ".takedown_pending")
+    if os.path.isfile(takedown):
+        with open(takedown, encoding="utf-8") as f:
+            ids = json.load(f).get("ids", [])
+        neardup_index_tombstone(spark, idx, ids)  # same-ids resume
+    append = os.path.join(idx, ".append_pending")
+    if os.path.isfile(append):
+        with open(append, encoding="utf-8") as f:
+            ids = json.load(f).get("ids")
+        if ids is None or (
+            expected_ids is not None and not set(ids) <= expected_ids
+        ):
+            raise RuntimeError(
+                f"curation_backfill: {append!r} records a crashed append "
+                "outside this backfill's id set — recover it first "
+                "(curation_recover_batch for a crashed ordered ingest, "
+                "or the index docstring's manual recovery)."
+            )
+        neardup_index_tombstone(spark, idx, ids)  # covering takedown
+    if os.path.isdir(os.path.join(idx, "doc_tombstones")) or os.path.isdir(
+        os.path.join(idx, "pair_tombstones")
+    ):
+        neardup_index_compact(spark, idx)
+
+
+def curation_backfill(
+    spark,
+    late_docs: DataFrame,
+    work_dir: str,
+    batch_id: int,
+    corpus: DataFrame,
+    bench_grams: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_filter=default_quality_filter,
+    stats_out: dict | None = None,
+) -> None:
+    """Ingest an OUT-OF-ORDER (late) batch and resync every survivor
+    sink from the indexes' authoritative views — the operator form of
+    the recovery the module docstring used to describe as manual
+    (VERDICT r13 #2).  After it completes, :func:`curation_survivors`
+    EXACTLY equals the batch pipeline run once over the full corpus
+    including the late docs, under ANY arrival order — the
+    ordered-ingest contract becomes a fast path, not a correctness
+    requirement, and the ``digest_index_append`` decisions-vs-owners
+    sharp edge is absorbed (decisions are never consulted here; the
+    ARGMIN owners views are).
+
+    Why a late batch cannot ride :func:`curation_ingest_batch`: a late
+    doc with a SMALLER id can steal line/exact-dedup ownership from
+    already-ingested docs — the ingest-time keep-first decisions for
+    those docs are stale, and a stolen line changes the victim's
+    cleaned text, hence its cleaned-text digest, hence the exact-dedup
+    window it competes in (the cascade).  The resync recomputes exactly
+    the cascade's footprint:
+
+    1. the late docs' line digests land in the line index (occurrence
+       storage is order-independent);
+    2. AFFECTED docs = docs sharing >=1 line digest with the late batch
+       (a pb-pruned, delta-bound probe) — their removal sets are
+       recomputed from the line index's ARGMIN owners and their cleaned
+       hashes re-derived from ``corpus`` text (``apply_line_removals``,
+       delta-bound: only affected docs' text is touched);
+    3. affected docs whose stored cleaned-hash differs are re-keyed in
+       the exact-dedup index (tombstone -> compact -> re-append);
+    4. the keep set is re-derived from the exact index's owners view
+       (min doc_id per cleaned digest — the batch window under any
+       order) and the near-dup index membership is reconciled against
+       it: dropped keepers are taken down (the index re-admits their
+       buckets' survivor pairs), new keepers are appended (their
+       signatures are functions of ORIGINAL text, so existing members
+       never need re-signing), and new keepers are decontamination-
+       flagged;
+    5. the exact-id sink is rewritten wholesale from the keep set
+       (batch provenance collapses into this backfill's partition —
+       ids only, metadata-scale).
+
+    ``corpus`` must contain (id, text) for every doc handed to previous
+    ingests (a superset is fine — it is only read semi-joined to the
+    delta-bound affected/churn sets); ``quality_filter`` must be the
+    same gate previous ingests used (it gates the late docs here).
+
+    Crash posture: ROLL-FORWARD.  The ``.batch_pending`` marker (mode
+    "backfill") brackets the whole resync; every step is a diff toward
+    the deterministic owners-derived target state, so re-running the
+    backfill with the same arguments resumes safely from any crash
+    point — including a crashed sub-append, which the heal step
+    recovers via that index's own documented takedown recovery.
+    ``curation_recover_batch`` on a backfill marker therefore refuses
+    with a re-run instruction instead of tombstoning (partial forward
+    state must not be rolled back: step 3's re-keys are already part of
+    the target).  A replay of a COMPLETED backfill (batch_id <= the
+    recorded last) is a skip, exactly like ordered ingest.
+
+    Cost shape: text-touching work is delta-bound (late docs + affected
+    docs + membership churn); the owners/keep-set derivation is one
+    aggregation over the exact index's DIGEST rows (~0.1% of corpus
+    bytes, never text) and the sink rewrite is id-sized — the
+    metadata-scale price of an exceptional-path resync, vs the ordered
+    fast path that touches neither.  Churn sets are ledger-small by
+    contract (the same bound as the index markers).
+
+    ``stats_out`` keys: late_rows, late_gated, affected_docs,
+    rekeyed_hashes, nd_removed, nd_added, keep_size, contaminated_new,
+    plus ``skipped=True`` on a completed-backfill replay."""
+    from streaming_spark.operators import digest_index as DI
+    from streaming_spark.operators.digest_index import (
+        digest_index_append,
+        digest_index_compact,
+        digest_index_owners,
+        digest_index_tombstone,
+    )
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_append,
+        neardup_index_members,
+        neardup_index_tombstone,
+    )
+    from streaming_spark.operators.text import (
+        apply_line_removals,
+        line_digests,
+    )
+    from streaming_spark.queries.curation import decontaminate_against
+
+    lines_idx = os.path.join(work_dir, _LINES)
+    hashes_idx = os.path.join(work_dir, _HASHES)
+    nd_idx = os.path.join(work_dir, _ND)
+    if not os.path.isfile(os.path.join(hashes_idx, _PARAMS)):
+        raise ValueError(
+            f"curation_backfill: no batches ingested under {work_dir!r} "
+            "— a first batch is an ordered ingest (curation_ingest_batch)."
+        )
+    if batch_id <= _last_batch_id(work_dir):
+        if stats_out is not None:
+            stats_out.update(skipped=True)
+        return
+
+    # gate the late docs with the same per-doc-pure gate previous
+    # ingests used, then freeze the batch id set (the marker's content
+    # and every diff below derive from it)
+    late = (
+        quality_filter(late_docs, id_col=id_col, text_col=text_col)
+        if quality_filter is not None
+        else late_docs
+    ).select(id_col, text_col).localCheckpoint(eager=True)
+    late_ids_rows = late.select(id_col).distinct().limit(100_001).collect()
+    if len(late_ids_rows) > 100_000:
+        raise ValueError(
+            "curation_backfill: the late batch exceeds the 100k-id "
+            "marker bound — split it into smaller backfills."
+        )
+    late_id_set = {r[0] for r in late_ids_rows}
+
+    pending = os.path.join(work_dir, _PENDING)
+    resuming = False
+    if os.path.isfile(pending):
+        with open(pending, encoding="utf-8") as f:
+            pb = json.load(f)
+        if (
+            pb.get("mode") == "backfill"
+            and int(pb.get("batch_id", -1)) == int(batch_id)
+            and set(pb.get("ids") or []) == late_id_set
+        ):
+            resuming = True  # roll forward from wherever the crash fell
+        else:
+            raise RuntimeError(
+                f"curation_backfill: {pending!r} exists for a different "
+                f"batch ({pb.get('batch_id')}, mode "
+                f"{pb.get('mode', 'ingest')!r}) — recover it first with "
+                "curation_recover_batch (or re-run that backfill)."
+            )
+
+    # fresh backfill: late ids must be NEW corpus-wide (all-present
+    # means a replayed/duplicated id set; the completed-replay skip is
+    # handled via _meta above, so presence without our marker is a
+    # caller error)
+    late_ids_df = late.select(id_col).distinct().localCheckpoint(eager=True)
+    if not resuming:
+        lp = DI._load_params(lines_idx)
+        present = (
+            DI._read_or_empty(
+                spark, os.path.join(lines_idx, "occ"), DI._occ_schema(lp)
+            )
+            .select(id_col)
+            .join(F.broadcast(late_ids_df), id_col, "left_semi")
+        )
+        if not present.isEmpty():
+            raise ValueError(
+                "curation_backfill: the late batch contains ids already "
+                "ingested under this work dir — ids are unique "
+                "corpus-wide; a correction is takedown + backfill under "
+                "fresh ids."
+            )
+        _write_json_atomic(
+            pending,
+            {
+                "batch_id": int(batch_id),
+                "mode": "backfill",
+                "ids": sorted(late_id_set),
+            },
+        )
+
+    # ---- step 1: land the late docs' line digests (order-independent
+    # occurrence storage).  On a resume the rows are all-present (each
+    # append is atomic-or-marker by the index's own contract) — heal
+    # any crashed sub-append first, then diff presence.
+    _heal_digest_index(spark, lines_idx, None if resuming else late_id_set)
+    lp = DI._load_params(lines_idx)
+    dig_late = line_digests(late, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    n_present = (
+        DI._read_or_empty(
+            spark, os.path.join(lines_idx, "occ"), DI._occ_schema(lp)
+        )
+        .select(id_col)
+        .join(F.broadcast(late_ids_df), id_col, "left_semi")
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    if n_present == 0:
+        digest_index_append(lines_idx, dig_late)  # decisions unused
+    elif n_present != len(late_id_set):
+        raise RuntimeError(
+            "curation_backfill: the line index holds a strict subset of "
+            "the late batch's ids — an append landed partially without "
+            "its marker, which the index contract excludes; recover the "
+            "line index manually before re-running."
+        )
+
+    # ---- step 2: the cascade footprint — docs sharing a line digest
+    # with the late batch (pb-pruned probe), their removal sets from
+    # the line index's ARGMIN owners, their cleaned hashes re-derived
+    late_digests = dig_late.select("h").distinct()
+    pbs = sorted(
+        r[0]
+        for r in late_digests.select(
+            DI._pb_expr(F.col("h"), lp["n_prefixes"]).alias("pb")
+        )
+        .distinct()
+        .collect()
+    )
+    affected_ids = (
+        DI._live_occ(spark, lines_idx, lp, pbs=pbs)
+        .join(F.broadcast(late_digests), "h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_affected = affected_ids.count()
+
+    aff_occ = (
+        DI._live_occ(spark, lines_idx, lp)
+        .join(F.broadcast(affected_ids), id_col, "left_semi")
+        .select("h", id_col, "line_no")
+        .localCheckpoint(eager=True)
+    )
+    aff_digests = aff_occ.select("h").distinct()
+    dig_pbs = sorted(
+        r[0]
+        for r in aff_digests.select(
+            DI._pb_expr(F.col("h"), lp["n_prefixes"]).alias("pb")
+        )
+        .distinct()
+        .collect()
+    )
+    owners = (
+        DI._live_occ(spark, lines_idx, lp, pbs=dig_pbs)
+        .join(F.broadcast(aff_digests), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.min(F.struct(id_col, "line_no")).alias("_o"))
+        .select(
+            "h",
+            F.col(f"_o.{id_col}").alias("_oid"),
+            F.col("_o.line_no").alias("_oline"),
+        )
+    )
+    removals = (
+        aff_occ.join(owners, "h")
+        .filter(
+            (F.col(id_col) != F.col("_oid"))
+            | (F.col("line_no") != F.col("_oline"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("line_no").alias("removed"),
+            F.count(F.lit(1)).alias("n_rm"),
+        )
+    )
+    texts = (
+        late.select(id_col, text_col)
+        .unionByName(corpus.select(id_col, text_col))
+        .dropDuplicates([id_col])
+        .join(F.broadcast(affected_ids), id_col, "left_semi")
+    )
+    new_hash = apply_line_removals(
+        texts, removals, text_col, id_col
+    ).localCheckpoint(eager=True)
+    if new_hash.count() != n_affected:
+        # a silent gap here would leave a stale hash in the index, so
+        # the coverage contract is checked, not trusted
+        raise ValueError(
+            "curation_backfill: some affected docs have no text in "
+            "`corpus` — it must cover every previously ingested doc."
+        )
+
+    # ---- step 3: re-key the exact-dedup index where the cleaned hash
+    # changed (or is not yet indexed — the late docs themselves).  Heal
+    # BEFORE the stored-hash read: a previous attempt's crashed append
+    # or unfolded tombstone would make `stored` lie (half-landed rows,
+    # ledger-hidden victims).  A previous attempt's fix set was a
+    # subset of late ∪ affected — both deterministic — so a fresh
+    # backfill can still containment-check it.
+    aff_set = {r[0] for r in affected_ids.collect()}  # ledger-small
+    _heal_digest_index(
+        spark, hashes_idx, None if resuming else (late_id_set | aff_set)
+    )
+    hp = DI._load_params(hashes_idx)
+    stored = (
+        DI._live_occ(spark, hashes_idx, hp)
+        .join(F.broadcast(affected_ids), id_col, "left_semi")
+        .select(F.col("cleaned_hash").alias("_stored"), id_col)
+        .localCheckpoint(eager=True)
+    )
+    to_fix = (
+        new_hash.join(stored, id_col, "left")
+        .filter(
+            F.col("_stored").isNull()
+            | (F.col("_stored") != F.col("cleaned_hash"))
+        )
+        .select(id_col, "cleaned_hash")
+        .localCheckpoint(eager=True)
+    )
+    n_fix = to_fix.count()
+    if n_fix:
+        rekey_victims = to_fix.join(
+            stored.select(id_col), id_col, "left_semi"
+        )
+        if not rekey_victims.isEmpty():
+            digest_index_tombstone(spark, hashes_idx, rekey_victims)
+            digest_index_compact(spark, hashes_idx)
+        digest_index_append(hashes_idx, to_fix)  # decisions unused
+
+    # ---- step 4: keep set from the owners view (the batch window
+    # under any order), then reconcile near-dup membership against it
+    new_keep = (
+        digest_index_owners(spark, hashes_idx)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    _heal_neardup_index(spark, nd_idx, None if resuming else late_id_set)
+    members = neardup_index_members(spark, nd_idx).select(
+        F.col("id").alias(id_col)
+    )
+    to_remove = members.join(
+        new_keep, id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    n_remove = to_remove.count()
+    to_add_ids = new_keep.join(members, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_add = to_add_ids.count()
+    to_add = (
+        late.select(id_col, text_col)
+        .unionByName(corpus.select(id_col, text_col))
+        .dropDuplicates([id_col])
+        .join(F.broadcast(to_add_ids), id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    if to_add.count() != n_add:
+        raise ValueError(
+            "curation_backfill: some newly-promoted keepers have no "
+            "text in `corpus` — it must cover every previously "
+            "ingested doc."
+        )
+
+    # decontamination flags for the new keepers land BEFORE the nd
+    # append: both consume to_add, and the flag landing is idempotent
+    # (batch-keyed overwrite) while the append is diff-guarded — this
+    # order leaves no crash point where a keeper is a member but was
+    # never flagged
+    n_contam = 0
+    if bench_grams is not None and n_add:
+        flags = decontaminate_against(
+            to_add.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+                (
+                    F.col("source")
+                    if "source" in to_add.columns
+                    else F.lit("").alias("source")
+                ),
+            ),
+            bench_grams,
+        )
+        contam = (
+            flags.filter("contaminated")
+            .select(F.col("doc_id").alias(id_col))
+            .localCheckpoint(eager=True)
+        )
+        n_contam = contam.count()
+        _land_ids(contam, batch_id, os.path.join(work_dir, _CONTAM_SINK))
+    if n_remove:
+        neardup_index_tombstone(spark, nd_idx, to_remove)
+    if n_add:
+        from streaming_spark.operators.neardup_index import (
+            neardup_index_compact,
+        )
+
+        if os.path.isdir(os.path.join(nd_idx, "doc_tombstones")):
+            neardup_index_compact(spark, nd_idx)  # ledger gate
+        neardup_index_append(nd_idx, to_add)
+
+    # ---- step 5: rewrite the exact-id sink wholesale from the keep
+    # set (batch provenance collapses into this partition — documented)
+    exact_sink = os.path.join(work_dir, _EXACT_SINK)
+    shutil.rmtree(exact_sink, ignore_errors=True)
+    _land_ids(new_keep, batch_id, exact_sink)
+
+    _write_json_atomic(
+        os.path.join(work_dir, _META), {"last_batch_id": int(batch_id)}
+    )
+    os.remove(pending)
+    if stats_out is not None:
+        stats_out.update(
+            skipped=False,
+            late_rows=late_docs.count(),
+            late_gated=len(late_id_set),
+            affected_docs=n_affected,
+            rekeyed_hashes=n_fix,
+            nd_removed=n_remove,
+            nd_added=n_add,
+            keep_size=new_keep.count(),
+            contaminated_new=n_contam,
+        )
 
 
 def curation_survivors(spark, work_dir: str) -> DataFrame:

@@ -36,7 +36,9 @@ two views coexist:
   production shape) these decisions equal the batch window's and are
   final; out-of-order backfill or takedowns can promote a previously
   rejected occurrence, which the owners view reflects and recorded
-  decisions do not (recompute survivor sinks from owners after either).
+  decisions do not — the owners-based resync is implemented as
+  ``curation_incremental.curation_backfill`` (decisions are never
+  consulted there).
 
 Scale shape: an append probes the index pruned to the delta's
 digest-prefix (``pb=``) partitions with the delta digests broadcast

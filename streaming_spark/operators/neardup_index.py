@@ -1171,6 +1171,20 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
     return stats
 
 
+def neardup_index_members(spark, index_dir: str) -> DataFrame:
+    """Live member ids — one ``id`` column, sig rows minus the doc
+    tombstone ledger.  The membership view resync compositions diff
+    against (curation_backfill reconciles it with the exact-dedup
+    owners view: members not in the keep set are taken down, keepers
+    not yet members are appended)."""
+    p = _load_params(index_dir)
+    _check_siblings(index_dir, "neardup_index_members")
+    sigs = _read_or_empty(spark, _dir(index_dir, "sigs"), _sigs_schema(p))
+    return sigs.select("id").join(
+        F.broadcast(_doc_tombs(spark, index_dir, p)), "id", "left_anti"
+    )
+
+
 def neardup_index_reshard(
     spark,
     index_dir: str,
