@@ -71,6 +71,7 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streaming_spark.operators.index_commit import write_marker
 from streaming_spark.operators.digest_index import (
     _load_params as _dig_params,
     digest_index_append,
@@ -103,10 +104,7 @@ def _last_batch_id(work_dir: str) -> int:
 
 
 def _write_json_atomic(path: str, payload: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(payload, f)
-    os.rename(tmp, path)
+    write_marker(path, payload)
 
 
 def default_quality_filter(docs: DataFrame, id_col: str = "doc_id", *,

@@ -65,6 +65,14 @@ import shutil
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from streaming_spark.operators.index_commit import (
+    clear_marker,
+    park_and_swap,
+    read_marker,
+    read_table_or_empty,
+    write_marker,
+)
+
 _PARAMS_NAME = "_params.json"
 _FORMAT = "streaming-spark-digestidx"
 
@@ -139,17 +147,7 @@ def _occ_schema(p: dict) -> str:
 
 
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-    # the isdir short-circuit (indexes are local-dir-managed by
-    # contract) keeps a fresh index's first reads from logging Spark's
-    # missing-path WARN stack traces into every gate run
-    if not os.path.isdir(path):
-        return spark.createDataFrame([], schema)
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    return read_table_or_empty(spark, path, schema)
 
 
 def _doc_tombs(spark, index_dir: str, p: dict) -> DataFrame:
@@ -375,17 +373,14 @@ def digest_index_append(
     batch_ids = (
         sorted(r[0] for r in id_rows) if len(id_rows) <= 100_000 else None
     )
-    tmp_pending = pending + ".tmp"
-    with open(tmp_pending, "w", encoding="utf-8") as f:
-        json.dump({"ids": batch_ids, "n": n_delta}, f)
-    os.rename(tmp_pending, pending)
+    write_marker(pending, {"ids": batch_ids, "n": n_delta})
 
     d.withColumn("pb", _pb_expr(F.col(dcol), p["n_prefixes"])).withColumn(
         "ib", _ib_expr(F.col(ocols[0]), p["n_id_buckets"])
     ).repartition("pb", "ib").write.mode("append").partitionBy(
         "pb", "ib"
     ).parquet(_dir(index_dir, "occ"))
-    os.remove(pending)
+    clear_marker(pending)
 
     if stats_out is not None:
         stats_out.update(
@@ -443,9 +438,8 @@ def digest_index_tombstone(
     id_list = sorted(r[0] for r in tomb.collect())  # ledger-small
 
     append_marker = _dir(index_dir, ".append_pending")
-    if os.path.isfile(append_marker):
-        with open(append_marker, encoding="utf-8") as f:
-            am = json.load(f)
+    am = read_marker(append_marker)
+    if am is not None:
         am_ids = am.get("ids")
         if am_ids is None:
             raise RuntimeError(
@@ -469,7 +463,7 @@ def digest_index_tombstone(
         _dir(index_dir, "doc_tombstones")
     )
     if os.path.isfile(append_marker):
-        os.remove(append_marker)  # crashed-append recovery complete
+        clear_marker(append_marker)  # crashed-append recovery complete
     if stats_out is not None:
         stats_out.update(tombstoned=len(id_list))
 
@@ -527,16 +521,7 @@ def digest_index_compact(spark, index_dir: str) -> dict:
             "pb", "ib"
         ).parquet(os.path.join(comp, "occ"))
 
-    os.makedirs(park)
-    for rel in parts:
-        dst = _dir(index_dir, rel)
-        src = os.path.join(comp, rel)
-        park_dst = os.path.join(park, rel)
-        os.makedirs(os.path.dirname(park_dst), exist_ok=True)
-        os.rename(dst, park_dst)
-        if os.path.isdir(src):
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
+    park_and_swap(index_dir, comp, park, parts)
     stats["parts_rewritten"] = len(parts)
     shutil.rmtree(park, ignore_errors=True)  # park first, ledger second
     shutil.rmtree(_dir(index_dir, "doc_tombstones"), ignore_errors=True)

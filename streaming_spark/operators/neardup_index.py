@@ -96,6 +96,14 @@ from streaming_spark.operators.dedup import (
     minhash_signatures,
     verify_jaccard,
 )
+from streaming_spark.operators.index_commit import (
+    clear_marker,
+    park_and_swap,
+    read_marker,
+    read_table_or_empty,
+    swap_directory,
+    write_marker,
+)
 
 _PARAMS_NAME = "_params.json"
 _FORMAT = "streaming-spark-neardup"
@@ -219,19 +227,7 @@ def _pb_expr(bh_col, n_prefixes: int):
 
 
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-    """Read a sub-table, or an empty frame with the right schema when it
-    does not exist yet (fresh index / empty ledger).  The isdir
-    short-circuit (indexes are local-dir-managed by contract) keeps a
-    fresh index's first reads from logging Spark's missing-path WARN
-    stack traces into every gate run."""
-    if not os.path.isdir(path):
-        return spark.createDataFrame([], schema)
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    return read_table_or_empty(spark, path, schema)
 
 
 def _bands_schema(p: dict) -> str:
@@ -585,10 +581,7 @@ def neardup_index_append(
             if n_delta <= 100_000
             else None
         )
-        tmp_pending = pending + ".tmp"
-        with open(tmp_pending, "w", encoding="utf-8") as f:
-            json.dump({"ids": batch_ids, "n": n_delta}, f)
-        os.rename(tmp_pending, pending)
+        write_marker(pending, {"ids": batch_ids, "n": n_delta})
 
         # land FIRST: the probe below then reads the post-append band
         # table, so every bucket size it sees is already the
@@ -620,7 +613,7 @@ def neardup_index_append(
                 new_pairs.write.mode("append").parquet(
                     _dir(index_dir, "pairs")
                 )
-            os.remove(pending)
+            clear_marker(pending)
             if stats_out is not None:
                 bsz = delta_bands.groupBy("band_id", "bh").agg(
                     F.count(F.lit(1)).alias("n")
@@ -716,7 +709,7 @@ def neardup_index_append(
             n_retracted = _retract_unsupported(
                 spark, index_dir, p, crossed
             )
-        os.remove(pending)  # landing complete — the index is consistent
+        clear_marker(pending)  # landing complete — the index is consistent
         if stats_out is not None:
             n_touched, n_sat = grouped.select(
                 F.count(F.lit(1)),
@@ -870,9 +863,8 @@ def neardup_index_tombstone(
     # so it proceeds and clears the append marker on completion.  Any
     # other takedown is refused while the marker exists.
     append_marker = _dir(index_dir, ".append_pending")
-    if os.path.isfile(append_marker):
-        with open(append_marker, encoding="utf-8") as f:
-            am = json.load(f)
+    am = read_marker(append_marker)
+    if am is not None:
         am_ids = am.get("ids")
         if am_ids is None:
             raise RuntimeError(
@@ -893,9 +885,9 @@ def neardup_index_tombstone(
             )
 
     marker = _dir(index_dir, ".takedown_pending")
-    if os.path.isfile(marker):
-        with open(marker, encoding="utf-8") as f:
-            pending = json.load(f).get("ids", [])
+    existing_marker = read_marker(marker)
+    if existing_marker is not None:
+        pending = existing_marker.get("ids", [])
         if sorted(pending) != id_list:
             raise RuntimeError(
                 f"neardup_index_tombstone: {marker!r} records a pending "
@@ -1009,10 +1001,7 @@ def neardup_index_tombstone(
     # rename: a torn marker would brick the index with an unreadable
     # recovery hint)
     if not os.path.isfile(marker):
-        tmp_marker = marker + ".tmp"
-        with open(tmp_marker, "w", encoding="utf-8") as f:
-            json.dump({"ids": id_list}, f)
-        os.rename(tmp_marker, marker)
+        write_marker(marker, {"ids": id_list})
     if n_readmitted:
         to_append.write.mode("append").parquet(_dir(index_dir, "pairs"))
     if n_resurrected:
@@ -1025,9 +1014,9 @@ def neardup_index_tombstone(
     tomb.coalesce(1).write.mode("append").parquet(
         _dir(index_dir, "doc_tombstones")
     )
-    os.remove(marker)
+    clear_marker(marker)
     if os.path.isfile(append_marker):
-        os.remove(append_marker)  # crashed-append recovery complete
+        clear_marker(append_marker)  # crashed-append recovery complete
     if stats_out is not None:
         stats_out.update(
             tombstoned=len(id_list),
@@ -1143,17 +1132,7 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
     # swap loop: park each replaced directory, rename the rewrite in.
     # A missing rewrite (every row of the partition was tombstoned)
     # parks without replacement — exactly ann_index_compact's contract.
-    os.makedirs(park)
-    for rel in swaps:
-        dst = _dir(index_dir, rel)
-        src = os.path.join(comp, rel)
-        park_dst = os.path.join(park, rel)
-        os.makedirs(os.path.dirname(park_dst), exist_ok=True)
-        if os.path.isdir(dst):
-            os.rename(dst, park_dst)
-        if os.path.isdir(src):
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
+    park_and_swap(index_dir, comp, park, swaps)
     stats["sig_parts_rewritten"] = len(sig_parts)
     stats["band_parts_rewritten"] = len(band_parts)
     # park FIRST, ledgers second: once every swap has landed the park is
@@ -1319,11 +1298,7 @@ def neardup_index_reshard(
     finally:
         live_sigs.unpersist()
 
-    old = index_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(tmp, index_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_directory(index_dir, tmp)
     if stats_out is not None:
         stats_out.update(
             rows_live=n_live,

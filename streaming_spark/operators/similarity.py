@@ -3149,12 +3149,9 @@ def ann_index_refresh(
         # table-sized sibling behind
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    old = staged_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(staged_dir):
-        os.rename(staged_dir, old)
-    os.rename(tmp, staged_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    from streaming_spark.operators.index_commit import swap_directory
+
+    swap_directory(staged_dir, tmp)
 
 
 def _cell_stats(
@@ -3427,16 +3424,13 @@ def ann_index_compact(
     rows_after = spark.read.parquet(tmp).count() if any(
         e.startswith("cell=") for e in os.listdir(tmp)
     ) else 0
-    os.makedirs(park)
-    for cell in affected:
-        dst = os.path.join(staged_dir, f"cell={cell}")
-        src = os.path.join(tmp, f"cell={cell}")
-        os.rename(dst, os.path.join(park, f"cell={cell}"))
-        if os.path.isdir(src):
-            os.rename(src, dst)
-            stats["cells_rewritten"] += 1
-        else:
-            stats["cells_removed"] += 1
+    from streaming_spark.operators.index_commit import park_and_swap
+
+    rewritten, removed = park_and_swap(
+        staged_dir, tmp, park, [f"cell={c}" for c in affected]
+    )
+    stats["cells_rewritten"] = rewritten
+    stats["cells_removed"] = removed
     shutil.rmtree(park, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     stats["rows_before"] = int(rows_before)
