@@ -2119,6 +2119,116 @@ def test_ann_index_drift_trigger(spark, tmp_path):
     assert snap_2x["mean_resid"] == pytest.approx(expected, rel=1e-9)
 
 
+def test_ann_drift_signal_drives_refresh(spark, tmp_path):
+    """The signal→action loop, ANN arm (VERDICT r13 #5; twin of
+    test_neardup_reshard_saturation_signal_drives_recovery): a
+    stationary ingest batch stays under ann_index_drift's thresholds
+    and lands through the ordinary delta append; a re-embedded batch
+    (new embedding model = every vector shifted) trips the signal, and
+    the action the signal calls for — retrain on the re-embedded
+    corpus, ann_index_refresh, persist quantizer + new snapshot —
+    restores a quiet steady state: the next new-model batch does NOT
+    drift, the refreshed table serves EXACTLY like an inline encode
+    under the new quantizer, and the old quantizer's ingest path is
+    closed by the fingerprint stamp."""
+    from streaming_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_drift,
+        ann_index_load,
+        ann_index_refresh,
+        ann_index_save,
+        ann_training_snapshot,
+        ivf_centroids,
+        ivfpq_residual_codebooks,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(40)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def clustered(n, seed, start, offset=0.0):
+        # offset models a model swap: the SAME doc re-embeds to the
+        # same point + offset (deterministic per (seed, n))
+        r = np.random.default_rng(seed)
+        pts = centers[r.integers(0, 4, n)] + 0.05 * r.normal(size=(n, 16))
+        pts = pts + offset
+        return spark.createDataFrame(
+            [(start + i, [float(x) for x in v]) for i, v in enumerate(pts)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+
+    corpus0 = clustered(400, 1, 0)
+    cent_old = ivf_centroids(corpus0, 16, 4)
+    books_old = ivfpq_residual_codebooks(corpus0, cent_old, 16, m=4, ksub=16)
+    art = str(tmp_path / "quantizer.json")
+    ann_index_save(
+        art, dim=16, centroids=cent_old, codebooks=books_old,
+        params={"snapshot": ann_training_snapshot(corpus0, cent_old)},
+    )
+    d = str(tmp_path / "codes")
+    ann_index_append(d, corpus0, cent_old, books_old)
+
+    # stationary batch: signal quiet → no action, ordinary append
+    snap = ann_index_load(art)["params"]["snapshot"]
+    delta_ok = clustered(100, 2, 1000)
+    assert not ann_index_drift(delta_ok, cent_old, snap)["drifted"]
+    ann_index_append(d, delta_ok, cent_old, books_old)
+
+    # new-model batch: every vector carries the re-embedding offset —
+    # routing shifts, the total-variation signal trips (the pinned
+    # discriminator for constant offsets on this construction, see
+    # test_ann_index_drift_trigger)
+    delta_shift = clustered(100, 3, 2000, offset=1.0)
+    verdict = ann_index_drift(delta_shift, cent_old, snap)
+    assert verdict["drifted"], verdict
+
+    # THE ACTION: the whole corpus re-embeds under the new model;
+    # retrain on what the corpus has become, refresh the staged table
+    # (re-encode every row under the new quantizer), persist the new
+    # quantizer artifact with its new training snapshot
+    live_new = (
+        clustered(400, 1, 0, offset=1.0)
+        .union(clustered(100, 2, 1000, offset=1.0))
+        .union(delta_shift)
+    )
+    cent_new = ivf_centroids(live_new, 16, 4)
+    books_new = ivfpq_residual_codebooks(live_new, cent_new, 16, m=4, ksub=16)
+    ann_index_refresh(d, live_new, cent_new, books_new)
+    ann_index_save(
+        art, dim=16, centroids=cent_new, codebooks=books_new,
+        params={"snapshot": ann_training_snapshot(live_new, cent_new)},
+    )
+
+    # steady state restored: the NEXT new-model batch is quiet against
+    # the new snapshot and appends through the ordinary delta path
+    snap_new = ann_index_load(art)["params"]["snapshot"]
+    delta_next = clustered(50, 4, 3000, offset=1.0)
+    assert not ann_index_drift(delta_next, cent_new, snap_new)["drifted"]
+    ann_index_append(d, delta_next, cent_new, books_new)
+    live_new = live_new.union(delta_next)
+
+    # the refreshed+appended table serves exactly like an inline
+    # encode under the new quantizer
+    queries = clustered(8, 7, 5000, offset=1.0)
+    kw = dict(
+        dim=16, k=5, n_cells=4, nprobe=2, m=4, ksub=16, rerank=64,
+        centroids=cent_new, codebooks=books_new,
+    )
+    staged = spark.read.parquet(d)
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_topk(live_new, queries, encoded=staged, **kw).collect(),
+        )
+    ) == sorted(map(tuple, ivfpq_topk(live_new, queries, **kw).collect()))
+
+    # half-migrated deployments fail loudly: the old quantizer can no
+    # longer ingest into the refreshed table
+    with pytest.raises(ValueError, match="fingerprint"):
+        ann_index_append(d, clustered(10, 9, 9000), cent_old, books_old)
+
+
 def test_ann_index_compact_rewrites_only_affected_cells(spark, tmp_path):
     """Compaction contract: tombstoned rows leave the files, ONLY the
     cells containing tombstones are rewritten (unaffected cell
