@@ -492,6 +492,84 @@ def _prune_main(
     spark.stop()
 
 
+def _reshard_main(max_n: int, n_band_prefixes: int = 16,
+                  n_id_buckets: int = 16) -> None:
+    """Reshard cost law: neardup_index_reshard rebuilds bands/pairs
+    from the STAGED signatures, so the O(N·len·num_perm) signature map
+    — the dominant cost of a from-scratch rebuild — is never re-paid.
+    This sweep measures that claim at volume: per N, build the index,
+    then apply the saturation remedy (double the cap, double the band
+    prefixes) two ways — reshard from staged sigs vs
+    neardup_index_build from the corpus under the SAME new params —
+    and at the smallest N verify the two indexes serve the identical
+    pair set.  One JSON line per measurement."""
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.dedup import minhash_dedup_pairs
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_build,
+        neardup_index_pairs,
+        neardup_index_reshard,
+    )
+
+    spark = get_spark(app_name="stress-dedup-reshard")
+    warm_dir, warm = stage_corpus(spark, 1_000)
+    minhash_dedup_pairs(warm, "text", "doc_id").count()
+    release(warm_dir)
+
+    NEW_CAP, NEW_PREFIXES = 400, n_band_prefixes * 2
+    for n in (100_000, 500_000, 1_000_000):
+        if n > max_n:
+            break
+        d, df = stage_corpus(spark, n)
+        root = scratch.scratch_dir(f"ndreshard_{n}", pin=True)
+        idx, fresh = root + "/idx", root + "/fresh"
+
+        t0 = time.perf_counter()
+        neardup_index_build(
+            idx, df, n_id_buckets=n_id_buckets,
+            n_band_prefixes=n_band_prefixes,
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        st: dict = {}
+        neardup_index_reshard(
+            spark, idx, max_bucket=NEW_CAP,
+            n_band_prefixes=NEW_PREFIXES, stats_out=st,
+        )
+        reshard_s = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        neardup_index_build(
+            fresh, df, max_bucket=NEW_CAP, n_id_buckets=n_id_buckets,
+            n_band_prefixes=NEW_PREFIXES,
+        )
+        rebuild_s = round(time.perf_counter() - t0, 2)
+
+        pairs_equal = None
+        if n == 100_000:  # pair-set parity spot check (subtract-heavy)
+            a = neardup_index_pairs(spark, idx).select("id_a", "id_b")
+            b = neardup_index_pairs(spark, fresh).select("id_a", "id_b")
+            pairs_equal = (
+                a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+            )
+        print(json.dumps({
+            "op": "neardup_reshard", "n": n,
+            "build_seconds": build_s,
+            "reshard_seconds": reshard_s,
+            "rebuild_from_corpus_seconds": rebuild_s,
+            "reshard_over_rebuild": (
+                round(reshard_s / rebuild_s, 3) if rebuild_s else None
+            ),
+            "pairs_after": st.get("pairs_after"),
+            "rows_live": st.get("rows_live"),
+            "pairs_equal_rebuild": pairs_equal,
+        }), flush=True)
+        release(d, root)
+    spark.stop()
+
+
 def _digmaint_main(max_n: int, n_prefixes: int = 16,
                    n_id_buckets: int = 16) -> None:
     """Digest-index maintenance sweep — the exact-dedup analog of the
@@ -632,6 +710,13 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "digmaint":
         _digmaint_main(
+            int(args[1]) if len(args) > 1 else 1_000_000,
+            int(args[2]) if len(args) > 2 else 16,
+            int(args[3]) if len(args) > 3 else 16,
+        )
+        return
+    if args and args[0] == "reshard":
+        _reshard_main(
             int(args[1]) if len(args) > 1 else 1_000_000,
             int(args[2]) if len(args) > 2 else 16,
             int(args[3]) if len(args) > 3 else 16,

@@ -301,8 +301,9 @@ def digest_index_append(
     # at-least-once ingest makes this reachable, so refuse.  The probe
     # reads the occ table pruned to the delta ids' ib= partitions.
     id0 = ocols[0]
-    delta_ids = d.select(id0).distinct().localCheckpoint(eager=True)
-    n_ids = delta_ids.count()
+    # d is already checkpointed, so the distinct is cheap to recompute —
+    # no extra checkpoint/count jobs (gate-cost: every append runs this)
+    delta_ids = d.select(id0).distinct()
     ibs = sorted(
         r[0]
         for r in delta_ids.select(
@@ -311,7 +312,7 @@ def digest_index_append(
         .distinct()
         .collect()
     )
-    mb0 = F.broadcast if n_ids <= 50_000 else (lambda x: x)
+    mb0 = F.broadcast if n_delta <= 50_000 else (lambda x: x)
     if not (
         _read_or_empty(spark, _dir(index_dir, "occ"), _occ_schema(p))
         .filter(F.col("ib").isin(ibs))

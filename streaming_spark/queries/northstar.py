@@ -3150,8 +3150,13 @@ def neardup_index_maintenance(spark, sf_dir):
     try:
         rows = []
         st: dict = {}
+        # fixture-sized minhash (32 perms / 8 bands, like the
+        # incremental-curation entry) — BOTH arms use the same params,
+        # so every equality witness is unchanged in meaning; fewer
+        # band partitions = fewer tiny-file jobs per landing
         neardup_index_build(
-            idx, base, n_id_buckets=2, n_band_prefixes=2, stats_out=st
+            idx, base, num_perm=32, bands=8,
+            n_id_buckets=2, n_band_prefixes=2, stats_out=st,
         )
         # base-build equality is pinned in tests (an empty-index ingest
         # IS the batch pipeline by construction); the gate pays for the
@@ -3164,17 +3169,17 @@ def neardup_index_maintenance(spark, sf_dir):
         rows.append((
             "delta_append", st["rows_appended"], st["new_pairs"],
             _pairs_digest(neardup_index_pairs(spark, idx)),
-            batch_md5(docs),
+            batch_md5(docs, num_perm=32, bands=8),
         ))
-        # the saturation-signal action: re-band to 8 bands (from the
-        # frozen 16) off the staged signatures — the pair set must now
+        # the saturation-signal action: re-band to 4 bands (from the
+        # frozen 8) off the staged signatures — the pair set must now
         # equal the batch arm under the NEW banding
         st = {}
-        neardup_index_reshard(spark, idx, bands=8, stats_out=st)
+        neardup_index_reshard(spark, idx, bands=4, stats_out=st)
         rows.append((
             "reshard", st["rows_live"], st["pairs_after"],
             _pairs_digest(neardup_index_pairs(spark, idx)),
-            batch_md5(docs, bands=8),
+            batch_md5(docs, num_perm=32, bands=4),
         ))
     finally:
         spark.conf.set(key, prev)
