@@ -219,7 +219,9 @@ def test_neardup_index_random_walk(spark, tmp_path):
     EVERY operation.  This exercises the interactions the scenario
     tests cannot enumerate — retract→resurrect→retract cycles on the
     same pair, re-admission into buckets later re-crossed, compaction
-    between transitions."""
+    between transitions, and RESHARDS (re-band / re-cap, r14) landing
+    on live ledger state mid-walk (the batch arm re-keys to the new
+    params at the same step, so equality keeps meaning)."""
     import numpy as np
 
     rng = np.random.default_rng(20260816)
@@ -252,15 +254,20 @@ def test_neardup_index_random_walk(spark, tmp_path):
         corpus = _word_docs(spark, sorted(live.items()))
         assert _pairs(neardup_index_pairs(spark, d)) == _batch(corpus, **kw)
 
+    from streaming_spark.operators.neardup_index import (
+        neardup_index_reshard,
+    )
+
     neardup_index_build(d, _word_docs(spark, make_batch(12)), max_bucket=2)
     check()
+    resharded = False
     for step in range(9):
         op = rng.random()
-        if op < 0.55 or len(live) < 6:
+        if op < 0.5 or len(live) < 6:
             neardup_index_append(
                 d, _word_docs(spark, make_batch(int(rng.integers(5, 16))))
             )
-        elif op < 0.85:
+        elif op < 0.75:
             victims = [
                 int(v)
                 for v in rng.choice(
@@ -270,8 +277,21 @@ def test_neardup_index_random_walk(spark, tmp_path):
             neardup_index_tombstone(spark, d, victims)
             for v in victims:
                 live.pop(v)
-        else:
+        elif op < 0.9:
             neardup_index_compact(spark, d)
+        else:
+            # re-band/re-cap mid-walk, on whatever ledger state the
+            # walk left; the batch arm re-keys at the same step
+            resharded = True
+            kw["max_bucket"] = int(rng.integers(2, 5))
+            kw["bands"] = int(rng.choice([16, 8]))
+            neardup_index_reshard(
+                spark, d, bands=kw["bands"], max_bucket=kw["max_bucket"]
+            )
+        check()
+    if not resharded:  # the seed must actually exercise the new move
+        kw["max_bucket"], kw["bands"] = 3, 8
+        neardup_index_reshard(spark, d, bands=8, max_bucket=3)
         check()
 
 
