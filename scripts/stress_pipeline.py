@@ -428,6 +428,123 @@ def run_incremental_point(spark, n: int, n_batches: int = 8) -> None:
     release(corpus_dir)
 
 
+def run_backfill_point(spark, n: int, late: int = 1_000,
+                       n_batches: int = 4) -> None:
+    """Out-of-order backfill cost law (curation_backfill, r14): after
+    ``n_batches`` ordered ingests over ids [late, late+n), a LATE batch
+    of ``late`` docs arrives whose ids are SMALLER than everything
+    ingested and whose texts are exact copies of already-ingested docs
+    — every late doc steals line/exact ownership from an ingested doc,
+    so the full resync cascade (affected-doc recompute, exact-index
+    re-key, near-dup membership churn, sink rewrite) runs at delta
+    scale, not floor scale.  Measured against the batch recompute over
+    the same corpus, with survivor-set equality asserted.  The claim
+    under measure: backfill's text-touching work is bounded by
+    late + affected + churn (delta-bound), while the batch alternative
+    re-runs every global stage over the accumulated corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streaming_spark.operators.curation_incremental import (
+        curation_backfill,
+        curation_ingest_batch,
+        curation_survivors,
+    )
+    from streaming_spark.queries.curation import benchmark_grams
+
+    corpus_dir, raw = stage_corpus(spark, n + late)
+
+    def report(op, seconds, rows, **extra):
+        print(
+            json.dumps(
+                {"op": op, "n": n, "seconds": round(seconds, 2),
+                 "rows": rows, **extra}
+            ),
+            flush=True,
+        )
+
+    bench = raw.filter("doc_id % 97 = 0")
+    grams = benchmark_grams(bench).localCheckpoint(eager=True)
+    work = scratch.scratch_dir(f"stress_pipe_backfill_{n}", pin=True)
+
+    ingested = raw.filter(F.col("doc_id") >= late).withColumn(
+        "source", (F.col("doc_id") % 4).cast("string")
+    )
+    width = n // n_batches
+    for b in range(n_batches):
+        lo = late + b * width
+        hi = late + (b + 1) * width if b < n_batches - 1 else late + n
+        t0 = time.perf_counter()
+        curation_ingest_batch(
+            ingested.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            work, b, bench_grams=grams, quality_filter=_quality,
+            digest_kwargs=dict(n_prefixes=16, n_id_buckets=4),
+            neardup_kwargs=dict(n_id_buckets=16, n_band_prefixes=16),
+        )
+        report("backfill_ordered_batch", time.perf_counter() - t0,
+               hi - lo, batch=b)
+
+    # the late batch: ids [0, late) carrying the TEXTS of ingested docs
+    # [late, 2*late) — each steals exact/line ownership (smaller id)
+    late_docs = (
+        raw.filter(
+            (F.col("doc_id") >= late) & (F.col("doc_id") < 2 * late)
+        )
+        .select(
+            (F.col("doc_id") - late).alias("doc_id"), "text",
+            ((F.col("doc_id") - late) % 4).cast("string").alias("source"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    full_corpus = ingested.select("doc_id", "text", "source").union(
+        late_docs
+    )
+    t0 = time.perf_counter()
+    st: dict = {}
+    curation_backfill(
+        spark, late_docs, work, n_batches, full_corpus,
+        bench_grams=grams, quality_filter=_quality, stats_out=st,
+    )
+    backfill_s = time.perf_counter() - t0
+    report(
+        "backfill_late_batch", backfill_s, late,
+        affected_docs=st.get("affected_docs"),
+        rekeyed_hashes=st.get("rekeyed_hashes"),
+        nd_removed=st.get("nd_removed"), nd_added=st.get("nd_added"),
+        keep_size=st.get("keep_size"),
+    )
+
+    t0 = time.perf_counter()
+    incr_ids = sorted(
+        r.doc_id for r in curation_survivors(spark, work).collect()
+    )
+    fold_s = time.perf_counter() - t0
+    report("backfill_final_fold", fold_s, len(incr_ids))
+
+    # the batch recompute over the same corpus — what a pipeline
+    # without the resync operator pays for ONE late batch
+    t0 = time.perf_counter()
+    batch_ids = _pipeline_tail_ids(
+        spark, _quality(full_corpus), raw, n, "bfref"
+    )
+    report(
+        "backfill_batch_reference", time.perf_counter() - t0,
+        len(batch_ids),
+        identical_survivors=incr_ids == batch_ids,
+        backfill_seconds=round(backfill_s, 2),
+    )
+    assert incr_ids == batch_ids, (
+        "backfill and batch pipelines diverged: "
+        f"{len(incr_ids)} vs {len(batch_ids)} survivors"
+    )
+    scratch.unpin(work)
+    shutil.rmtree(work, ignore_errors=True)
+    release(corpus_dir)
+
+
 def _pipeline_tail_ids(spark, filtered, raw, n: int, tag: str) -> list:
     """The pipeline's GLOBAL stages (cross-doc line dedup + exact dedup
     → near-dup keep-one → decontamination), shared verbatim by the
@@ -486,6 +603,9 @@ def main() -> None:
         return
     if len(sys.argv) > 2 and sys.argv[2] == "incremental":
         run_incremental_point(spark, max_n)
+        return
+    if len(sys.argv) > 2 and sys.argv[2] == "backfill":
+        run_backfill_point(spark, max_n)
         return
 
     for n in (50_000, 200_000, 1_000_000):
