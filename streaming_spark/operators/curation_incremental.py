@@ -551,7 +551,19 @@ def curation_backfill(
     bytes, never text) and the sink rewrite is id-sized — the
     metadata-scale price of an exceptional-path resync, vs the ordered
     fast path that touches neither.  Churn sets are ledger-small by
-    contract (the same bound as the index markers).
+    contract (the same bound as the index markers).  Measured
+    (stress_pipeline ``backfill`` mode, a 1k late batch whose docs all
+    steal ownership — 2000 affected, 1991 re-keys, 992+992 near-dup
+    churn, survivor sets identical to the batch pipeline at every N):
+    78/69/174 s at N=20k/100k/500k vs 35/65/142 s for the batch
+    recompute.  Honest framing, same as the digest index's: the resync
+    does NOT win local wall seconds at these fixture densities (its
+    metadata passes are job-overhead-heavy, and the exact-index re-key
+    pays a victim-bucket compact that is index-footprint-bound) — what
+    it wins is corpus TEXT BYTES (it read ~3k docs of text at
+    N=500k where the recompute re-reads and re-signs all 500k), which
+    is the axis that dominates at deployment scale, plus the ordered
+    fast path staying delta-bound for every non-late batch.
 
     ``stats_out`` keys: late_rows, late_gated, affected_docs,
     rekeyed_hashes, nd_removed, nd_added, keep_size, contaminated_new,
