@@ -532,6 +532,16 @@ def _reshard_main(max_n: int, n_band_prefixes: int = 16,
         )
         build_s = round(time.perf_counter() - t0, 2)
 
+        # rebuild arm FIRST, reshard second: the shared box drifts
+        # 2-3x across minutes (CLAUDE.md), and the first sweep ran
+        # reshard first — opposite orderings bracket the drift bias
+        t0 = time.perf_counter()
+        neardup_index_build(
+            fresh, df, max_bucket=NEW_CAP, n_id_buckets=n_id_buckets,
+            n_band_prefixes=NEW_PREFIXES,
+        )
+        rebuild_s = round(time.perf_counter() - t0, 2)
+
         t0 = time.perf_counter()
         st: dict = {}
         neardup_index_reshard(
@@ -539,13 +549,6 @@ def _reshard_main(max_n: int, n_band_prefixes: int = 16,
             n_band_prefixes=NEW_PREFIXES, stats_out=st,
         )
         reshard_s = round(time.perf_counter() - t0, 2)
-
-        t0 = time.perf_counter()
-        neardup_index_build(
-            fresh, df, max_bucket=NEW_CAP, n_id_buckets=n_id_buckets,
-            n_band_prefixes=NEW_PREFIXES,
-        )
-        rebuild_s = round(time.perf_counter() - t0, 2)
 
         pairs_equal = None
         if n == 100_000:  # pair-set parity spot check (subtract-heavy)

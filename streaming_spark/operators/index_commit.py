@@ -106,6 +106,33 @@ def park_and_swap(
     return rewritten, removed
 
 
+def link_tree(src: str, dst: str) -> int:
+    """Zero-copy staging of an UNCHANGED sub-table: recreate ``src``'s
+    directory tree at ``dst`` with hardlinks to the same immutable
+    parquet files (copy fallback for cross-device).  Used when a
+    whole-index rebuild (reshard/refresh) leaves one table's layout
+    untouched — re-reading and re-writing terabytes that did not change
+    is the cost the staged index exists to avoid.  Safe because index
+    files are immutable by construction (appends add files, rewrites
+    stage new directories); after the swap the old directory's removal
+    drops its links and the staged tree keeps the files alive.  On an
+    object store this is the manifest commit re-pointing at the same
+    objects — i.e. free.  Returns the number of files linked."""
+    n = 0
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for name in files:
+            s, d = os.path.join(root, name), os.path.join(out, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+            n += 1
+    return n
+
+
 def swap_directory(target: str, staged: str) -> None:
     """Replace ``target`` wholesale with the fully-staged ``staged``
     sibling: park the old directory at ``<target>.old``, rename the

@@ -98,6 +98,7 @@ from streaming_spark.operators.dedup import (
 )
 from streaming_spark.operators.index_commit import (
     clear_marker,
+    link_tree,
     park_and_swap,
     read_marker,
     read_table_or_empty,
@@ -1213,11 +1214,23 @@ def neardup_index_reshard(
     hint (see ``_load_params``).  Refuses an index with a pending
     append/takedown marker or a parked compact.
 
-    Cost shape: one column-pruned scan of the sig table (signature
-    rows, never text) + the banded candidate join + verification over
-    the whole live corpus — table-footprint-bound, the slow-cadence
-    maintenance move, exactly like the ANN refresh; the fast path stays
-    the delta-bound append.
+    Cost shape: the banded candidate join + verification over the whole
+    live corpus — table-footprint-bound, the slow-cadence maintenance
+    move, exactly like the ANN refresh; the fast path stays the
+    delta-bound append.  What the reshard never re-pays is the
+    SIGNATURE work: banding reads only the (id, sig) columns (a
+    column-pruned scan ~the size of num_perm·8 bytes/doc), shingles are
+    read per-candidate at verify time, and an unchanged-layout sigs
+    table stages as hardlinks (zero bytes moved; a manifest re-point on
+    object storage).  Measured honestly (stress_dedup ``reshard`` mode,
+    300-char fixture docs): the ORIGINAL implementation cached the
+    shingle arrays (~8× the corpus text bytes) corpus-wide and LOST to
+    a from-scratch rebuild at 500k (169 s vs 96 s) — at these tiny doc
+    sizes re-hashing text is cheaper than moving stored shingles; the
+    slim-cache + hardlink design restores the win (see the in-body
+    comment), and the advantage grows with doc length since the
+    re-sign cost the rebuild pays is O(text) Python-side work while the
+    reshard's sig scan is fixed-width.
 
     ``stats_out`` keys: rows_live, pairs_after, folded_doc_tombstones,
     folded_pair_tombstones, plus the new parameter values."""
@@ -1244,23 +1257,37 @@ def neardup_index_reshard(
     tmp = index_dir.rstrip("/") + ".reshard"
     shutil.rmtree(tmp, ignore_errors=True)
     doc_t = _doc_tombs(spark, index_dir, p).localCheckpoint(eager=True)
+    n_doc_t = doc_t.count()
     pair_t_n = _pair_tombs(spark, index_dir, p).count()
-    live_sigs = (
-        _read_or_empty(spark, _dir(index_dir, "sigs"), _sigs_schema(p))
-        .join(F.broadcast(doc_t), "id", "left_anti")
-        .select("id", "shingles", "sig")
-        .persist()
-    )
+    live_full = _read_or_empty(
+        spark, _dir(index_dir, "sigs"), _sigs_schema(p)
+    ).join(F.broadcast(doc_t), "id", "left_anti")
+    # cache ONLY (id, sig): banding and counting never touch the
+    # shingle arrays, which are ~8x the corpus TEXT bytes (a char
+    # 9-gram hash per position) — caching them made reshard SLOWER
+    # than a from-scratch rebuild at 500k (measured, stress_dedup
+    # reshard mode: 169 s vs 96 s; slim cache + disk-backed verify
+    # restores the no-re-sign win).  Shingles are read per-candidate
+    # at verify time through a column-pruned columnar scan instead.
+    live_sigs = live_full.select("id", "sig").persist()
     try:
         n_live = live_sigs.count()
         os.makedirs(tmp)
         with open(os.path.join(tmp, _PARAMS_NAME), "w", encoding="utf-8") as f:
             json.dump(new_p, f)
-        live_sigs.withColumn(
-            "sb", _sb_expr(F.col("id"), new_p["n_id_buckets"])
-        ).repartition("sb").write.mode("overwrite").partitionBy("sb").parquet(
-            os.path.join(tmp, "sigs")
-        )
+        if new_p["n_id_buckets"] == p["n_id_buckets"] and n_doc_t == 0:
+            # the sigs table's layout depends only on n_id_buckets and
+            # its rows only on the doc-tombstone fold: unchanged layout
+            # + empty ledger ⇒ stage it zero-copy (hardlinks to the
+            # same immutable files) instead of decoding and re-writing
+            # the shingle arrays through Spark
+            link_tree(_dir(index_dir, "sigs"), os.path.join(tmp, "sigs"))
+        else:
+            live_full.withColumn(
+                "sb", _sb_expr(F.col("id"), new_p["n_id_buckets"])
+            ).repartition("sb").write.mode("overwrite").partitionBy(
+                "sb"
+            ).parquet(os.path.join(tmp, "sigs"))
         new_bands = (
             _banded(live_sigs, new_p["bands"])
             .withColumn("pb", _pb_expr(F.col("bh"), new_p["n_band_prefixes"]))
@@ -1284,7 +1311,7 @@ def neardup_index_reshard(
             require_delta=False,
         )
         new_pairs = verify_jaccard(
-            cand, live_sigs, new_p["threshold"]
+            cand, live_full, new_p["threshold"]
         ).localCheckpoint(eager=True)
         n_pairs = new_pairs.count()
         new_pairs.coalesce(1).write.mode("overwrite").parquet(
