@@ -103,6 +103,7 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 16,
     max_bucket: int = 200,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id_a < id_b).
 
@@ -113,8 +114,12 @@ def lsh_candidate_pairs(
     ARE dropped from pairing; the loss is observable via
     ``lsh_bucket_stats`` (same banding, returns the hot buckets and their
     sizes) — run it when tuning ``max_bucket`` for a corpus.
+
+    ``sig_len`` (when the caller statically knows the signature length,
+    e.g. its own ``num_perm``) validates the banding on the driver and
+    skips the one-row probe job ``_banded`` otherwise runs.
     """
-    banded = _banded(sigs, bands)
+    banded = _banded(sigs, bands, sig_len=sig_len)
 
     # ONE shuffle keyed by (band_id, bh): gather each bucket, expand its
     # pairs in-place (bounded by max_bucket² — no self-join, no second
@@ -136,20 +141,26 @@ def lsh_candidate_pairs(
     )
 
 
-def _banded(sigs: DataFrame, bands: int) -> DataFrame:
+def _banded(sigs: DataFrame, bands: int, sig_len: int | None = None) -> DataFrame:
     """Shared banding: (id, band_id, bh) — one row per (doc, band).
 
     Guard: a signature SHORTER than ``bands`` floors rows_per_band to 0,
     every band slice goes empty, and the whole corpus collapses into one
     bucket per band — which the hot-bucket cap then DROPS, i.e. total
     silent recall loss.  That degenerate geometry raises driver-side
-    (one limit-1 probe, metadata cost) instead.  A non-multiple
-    num_perm uses the first bands·floor(num_perm/bands) values —
-    standard banding; the remainder carries no extra collision power."""
-    probe = sigs.select(F.size("sig").alias("n")).first()
-    if probe is not None and probe["n"] < bands:
+    instead: statically when the caller passes ``sig_len`` (it knows its
+    num_perm — no Spark job at all), else via a one-row limit probe.
+    A non-multiple num_perm uses the first bands·floor(num_perm/bands)
+    values — standard banding; the remainder carries no extra collision
+    power."""
+    if sig_len is not None:
+        n = sig_len
+    else:
+        probe = sigs.select(F.size("sig").alias("n")).first()
+        n = probe["n"] if probe is not None else None
+    if n is not None and n < bands:
         raise ValueError(
-            f"lsh banding: {probe['n']} signature values cannot fill "
+            f"lsh banding: {n} signature values cannot fill "
             f"{bands} bands (rows_per_band would be 0 and every doc "
             f"would share one bucket per band) — lower bands or raise "
             f"num_perm"
@@ -224,7 +235,9 @@ def minhash_dedup_pairs(
         df, text_col, id_col, num_perm, shingle_k, seed
     ).persist()
     try:
-        pairs = lsh_candidate_pairs(sigs, bands, max_bucket)
+        # sig_len=num_perm: the banding guard validates statically — no
+        # probe job against the cached-but-unmaterialized signatures
+        pairs = lsh_candidate_pairs(sigs, bands, max_bucket, sig_len=num_perm)
         # localCheckpoint (eager) materializes while sigs are cached AND
         # leaves no cache-manager entry behind — a lingering persist()
         # both degrades later queries and silently serves identical

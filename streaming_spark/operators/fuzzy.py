@@ -94,34 +94,49 @@ def fuzzy_self_pairs(
     variants = base.select(
         "__id", F.explode(deletion_variants("__s", max_dist)).alias("__vs")
     ).select("__id", F.xxhash64("__vs").alias("__v"))
+    # ONE shuffle keyed by variant hash: gather each bucket and expand
+    # its pairs in-place (the lsh_candidate_pairs shape).  The r13
+    # self-join evaluated the variant expansion TWICE (each join side
+    # re-ran the interpreted deletion transform over the whole column)
+    # and paid two join-side exchanges plus a third evaluation for the
+    # max_bucket sizes join; the grouped expansion runs the expansion
+    # once and exchanges once, and the cap becomes a size(ids) filter —
+    # identical pair set (pinned by the estimator and known-distance
+    # tests).
+    grouped = (
+        variants.groupBy("__v")
+        .agg(F.collect_list("__id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_bucket is not None:
-        sizes = variants.groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
-        variants = (
-            variants.join(sizes, "__v")
-            .filter(F.col("__n") <= max_bucket)
-            .drop("__n")
-        )
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
     if stats_out is not None:
-        from streaming_spark.telemetry import (
-            log_candidate_volume,
-            self_join_candidate_volume,
-        )
+        from streaming_spark.telemetry import log_candidate_volume
 
         n_rows = base.count()
-        est = self_join_candidate_volume(variants, "__v")
+        # exact join volume of the (capped) buckets — Σ n·(n−1)/2, the
+        # same quantity self_join_candidate_volume computes from the
+        # keyed frame (integral div: n·(n−1) is even)
+        est = int(
+            grouped.select(F.size("ids").alias("__n"))
+            .agg(F.sum(F.expr("__n * (__n - 1) div 2")).alias("__cand"))
+            .first()["__cand"]
+            or 0
+        )
         log_candidate_volume("fuzzy_self_pairs", est, n_rows)
         stats_out.update(
             n_rows=n_rows,
             candidates=est,
             total_pairs=n_rows * (n_rows - 1) // 2,
         )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+    )
     cand = (
-        variants.alias("a")
-        .join(variants.alias("b"), "__v")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-        )
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))

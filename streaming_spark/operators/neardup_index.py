@@ -562,7 +562,7 @@ def neardup_index_append(
                 "+ re-append under the same ids."
             )
         delta_bands = (
-            _banded(delta_sigs, p["bands"])
+            _banded(delta_sigs, p["bands"], sig_len=p["num_perm"])
             .withColumn("pb", _pb_expr(F.col("bh"), p["n_band_prefixes"]))
             .persist()
         )
@@ -605,7 +605,7 @@ def neardup_index_append(
             from streaming_spark.operators.dedup import lsh_candidate_pairs
 
             new_pairs = verify_jaccard(
-                lsh_candidate_pairs(delta_sigs, p["bands"], cap),
+                lsh_candidate_pairs(delta_sigs, p["bands"], cap, sig_len=p["num_perm"]),
                 delta_sigs,
                 p["threshold"],
             ).localCheckpoint(eager=True)
@@ -763,7 +763,8 @@ def _retract_unsupported(
         .distinct()
     )
     aff_bands = _banded(
-        _sigs_for_ids(spark, index_dir, p, aff_ids), p["bands"]
+        _sigs_for_ids(spark, index_dir, p, aff_ids), p["bands"],
+        sig_len=p["num_perm"],
     ).localCheckpoint(eager=True)
     shared = (
         aff.join(
@@ -922,7 +923,8 @@ def neardup_index_tombstone(
     # recovery contract) must contribute zero removals or it would
     # spuriously down-cross buckets it never sat in
     expected = _banded(
-        _sigs_for_ids(spark, index_dir, p, tomb), p["bands"]
+        _sigs_for_ids(spark, index_dir, p, tomb), p["bands"],
+        sig_len=p["num_perm"],
     )
     hit_combos = _pb_combos(expected, p)
     n_readmitted = 0
@@ -1089,7 +1091,7 @@ def neardup_index_compact(spark, index_dir: str) -> dict:
         ).parquet(os.path.join(comp, "sigs"))
         swaps += sig_parts
 
-    victim_bands = _banded(victim_sigs, p["bands"])
+    victim_bands = _banded(victim_sigs, p["bands"], sig_len=p["num_perm"])
     combos = _pb_combos(victim_bands, p)
     band_parts = [
         f"bands/band_id={b}/pb={pb}"
@@ -1289,7 +1291,7 @@ def neardup_index_reshard(
                 "sb"
             ).parquet(os.path.join(tmp, "sigs"))
         new_bands = (
-            _banded(live_sigs, new_p["bands"])
+            _banded(live_sigs, new_p["bands"], sig_len=new_p["num_perm"])
             .withColumn("pb", _pb_expr(F.col("bh"), new_p["n_band_prefixes"]))
             if n_live
             else spark.createDataFrame([], _bands_schema(new_p))

@@ -245,7 +245,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # Python RDD wrapper and force a separate analysis pass per call
     n = df._jdf.rdd().getNumPartitions()
     if n < target:
-        return df.repartition(target)
+        # hash-repartition on a deterministic whole-row hash instead of
+        # round-robin: keyless repartition(n) first LOCALLY SORTS its
+        # input (spark.sql.execution.sortBeforeRepartition, on since
+        # SPARK-23207 so retried tasks reproduce their row→partition
+        # assignment) — and that sort runs on the pre-shuffle partitions,
+        # i.e. single-threaded on a one-row-group fixture scan (measured
+        # ~0.25s of the exchange cost at sf0.1 lineitem).  A
+        # deterministic hash key needs no sort for retry safety (the
+        # guide's pmod(xxhash64(...)) idiom), spreads as evenly as
+        # round-robin for non-duplicated rows, and co-locating exact
+        # duplicate rows is harmless for every caller (row-wise maps and
+        # joins only).
+        return df.repartition(target, F.xxhash64(*[F.col(c) for c in df.columns]))
     return df
 
 

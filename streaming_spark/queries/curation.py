@@ -1666,35 +1666,40 @@ def dsir_scores(tf_index):
     q_dsir_weights (batch tokenize → tf) and q_streaming_dsir_index
     (tf folded from the accumulated ingest sink); the twin pair stays
     bit-identical because divergence is structurally impossible (code
-    review r6).  Both totals come back from ONE conditional aggregate
-    job (VERDICT r6 #2 — n_r and n_t are two sums over the same scan,
-    not two scans); the ≤65536-row ratio table broadcasts into the
-    scoring join."""
-    totals = tf_index.agg(
-        F.sum("tf").alias("n_r"),
-        F.sum(F.when(F.col("source") == "src0", F.col("tf"))).alias("n_t"),
-    ).collect()[0]
+    review r6).
+
+    tf_index is evaluated exactly TWICE: once eagerly for the
+    per-bucket counts (one job — both c_r and c_t come from one
+    conditional aggregate, and the totals fold from its ≤65536 rows on
+    the driver, exact because tf is integral), and once lazily in the
+    scoring join.  The r13 shape paid FOUR evaluations (totals job +
+    tcnt + rcnt + scoring — at sf0.1 each re-ran the tokenize+md5 scan;
+    at 100 TB each is a corpus-sized pass).  The collected frame is
+    bounded by the md5-prefix feature space (≤65536 rows) — the same
+    model-sized-broadcast contract the ratio table already had."""
+    bucket_counts = tf_index.groupBy("bucket").agg(
+        F.sum("tf").alias("c_r"),
+        F.sum(F.when(F.col("source") == "src0", F.col("tf"))).alias("c_t"),
+    )
+    rows = bucket_counts.collect()
     # empty input / absent target domain → sum() is NULL; a silent 0
     # would fabricate uniform log-ratios, so fail loudly (ADVICE r6)
-    if totals["n_r"] is None or totals["n_t"] is None:
+    t_counts = [r["c_t"] for r in rows if r["c_t"] is not None]
+    if not rows or not t_counts:
         raise ValueError(
             "dsir_scores: tf_index has no "
-            + ("rows at all" if totals["n_r"] is None else "source='src0' rows")
+            + ("rows at all" if not rows else "source='src0' rows")
             + " — the DSIR ratio needs both a raw and a target domain"
         )
-    n_r, n_t = totals["n_r"], totals["n_t"]
-    tcnt = (
-        tf_index.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.sum("tf").alias("c_t"))
-    )
-    rcnt = tf_index.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
+    n_r = sum(r["c_r"] for r in rows)
+    n_t = sum(t_counts)
     lr = F.log(
         (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
         / F.lit(float(n_t + _DSIR_BUCKETS))
     ) - F.log((F.col("c_r") + 1.0) / F.lit(float(n_r + _DSIR_BUCKETS)))
-    ratio = rcnt.join(tcnt, "bucket", "left").select(
-        "bucket", lr.alias("lr")
+    ratio = (
+        tf_index.sparkSession.createDataFrame(rows, schema=bucket_counts.schema)
+        .select("bucket", lr.alias("lr"))
     )
     return (
         tf_index.join(F.broadcast(ratio), "bucket")
@@ -1899,15 +1904,19 @@ def q_lm_perplexity(spark, sf_dir):
         "source",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
     )
-    tgt = (
+    tgt_counts = (
         toks.filter(F.col("source") == "src0")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    row = tgt.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    if row["n"] is None:
+    # ONE eager job trains the LM: the vocabulary-sized (tok, c) table
+    # comes back to the driver (it was already broadcast-bounded), its
+    # totals fold exactly (integral counts), and the scoring join reads
+    # the recreated local frame — so the final plan tokenizes the corpus
+    # ONCE instead of re-tokenizing the src0 slice a second and third
+    # time for the totals job and the lazy tgt branch (r13 shape).
+    tgt_rows = tgt_counts.collect()
+    if not tgt_rows:
         # empty target slice: say WHICH contract broke instead of a raw
         # TypeError on None arithmetic (same loud-guard discipline as
         # dsir_scores' empty-domain error, ADVICE r6)
@@ -1915,7 +1924,8 @@ def q_lm_perplexity(spark, sf_dir):
             "q_lm_perplexity: target slice source='src0' holds no "
             "non-empty documents — the unigram LM has nothing to train on"
         )
-    denom = float(row["n"] + row["v"] + 1)
+    tgt = spark.createDataFrame(tgt_rows, schema=tgt_counts.schema)
+    denom = float(sum(r["c"] for r in tgt_rows) + len(tgt_rows) + 1)
     nll = -F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(denom))
     return (
         toks.join(F.broadcast(tgt), "tok", "left")
