@@ -31,6 +31,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# footer-schema memo, keyed by file path: spark.read.parquet runs
+# schema inference per CALL (~120 ms of driver/py4j work on this box —
+# measured 5-6x the cost of a schema-supplied read), and query builders
+# load the same immutable fixture tables on every invocation.  Caching
+# only the SCHEMA (metadata, never rows) and re-issuing the scan with
+# .schema(...) keeps every execution reading the parquet from disk
+# while skipping the repeated inference; it is also the deployment
+# idiom — production readers declare schemas rather than sample
+# footers.  Keyed by path so distinct scale factors never collide.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, splittable, predicate-pushdown friendly.
 
@@ -44,8 +65,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
-    return spark.read.parquet(table_path(sf_dir, name))
+        return normalize_events_ts(_read_parquet(spark, table_path(sf_dir, name)))
+    return _read_parquet(spark, table_path(sf_dir, name))
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -369,6 +369,13 @@ def _simhash_pairs_from(
             F.array(*[band_expr(i) for i in range(bands)])
         ).alias("band_id", "band_val"),
     )
+    # Self-join shape, NOT the grouped collect_list shape the minhash /
+    # fuzzy candidate stages use: both sides read the CACHED signature
+    # frame (the caller persists it for exactly this), the join
+    # broadcasts, and the whole candidate stage plans shuffle-free —
+    # measured 1.3 s vs 1.7-2.2 s for a grouped rewrite at sf0.1 (r14;
+    # the struct-emitting pair lambda runs interpreted and the
+    # aggregation forces a real exchange the broadcast join never pays).
     a = banded.select(
         "band_id", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("h_a")
     )

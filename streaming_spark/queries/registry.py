@@ -24,10 +24,10 @@ def query(name: str, oracle: str | None = None):
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table."""
-    from streaming_spark.io import table_path
+    """Load one fixture table (schema-memoized parquet scan — io.py)."""
+    from streaming_spark.io import _read_parquet, table_path
 
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read_parquet(spark, table_path(sf_dir, name))
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
