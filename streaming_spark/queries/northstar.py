@@ -944,7 +944,13 @@ def dedup_incremental(spark, sf_dir):
     its digest column is read (at production scale that index is the
     parquet digest column itself, bloom-filtered).  The surviving
     matched-digest set rides back as a second broadcast; within-batch
-    first-wins is one partial-agg'd shuffle of the batch only."""
+    first-wins is a window min over the batch's one digest shuffle —
+    the r13 groupBy + joined-back broadcast paid a third batch scan
+    and a batch-sized broadcast build, and a batch-sized broadcast is
+    the wrong 100 TB shape anyway (measured on the bloom twin of this
+    query: interleaved same-session A/B 0.976 s → 0.536 s at sf0.1)."""
+    from pyspark.sql.window import Window
+
     docs = T(spark, sf_dir, "documents")
     corpus = (
         docs.filter(F.col("doc_id") < 400)
@@ -955,11 +961,13 @@ def dedup_incremental(spark, sf_dir):
         "doc_id", F.md5("text").alias("h")
     )
     batch_hashes = batch.select("h").distinct()
-    matched = corpus.join(F.broadcast(batch_hashes), "h").distinct()
-    batch_min = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    # corpus and batch_hashes are each duplicate-free, so their inner
+    # join already is — the r13 .distinct() here was a redundant exchange
+    matched = corpus.join(F.broadcast(batch_hashes), "h")
+    first_w = Window.partitionBy("h")
     return (
-        batch.join(F.broadcast(matched.withColumn("in_corpus", F.lit(True))), "h", "left")
-        .join(batch_min, "h")
+        batch.withColumn("first_id", F.min("doc_id").over(first_w))
+        .join(F.broadcast(matched.withColumn("in_corpus", F.lit(True))), "h", "left")
         .select(
             "doc_id",
             F.when(F.col("in_corpus"), "dup_of_corpus")
@@ -1005,7 +1013,30 @@ def dedup_bloom_ingest(spark, sf_dir):
     almost entirely WITHOUT touching the corpus at all.  The exact
     verify join is sized by the true-dup rate + epsilon, not the batch.
     Reference analog: the host DB's digest-index probe before re-ingest
-    (BASELINE.md store/scan round-trip)."""
+    (BASELINE.md store/scan round-trip).
+
+    Plan shape (r14): the bloom probe crosses the Python boundary ONCE,
+    over the digest column only — the r13 shape probed the full
+    (doc_id, h) batch and then re-evaluated that MapInPandas subtree a
+    second time for the hit set, because Spark cannot prune or dedup
+    through an opaque Python node (guide §4.1); the classification
+    branch never reads ``bloom_hit`` at all, so it now reads the raw
+    batch directly.  The probe runs PRE-shuffle on the scan partitions
+    and the hit distinct stays AFTER the selective hit filter (a
+    distinct-before-probe variant fans the one cheap Python pass out
+    into 32 post-exchange tasks on the single-row-group fixture scan —
+    measured slower).  first-wins is a window min over the batch's one
+    digest shuffle instead of a groupBy + joined-back broadcast: that
+    drops the third batch scan and the batch-sized broadcast build, and
+    at scale a batch-sized broadcast is the wrong shape anyway (the
+    window shuffles the delta-bound batch exactly once).  Interleaved
+    same-session A/B at sf0.1: r13 shape 0.976 s → 0.536 s (the
+    groupBy+broadcast variant of the same probe-once restructure:
+    0.855 s).  Identical status rows: the bloom has no false
+    negatives, so corpus ∩ hit-digests = corpus ∩ batch-digests, and a
+    window min equals the joined groupBy min on every row."""
+    from pyspark.sql.window import Window
+
     from streaming_spark.operators.sketch import bloom_build, bloom_probe_col
 
     docs = T(spark, sf_dir, "documents")
@@ -1018,15 +1049,19 @@ def dedup_bloom_ingest(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") >= 350).select(
         "doc_id", F.md5("text").alias("h")
     )
-    probed = bloom_probe_col(batch, "h", bloom, k=4)
-    hits = probed.filter(F.col("bloom_hit")).select("h").distinct()
+    hits = (
+        bloom_probe_col(batch.select("h"), "h", bloom, k=4)
+        .filter(F.col("bloom_hit"))
+        .select("h")
+        .distinct()
+    )
     verified = corpus.join(F.broadcast(hits), "h").withColumn(
         "in_corpus", F.lit(True)
     )
-    batch_min = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    first_w = Window.partitionBy("h")
     return (
-        probed.join(F.broadcast(verified), "h", "left")
-        .join(batch_min, "h")
+        batch.withColumn("first_id", F.min("doc_id").over(first_w))
+        .join(F.broadcast(verified), "h", "left")
         .select(
             "doc_id",
             F.when(F.col("in_corpus"), "dup_of_corpus")

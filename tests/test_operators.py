@@ -291,6 +291,51 @@ def test_cosine_pairs_blocked_matches_broadcast(spark):
     assert (4, 11) in bl
 
 
+def test_cosine_pairs_blocked_pretrained_quantizer_exact(spark):
+    """``quantizer=`` (the r14 session-memo hook) must not change a
+    single pair: ANY centroids are exact because the triangle-inequality
+    bounds use measured radii.  Pinned two ways — the operator's own
+    trainer passed back in, and a DEGRADED quantizer trained on a
+    20-vector subset (different centroids, same answer)."""
+    from streaming_spark.operators.similarity import (
+        _train_blocked_quantizer,
+        cosine_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    vecs[9] = vecs[2] + 0.02 * rng.standard_normal(16).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    base = df.select("vec_id", F.col("embedding").alias("__vec"))
+    want = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(df, threshold=0.4, mode="blocked").collect()
+    }
+    assert (2, 9) in want
+    own = _train_blocked_quantizer(base, None)
+    got_own = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(
+            df, threshold=0.4, mode="blocked", quantizer=own
+        ).collect()
+    }
+    assert got_own == want
+    cent_sub, _, n_cells_sub = _train_blocked_quantizer(
+        base.filter(F.col("vec_id") < 20), None
+    )
+    got_sub = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(
+            df,
+            threshold=0.4,
+            mode="blocked",
+            quantizer=(cent_sub, 120, n_cells_sub),
+        ).collect()
+    }
+    assert got_sub == want
+
+
 def test_cosine_pairs_blocked_drops_self_pairs_on_duplicate_ids(spark):
     """A vec_id that appears TWICE (an upstream union double-append)
     with similar-but-distinct vectors landing in different RINGS of the
