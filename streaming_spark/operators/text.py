@@ -226,8 +226,14 @@ def window_hashes(
         )
 
     return stream(
+        # explicit full-core fan-out: this map EXPLODES each doc into
+        # ~len(text) window rows, so the Arrow serialization of the
+        # OUTPUT dominates (≈250× the input bytes at fixture doc
+        # lengths) — the size-adaptive default sizes by input bytes and
+        # cannot see that
         ensure_parallelism(
-            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)),
+            df.sparkSession.sparkContext.defaultParallelism,
         ),
         compute,
         "doc_id BIGINT, pos INT, h BIGINT",

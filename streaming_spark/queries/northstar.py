@@ -109,8 +109,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     grams = with_word_ngrams(toks, "toks", 3, "g3").select(
         "doc_id", F.array_distinct("g3").alias("grams")
     )
+    # explicit full-core fan-out: the probe side's cost is the O(n²)
+    # broadcast-join comparisons, not its own bytes — exactly the
+    # "extreme per-row cost relative to bytes" case ensure_parallelism's
+    # size-adaptive default cannot see (measured 28 s single-partition →
+    # 1.3 s fanned at sf0.1)
     a = ensure_parallelism(
-        grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+        grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")),
+        spark.sparkContext.defaultParallelism,
     )
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))

@@ -195,3 +195,56 @@ def test_avro_source_gated_without_module(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="spark-avro"):
         load_table_avro(spark, str(tmp_path / "x"))
+
+
+def test_ensure_parallelism_sizing_and_key(spark):
+    """r15 fan-out contract: the default target is size-adaptive
+    (clamped to [min(8, cores), defaultParallelism] by the plan-stats
+    byte estimate), the repartition key hashes only the narrowest
+    column tier (never bulk payload columns), MapType columns are never
+    hashed (hash expressions reject maps), and an explicit
+    min_partitions is honored verbatim."""
+    from streaming_spark.operators import stream as stream_mod
+    from streaming_spark.operators.stream import _fanout_key, ensure_parallelism
+
+    dp = spark.sparkContext.defaultParallelism
+
+    # tiny input -> the floor, not defaultParallelism (when cores > 8)
+    df = spark.range(100).coalesce(1).select(
+        F.col("id"), F.encode(F.col("id").cast("string"), "utf-8").alias("blob")
+    )
+    n_small = ensure_parallelism(df)._jdf.rdd().getNumPartitions()
+    assert n_small == min(8, dp)
+
+    # the key hashes the narrow id column only, not the blob payload
+    key_plan = ensure_parallelism(df)._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64(id" in key_plan
+    assert "blob" not in key_plan.split("Exchange")[1].split("+-")[0]
+
+    # a large byte estimate still reaches defaultParallelism
+    old = stream_mod._FANOUT_TARGET_BYTES
+    try:
+        stream_mod._FANOUT_TARGET_BYTES = 1
+        n_big = ensure_parallelism(df)._jdf.rdd().getNumPartitions()
+        assert n_big == dp
+    finally:
+        stream_mod._FANOUT_TARGET_BYTES = old
+
+    # explicit min_partitions wins over the estimate
+    assert ensure_parallelism(df, 5)._jdf.rdd().getNumPartitions() == 5
+
+    # rows unchanged (repartition is placement-only)
+    assert ensure_parallelism(df).count() == 100
+
+    # string tier when no fixed-width column exists
+    sdf = df.select(F.col("id").cast("string").alias("s"), "blob")
+    k = _fanout_key(sdf)
+    assert k is not None and "s" in str(k._jc)
+
+    # MapType is unhashable -> excluded; all-map frames fall back to
+    # keyless round-robin (no AnalysisException)
+    mdf = spark.range(50).coalesce(1).select(
+        F.create_map(F.lit("k"), F.col("id")).alias("m")
+    )
+    assert _fanout_key(mdf) is None
+    assert ensure_parallelism(mdf, 4).count() == 50
