@@ -703,6 +703,88 @@ def _digmaint_main(max_n: int, n_prefixes: int = 16,
     spark.stop()
 
 
+def _simjoin_main(n: int) -> None:
+    """VERDICT r14 #7: the r14 round kept simhash's banded SELF-JOIN
+    candidate stage (and rejected the grouped collect_list rewrite)
+    based on sf0.1 measurements where the cached signature side
+    BROADCASTS.  This mode re-tests the choice at a corpus size where
+    the banded frame (4 rows/doc) is far past the 10 MB auto-broadcast
+    threshold, so the join must plan as an exchange-bearing join over
+    the persisted cache: time both shapes on the SAME persisted
+    signature frame and verify identical pair counts."""
+    import pyspark.sql.functions as F
+
+    from streaming_spark.operators.dedup import (
+        _simhash_pairs_from,
+        simhash64,
+        simhash_dedup_pairs,
+    )
+
+    spark = get_spark(app_name="stress-simjoin")
+    warm_dir, warm = stage_corpus(spark, 1_000)
+    simhash_dedup_pairs(warm, "text", "doc_id").count()
+    release(warm_dir)
+
+    d, df = stage_corpus(spark, n)
+    sh = simhash64(df, "text", "doc_id").persist()
+    sh.count()  # materialize the cache outside the timed region
+    max_hamming, bands, band_bits = 3, 4, 16
+
+    def grouped_pairs():
+        def band_expr(i):
+            shifted = F.shiftrightunsigned("simhash", band_bits * i)
+            return shifted.bitwiseAND(F.lit((1 << band_bits) - 1))
+
+        banded = sh.select(
+            "id",
+            "simhash",
+            F.posexplode(
+                F.array(*[band_expr(i) for i in range(bands)])
+            ).alias("band_id", "band_val"),
+        )
+        grouped = (
+            banded.groupBy("band_id", "band_val")
+            .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
+            .filter(F.size("ms") >= 2)
+        )
+        pair_expr = (
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b, "
+            "bit_count(x.simhash ^ y.simhash) AS hamming))))"
+        )
+        return (
+            grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.id_a", "p.id_b", "p.hamming")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    for arm, build in (
+        ("join", lambda: _simhash_pairs_from(sh, max_hamming, bands, band_bits)),
+        ("grouped", grouped_pairs),
+        ("join2", lambda: _simhash_pairs_from(sh, max_hamming, bands, band_bits)),
+        ("grouped2", grouped_pairs),
+    ):
+        t0 = time.perf_counter()
+        rows = build().count()
+        print(
+            json.dumps(
+                {
+                    "op": f"simjoin_{arm}",
+                    "n": n,
+                    "seconds": round(time.perf_counter() - t0, 2),
+                    "rows": rows,
+                }
+            ),
+            flush=True,
+        )
+    sh.unpersist()
+    release(d)
+    spark.stop()
+
+
 def main() -> None:
     from streaming_spark.operators.dedup import (
         connected_components,
@@ -724,6 +806,9 @@ def main() -> None:
             int(args[2]) if len(args) > 2 else 16,
             int(args[3]) if len(args) > 3 else 16,
         )
+        return
+    if args and args[0] == "simjoin":
+        _simjoin_main(int(args[1]) if len(args) > 1 else 1_000_000)
         return
     if args and args[0] == "maint":
         _maint_main(

@@ -31,23 +31,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# footer-schema memo, keyed by file path: spark.read.parquet runs
-# schema inference per CALL (~120 ms of driver/py4j work on this box —
-# measured 5-6x the cost of a schema-supplied read), and query builders
-# load the same immutable fixture tables on every invocation.  Caching
-# only the SCHEMA (metadata, never rows) and re-issuing the scan with
-# .schema(...) keeps every execution reading the parquet from disk
-# while skipping the repeated inference; it is also the deployment
+# footer-schema memo, keyed by (path, mtime, size): spark.read.parquet
+# runs schema inference per CALL (~120 ms of driver/py4j work on this
+# box — measured 5-6x the cost of a schema-supplied read), and query
+# builders load the same immutable fixture tables on every invocation.
+# Caching only the SCHEMA (metadata, never rows) and re-issuing the
+# scan with .schema(...) keeps every execution reading the parquet from
+# disk while skipping the repeated inference; it is also the deployment
 # idiom — production readers declare schemas rather than sample
-# footers.  Keyed by path so distinct scale factors never collide.
+# footers.  The mtime/size key invalidates the memo when a file at a
+# cached path is rewritten with a different schema (reused tmp dirs,
+# regenerated fixtures — ADVICE r14); the os.stat is ~µs against the
+# ~120 ms it saves.  Distinct scale factors never collide (distinct
+# paths), and tests can drop entries via ``_SCHEMA_CACHE.clear()``.
 _SCHEMA_CACHE: dict = {}
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    sch = _SCHEMA_CACHE.get(path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # directory-style parquet (or racing writer): stat the dir's
+        # own entry; fall back to path-only keying if even that fails
+        key = (path, None, None)
+    sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(sch).parquet(path)
 

@@ -768,6 +768,15 @@ def _self_topk_broadcast(
 # subtask); module constant so tests can force the salted path small.
 _PASS_B_TASK_BYTES = 64 << 20
 
+# minimum (plan-estimated) input bytes before exact_nn_topk's blocked
+# arm stages its assign map to scratch instead of recomputing it per
+# consumer — below it three cheap evaluations beat one write job's
+# fixed cost, above it the write amortizes two full N·dim·n_cells
+# matmul passes (r15; module constant so tests can force the staged
+# branch on a small corpus).  64 MB ≈ the ~100 k-vector scale where
+# mode="auto" starts choosing the blocked arm at all.
+_STAGE_ASSIGN_MIN_BYTES = 64 << 20
+
 
 def _topk_against(q_ids, q_mat, m_ids, m_mat, k, s_q=None):
     """The one exact per-task top-k loop every arm of ``exact_nn_topk``
@@ -944,12 +953,17 @@ def exact_nn_topk(
     gate size, and the table is bounded by N·k + the probe volume at
     any scale — one write job costs less than one re-run of the
     lineage.  A ``persist()`` instead would outlive the returned lazy
-    frame and degrade later same-session queries (CLAUDE.md).  Nothing
-    else stages: the assign map's only consumer is the per-cell stats
-    collect (one pass — a staged copy would be a pure extra write
-    job), and the vector-carrying assign twin is recomputed per
-    consumer as a narrow Arrow map (cheaper than staging N·dim
-    doubles).  The pinned dir is reported in
+    frame and degrade later same-session queries (CLAUDE.md).  The
+    assign map is ALSO staged above ``_STAGE_ASSIGN_MIN_BYTES`` of
+    estimated input (r15, refining the r9 "never stage the assign"
+    ruling): it has three consumers — the stats collect, pass A's
+    grouped input, and pass B's member side — and unstaged each
+    re-plans the corpus scan plus the N·dim·n_cells assign matmul;
+    staged, both run once and the stats fold reads a column-pruned
+    parquet scan instead of an unprunable Python-node output.  Below
+    the threshold (forced-mode demos, gates) the three evaluations are
+    each cheaper than the write job's fixed cost and the recompute
+    shape is kept.  The pinned dirs are reported in
     ``stats_out["staged_dirs"]`` — a caller that knows the returned
     frame is fully consumed should pass it to
     :func:`streaming_spark.scratch.unpin` so a long session's pins
@@ -1018,19 +1032,68 @@ def exact_nn_topk(
         df.write.parquet(d + "/t")
         return spark.read.parquet(d + "/t")
 
-    # the assign map's only consumer is this one stats collect — never
-    # staged (a staged copy would be a pure extra write job; r9 review)
-    assigned = ivf_assign(
-        base, cent, id_col="vec_id", vec_col="__vec", with_sim=True
+    # The assign map has THREE consumers (the stats collect, pass A's
+    # grouped input, pass B's member side), and a mapInPandas output
+    # cannot be column-pruned or shared across lineage branches — so
+    # unstaged, each consumer re-plans the corpus scan plus the
+    # N·dim·n_cells assign matmul.  Above _STAGE_ASSIGN_MIN_BYTES of
+    # (plan-estimated) input the assign output is therefore staged ONCE
+    # to scratch: the matmul and the corpus scan run once, every
+    # consumer reads the staged table, and the stats fold scans only
+    # (cell, cent_sim) — parquet CAN prune columns where the Python
+    # node could not; keep_vec upcasts float32→float64 exactly and the
+    # parquet round-trip is bit-exact, so downstream math is unchanged.
+    # BELOW the threshold the three evaluations are each cheaper than
+    # the extra write job's fixed cost, so the r14 recompute shape is
+    # kept (alternating-session A/B at the 2 k-vector fixture measured
+    # the staged shape ~0.3 s slower; at 100 TB one corpus-sized write
+    # replaces two full assign matmul passes of N·dim·√N flops each).
+    # Size-adaptive like mode="auto"'s broadcast_limit — and since auto
+    # only takes the blocked arm above 100 k rows, the staged branch is
+    # the one that actually runs at deployment scale; the sub-threshold
+    # branch serves the forced-mode demos and gates.
+    # estimates at/near Long.Max are Spark's "no statistics" sentinel
+    # (spark.sql.defaultSizeInBytes), not a real size — an in-memory /
+    # RDD-backed input has no file-source stats, and guessing "huge"
+    # there would pay the write job on every small forced-mode demo, so
+    # unknown keeps the r14 recompute shape
+    _est = int(base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    stage_assign = _STAGE_ASSIGN_MIN_BYTES <= _est < (1 << 62)
+    assigned_vec = ivf_assign(
+        base,
+        cent,
+        id_col="vec_id",
+        vec_col="__vec",
+        with_sim=True,
+        keep_vec="__vec",
     )
+    if stage_assign:
+        assigned_vec = _stage_table(assigned_vec, "assign")
+        stats_src = assigned_vec
+        qvec_src = assigned_vec
+    else:
+        # vector-FREE twin for the stats fold: aggregating the keep_vec
+        # frame would ship all N float64 vectors through Arrow just for
+        # a min/count that discards them
+        stats_src = ivf_assign(
+            base, cent, id_col="vec_id", vec_col="__vec", with_sim=True
+        )
+        qvec_src = base
     stats = (
-        assigned.groupBy("cell")
+        stats_src.groupBy("cell")
         .agg(F.min("cent_sim").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
     if not stats:
         # empty table under supplied centroids: fill the same stats_out
-        # contract as the populated path (ADVICE r8)
+        # contract as the populated path (ADVICE r8).  A staged assign
+        # dir holds nothing the returned (local, empty) frame reads —
+        # release its pin immediately so this return path still reports
+        # staged_dirs=[] and never leaks a pin
+        if staged_dirs:
+            from streaming_spark.scratch import unpin
+
+            unpin(staged_dirs.pop())
         if stats_out is not None:
             stats_out.update(
                 n_rows=0,
@@ -1048,19 +1111,6 @@ def exact_nn_topk(
     sizes = np.array([r["n"] for r in stats], dtype=np.int64)
     size_of_cell = dict(zip(cell_ids.tolist(), sizes.tolist()))
     n_total = int(sizes.sum())
-
-    # the vector-carrying twin of the assign map: pass A's per-cell
-    # tasks and pass B's member side need (id, vec, cell) — one narrow
-    # Arrow map, recomputed per consumer (cheaper than staging N·dim
-    # doubles; the metadata frames above are what staging covers)
-    assigned_vec = ivf_assign(
-        base,
-        cent,
-        id_col="vec_id",
-        vec_col="__vec",
-        with_sim=True,
-        keep_vec="__vec",
-    )
 
     # pass A + probe generation, FUSED into one per-cell task (VERDICT
     # r8 #1): each cell's task computes the exact own-cell top-k in a
@@ -1193,7 +1243,12 @@ def exact_nn_topk(
             "cell INT, n_sub INT",
         )
         qside = (
-            probes.join(base.select(F.col("vec_id").alias("qa"), "__vec"), "qa")
+            # query vectors come off the staged assign table when it
+            # exists (float64, value-identical to the source — not
+            # another corpus scan), else the source table
+            probes.join(
+                qvec_src.select(F.col("vec_id").alias("qa"), "__vec"), "qa"
+            )
             .join(F.broadcast(salt_df), "cell")
             .select(
                 F.col("qa").alias("id"),
@@ -1633,13 +1688,24 @@ def _cosine_pairs_blocked(
                 n_tasks=0,
                 candidates=0,
                 total_pairs=0,
+                staged_dirs=[],
             )
         return spark.createDataFrame([], out_schema)
-    # deliberately NOT persisted: the assign map is recomputed for the
-    # stats job and the task join, but it is one narrow Arrow map over
-    # a pruned scan — cheap next to the task shuffle — and a persist
-    # here would outlive the call (the returned frame is lazy), which
-    # measurably degrades later same-session queries (CLAUDE.md).
+    # deliberately NOT persisted: a persist here would outlive the call
+    # (the returned frame is lazy), which measurably degrades later
+    # same-session queries (CLAUDE.md).  Like exact_nn_topk's blocked
+    # arm (r15), the assign map IS staged to scratch above
+    # _STAGE_ASSIGN_MIN_BYTES of estimated input: it has two consumers
+    # (the stats fold and the task join) and a mapInPandas output is
+    # neither column-prunable nor shareable across lineage branches, so
+    # unstaged each consumer re-runs the corpus scan plus the
+    # N·dim·n_cells assign matmul.  Below the threshold (gates,
+    # forced-mode demos) the two evaluations are cheaper than the write
+    # job's fixed cost and the r9 recompute shape is kept; unknown
+    # stats (no file source, estimate = Long.Max sentinel) also keep
+    # it.  Pinned staged dirs surface in stats_out["staged_dirs"]
+    # (exact_nn_topk's releasability contract) — [] on the recompute
+    # branch.
     def _assign_blocks(keep_vec: str | None = None) -> DataFrame:
         return _with_block(
             ivf_assign(
@@ -1653,14 +1719,25 @@ def _cosine_pairs_blocked(
             n_rings,
         )
 
-    blocks = _assign_blocks(keep_vec="__vec")
-    # the stats action runs on a VECTOR-FREE twin of the assign map:
-    # mapInPandas output cannot be column-pruned, so aggregating the
-    # keep_vec frame would ship all N float64 vectors through Arrow
-    # just for a min/count that discards them
+    staged_dirs: list[str] = []
+    _est = int(base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if _STAGE_ASSIGN_MIN_BYTES <= _est < (1 << 62):
+        from streaming_spark.scratch import scratch_dir
+
+        d = scratch_dir("pairs_assign", pin=True)
+        staged_dirs.append(d)
+        _assign_blocks(keep_vec="__vec").write.parquet(d + "/t")
+        blocks = spark.read.parquet(d + "/t")
+        stats_src = blocks  # parquet prunes to (block, cent_sim)
+    else:
+        blocks = _assign_blocks(keep_vec="__vec")
+        # the stats action runs on a VECTOR-FREE twin of the assign
+        # map: mapInPandas output cannot be column-pruned, so
+        # aggregating the keep_vec frame would ship all N float64
+        # vectors through Arrow just for a min/count that discards them
+        stats_src = _assign_blocks()
     stats = (
-        _assign_blocks()
-        .groupBy("block")
+        stats_src.groupBy("block")
         .agg(F.min("cent_sim").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -1686,7 +1763,13 @@ def _cosine_pairs_blocked(
             [sizes[cells_of == c].sum() for c in cell_ids], dtype=np.int64
         )
         n_rings = 1
-        blocks = _assign_blocks(keep_vec="__vec")  # reads rebound n_rings
+        if staged_dirs:
+            # cell = block DIV old n_rings is already a staged column —
+            # re-derive block = cell·1+0 from the staged table instead
+            # of a THIRD assign evaluation
+            blocks = blocks.withColumn("block", F.col("cell").cast("int"))
+        else:
+            blocks = _assign_blocks(keep_vec="__vec")  # rebound n_rings
         block_ids, radii, sizes = cell_ids, cell_r, cell_n
         ii, jj, _same, volume = _block_pair_allowlist(
             cent, block_ids, radii, sizes, threshold, n_rings
@@ -1715,8 +1798,18 @@ def _cosine_pairs_blocked(
             n_tasks=len(ii),
             candidates=volume,
             total_pairs=n_rows * (n_rows - 1) // 2,
+            staged_dirs=list(staged_dirs),
         )
     if len(ii) == 0:
+        # nothing survives the allowlist: the returned (local, empty)
+        # frame reads no staged file — release any pin now so this
+        # path never leaks one
+        if staged_dirs:
+            from streaming_spark.scratch import unpin
+
+            unpin(staged_dirs.pop())
+            if stats_out is not None:
+                stats_out["staged_dirs"] = []
         return spark.createDataFrame([], out_schema)
     # group surviving block pairs by their CELL pair (r9): blocks
     # partition the vectors and every surviving block pair maps to
