@@ -196,14 +196,21 @@ def verify_jaccard(
     pairs: DataFrame, sigs: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs only —
-    JVM-side array_intersect/array_union, no Python."""
+    JVM-side array ops, no Python.
+
+    The union SIZE is derived, never materialized (r15, guide §1.2
+    step 2): shingle arrays are DISTINCT by construction
+    (``minhash_signatures`` np.unique's them), so |A∪B| = |A|+|B|−|A∩B|
+    exactly and ``array_union`` — which builds a hash set AND an
+    |A|+|B|-element output array per pair just to be counted — drops
+    out; the division takes the same two integers, so the ratio is
+    bit-identical."""
     sh = sigs.select("id", "shingles")
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     # threshold on the RAW ratio; rounding is display-only (rounding
     # first would admit pairs up to 5e-5 below the threshold)
     return (

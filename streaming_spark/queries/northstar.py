@@ -119,7 +119,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
         spark.sparkContext.defaultParallelism,
     )
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
-    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    # derived union size (r15): grams are array_distinct'd, so
+    # |A∪B| = |A|+|B|−|A∩B| exactly — array_union materialized an
+    # |A|+|B|-element array per pair just to be counted, on the query
+    # whose cost IS the O(n²) per-pair array ops; same integers divided,
+    # bit-identical ratio (operators/dedup.py verify_jaccard note)
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    jac = inter / (F.size("g_a") + F.size("g_b") - inter)
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", jac)
@@ -754,9 +760,11 @@ def dedup_minhash_recall(spark, sf_dir):
         F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
         F.col("n").alias("n_b"),
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # derived union size over the already-carried n_a/n_b (r15):
+    # shingles are np.unique'd sets, |A∪B| = |A|+|B|−|A∩B| exactly —
+    # same integers divided, bit-identical (verify_jaccard note)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     # J >= 0.5 implies |A|/|B| in [1/2, 2]: prune with the cheap size
     # test inside the join condition so the array ops run on survivors
     cond = (

@@ -67,6 +67,43 @@ def test_minhash_finds_planted_near_dup(spark):
     assert jac[(0, 1)] > 0.7
 
 
+def test_verify_jaccard_derived_union_identity(spark):
+    """The r15 verify expression derives the union SIZE from the carried
+    array sizes instead of materializing array_union — exact for the
+    DISTINCT shingle sets minhash_signatures emits (|A∪B| =
+    |A|+|B|−|A∩B|; same integers divided ⇒ bit-identical ratio).
+    Pinned against a hand-computed reference over identical, disjoint,
+    and partially-overlapping shingle sets.  (Two EMPTY sets would be
+    0/0 — a DIVIDE_BY_ZERO under the session's ANSI default in the old
+    array_union form and the derived form alike: the denominator is
+    zero exactly when both sets are empty, so the throw condition is
+    also identical.)"""
+    from streaming_spark.operators.dedup import verify_jaccard
+
+    sigs = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 40]),      # |1∩2|=4, |1∪2|=4 → 1.0
+            (2, [10, 20, 30, 40]),
+            (3, [10, 20, 99]),          # |1∩3|=2, |1∪3|=5 → 0.4
+            (4, [77]),                  # disjoint from 1 → 0.0
+        ],
+        "id BIGINT, shingles ARRAY<BIGINT>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verify_jaccard(pairs, sigs, threshold=0.0).collect()
+    }
+    assert got == {(1, 2): 1.0, (1, 3): 0.4, (1, 4): 0.0}
+    kept = {
+        (r.id_a, r.id_b)
+        for r in verify_jaccard(pairs, sigs, threshold=0.5).collect()
+    }
+    assert kept == {(1, 2)}
+
+
 def test_simhash_finds_planted_near_dup(spark):
     docs = _docs_df(spark)
     pairs = simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=10).collect()
@@ -1263,6 +1300,35 @@ def test_bpe_tradeoff_monotone(spark):
     assert cpt == sorted(cpt), cpt
     # 0 merges: every word is chars + </w> marker → tokens > chars
     assert rows[0]["chars_per_token"] < 1.0
+
+
+def test_fuzzy_verify_drops_over_threshold_candidates(spark):
+    """The banded thresholded verify (r15: levenshtein(a, b, max_dist),
+    keep dist >= 0) must DROP candidates whose true distance exceeds
+    max_dist — the thresholded form returns -1 for them, and a naive
+    ``dist <= max_dist`` filter would have kept those -1 rows.  'ab' and
+    'ba' share single-deletion variants ('a' and 'b') so they ARE a
+    blocking candidate, but their distance is 2: at max_dist=1 the pair
+    must vanish, at max_dist=2 it must surface with the TRUE distance
+    (never -1).  Same contract through the cross-relation fuzzy_join."""
+    from streaming_spark.operators.fuzzy import fuzzy_join, fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ba"), (3, "ax")], "id BIGINT, name STRING"
+    )
+    got1 = {(r.id_a, r.id_b): r.dist
+            for r in fuzzy_self_pairs(df, "name", "id", max_dist=1).collect()}
+    assert got1 == {(1, 3): 1}  # (1, 2) is a candidate but dist 2 — dropped
+    got2 = {(r.id_a, r.id_b): r.dist
+            for r in fuzzy_self_pairs(df, "name", "id", max_dist=2).collect()}
+    assert got2 == {(1, 2): 2, (1, 3): 1, (2, 3): 2}
+    left = spark.createDataFrame([(10, "ab")], "lid BIGINT, lname STRING")
+    right = spark.createDataFrame([(20, "ba"), (21, "ab")],
+                                  "rid BIGINT, rname STRING")
+    joined = {(r.lid, r.rid): r.dist
+              for r in fuzzy_join(left, right, "lname", "rname",
+                                  "lid", "rid", max_dist=1).collect()}
+    assert joined == {(10, 21): 0}  # (10, 20) candidate, dist 2 — dropped
 
 
 def test_fuzzy_bucket_cap_observable(spark):
